@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Top-K-per-group ranking — the reference's qualstats constvalues
+  * operator (powa--5.2.0.sql:6924-6982): five `row_number() OVER
+  * (PARTITION BY qual-key ORDER BY metric DESC)` rank columns plus
+  * `sum(1) OVER W` group sizes, then `array_agg(... ORDER BY rank)
+  * FILTER (WHERE rank <= 20)` per ranking.
+  *
+  * Spark-first: `Window.partitionBy(groupKeys).orderBy(desc(metric))` +
+  * `row_number` — a single shuffle on the group key; AQE handles skewed
+  * groups. For the packed-array form, conditional `collect_list` of a
+  * (rank, payload) struct + `array_sort` + `transform` reproduces the
+  * ordered `array_agg FILTER` with built-ins only (SURVEY.md §2.6).
+  */
+object TopK {
+
+  /** Keep the top `k` rows per group ordered by `orderBy` (descending
+    * metrics should be passed as `desc(...)` columns; include a unique
+    * tiebreaker for determinism). Adds a `rank` column.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupKeys: _*).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The bottom-K variant used for `least_filtering`
+    * (`FILTER (WHERE filtered_rank >= nb_lines - 20)`,
+    * powa--5.2.0.sql:6945-6950): rank ascending but keep ranks counted
+    * from the end of the group.
+    */
+  def bottomKPerGroup(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupKeys: _*).orderBy(orderBy: _*)
+    val cnt = Window.partitionBy(groupKeys: _*)
+    df.withColumn("rank", row_number().over(w))
+      .withColumn("nb_lines", count(lit(1)).over(cnt))
+      .filter(col("rank") > col("nb_lines") - k)
+      .drop("nb_lines")
+  }
+
+  /** Packed form: one row per group with an array of the top-k payloads
+    * ordered by rank — `array_agg(payload ORDER BY rank) FILTER (rank<=k)`
+    * (powa--5.2.0.sql:6945-6950). `payload` must be a struct column.
+    */
+  def topKPacked(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      orderBy: Seq[Column],
+      payload: Column,
+      k: Int,
+      outName: String): DataFrame = {
+    val ranked = topKPerGroup(df, groupKeys, orderBy, k)
+    ranked
+      .groupBy(groupKeys: _*)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("rank"), payload.as("p")))),
+          x => x.getField("p")).as(outName))
+  }
+}

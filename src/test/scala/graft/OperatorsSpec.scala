@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("coalesce round-trip: explode(collect) == identity") {
+    val cur = EventsSource.current(spark, sf)
+    val hist = Coalesce.aggregate(cur, EventsSource.spec)
+    val back = hist.select(col("srvid"), col("user_id"), col("event_type"),
+      explode(col("records")).as("record"))
+    assert(back.count() === cur.count())
+    assert(back.except(cur).isEmpty && cur.except(back).isEmpty)
+  }
+
+  test("coalesce mins/maxs equal per-field min/max of records") {
+    val cur = EventsSource.current(spark, sf)
+    val hist = Coalesce.aggregate(cur, EventsSource.spec).cache()
+    val bad = hist.filter(
+      col("mins_in_range.value") =!= array_min(col("records.value")) ||
+      col("maxs_in_range.value") =!= array_max(col("records.value")) ||
+      col("mins_in_range.ts") =!= col("range_start") ||
+      col("maxs_in_range.ts") =!= col("range_end"))
+    assert(bad.isEmpty)
+  }
+
+  test("records array is ts-ordered") {
+    val hist = Coalesce.aggregate(EventsSource.current(spark, sf), EventsSource.spec)
+    val bad = hist.filter(
+      to_json(col("records.ts")) =!= to_json(array_sort(col("records.ts"))))
+    assert(bad.isEmpty)
+  }
+
+  test("readback over a split equals plain range filter") {
+    val cur = EventsSource.current(spark, sf)
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val hist = Coalesce.aggregate(cur.filter(col("record.ts") < split), EventsSource.spec)
+    val from = lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"))
+    val to = lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val got = Readback.series(cur.filter(col("record.ts") >= split), hist,
+      EventsSource.spec, from, to)
+    val want = cur.filter(col("record.ts").between(from, to))
+    assert(got.count() === want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("delta/rate: zero-interval guard divides by 1") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, 1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (0, 1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 14.0),
+      (0, 1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 20.0))
+      .toDF("srvid", "user_id", "event_type", "ts", "value")
+      .select(col("srvid"), col("user_id"), col("event_type"),
+        struct(col("ts"), col("value")).as("record"))
+    val out = DeltaRate.withRates(rows, EventsSource.spec)
+      .orderBy(col("record.ts"), col("record.value"))
+      .select("intvl_sec", "value_delta", "value_per_sec").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 0.0 && out(1).getDouble(2) === 4.0) // /1 guard
+    assert(out(2).getDouble(0) === 2.0 && out(2).getDouble(2) === 3.0)
+  }
+
+  test("topK keeps k rows per group with dense ordering") {
+    val got = TopK.topKPerGroup(Tables.orders(spark, sf),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 5)
+    val sizes = got.groupBy("o_orderpriority").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 5))
+    assert(got.filter(col("rank") > 5).isEmpty)
+  }
+
+  test("diff-sync stamps dropped, clears on reappearance, applies rename") {
+    import spark.implicits._
+    val dim = Seq((1, 10L, "alpha", Option.empty[java.sql.Timestamp]),
+                  (1, 11L, "beta", Option.empty[java.sql.Timestamp]))
+      .toDF("srvid", "oid", "datname", "dropped")
+    val src = Seq((1, 10L, "alpha2"), (1, 12L, "gamma"))
+      .toDF("srvid", "oid", "datname")
+    val t = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val out = DiffSync.sync(dim, src, Seq("srvid", "oid"), "datname", "dropped", t)
+      .orderBy("oid").collect()
+    assert(out.length === 3)
+    assert(out(0).getString(2) === "alpha2" && out(0).isNullAt(3)) // renamed
+    assert(!out(1).isNullAt(3))                                    // dropped stamped
+    assert(out(2).getString(2) === "gamma" && out(2).isNullAt(3))  // new
+  }
+}
