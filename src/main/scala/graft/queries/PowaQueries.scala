@@ -1,0 +1,439 @@
+package graft.queries
+
+import scala.collection.immutable.TreeMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{EventsSource, Tables}
+import graft.operators._
+import graft.sources.SourceAdapter
+
+/** SURVEY.md §2 operator inventory expressed over the driver testdata,
+  * each with a DuckDB oracle. Query naming: q{NN}_{operator}. */
+object PowaQueries {
+
+  private val D18_2 = DecimalType(18, 2)
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  // ---- §2.4: per-db rollup aggregation (powa--5.2.0.sql:4070-4094)
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D18_2)).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(D18_2)).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(D18_2) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---- §2.4/§2.5: top-K-per-group (powa--5.2.0.sql:6924-6982)
+  private def q02(s: SparkSession, d: String): DataFrame =
+    TopK.topKPerGroup(
+        Tables.orders(s, d),
+        groupKeys = Seq(col("o_orderpriority")),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 10)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+
+  // ---- §2.8: generated delta / per-second rate operators
+  private def q03(s: SparkSession, d: String): DataFrame =
+    DeltaRate.withRates(EventsSource.current(s, d), EventsSource.spec)
+      .select(
+        col("user_id"), col("event_type"),
+        col("record.ts").as("ts"), col("record.value").as("value"),
+        col("intvl_sec"), col("value_delta"), col("value_per_sec"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"))
+
+  // ---- §2.4: coalesce aggregation round-trip (pack → unnest)
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Coalesce.aggregate(EventsSource.current(s, d), EventsSource.spec)
+      .select(
+        col("srvid"), col("user_id"), col("event_type"),
+        explode(col("records")).as("record"))
+      .select(
+        col("srvid"), col("user_id"), col("event_type"),
+        col("record.ts").as("ts"), col("record.value").as("value"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("value"))
+
+  // ---- §2.4: coalesce min/max summary records + tstzrange bounds
+  private def q05(s: SparkSession, d: String): DataFrame =
+    Coalesce.aggregate(EventsSource.current(s, d), EventsSource.spec)
+      .select(
+        col("srvid"), col("user_id"), col("event_type"),
+        col("range_start"), col("range_end"),
+        size(col("records")).cast("long").as("n_records"),
+        col("mins_in_range.value").as("min_value"),
+        col("maxs_in_range.value").as("max_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  // ---- §2.12: readback = current ∪ unnest(history) range overlap
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val cur = EventsSource.current(s, d)
+    val split = ts("2024-01-15 00:00:00")
+    val hist = Coalesce.aggregate(cur.filter(col("record.ts") < split), EventsSource.spec)
+    Readback.series(
+        cur.filter(col("record.ts") >= split), hist, EventsSource.spec,
+        ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00"))
+      .select(
+        col("srvid"), col("user_id"), col("event_type"),
+        col("record.ts").as("ts"), col("record.value").as("value"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("value"))
+  }
+
+  // ---- §2.11: retention purge over coalesced ranges
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val cur = EventsSource.current(s, d)
+      .withColumn("batch", date_trunc("week", col("record.ts")))
+    val hist = Coalesce.aggregate(
+      cur, EventsSource.spec.copy(keyCols =
+        EventsSource.spec.keyCols :+ graft.spec.ColSpec("batch", TimestampType)))
+    Coalesce.purge(hist, java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select(
+        col("srvid"), col("user_id"), col("event_type"), col("batch"),
+        col("range_start"), col("range_end"),
+        size(col("records")).cast("long").as("n_records"))
+      .orderBy(col("user_id"), col("event_type"), col("batch"))
+  }
+
+  // ---- §2.3: missing-entity detection (anti-join, :3746-3753)
+  private def q08(s: SparkSession, d: String): DataFrame =
+    DiffSync.missing(
+        Tables.customer(s, d),
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  // ---- §2.3: semi-join (qualstats → known statements, :7119-7124)
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ---- §2.3/§1.1: dimension diff-sync (missing/renamed/dropped,
+  //      powa--5.2.0.sql:3731-3796), full merge semantics
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val split = ts("2024-01-15 00:00:00")
+    val dim = ev.filter(col("ts") < split)
+      .groupBy(col("user_id")).agg(min(col("event_type")).as("datname"))
+      .withColumn("dropped", lit(null).cast("timestamp"))
+    val src = ev.filter(col("ts") >= split)
+      .groupBy(col("user_id")).agg(min(col("event_type")).as("datname"))
+    DiffSync.sync(dim, src, Seq("user_id"), "datname", "dropped",
+        ts("2024-02-01 00:00:00"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- §2.1: version-dispatched source projection
+  //      (powa_statements_src branches, :3798-4004; ladder pick :686-697)
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def base(v: Int): Seq[Column] = Seq(
+      col("event_id"), lit(v).as("version"), col("event_type"), col("value"))
+    val ladder = TreeMap[Int, Seq[Column]](
+      1 -> (base(1) :+ lit(null).cast("long").as("prop_k")),
+      2 -> (base(2) :+
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k")))
+    // servers 0,1 run version 1 (missing column → NULL literal);
+    // servers 2,3 run version 2 (real column)
+    val v1 = SourceAdapter.project(ev.filter(col("user_id") % 4 < 2), ladder, 1)
+    val v2 = SourceAdapter.project(ev.filter(col("user_id") % 4 >= 2), ladder, 5)
+    v1.unionByName(v2).orderBy(col("event_id"))
+  }
+
+  // ---- §2.2: regex + membership predicates (utility-statement filter
+  //      :3879, ignored_users :3880-3882)
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(!col("text").rlike("^\\s*(key|batch|window)\\b"))
+      .filter(!col("source").isin("src0", "src9"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // ---- §2.7: UNION dedup (pgss ∪ powa_statements, :7075-7080)
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      .union(
+        Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy(col("custkey"))
+
+  // ---- §2.5: unordered window min/max/count (W AS PARTITION BY …,
+  //      :6953-6977)
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderpriority"),
+        count(lit(1)).over(w).as("nb_lines"),
+        min(col("o_totalprice")).over(w).as("min_price"),
+        max(col("o_totalprice")).over(w).as("max_price"))
+      .distinct()
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---- §2.9: JSON handling (powa_configure_server json_each_text, :2768)
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+      .orderBy(col("event_type"))
+
+  // ---- §2.6: packed top-K (array_agg ORDER BY rank FILTER rank<=k,
+  //      :6945-6950), verified by re-exploding the packed array
+  private def q16(s: SparkSession, d: String): DataFrame =
+    TopK.topKPacked(
+        Tables.orders(s, d),
+        groupKeys = Seq(col("o_orderpriority")),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        payload = struct(col("o_orderkey"), col("o_totalprice")),
+        k = 5, outName = "top")
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.o_orderkey").as("o_orderkey"),
+        col("p.o_totalprice").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+
+  // ---- §2.6: ordered array_agg (ORDER BY constant_position, :7035),
+  //      verified by re-exploding
+  private def q17(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"))))
+        .as("seq"))
+      .select(col("o_orderpriority"), posexplode(col("seq")).as(Seq("pos", "p")))
+      .select(col("o_orderpriority"), col("pos").cast("long").as("pos"),
+        col("p.o_orderkey").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("pos"))
+
+  // ---- §1.1: per-db rollup tier (`*_db` tables — keys dropped, SUM
+  //      GROUP BY dbid, ts; powa--5.2.0.sql:2125-2138)
+  private def q18(s: SparkSession, d: String): DataFrame =
+    EventsSource.current(s, d)
+      .select(col("srvid"), date_trunc("day", col("record.ts")).as("day"),
+        col("record.value").cast(D18_2).as("v"))
+      .groupBy(col("srvid"), col("day"))
+      .agg(sum(col("v")).cast(DecimalType(38, 2)).as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("srvid"), col("day"))
+
+  // ---- §2.7: EXCEPT / array difference (dbnames algebra, :2540-2547)
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .select(col("user_id"),
+        explode(array_sort(array_except(col("types"),
+          array(lit("click"), lit("view"))))).as("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  // ---- §2.3: MRU touch (UPDATE … last_present_ts, :4025-4031)
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("ts") < ts("2024-01-15 00:00:00"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("last_present_ts"))
+    val seen = ev.filter(col("ts") >= ts("2024-01-20 00:00:00"))
+    DiffSync.mruTouch(dim, seen, Seq("user_id"), "last_present_ts",
+        ts("2024-02-01 00:00:00"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---- §2.10: count-based coalesce batching (every powa.coalesce=5
+  //      snapshots → one history row; powa--5.2.0.sql:3550, 01_general.sql:83)
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("srvid"), col("user_id"), col("event_type"))
+      .orderBy(col("record.ts"))
+    val batched = EventsSource.current(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr("(rn - 1) DIV 5"))
+      .drop("rn")
+    Coalesce.aggregate(batched,
+        EventsSource.spec.copy(keyCols =
+          EventsSource.spec.keyCols :+ graft.spec.ColSpec("batch", LongType)))
+      .select(
+        col("srvid"), col("user_id"), col("event_type"), col("batch"),
+        col("range_start"), col("range_end"),
+        size(col("records")).cast("long").as("n_records"),
+        col("mins_in_range.value").as("min_value"),
+        col("maxs_in_range.value").as("max_value"))
+      .orderBy(col("user_id"), col("event_type"), col("batch"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_db_rollup" -> (q01 _),
+    "q02_topk_per_group" -> (q02 _),
+    "q03_delta_rate" -> (q03 _),
+    "q04_coalesce_roundtrip" -> (q04 _),
+    "q05_coalesce_minmax" -> (q05 _),
+    "q06_readback_union" -> (q06 _),
+    "q07_purge_retention" -> (q07 _),
+    "q08_missing_anti_join" -> (q08 _),
+    "q09_semi_join" -> (q09 _),
+    "q10_diff_sync" -> (q10 _),
+    "q11_version_projection" -> (q11 _),
+    "q12_regex_filter" -> (q12 _),
+    "q13_union_dedup" -> (q13 _),
+    "q14_window_minmax" -> (q14 _),
+    "q15_json_extract" -> (q15 _),
+    "q16_topk_packed" -> (q16 _),
+    "q17_sorted_collect" -> (q17 _),
+    "q18_db_rollup_tier" -> (q18 _),
+    "q19_array_except" -> (q19 _),
+    "q20_mru_touch" -> (q20 _),
+    "q21_coalesce_batches" -> (q21 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_db_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_topk_per_group" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+           FROM orders) WHERE rank <= 10
+         ORDER BY o_orderpriority, rank""",
+    "q03_delta_rate" ->
+      """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
+                value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
+         FROM (
+           SELECT user_id, event_type, ts, value,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DOUBLE) / 1000000.0 AS intvl_sec,
+             value - LAG(value) OVER w AS value_delta
+           FROM events
+           WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+         ORDER BY user_id, event_type, ts""",
+    "q04_coalesce_roundtrip" ->
+      """SELECT CAST(user_id % 4 AS INTEGER) AS srvid, user_id, event_type, ts, value
+         FROM events ORDER BY user_id, event_type, ts, value""",
+    "q05_coalesce_minmax" ->
+      """SELECT CAST(user_id % 4 AS INTEGER) AS srvid, user_id, event_type,
+                MIN(ts) AS range_start, MAX(ts) AS range_end,
+                COUNT(*) AS n_records,
+                MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY user_id, event_type""",
+    "q06_readback_union" ->
+      """SELECT CAST(user_id % 4 AS INTEGER) AS srvid, user_id, event_type, ts, value
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY user_id, event_type, ts, value""",
+    "q07_purge_retention" ->
+      """SELECT CAST(user_id % 4 AS INTEGER) AS srvid, user_id, event_type,
+                DATE_TRUNC('week', ts) AS batch,
+                MIN(ts) AS range_start, MAX(ts) AS range_end,
+                COUNT(*) AS n_records
+         FROM events GROUP BY 1, 2, 3, 4
+         HAVING MAX(ts) >= TIMESTAMP '2024-01-15 00:00:00'
+         ORDER BY user_id, event_type, batch""",
+    "q08_missing_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q09_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey AND o_totalprice > 200000.0)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q10_diff_sync" ->
+      """WITH dim AS (SELECT user_id, MIN(event_type) AS datname FROM events
+                      WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id),
+              src AS (SELECT user_id, MIN(event_type) AS datname FROM events
+                      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id)
+         SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+                COALESCE(s.datname, d.datname) AS datname,
+                CASE WHEN s.user_id IS NULL THEN TIMESTAMP '2024-02-01 00:00:00' END AS dropped
+         FROM dim d FULL OUTER JOIN src s ON d.user_id = s.user_id
+         ORDER BY user_id""",
+    "q11_version_projection" ->
+      """SELECT event_id,
+                CASE WHEN user_id % 4 < 2 THEN 1 ELSE 2 END AS version,
+                event_type, value,
+                CASE WHEN user_id % 4 < 2 THEN NULL
+                     ELSE CAST(props->>'$.k' AS BIGINT) END AS prop_k
+         FROM events ORDER BY event_id""",
+    "q12_regex_filter" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE NOT regexp_matches(text, '^\s*(key|batch|window)\b')
+           AND source NOT IN ('src0', 'src9')
+         ORDER BY doc_id""",
+    "q13_union_dedup" ->
+      """SELECT o_custkey AS custkey FROM orders
+         UNION
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+         ORDER BY custkey""",
+    "q14_window_minmax" ->
+      """SELECT DISTINCT o_orderpriority,
+                COUNT(*) OVER w AS nb_lines,
+                MIN(o_totalprice) OVER w AS min_price,
+                MAX(o_totalprice) OVER w AS max_price
+         FROM orders WINDOW w AS (PARTITION BY o_orderpriority)
+         ORDER BY o_orderpriority""",
+    "q15_json_extract" ->
+      """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                COUNT(props->>'$.k') AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q16_topk_packed" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+           FROM orders) WHERE rank <= 5
+         ORDER BY o_orderpriority, rank""",
+    "q17_sorted_collect" ->
+      """SELECT o_orderpriority,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderdate, o_orderkey) - 1 AS pos,
+                o_orderkey
+         FROM orders ORDER BY o_orderpriority, pos""",
+    "q18_db_rollup_tier" ->
+      """SELECT CAST(user_id % 4 AS INTEGER) AS srvid,
+                DATE_TRUNC('day', ts) AS day,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY srvid, day""",
+    "q19_array_except" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         WHERE event_type NOT IN ('click', 'view')
+         ORDER BY user_id, event_type""",
+    "q20_mru_touch" ->
+      """WITH dim AS (SELECT user_id, MIN(ts) AS last_present_ts FROM events
+                      WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id),
+              seen AS (SELECT DISTINCT user_id FROM events
+                       WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+         SELECT d.user_id,
+                CASE WHEN s.user_id IS NOT NULL THEN TIMESTAMP '2024-02-01 00:00:00'
+                     ELSE d.last_present_ts END AS last_present_ts
+         FROM dim d LEFT JOIN seen s ON d.user_id = s.user_id
+         ORDER BY d.user_id""",
+    "q21_coalesce_batches" ->
+      """WITH t AS (
+           SELECT CAST(user_id % 4 AS INTEGER) AS srvid, user_id, event_type, ts, value,
+                  (ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts) - 1) // 5 AS batch
+           FROM events)
+         SELECT srvid, user_id, event_type, batch,
+                MIN(ts) AS range_start, MAX(ts) AS range_end,
+                COUNT(*) AS n_records,
+                MIN(value) AS min_value, MAX(value) AS max_value
+         FROM t GROUP BY 1, 2, 3, 4
+         ORDER BY user_id, event_type, batch""")
+}
