@@ -1,0 +1,206 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Coalesce, Readback}
+import graft.spec.{DatasourceSpec, Specs}
+
+/** Spec-driven snapshot → aggregate → purge → reset implementation, shared
+  * by every datasource — the engine analogue of the generated per-datasource
+  * functions (`powa_generic_module_setup`, powa--5.2.0.sql:1406-1592).
+  *
+  * Tiers per datasource: `staging` (remote collector landing zone,
+  * `*_src_tmp`), `current` (per-entity raw records), `current_db` /
+  * `history_db` (per-database rollup, populated at snapshot time,
+  * :4070-4094), `history` (coalesced array-of-record rows).
+  */
+final class GenericDatasource(val spec: DatasourceSpec) {
+  import GenericDatasource._
+
+  val name: String = spec.name
+
+  /** Per-db rollup spec: keys reduce to dbid, counters to the aggregatable
+    * fields (timestamptz counters dropped — c_no_agg, :1049-1050). */
+  val dbSpec: Option[DatasourceSpec] =
+    if (spec.perDbRollup)
+      Some(DatasourceSpec(
+        name = spec.name + "_db",
+        keyCols = spec.keyCols.filter(_.name == "dbid"),
+        counterCols = spec.aggFields))
+    else None
+
+  /** Snapshot (generated `{ds}_snapshot`, :1406-1488): read this server's
+    * staged rows, append per-entity records into `current` (+ the per-db
+    * rollup into `current_db`), then drain the staging partition.
+    */
+  def snapshot(store: Store, srvid: Int): Long = {
+    val staged = store.read(name, Staging, spec.stagingSchema)
+      .filter(col("srvid") === srvid)
+      .cache() // two outputs from one scan (SURVEY.md §7.4 item 6)
+    try {
+      val n = staged.count()
+      if (n > 0) {
+        val keyCols = spec.keyNames.map(col)
+        val recordCol = struct((col("ts") +: spec.counterCols.map(c => col(c.name))): _*)
+        store.append(name, Current,
+          staged.select(col("srvid") +: keyCols :+ recordCol.as("record"): _*))
+        dbSpec.foreach { dbs =>
+          val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
+          val rolled = staged
+            .groupBy(col("srvid"), col("dbid"), col("ts"))
+            .agg(aggCols.head, aggCols.tail: _*)
+          store.append(name, CurrentDb, rolled.select(
+            col("srvid"), col("dbid"),
+            struct((col("ts") +: spec.aggFields.map(f => col(f.name))): _*)
+              .as("record")))
+        }
+        store.dropPartition(name, Staging, srvid) // drain (:4102-4104)
+      }
+      n
+    } finally staged.unpersist()
+  }
+
+  /** Aggregate (generated `{ds}_aggregate`, :1490-1540): coalesce this
+    * server's current rows into history, then empty current — history is
+    * written before current is truncated (SURVEY.md §7.4 item 2). */
+  def aggregate(store: Store, srvid: Int): Unit = {
+    def one(tierCur: String, tierHist: String, s: DatasourceSpec): Unit = {
+      val cur = store.read(name, tierCur, currentNoSrvid(s))
+        .filter(col("srvid") === srvid)
+      if (!cur.isEmpty) {
+        store.append(name, tierHist, Coalesce.aggregate(cur, s))
+        store.dropPartition(name, tierCur, srvid)
+      }
+    }
+    one(Current, History, spec)
+    dbSpec.foreach(dbs => one(CurrentDb, HistoryDb, dbs))
+  }
+
+  /** Purge (generated `{ds}_purge`, :1542-1570): drop history rows whose
+    * range fell entirely before the retention cutoff. */
+  def purge(store: Store, srvid: Int, cutoff: java.sql.Timestamp): Unit = {
+    def one(tier: String, s: DatasourceSpec): Unit = {
+      val hist = store.read(name, tier, historyNoSrvid(s))
+        .filter(col("srvid") === srvid)
+      if (!hist.isEmpty)
+        store.overwritePartition(name, tier, srvid, Coalesce.purge(hist, cutoff))
+    }
+    one(History, spec)
+    dbSpec.foreach(dbs => one(HistoryDb, dbs))
+  }
+
+  /** Reset (generated `{ds}_reset`, :1572-1589): drop every tier's
+    * partition for this server. */
+  def reset(store: Store, srvid: Int): Unit =
+    Seq(Staging, Current, CurrentDb, History, HistoryDb)
+      .foreach(t => store.dropPartition(name, t, srvid))
+
+  /** Readback (powa_stat_get_activity shape, :7765-7792). */
+  def readSeries(store: Store, srvid: Int, from: java.sql.Timestamp,
+      to: java.sql.Timestamp): DataFrame = {
+    val cur = store.read(name, Current, currentNoSrvid(spec))
+      .filter(col("srvid") === srvid)
+    val hist = store.read(name, History, historyNoSrvid(spec))
+      .filter(col("srvid") === srvid)
+    Readback.series(cur, hist, spec, lit(from), lit(to))
+  }
+
+}
+
+object GenericDatasource {
+  val Staging = "staging"
+  val Current = "current"
+  val CurrentDb = "current_db"
+  val History = "history"
+  val HistoryDb = "history_db"
+
+  /** Tier schemas minus the srvid partition column (Store re-adds it). */
+  def currentNoSrvid(s: DatasourceSpec) =
+    org.apache.spark.sql.types.StructType(s.currentSchema.fields.filterNot(_.name == "srvid"))
+  def historyNoSrvid(s: DatasourceSpec) =
+    org.apache.spark.sql.types.StructType(s.historySchema.fields.filterNot(_.name == "srvid"))
+}
+
+/** The orchestrator — `powa_take_snapshot(srvid)` (powa--5.2.0.sql:
+  * 3450-3710) over the datasource registry, with the reference cadence:
+  *
+  *   - every call bumps `coalesce_seq` (:3490-3495);
+  *   - each enabled datasource snapshots, individually try/caught —
+  *     one failing source never aborts the tick (:3523-3547);
+  *   - when `(coalesce_seq + srvid % 20) % coalesce == 0` → aggregate
+  *     pass (:3550); when `== 1` → purge pass (:3608) — the `srvid % 20`
+  *     term de-phases servers so a fleet doesn't aggregate in lockstep;
+  *   - metas record snapts/aggts/purgets and accumulated errors
+  *     (:3490-3497, :3696-3700).
+  */
+final class Engine(val spark: SparkSession, storageRoot: String) {
+  val registry = new Registry
+  val store = new Store(spark, storageRoot)
+  val datasources: Seq[GenericDatasource] = Specs.all.map(new GenericDatasource(_))
+  private val byName = datasources.map(d => d.name -> d).toMap
+
+  def datasource(name: String): GenericDatasource = byName(name)
+
+  /** Remote collector landing: append staged rows (must carry srvid, ts,
+    * keys, counters — the `*_src_tmp` shape). */
+  def ingest(dsName: String, df: DataFrame): Unit =
+    store.append(dsName, GenericDatasource.Staging, df)
+
+  /** One tick. Returns the number of errors (like powa_take_snapshot). */
+  def takeSnapshot(srvid: Int,
+      now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Int = {
+    val server = registry.server(srvid)
+    if (server.frequencySec == -1) return 0
+    val meta = registry.meta(srvid)
+    meta.coalesceSeq += 1
+    var errors = Vector.empty[String]
+
+    val active = datasources.filter(d =>
+      registry.isEnabled(srvid, d.name) &&
+      server.versionNum >= d.spec.minVersion)
+
+    active.foreach { d =>
+      try d.snapshot(store, srvid)
+      catch { case e: Exception =>
+        errors :+= s"${d.name}_snapshot: ${e.getMessage}" }
+    }
+    meta.snapts = Some(now)
+
+    val phase = (meta.coalesceSeq + srvid % 20) % server.powaCoalesce
+    if (phase == 0) {
+      active.foreach { d =>
+        try d.aggregate(store, srvid)
+        catch { case e: Exception =>
+          errors :+= s"${d.name}_aggregate: ${e.getMessage}" }
+      }
+      meta.aggts = Some(now)
+    }
+    if (phase == 1) {
+      active.foreach { d =>
+        try {
+          val cutoff = new java.sql.Timestamp(
+            now.getTime - registry.retentionSec(srvid, d.name) * 1000L)
+          d.purge(store, srvid, cutoff)
+        } catch { case e: Exception =>
+          errors :+= s"${d.name}_purge: ${e.getMessage}" }
+      }
+      meta.purgets = Some(now)
+    }
+
+    meta.errors ++= errors
+    errors.size
+  }
+
+  /** powa_reset(srvid) (:6359-6429). */
+  def reset(srvid: Int): Unit = {
+    datasources.foreach(_.reset(store, srvid))
+    val m = registry.meta(srvid)
+    m.coalesceSeq = 0; m.errors = Vector.empty
+  }
+
+  /** powa_delete_and_purge_server (:2842-2888): config rows + all data. */
+  def deleteServer(srvid: Int): Unit = {
+    datasources.foreach(_.reset(store, srvid))
+    registry.dropServer(srvid)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Server + module configuration catalog — the engine's mirror of the
+  * reference's config surface (SURVEY.md §2.11):
+  *
+  *   - `powa_servers` (powa--5.2.0.sql:120-136): id, hostname, frequency
+  *     (-1 = deactivated, else >= 5 s), retention, powa_coalesce;
+  *   - `powa_register_server` (:2686-2761), `powa_configure_server`
+  *     (:2768-2783, field-whitelisted json patch),
+  *     `powa_deactivate_server` (:2807, frequency = -1),
+  *     `powa_delete_and_purge_server` (:2842-2888);
+  *   - module activation (`powa_activate_module` :2597-2625, 'powa' as
+  *     an alias for all modules) and per-server per-feature retention
+  *     resolution (`powa_get_server_retention` :2942-2990).
+  *
+  * These are tiny config tables; a driver-side in-memory catalog matches
+  * the reference's semantics (server 0 = local, auto-registered).
+  */
+final case class ServerConfig(
+    id: Int,
+    hostname: String,
+    alias: Option[String] = None,
+    port: Int = 5432,
+    frequencySec: Int = 300,
+    retentionSec: Long = 86400L,        // powa.retention default 1 day
+    powaCoalesce: Int = 100,            // powa.coalesce default
+    versionNum: Int = 170000,
+    /** per-feature retention overrides (extension name → seconds) —
+      * powa_extension_config.retention (:199). */
+    featureRetention: Map[String, Long] = Map.empty) {
+  require(frequencySec == -1 || frequencySec >= 5,
+    "frequency must be -1 (disabled) or >= 5s (powa--5.2.0.sql:128)")
+  require(powaCoalesce >= 5, "powa_coalesce must be >= 5 (powa.c:277-281)")
+}
+
+final case class SnapshotMeta(
+    var coalesceSeq: Long = 0,
+    var snapts: Option[java.sql.Timestamp] = None,
+    var aggts: Option[java.sql.Timestamp] = None,
+    var purgets: Option[java.sql.Timestamp] = None,
+    var errors: Vector[String] = Vector.empty)
+
+final class Registry {
+  private val servers = mutable.LinkedHashMap[Int, ServerConfig]()
+  private val metas = mutable.Map[Int, SnapshotMeta]()
+  /** (srvid, datasource) → enabled. Registration seeds all datasources
+    * enabled, mirroring powa_module_config rows (powa--5.2.0.sql:1264). */
+  private val enabled = mutable.Map[(Int, String), Boolean]()
+  private var nextId = 1
+
+  registerLocal()
+
+  private def registerLocal(): Unit = {
+    servers(0) = ServerConfig(0, "", alias = Some("local"))
+    metas(0) = SnapshotMeta()
+  }
+
+  /** powa_register_server (:2686-2761). Returns the new srvid. */
+  def registerServer(cfg: ServerConfig): Int = {
+    val id = if (cfg.id > 0) cfg.id else { val i = nextId; i }
+    require(!servers.contains(id) || id == cfg.id && !servers.contains(id),
+      s"server $id already registered")
+    nextId = math.max(nextId, id + 1)
+    servers(id) = cfg.copy(id = id)
+    metas(id) = SnapshotMeta()
+    id
+  }
+
+  /** powa_configure_server: field-whitelisted patch (:2768-2783). */
+  def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit =
+    servers(srvid) = patch(server(srvid))
+
+  /** powa_deactivate_server: frequency = -1 (:2807). */
+  def deactivateServer(srvid: Int): Unit =
+    configureServer(srvid, _.copy(frequencySec = -1))
+
+  /** powa_delete_and_purge_server (:2842-2888); storage sweep is the
+    * engine's responsibility (Engine.deleteServer). */
+  def dropServer(srvid: Int): Unit = {
+    require(srvid != 0, "cannot delete the local server")
+    servers.remove(srvid); metas.remove(srvid)
+    enabled.keys.filter(_._1 == srvid).toSeq.foreach(enabled.remove)
+  }
+
+  def server(srvid: Int): ServerConfig =
+    servers.getOrElse(srvid, throw new NoSuchElementException(s"no server $srvid"))
+  def serverIds: Seq[Int] = servers.keys.toSeq
+  def meta(srvid: Int): SnapshotMeta =
+    metas.getOrElseUpdate(srvid, SnapshotMeta())
+
+  /** powa_activate_module / powa_deactivate_module (:2597-2684);
+    * name "powa" toggles everything (alias, :2612-2625). */
+  def setEnabled(srvid: Int, dsName: String, on: Boolean): Unit =
+    if (dsName == "powa") enabled.keys.filter(_._1 == srvid)
+      .foreach(k => enabled(k) = on)
+    else enabled((srvid, dsName)) = on
+
+  /** Default: enabled unless explicitly deactivated. */
+  def isEnabled(srvid: Int, dsName: String): Boolean =
+    enabled.getOrElse((srvid, dsName), true)
+
+  /** powa_get_server_retention resolution (:2942-2990): per-feature
+    * override, else server retention, else global default. */
+  def retentionSec(srvid: Int, feature: String): Long = {
+    val s = server(srvid)
+    s.featureRetention.getOrElse(feature, s.retentionSec)
+  }
+}

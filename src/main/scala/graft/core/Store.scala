@@ -1,0 +1,91 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-backed tier storage. Layout (SURVEY.md §7.1):
+  *
+  *   <root>/<datasource>/<tier>/srvid=<n>/…parquet
+  *
+  * with tiers `staging | current | history | history_db`. Partitioning by
+  * `srvid` makes every per-server operation (snapshot drain, aggregate,
+  * purge, reset — all `WHERE srvid = ?` DML in the reference) a partition
+  * operation: append into one partition, or atomically drop/rewrite one
+  * partition directory. This is the layout that scales: on a cluster the
+  * same code runs with `srvid` (+ a date bucket of `range_start` for the
+  * history tier) as physical partition keys, so readback prunes partitions
+  * before Parquet row-group min/max stats prune within them — replacing
+  * the reference's GiST `(srvid, key, coalesce_range)` index
+  * (powa--5.2.0.sql:2123).
+  *
+  * Mutation model: `*_src_tmp` drain and aggregate-then-delete become
+  * partition rewrites. The rewrite is write-new, swap-directory — the
+  * commit-marker ordering of SURVEY.md §7.4 item 2 (history append
+  * happens before current truncate; a re-run is idempotent because
+  * aggregate reads only what's still in current).
+  */
+final class Store(val spark: SparkSession, root: String) {
+
+  private def dir(ds: String, tier: String): Path = Paths.get(root, ds, tier)
+  private def partDir(ds: String, tier: String, srvid: Int): Path =
+    dir(ds, tier).resolve(s"srvid=$srvid")
+
+  /** Read one tier; empty-but-correctly-shaped frame when absent. `schema`
+    * excludes srvid (partition column re-added by the reader). */
+  def read(ds: String, tier: String, schema: StructType): DataFrame = {
+    val d = dir(ds, tier)
+    val hasData = Files.isDirectory(d) && {
+      val s = Files.list(d)
+      try s.filter(p => p.getFileName.toString.startsWith("srvid="))
+        .findFirst.isPresent
+      finally s.close()
+    }
+    val srvidField = org.apache.spark.sql.types.StructField(
+      "srvid", org.apache.spark.sql.types.IntegerType)
+    val dataFields = schema.fields.filterNot(_.name == "srvid")
+    if (hasData) {
+      val df = spark.read
+        .schema(StructType(dataFields :+ srvidField))
+        .parquet(d.toString)
+      // normalize column order: srvid first (partition cols read back last)
+      df.select((col("srvid") +: dataFields.toSeq.map(f => col(f.name))): _*)
+    } else {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(srvidField +: dataFields))
+    }
+  }
+
+  /** Append rows (must carry srvid) into the tier, one partition per srvid. */
+  def append(ds: String, tier: String, df: DataFrame): Unit =
+    df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
+
+  /** Replace a single server's partition with `df` (rows must all belong
+    * to that srvid). Equivalent of `DELETE … WHERE srvid = ?; INSERT …`.
+    * Cluster path: Delta `REPLACE WHERE` / dynamic partition overwrite. */
+  def overwritePartition(ds: String, tier: String, srvid: Int, df: DataFrame): Unit = {
+    val tmp = dir(ds, tier + s".tmp$srvid")
+    df.drop("srvid").write.mode("overwrite").parquet(tmp.toString)
+    dropPartition(ds, tier, srvid)
+    val dst = partDir(ds, tier, srvid)
+    Files.createDirectories(dst.getParent)
+    Files.move(tmp, dst)
+  }
+
+  /** Drop one server's partition — `DELETE FROM … WHERE srvid = ?`
+    * (e.g. staging drain powa--5.2.0.sql:4102-4104, reset :6359-6429). */
+  def dropPartition(ds: String, tier: String, srvid: Int): Unit =
+    deleteRecursively(partDir(ds, tier, srvid))
+
+  /** Drop a whole tier (global reset). */
+  def dropTier(ds: String, tier: String): Unit = deleteRecursively(dir(ds, tier))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

@@ -11,17 +11,22 @@ import org.apache.spark.sql.types._
   *                  :1049-1050, :1113-1117);
   *   - `noMinMax` — xid/boolean excluded from mins/maxs summary records
   *                  (c_no_minmax, powa--5.2.0.sql:1020, :1067-1069);
-  *   - `rateName` — rename override for the generated per-second rate
-  *                  column (jsonb `_extra` arg, powa--5.2.0.sql:1119-1125,
-  *                  e.g. total_exec_time→runtime at :1613-1615).
+  *   - `rateName`/`rateSuffix` — rename/suffix overrides for the generated
+  *                  per-second rate column (jsonb `_extra` arg,
+  *                  powa--5.2.0.sql:1119-1125; e.g. total_exec_time→runtime
+  *                  at :1613-1615, empty suffix for qualstats error ratios
+  *                  at :1932-1933).
   */
 final case class ColSpec(
     name: String,
     dt: DataType,
     noAgg: Boolean = false,
     noMinMax: Boolean = false,
-    rateName: Option[String] = None) {
-  def rateColName: String = rateName.getOrElse(name) + "_per_sec"
+    rateName: Option[String] = None,
+    rateSuffix: Option[String] = None,
+    nullable: Boolean = true) {
+  def rateColName: String =
+    rateName.getOrElse(name) + rateSuffix.getOrElse("_per_sec")
 }
 
 /** Declarative description of one datasource — the Spark-side analogue of a

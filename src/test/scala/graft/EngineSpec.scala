@@ -1,0 +1,188 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.spec.Specs
+
+/** Golden replay of the reference state machine —
+  * sql/01_general.sql:83-153 with powa.coalesce = 5:
+  * empty → 1 snapshot (current populated, history empty) → 5 snapshots
+  * (aggregate fired: history populated, current drained) → tick 6
+  * (purge fired) → reset (all empty). Plus the remote-staging and
+  * error-isolation semantics of 02_remote_api.sql.
+  */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def mkEngine(): Engine = {
+    val root = java.nio.file.Files.createTempDirectory("graft_engine").toString
+    new Engine(spark, root)
+  }
+
+  /** A deterministic bgwriter staging batch for one tick. */
+  private def bgwriterBatch(srvid: Int, tick: Int): DataFrame = {
+    import spark.implicits._
+    Seq((srvid, Timestamp.valueOf(f"2024-01-01 00:0$tick:00"),
+      100L * tick, 10L * tick, 5L * tick, 2L * tick, 1L * tick))
+      .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+        "buffers_backend", "buffers_backend_fsync", "buffers_alloc")
+  }
+
+  private def tierCount(e: Engine, ds: String, tier: String): Long = {
+    val spec = Specs.byName(ds)
+    val s = if (tier == GenericDatasource.History)
+      GenericDatasource.historyNoSrvid(spec)
+    else GenericDatasource.currentNoSrvid(spec)
+    e.store.read(ds, tier, s).count()
+  }
+
+  test("01_general cadence: snapshot x5 -> aggregate, tick 6 -> purge, reset") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 20, hostname = "h", powaCoalesce = 5, retentionSec = 60))
+    // srvid % 20 == 0 so the phase arithmetic matches the local cadence
+    val ds = "powa_stat_bgwriter"
+
+    assert(tierCount(e, ds, GenericDatasource.Current) === 0)
+
+    // tick 1: current populated, history empty (01_general.sql:109-120)
+    e.ingest(ds, bgwriterBatch(srvid, 1))
+    assert(e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:30")) === 0)
+    assert(tierCount(e, ds, GenericDatasource.Current) === 1)
+    assert(tierCount(e, ds, GenericDatasource.History) === 0)
+
+    // ticks 2..5: 5th triggers aggregate (01_general.sql:122-137)
+    (2 to 5).foreach { t =>
+      e.ingest(ds, bgwriterBatch(srvid, t))
+      e.takeSnapshot(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    assert(tierCount(e, ds, GenericDatasource.Current) === 0)
+    assert(tierCount(e, ds, GenericDatasource.History) === 1)
+    val hist = e.store.read(ds, GenericDatasource.History,
+      GenericDatasource.historyNoSrvid(Specs.byName(ds)))
+    val row = hist.select(size(col("records")), col("range_start"), col("range_end")).head()
+    assert(row.getInt(0) === 5)
+    assert(row.getTimestamp(1) === Timestamp.valueOf("2024-01-01 00:01:00"))
+    assert(row.getTimestamp(2) === Timestamp.valueOf("2024-01-01 00:05:00"))
+
+    // tick 6: purge pass fires; retention=60s from "now" drops the range
+    e.ingest(ds, bgwriterBatch(srvid, 6))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(tierCount(e, ds, GenericDatasource.History) === 0)
+    assert(tierCount(e, ds, GenericDatasource.Current) === 1) // tick-6 row
+
+    // reset: everything empty (01_general.sql:143-153)
+    e.reset(srvid)
+    assert(tierCount(e, ds, GenericDatasource.Current) === 0)
+    assert(tierCount(e, ds, GenericDatasource.History) === 0)
+    assert(e.registry.meta(srvid).coalesceSeq === 0)
+  }
+
+  test("per-db rollup tier populated at snapshot time") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 40, hostname = "h"))
+    val staged = Seq(
+      (srvid, Timestamp.valueOf("2024-01-01 00:00:00"), 100L, 1L, 10L, 5.0, 7.0),
+      (srvid, Timestamp.valueOf("2024-01-01 00:00:00"), 100L, 2L, 20L, 3.0, 2.0),
+      (srvid, Timestamp.valueOf("2024-01-01 00:00:00"), 200L, 3L, 30L, 1.0, 1.0))
+      .toDF("srvid", "ts", "dbid", "funcid", "calls", "total_time", "self_time")
+    e.ingest("powa_user_functions", staged)
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+
+    val cur = e.store.read("powa_user_functions", GenericDatasource.Current,
+      GenericDatasource.currentNoSrvid(Specs.userFunctions))
+    assert(cur.count() === 3)
+    val dbs = e.datasource("powa_user_functions").dbSpec.get
+    val curDb = e.store.read("powa_user_functions", GenericDatasource.CurrentDb,
+      GenericDatasource.currentNoSrvid(dbs))
+    val db100 = curDb.filter(col("dbid") === 100L).select(col("record.calls")).head()
+    assert(db100.getLong(0) === 30L) // 10 + 20 summed per dbid
+    // staging drained after snapshot (powa--5.2.0.sql:4102-4104)
+    assert(e.store.read("powa_user_functions", GenericDatasource.Staging,
+      Specs.userFunctions.stagingSchema).count() === 0)
+  }
+
+  test("error isolation: a failing datasource does not abort the tick") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 60, hostname = "h"))
+    // stage a malformed frame for one datasource (ts with the wrong
+    // physical type — unreadable under the staging schema)
+    val bad = Seq((srvid, "not-a-timestamp"))
+      .toDF("srvid", "ts")
+    e.ingest("powa_stat_checkpointer", bad)
+    e.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, 1))
+    val errs = e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    assert(errs === 1)
+    assert(e.registry.meta(srvid).errors.exists(_.contains("powa_stat_checkpointer")))
+    // the healthy source still snapshotted
+    assert(tierCount(e, "powa_stat_bgwriter", GenericDatasource.Current) === 1)
+  }
+
+  test("version gating: minVersion datasources skipped on old servers") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 80, hostname = "h", versionNum = 120000))
+    import spark.implicits._
+    // pg_stat_lock requires 190000; staged rows must be ignored
+    val staged = Seq((srvid, Timestamp.valueOf("2024-01-01 00:00:00"),
+      "relation", 1L, 2L, 3L, Option.empty[Timestamp]))
+      .toDF("srvid", "ts", "locktype", "waits", "wait_time",
+        "fastpath_exceeded", "stats_reset")
+    e.ingest("powa_stat_lock", staged)
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    assert(tierCount(e, "powa_stat_lock", GenericDatasource.Current) === 0)
+  }
+
+  test("deactivated server takes no snapshot") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 100, hostname = "h"))
+    e.registry.deactivateServer(srvid)
+    e.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, 1))
+    e.takeSnapshot(srvid)
+    assert(tierCount(e, "powa_stat_bgwriter", GenericDatasource.Current) === 0)
+    assert(e.registry.meta(srvid).coalesceSeq === 0)
+  }
+
+  test("readback across aggregate boundary") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 120, hostname = "h", powaCoalesce = 5))
+    (1 to 6).foreach { t =>
+      e.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, t))
+      e.takeSnapshot(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    // ticks 1-5 coalesced into history, tick 6 in current
+    val series = e.datasource("powa_stat_bgwriter").readSeries(e.store, srvid,
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(series.count() === 6)
+    assert(series.select(sum(when(col("record.buffers_clean") === 600L, 1)
+      .otherwise(0))).head().getLong(0) === 1)
+  }
+
+  test("spec sanity: 23 datasources, statements record arity matches reference") {
+    assert(Specs.all.size === 23)
+    // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)
+    assert(Specs.statements.recordFields.size === 35)
+    assert(Specs.statements.keyCols.size === 4)
+    // all_tables: 31 counters + ts
+    assert(Specs.allTables.recordFields.size === 32)
+    // xid/boolean excluded from min/max (c_no_minmax)
+    val rs = Specs.replicationSlots
+    assert(!rs.minmaxFields.exists(f => Set("cur_txid", "active", "slot_xmin",
+      "catalog_xmin", "two_phase", "conflicting").contains(f.name)))
+    // timestamptz counters excluded from per-db agg (c_no_agg)
+    assert(!Specs.allTables.aggFields.exists(_.name.startsWith("last_")))
+    // statements rate renames (total_exec_time→runtime_per_sec)
+    assert(Specs.statements.counterCols.find(_.name == "total_exec_time")
+      .get.rateColName === "runtime_per_sec")
+    // qualstats empty rate suffix keeps the original name
+    assert(Specs.qualstats.counterCols.find(_.name == "mean_err_estimate_ratio")
+      .get.rateColName === "mean_err_estimate_ratio")
+  }
+}
