@@ -27,8 +27,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PowaQueries.queries
+    PowaQueries.queries ++ graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    PowaQueries.oracleSql
+    PowaQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 }

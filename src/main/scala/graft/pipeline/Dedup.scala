@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Hashing.h60
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (shingle
+  * inverted-index join), MinHash + LSH banding (the scale path), and
+  * SimHash (hamming-distance near-dup).
+  *
+  * Scale notes (the design target is ~10^9 documents):
+  *   - signatures (shingle sets, MinHash arrays, SimHash words) are
+  *     computed per-row with array expressions — no explode, no shuffle,
+  *     codegen-friendly;
+  *   - candidate generation shuffles only (key, doc_id) pairs: by shingle
+  *     for exact Jaccard (quadratic in bucket size — use only below ~10^6
+  *     docs), by LSH band signature for MinHash (bounded buckets, the
+  *     100 TB path);
+  *   - verification joins back on candidate pairs only, never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical payloads, keep the smallest doc_id.
+    * One hash-shuffle on the content hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document, as one array column —
+    * `transform(sequence)` + `slice`, no explode. Documents shorter than
+    * `n` tokens yield an empty set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
+    * Inverted-index self-join on shingle, then count intersections per
+    * pair; |A∪B| = |A| + |B| − |A∩B|. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val exploded = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = exploded.select(col("doc").as("i"), col("n_sh").as("na"), col("shingle"))
+    val b = exploded.select(col("doc").as("j"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, a("shingle") === b("shingle") && a("i") < b("j"))
+      .groupBy(col("i"), col("j"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_ppm", TextOps.ppm(
+        col("inter").cast("double") / col("uni").cast("double")))
+      .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
+  }
+
+  /** MinHash signature: k independent h60 families, each min'd over the
+    * shingle set. Per-row array math only. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => h60(i, s)))): _*)
+
+  /** LSH band signatures: split the k-length signature into bands of
+    * `rowsPerBand`, hash each band. Docs sharing any band signature
+    * become candidates. */
+  def lshBandSignatures(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    val bands = k / rowsPerBand
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => sig.getItem(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"),
+        h60(concat_ws(",", parts: _*)).as("sig"))
+    }: _*)
+  }
+
+  /** MinHash+LSH candidate pairs (i < j), deduplicated across bands.
+    * The shuffle key is (band, signature) — bucket sizes are bounded by
+    * collision probability, so this is the join that survives 10^9 docs.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("doc"),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val banded = sig.select(col("doc"),
+      explode(lshBandSignatures(col("sig"), k, rowsPerBand)).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val l = banded.select(col("doc").as("i"), col("band"), col("bsig"))
+    val r = banded.select(col("doc").as("j"), col("band"), col("bsig"))
+    l.join(r, Seq("band", "bsig")).filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification of the
+    * candidates only. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, n, k, rowsPerBand)
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val withA = cands.join(sh.withColumnRenamed("doc", "i")
+      .withColumnRenamed("sh", "sha"), Seq("i"))
+    val withB = withA.join(sh.withColumnRenamed("doc", "j")
+      .withColumnRenamed("sh", "shb"), Seq("j"))
+    withB.select(col("i"), col("j"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_ppm", TextOps.ppm(
+        col("inter").cast("double") / col("uni").cast("double")))
+      .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
+  }
+
+  /** SimHash over distinct tokens: `bits`-wide (≤ 48 so the value and all
+    * shifts stay positive in both engines). Per-row fold over the token
+    * array — a weighted bit-vote per token, assembled into one long. */
+  def simhash(text: Column, bits: Int): Column = {
+    require(bits <= 48, "keep simhash in the positive 48-bit range")
+    val toks = array_distinct(TextOps.tokens(text))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), bits),
+      (acc, t) => {
+        val h = h60(t)
+        zip_with(acc, sequence(lit(0), lit(bits - 1)),
+          (a, j) => a + when(
+            call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(bits - 1)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode / feature-extract
+  * stages as partition-wise batch functions.
+  *
+  * The Spark-side plumbing — schema, binary payloads, partition-batched
+  * UDF shape, metadata struct — is real and tested. The actual media
+  * decode is STUBBED (`fakeDecode`): the container has no image/audio
+  * libraries, so the stub derives deterministic pseudo-features from the
+  * payload bytes. Swapping in a real decoder changes only the body of
+  * `fakeDecode`; the dataflow (mapPartitions over batches, one output
+  * row per asset, fixed-width feature vector) is exactly what a JNI/
+  * FFmpeg/JPEG decoder would use at scale. On a real pipeline this stage
+  * runs after a size/paranoia filter and is the natural GPU boundary.
+  */
+object Multimodal {
+
+  val FeatureDim = 4
+
+  final case class AssetMeta(nBytes: Long, sig: String)
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("sig", StringType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** STUB decoder: deterministic fake features from payload length.
+    * Replace with a real media decode (JPEG/PNG/audio frames) — the
+    * `Iterator`-of-batches shape below is unchanged by that swap. */
+  private def fakeDecode(payload: Array[Byte]): Array[Double] =
+    Array.tabulate(FeatureDim)(i => ((payload.length.toLong * (i + 7)) % 256).toDouble)
+
+  /** Binary-asset pipeline: documents(id, payload binary) → one row per
+    * asset with metadata + feature vector. Partition-wise iteration (the
+    * mapInPandas/mapPartitions batch shape) keeps per-batch setup — a
+    * real decoder's codec init — amortized. */
+  def extractFeatures(assets: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = assets.sparkSession
+    val in = assets.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+    implicit val enc = RowEncoder.encoderFor(outputSchema)
+    in.mapPartitions { rows =>
+      // per-partition setup happens once (codec/model init in real life)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        digest.reset()
+        val sig = digest.digest(payload).map("%02x".format(_)).mkString
+        Row(id, payload.length.toLong, sig, fakeDecode(payload))
+      }
+    }
+  }
+}

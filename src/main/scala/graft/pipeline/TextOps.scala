@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting (whitespace + a BPE-ish subword
+  * estimate), quality scoring, language-ID heuristic, and document
+  * fingerprinting. Everything is a narrow per-row projection — no
+  * shuffle, fully whole-stage-codegen'd — so at 100 TB these run at
+  * scan speed and combine freely with the dedup/similarity stages.
+  *
+  * Determinism: ratios are reported as parts-per-million via
+  * `floor(x * 1e6)` (floor is exact for both Spark and the DuckDB
+  * oracle, unlike round-half modes).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (matches DuckDB `regexp_split_to_array(t,' +')`). */
+  def tokens(text: Column): Column = split(text, " +")
+
+  def ppm(x: Column): Column = floor(x * lit(1000000.0d)).cast("long")
+
+  /** Per-language stopword lists for the language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Token/char counts, BPE-ish subword estimate (ceil(len/4) per token),
+    * average token length, stopword ratio and a composite quality score.
+    */
+  def withStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks)
+    val distinctToks = array_distinct(toks)
+    val charsInToks = aggregate(
+      transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+    val bpe = aggregate(
+      transform(toks, t => ceil(length(t) / lit(4.0d)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val stopHits = size(array_intersect(
+      distinctToks, array(stopwords.head._2.map(lit): _*)))
+    val stopRatio = stopHits.cast("double") / size(distinctToks).cast("double")
+    val lengthScore = least(nTokens, lit(200)).cast("double") / lit(200.0d)
+    df.withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("n_distinct_tokens", size(distinctToks).cast("long"))
+      .withColumn("bpe_tokens", bpe)
+      .withColumn("avg_token_len_ppm",
+        ppm(charsInToks.cast("double") / nTokens.cast("double")))
+      .withColumn("stop_ratio_ppm", ppm(stopRatio))
+      .withColumn("quality_ppm",
+        ppm(lengthScore * lit(0.5d) + stopRatio * lit(0.5d)))
+  }
+
+  /** Language-ID: distinct-token hits against each language's stopword
+    * list; argmax with a fixed tie-break order (list order above), or
+    * "unknown" when nothing hits. */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val distinctToks = array_distinct(tokens(col(textCol)))
+    val scored = stopwords.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"score_$lang",
+        size(array_intersect(distinctToks, array(words.map(lit): _*)))
+          .cast("long"))
+    }
+    val langs = stopwords.map(_._1)
+    val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    // first language (in declaration order) reaching the max score wins
+    val firstMatch = langs.foldRight(lit("unknown")) { (l, els) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", when(best === 0, lit("unknown"))
+      .otherwise(firstMatch))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * stable under token reordering, the cheap "document identity" used
+    * before the heavier near-dup stages. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline._
+import graft.pipeline.Hashing.h60Sql
+
+/** The LLM-training-data-pipeline operator surface (builder prompt +
+  * SURVEY.md §7): dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash),
+  * similarity search (brute-force + LSH-bucketed cosine), text analysis
+  * (stats, lang-ID, fingerprint) and multimodal binary plumbing — each
+  * with a DuckDB oracle built from the same deterministic primitives
+  * (portable 60-bit md5 hash, floor-ppm ratios).
+  */
+object PipelineQueries {
+
+  private val langs = TextOps.stopwords
+
+  // ---------- text analysis ----------
+
+  private def p01(s: SparkSession, d: String): DataFrame =
+    TextOps.withStats(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("bpe_tokens"), col("avg_token_len_ppm"), col("stop_ratio_ppm"),
+        col("quality_ppm"))
+      .orderBy(col("doc_id"))
+
+  private def p02(s: SparkSession, d: String): DataFrame =
+    TextOps.withLangId(Tables.documents(s, d), "text")
+      .select(col("doc_id") +: langs.map { case (l, _) => col(s"score_$l") }
+        :+ col("lang_pred"): _*)
+      .orderBy(col("doc_id"))
+
+  private def p03(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ---------- dedup ----------
+
+  private def p04(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  private def p05(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+
+  private def p06(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 8, rowsPerBand = 2, threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+
+  private val SimhashBits = 32
+
+  private def p07(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Dedup.simhash(col("text"), SimhashBits).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def p08(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("sh"))
+    val a = sh.select(col("doc_id").as("i"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("j"), col("sh").as("shb"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        Dedup.hamming(col("sha"), col("shb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ---------- similarity search ----------
+
+  private def p09(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
+
+  private def p10(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 5, planes = 6, dim = 64)
+      .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
+
+  // ---------- multimodal ----------
+
+  private def p11(s: SparkSession, d: String): DataFrame = {
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.extractFeatures(assets, "doc_id", "payload")
+      .select(col("doc_id"), col("n_bytes"), col("sig"),
+        posexplode(col("features")).as(Seq("pos", "feat")))
+      .select(col("doc_id"), col("n_bytes"), col("sig"),
+        col("pos").cast("long").as("pos"), col("feat"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  // ---------- oracle SQL ----------
+
+  /** Shared fragments: toks / distinct toks / full 3-shingle sets. */
+  private val toksCte =
+    "t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks FROM documents)"
+  private val shinglesCte =
+    s"""$toksCte,
+       sh AS (SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(0, len(toks) - 2),
+                            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                     ELSE [] END) AS sh
+              FROM t),
+       e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh)"""
+
+  private def stopList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val verifySql =
+    """SELECT i, j, CAST(len(sa.sh) AS BIGINT) AS na, CAST(len(sb.sh) AS BIGINT) AS nb,
+              CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+              CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni,
+              CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                   * 1000000.0) AS BIGINT) AS jaccard_ppm"""
+
+  private val simhashVotes = (0 until SimhashBits)
+    .map(j => s"SUM(CASE WHEN (hh >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+    .mkString(", ")
+  private val simhashAssemble = (0 until SimhashBits)
+    .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+  private val simhashCte =
+    s"""$toksCte,
+       dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+       hh AS (SELECT doc_id, ${h60Sql("tok")} AS hh FROM dt),
+       v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY doc_id),
+       simh AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM v)"""
+
+  /** embeddings as DOUBLE lists + cosine vs the query vector. */
+  private val cosineCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       sc AS (SELECT e.vec_id,
+                list_aggregate(list_transform(range(0, 64), i -> e.v[i+1] * q.qv[i+1]), 'sum') /
+                (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum')) *
+                 sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos
+              FROM e, q WHERE e.vec_id != 0)"""
+
+  /** LSH bucket projection columns for p10 (planes=6, dim=64). */
+  private val lshProj = (0 until 6).map { p =>
+    val w = s"((${h60Sql(s"$p || ':' || i::VARCHAR")} % 2001) - 1000)::DOUBLE / 1000.0"
+    s"list_aggregate(list_transform(range(0, 64), i -> v[i+1] * ($w)), 'sum') AS proj$p"
+  }.mkString(", ")
+  private val lshBucket = (0 until 6)
+    .map(p => s"(CASE WHEN proj$p > 0.0 THEN ${1L << p} ELSE 0 END)")
+    .mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_text_stats" -> (p01 _),
+    "p02_lang_id" -> (p02 _),
+    "p03_fingerprint" -> (p03 _),
+    "p04_dedup_exact" -> (p04 _),
+    "p05_ngram_jaccard" -> (p05 _),
+    "p06_minhash_lsh" -> (p06 _),
+    "p07_simhash" -> (p07 _),
+    "p08_simhash_pairs" -> (p08 _),
+    "p09_cosine_topk" -> (p09 _),
+    "p10_cosine_lsh" -> (p10 _),
+    "p11_multimodal_stub" -> (p11 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_text_stats" ->
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+                  len(toks) AS n_tokens,
+                  list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS chars,
+                  list_aggregate(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS bpe
+                FROM t)
+          SELECT doc_id,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(len(dt) AS BIGINT) AS n_distinct_tokens,
+                 CAST(bpe AS BIGINT) AS bpe_tokens,
+                 CAST(floor((chars::DOUBLE / n_tokens::DOUBLE) * 1000000.0) AS BIGINT) AS avg_token_len_ppm,
+                 CAST(floor((len(list_intersect(dt, ${stopList(langs.head._2)}))::DOUBLE
+                      / len(dt)::DOUBLE) * 1000000.0) AS BIGINT) AS stop_ratio_ppm,
+                 CAST(floor(((LEAST(n_tokens, 200)::DOUBLE / 200.0) * 0.5 +
+                      (len(list_intersect(dt, ${stopList(langs.head._2)}))::DOUBLE
+                       / len(dt)::DOUBLE) * 0.5) * 1000000.0) AS BIGINT) AS quality_ppm
+          FROM s ORDER BY doc_id""",
+    "p02_lang_id" -> {
+      val scores = langs.map { case (l, ws) =>
+        s"CAST(len(list_intersect(dt, ${stopList(ws)})) AS BIGINT) AS score_$l"
+      }.mkString(", ")
+      val best = langs.map { case (l, _) => s"score_$l" }
+        .mkString("GREATEST(", ", ", ")")
+      val pick = langs.map { case (l, _) =>
+        s"WHEN score_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+          sc AS (SELECT doc_id, $scores FROM s)
+          SELECT doc_id, ${langs.map { case (l, _) => s"score_$l" }.mkString(", ")},
+                 CASE WHEN $best = 0 THEN 'unknown' $pick ELSE 'unknown' END AS lang_pred
+          FROM sc ORDER BY doc_id"""
+    },
+    "p03_fingerprint" ->
+      s"""WITH $toksCte
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+          FROM t ORDER BY doc_id""",
+    "p04_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "p05_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+          p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.nsh AS na2, b.nsh AS nb2, COUNT(*) AS inter2
+                FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+          SELECT i, j, CAST(na2 AS BIGINT) AS na, CAST(nb2 AS BIGINT) AS nb,
+                 CAST(inter2 AS BIGINT) AS inter,
+                 CAST(na2 + nb2 - inter2 AS BIGINT) AS uni,
+                 CAST(floor((inter2::DOUBLE / (na2 + nb2 - inter2)::DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM p
+          WHERE floor((inter2::DOUBLE / (na2 + nb2 - inter2)::DOUBLE) * 1000000.0) >= 800000
+          ORDER BY i, j""",
+    "p06_minhash_lsh" -> {
+      val mins = (0 until 8)
+        .map(i => s"MIN(${h60Sql(i, "shingle")}) AS m$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, ${h60Sql(s"m${2 * b}::VARCHAR || ',' || m${2 * b + 1}::VARCHAR")} AS bsig FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shinglesCte,
+          mh AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
+          bands AS ($bands),
+          cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          $verifySql
+          FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j
+          WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                * 1000000.0) >= 800000
+          ORDER BY i, j"""
+    },
+    "p07_simhash" ->
+      s"""WITH $simhashCte
+          SELECT doc_id, simhash FROM simh ORDER BY doc_id""",
+    "p08_simhash_pairs" ->
+      s"""WITH $simhashCte
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+          ORDER BY i, j""",
+    "p09_cosine_topk" ->
+      s"""WITH $cosineCte
+          SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "p10_cosine_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          pr AS (SELECT vec_id, v, $lshProj FROM e),
+          bk AS (SELECT vec_id, v, CAST($lshBucket AS BIGINT) AS bucket FROM pr),
+          q AS (SELECT v AS qv, bucket AS qbucket FROM bk WHERE vec_id = 0),
+          sc AS (SELECT bk.vec_id,
+                   list_aggregate(list_transform(range(0, 64), i -> bk.v[i+1] * q.qv[i+1]), 'sum') /
+                   (sqrt(list_aggregate(list_transform(bk.v, x -> x * x), 'sum')) *
+                    sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos
+                 FROM bk, q WHERE bk.vec_id != 0 AND bk.bucket = q.qbucket)
+          SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    "p11_multimodal_stub" ->
+      """WITH a AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                           md5(text) AS sig
+                    FROM documents)
+         SELECT doc_id, n_bytes, sig, CAST(i AS BIGINT) AS pos,
+                ((n_bytes * (i + 7)) % 256)::DOUBLE AS feat
+         FROM a, unnest(range(0, 4)) AS u(i)
+         ORDER BY doc_id, pos""")
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash+LSH finds the high-jaccard pairs that exact jaccard finds") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified-LSH output is a subset of exact pairs...
+    assert(lsh.subsetOf(exact))
+    // ...and at jaccard >= 0.9 with 4 bands of 2 rows recall is high
+    assert(exact.nonEmpty)
+    assert(lsh.size.toDouble / exact.size >= 0.8,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: identical token sets collide, near-dups are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val far = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(near < far)
+  }
+
+  test("brute-force cosine topk: scores in [-1,1], self excluded, sorted") {
+    val top = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 10).collect()
+    assert(top.length === 10)
+    assert(top.forall(r => r.getLong(0) != 0L))
+    val scores = top.map(_.getDouble(1))
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("LSH topk is a subset of a larger brute-force topk's candidates") {
+    val brute = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 0L, 5, 6, 64)
+      .collect()
+    // every LSH result carries the same cosine the brute force computed
+    lsh.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("multimodal stub: metadata + fixed-width features per asset") {
+    val assets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.extractFeatures(assets, "doc_id", "payload")
+    assert(out.count() === 500)
+    val r = out.filter(col("doc_id") === 0).head()
+    assert(r.getAs[Seq[Double]]("features").size === Multimodal.FeatureDim)
+    assert(r.getAs[String]("sig").length === 32)
+    assert(r.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("lang-id: text made of stopwords classifies deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, "the a is of and table"), (2L, "der die das und ist"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = TextOps.withLangId(df, "text").select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "unknown")
+  }
+}
