@@ -45,8 +45,14 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    // materialize the shingle sets once (spread across cores first — the
+    // source is often a single parquet partition): both sides of the
+    // self-join and the pair-count aggregation reuse them
+    val withSh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
+      .localCheckpoint()
     val exploded = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
     val a = exploded.select(col("doc").as("i"), col("n_sh").as("na"), col("shingle"))
     val b = exploded.select(col("doc").as("j"), col("n_sh").as("nb"), col("shingle"))
@@ -59,37 +65,53 @@ object Dedup {
       .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
   }
 
-  /** MinHash signature: k independent h60 families, each min'd over the
-    * shingle set. Per-row array math only. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => h60(i, s)))): _*)
+  /** Mersenne-prime modulus for the universal hash families. */
+  val MinhashMod: Long = 2147483647L
 
-  /** LSH band signatures: split the k-length signature into bands of
-    * `rowsPerBand`, hash each band. Docs sharing any band signature
-    * become candidates. */
-  def lshBandSignatures(sig: Column, k: Int, rowsPerBand: Int): Column = {
-    val bands = k / rowsPerBand
-    array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand)
-        .map(r => sig.getItem(b * rowsPerBand + r).cast("string"))
-      struct(lit(b).as("band"),
-        h60(concat_ws(",", parts: _*)).as("sig"))
-    }: _*)
+  /** Deterministic per-family multipliers/offsets (odd, < 2^31), shared
+    * with the oracle-SQL generator. */
+  def minhashA(i: Int): Long = 1103515245L * (i + 1) % MinhashMod | 1L
+  def minhashB(i: Int): Long = 12345L * (2 * i + 1) % MinhashMod
+
+  /** MinHash signatures as k columns m0..m{k-1}: explode the shingle set,
+    * hash each shingle ONCE (md5-derived base), then derive the k family
+    * values with universal hashing `(base*a_i + b_i) mod p` — integer-only
+    * math, exact in both engines, and 1/k-th of the md5 work. Everything
+    * runs in whole-stage codegen (an array_min-over-transform formulation
+    * would use the interpreted higher-order-function path, an order of
+    * magnitude slower). One shuffle on doc id. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    // spread docs across cores first: a single-file parquet source would
+    // otherwise run the whole shingle+hash stage as one task
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val exploded = spread.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("doc"), (h60(col("shingle")) % MinhashMod).as("hbase"))
+    val mins = (0 until k).map(i =>
+      min((col("hbase") * minhashA(i) + minhashB(i)) % MinhashMod).as(s"m$i"))
+    exploded.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash+LSH candidate pairs (i < j), deduplicated across bands.
-    * The shuffle key is (band, signature) — bucket sizes are bounded by
+    * Band signature = h60 over `rowsPerBand` signature components. The
+    * shuffle key is (band, signature) — bucket sizes are bounded by
     * collision probability, so this is the join that survives 10^9 docs.
     */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("doc"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
-    val banded = sig.select(col("doc"),
-      explode(lshBandSignatures(col("sig"), k, rowsPerBand)).as("b"))
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val nBands = k / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), h60(concat_ws(",", parts: _*)).as("sig"))
+    }: _*)
+    val banded = sig.select(col("doc"), explode(bandStructs).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.sig").as("bsig"))
+      .localCheckpoint() // reused by both sides of the bucket self-join
     val l = banded.select(col("doc").as("i"), col("band"), col("bsig"))
     val r = banded.select(col("doc").as("j"), col("band"), col("bsig"))
     l.join(r, Seq("band", "bsig")).filter(col("i") < col("j"))
@@ -102,7 +124,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, n, k, rowsPerBand)
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val sh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     val withA = cands.join(sh.withColumnRenamed("doc", "i")
       .withColumnRenamed("sh", "sha"), Seq("i"))
     val withB = withA.join(sh.withColumnRenamed("doc", "j")
@@ -142,4 +167,41 @@ object Dedup {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Bit-band boundaries: `nBands` contiguous slices covering `bits`. */
+  def simhashBandRanges(bits: Int, nBands: Int): Seq[(Int, Int)] = {
+    val base = bits / nBands; val extra = bits % nBands
+    val lens = Seq.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
+    lens.scanLeft(0)(_ + _).zip(lens).take(nBands)
+  }
+
+  /** SimHash near-dup pairs (i < j, hamming <= maxHamming) WITHOUT the
+    * all-pairs nested-loop join: pigeonhole banding. Split the simhash
+    * into `maxHamming + 1` bit-bands — any pair within `maxHamming`
+    * differing bits must agree exactly on at least one band — then
+    * self-join on (band, band-value) and verify hamming on the candidate
+    * pairs only. Exact (same result set as brute force), and the join key
+    * is hash-partitionable, which is what survives 10^9 documents.
+    */
+  def simhashPairs(
+      sh: DataFrame, idCol: String, simhashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandCol = array(simhashBandRanges(bits, nBands).zipWithIndex.map {
+      case ((off, len), b) =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", col(simhashCol), lit(off))
+            .bitwiseAND(lit((1L << len) - 1)).as("v"))
+    }: _*)
+    val banded = sh.select(col(idCol).as("doc"), col(simhashCol).as("s"),
+        explode(bandCol).as("b"))
+      .select(col("doc"), col("s"), col("b.band").as("band"), col("b.v").as("v"))
+    val l = banded.select(col("doc").as("i"), col("s").as("si"), col("band"), col("v"))
+    val r = banded.select(col("doc").as("j"), col("s").as("sj"), col("band"), col("v"))
+    l.join(r, Seq("band", "v")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        hamming(col("si"), col("sj")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -52,7 +52,7 @@ object PipelineQueries {
 
   private def p06(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, k = 8, rowsPerBand = 2, threshold = 0.8)
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
       .select(col("i"), col("j"), col("na"), col("nb"),
         col("inter"), col("uni"), col("jaccard_ppm"))
       .orderBy(col("i"), col("j"))
@@ -66,14 +66,13 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private def p08(s: SparkSession, d: String): DataFrame = {
+    // repartition before checkpointing: the source parquet is one file =
+    // one partition; the banded self-join reuses the materialized hashes
     val sh = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("sh"))
-    val a = sh.select(col("doc_id").as("i"), col("sh").as("sha"))
-    val b = sh.select(col("doc_id").as("j"), col("sh").as("shb"))
-    a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"),
-        Dedup.hamming(col("sha"), col("shb")).cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .localCheckpoint()
+    Dedup.simhashPairs(sh, "doc_id", "sh", SimhashBits, maxHamming = 6)
       .orderBy(col("i"), col("j"))
   }
 
@@ -229,13 +228,18 @@ object PipelineQueries {
           WHERE floor((inter2::DOUBLE / (na2 + nb2 - inter2)::DOUBLE) * 1000000.0) >= 800000
           ORDER BY i, j""",
     "p06_minhash_lsh" -> {
-      val mins = (0 until 8)
-        .map(i => s"MIN(${h60Sql(i, "shingle")}) AS m$i").mkString(", ")
+      val mod = Dedup.MinhashMod
+      val mins = (0 until 16)
+        .map(i => s"MIN((hbase * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $mod) AS m$i")
+        .mkString(", ")
       val bands = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, ${h60Sql(s"m${2 * b}::VARCHAR || ',' || m${2 * b + 1}::VARCHAR")} AS bsig FROM mh"
+        val parts = (0 until 4).map(r => s"m${4 * b + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${h60Sql(parts)} AS bsig FROM mh"
       }.mkString(" UNION ALL ")
       s"""WITH $shinglesCte,
-          mh AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
+          hb AS (SELECT doc_id, ${h60Sql("shingle")} % $mod AS hbase FROM e),
+          mh AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
           bands AS ($bands),
           cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                    FROM bands a JOIN bands b
@@ -250,13 +254,20 @@ object PipelineQueries {
     "p07_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM simh ORDER BY doc_id""",
-    "p08_simhash_pairs" ->
-      s"""WITH $simhashCte
-          SELECT a.doc_id AS i, b.doc_id AS j,
+    "p08_simhash_pairs" -> {
+      val bands = Dedup.simhashBandRanges(SimhashBits, 7).zipWithIndex.map {
+        case ((off, len), b) =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> $off) & ${(1L << len) - 1} AS v FROM simh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $simhashCte,
+          banded AS ($bands)
+          SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+          FROM banded a JOIN banded b ON a.band = b.band AND a.v = b.v
+            AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-          ORDER BY i, j""",
+          ORDER BY i, j"""
+    },
     "p09_cosine_topk" ->
       s"""WITH $cosineCte
           SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm

@@ -12,7 +12,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2, 0.9)
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 0.9)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // verified-LSH output is a subset of exact pairs...
     assert(lsh.subsetOf(exact))
