@@ -49,6 +49,42 @@ object TopK {
       .drop("nb_lines")
   }
 
+  /** The full constvalues shape (powa--5.2.0.sql:6924-6982): several
+    * rankings over one pre-aggregated frame, evaluated in a single pass —
+    * five `row_number() OVER (PARTITION BY group ORDER BY metric DESC)`
+    * columns plus `sum(1) OVER W` group sizes, then per-ranking filters
+    * (`rank <= k` for the most-*, `rank > nb_lines - k` for least-*).
+    * Returns the union of rankings flattened as
+    * (groupKeys..., ranking, rank, payload columns), where `rank` is
+    * always 1..k counted from the relevant end.
+    *
+    * One window shuffle total — the rankings share the partition key, so
+    * Spark computes all row_numbers in one WindowExec over one sort per
+    * ordering, not one shuffle per ranking.
+    */
+  def multiTopK(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      rankings: Seq[(String, Seq[Column], Boolean)], // (name, order, fromBottom)
+      k: Int): DataFrame = {
+    val cnt = Window.partitionBy(groupKeys: _*)
+    val withRanks = rankings.zipWithIndex.foldLeft(
+        df.withColumn("nb_lines", count(lit(1)).over(cnt))) {
+      case (acc, ((_, orderBy, _), i)) =>
+        acc.withColumn(s"__rank_$i",
+          row_number().over(Window.partitionBy(groupKeys: _*).orderBy(orderBy: _*)))
+    }
+    rankings.zipWithIndex.map { case ((name, _, fromBottom), i) =>
+      val r = col(s"__rank_$i")
+      val keep = if (fromBottom) r > col("nb_lines") - k else r <= k
+      val rank = if (fromBottom) (col("nb_lines") - r + 1).cast("int") else r
+      withRanks.filter(keep)
+        .withColumn("ranking", lit(name))
+        .withColumn("rank", rank)
+        .drop(rankings.indices.map(j => s"__rank_$j") :+ "nb_lines": _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Packed form: one row per group with an array of the top-k payloads
     * ordered by rank — `array_agg(payload ORDER BY rank) FILTER (rank<=k)`
     * (powa--5.2.0.sql:6945-6950). `payload` must be a struct column.

@@ -273,6 +273,38 @@ object PowaQueries {
       .orderBy(col("user_id"), col("event_type"), col("batch"))
   }
 
+  // ---- §2.4: the full qualstats constvalues operator — five rankings
+  //      over one pre-aggregated frame (powa--5.2.0.sql:6924-6982):
+  //      most_used / most_filtering / least_filtering / most_executed /
+  //      most_errestim, with the filtered-ratio zero guard (:6945-6950).
+  //      events-as-quals mapping: qual = event_type, constvalue = user_id.
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        count(lit(1)).as("occurences"),
+        sum(get_json_object(col("props"), "$.k").cast("long"))
+          .as("execution_count"),
+        sum(col("value").cast(D18_2) * 100).cast("long").as("filtered_cents"))
+      // ratio guard: sum_execution_count = 0 → 0 (:6945-6950); integer
+      // DIV keeps it exact in both engines
+      .withColumn("ratio_ppm",
+        when(col("execution_count") === 0, lit(0L))
+          .otherwise(expr("(filtered_cents * 1000000) DIV execution_count")))
+    TopK.multiTopK(base, Seq(col("event_type")),
+        Seq(
+          ("most_used", Seq(col("occurences").desc, col("user_id").asc), false),
+          ("most_executed", Seq(col("execution_count").desc, col("user_id").asc), false),
+          ("most_filtering", Seq(col("filtered_cents").desc, col("user_id").asc), false),
+          ("least_filtering", Seq(col("filtered_cents").desc, col("user_id").asc), true),
+          ("most_errestim", Seq(col("ratio_ppm").desc, col("user_id").asc), false)),
+        k = 5)
+      .select(col("event_type"), col("ranking"), col("rank"), col("user_id"),
+        col("occurences"), col("execution_count"), col("filtered_cents"),
+        col("ratio_ppm"))
+      .orderBy(col("event_type"), col("ranking"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -294,7 +326,8 @@ object PowaQueries {
     "q18_db_rollup_tier" -> (q18 _),
     "q19_array_except" -> (q19 _),
     "q20_mru_touch" -> (q20 _),
-    "q21_coalesce_batches" -> (q21 _))
+    "q21_coalesce_batches" -> (q21 _),
+    "q22_constvalues_rankings" -> (q22 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -435,5 +468,37 @@ object PowaQueries {
                 COUNT(*) AS n_records,
                 MIN(value) AS min_value, MAX(value) AS max_value
          FROM t GROUP BY 1, 2, 3, 4
-         ORDER BY user_id, event_type, batch""")
+         ORDER BY user_id, event_type, batch""",
+    "q22_constvalues_rankings" -> {
+      val cols = "user_id, occurences, execution_count, filtered_cents, ratio_ppm"
+      s"""WITH base AS (
+            SELECT event_type, user_id,
+                   COUNT(*) AS occurences,
+                   CAST(SUM(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS execution_count,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS filtered_cents
+            FROM events GROUP BY 1, 2),
+          m1 AS (
+            SELECT *, CASE WHEN execution_count = 0 THEN 0
+                           ELSE (filtered_cents * 1000000) // execution_count
+                      END AS ratio_ppm
+            FROM base),
+          m AS (
+            SELECT *,
+              COUNT(*) OVER (PARTITION BY event_type) AS nb,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY occurences DESC, user_id ASC) AS r_used,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY execution_count DESC, user_id ASC) AS r_exec,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY filtered_cents DESC, user_id ASC) AS r_filt,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ratio_ppm DESC, user_id ASC) AS r_ratio
+            FROM m1)
+          SELECT event_type, 'most_used' AS ranking, CAST(r_used AS INT) AS rank, $cols FROM m WHERE r_used <= 5
+          UNION ALL
+          SELECT event_type, 'most_executed', CAST(r_exec AS INT), $cols FROM m WHERE r_exec <= 5
+          UNION ALL
+          SELECT event_type, 'most_filtering', CAST(r_filt AS INT), $cols FROM m WHERE r_filt <= 5
+          UNION ALL
+          SELECT event_type, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM m WHERE r_filt > nb - 5
+          UNION ALL
+          SELECT event_type, 'most_errestim', CAST(r_ratio AS INT), $cols FROM m WHERE r_ratio <= 5
+          ORDER BY event_type, ranking, rank"""
+    })
 }

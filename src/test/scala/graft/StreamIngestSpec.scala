@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.spec.Specs
+
+/** Streaming staging → engine state machine (SURVEY.md §2.10): each
+  * micro-batch is one snapshot tick; the count-based coalesce cadence
+  * fires through the streaming path exactly as through the batch path. */
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  case class BgRow(srvid: Int, ts: Timestamp, buffers_clean: Long,
+    maxwritten_clean: Long, buffers_backend: Long,
+    buffers_backend_fsync: Long, buffers_alloc: Long)
+
+  test("micro-batches drive snapshot ticks and the coalesce cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val engine = new Engine(spark, root)
+    val srvid = engine.registry.registerServer(ServerConfig(
+      id = 20, hostname = "h", powaCoalesce = 5))
+
+    val mem = MemoryStream[BgRow]
+    var tick = 0
+    val q = streaming.StreamIngest.attach(
+      engine, "powa_stat_bgwriter", mem.toDF(),
+      trigger = Trigger.ProcessingTime(0),
+      tickNow = () => { tick += 1
+        Timestamp.valueOf(f"2024-01-01 00:0$tick%02d:30") })
+      .start()
+
+    (1 to 5).foreach { t =>
+      mem.addData(BgRow(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t%02d:00"),
+        100L * t, 10L * t, 5L * t, 2L * t, 1L * t))
+      q.processAllAvailable() // one micro-batch per staged tick
+    }
+    q.stop()
+
+    // 5 micro-batches → aggregate fired on the 5th: history=1, current=0
+    val ds = "powa_stat_bgwriter"
+    val hist = engine.store.read(ds, GenericDatasource.History,
+      GenericDatasource.historyNoSrvid(Specs.byName(ds)))
+    assert(hist.count() === 1)
+    assert(hist.select(size(col("records"))).head().getInt(0) === 5)
+    val cur = engine.store.read(ds, GenericDatasource.Current,
+      GenericDatasource.currentNoSrvid(Specs.byName(ds)))
+    assert(cur.count() === 0)
+    assert(engine.registry.meta(srvid).coalesceSeq === 5)
+  }
+}
