@@ -107,4 +107,53 @@ final class Registry {
     val s = server(srvid)
     s.featureRetention.getOrElse(feature, s.retentionSec)
   }
+
+  // ---- db-module dbnames algebra (powa_{activate,deactivate}_db_module,
+  //      powa--5.2.0.sql:2397-2567): a db module is enabled either for
+  //      ALL databases (empty dbnames) or for an explicit name list;
+  //      activation merges names, deactivation removes them
+  //      (`unnest(dbnames) EXCEPT unnest(_dbnames)`, :2540-2545) and
+  //      drops the row when the list empties.
+  private val dbModules = mutable.Map[(Int, String), Option[Vector[String]]]()
+
+  /** Activate for all dbs (dbnames = None) or add specific names. */
+  def activateDbModule(srvid: Int, module: String,
+      dbnames: Option[Seq[String]] = None): Unit = {
+    val key = (srvid, module)
+    (dbModules.get(key), dbnames) match {
+      case (_, None) => dbModules(key) = None          // all-db wins (:2494)
+      case (Some(None), Some(_)) => ()                  // already all-db
+      case (cur, Some(names)) =>
+        val existing = cur.flatten.getOrElse(Vector.empty)
+        dbModules(key) = Some((existing ++ names).distinct)
+    }
+  }
+
+  /** Deactivate entirely (dbnames = None) or remove specific names. */
+  def deactivateDbModule(srvid: Int, module: String,
+      dbnames: Option[Seq[String]] = None): Unit = {
+    val key = (srvid, module)
+    (dbModules.get(key), dbnames) match {
+      case (None, _) => ()
+      case (_, None) => dbModules.remove(key)
+      case (Some(None), Some(_)) =>
+        throw new IllegalStateException(
+          s"$module is enabled for all databases; deactivate globally first (:2530)")
+      case (Some(Some(existing)), Some(names)) =>
+        val left = existing.filterNot(names.contains) // EXCEPT (:2540-2545)
+        if (left.isEmpty) dbModules.remove(key)
+        else dbModules(key) = Some(left)
+    }
+  }
+
+  /** Is the module enabled for this database name? */
+  def isDbModuleEnabled(srvid: Int, module: String, dbname: String): Boolean =
+    dbModules.get((srvid, module)) match {
+      case None => false
+      case Some(None) => true
+      case Some(Some(names)) => names.contains(dbname)
+    }
+
+  def dbModuleDbnames(srvid: Int, module: String): Option[Option[Seq[String]]] =
+    dbModules.get((srvid, module)).map(_.map(_.toSeq))
 }

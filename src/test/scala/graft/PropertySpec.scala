@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Registry, ServerConfig}
+import graft.operators.{Coalesce, DeltaRate}
+
+/** Property tests from the SURVEY.md §5 plan: coalesce round-trip and
+  * min/max invariants over generated series, diff/rate algebra guards,
+  * and the dbnames activation algebra. Uses seeded ScalaCheck generators
+  * directly (the scalatest bridge isn't on the offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def forAllSeeded[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail(s"generator failed for seed $i")))
+    }
+
+  private val seriesGen: Gen[List[(Int, Long, String, Long, Double)]] =
+    Gen.nonEmptyListOf(for {
+      srvid <- Gen.choose(0, 2)
+      user <- Gen.choose(0L, 5L)
+      et <- Gen.oneOf("a", "b")
+      tsOff <- Gen.choose(0L, 1000000L)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (srvid, user, et, tsOff, v))
+
+  private def toCurrent(rows: List[(Int, Long, String, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("srvid", "user_id", "event_type", "off", "value")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) + col("off") * 1000000L))
+      .select(col("srvid"), col("user_id"), col("event_type"),
+        struct(col("ts"), col("value")).as("record"))
+  }
+
+  test("coalesce: explode(collect) == identity and min/max invariants hold") {
+    forAllSeeded(seriesGen, 5) { rows =>
+      val cur = toCurrent(rows)
+      val hist = Coalesce.aggregate(cur, EventsSource.spec).cache()
+      val back = hist.select(col("srvid"), col("user_id"), col("event_type"),
+        explode(col("records")).as("record"))
+      assert(back.count() === cur.count())
+      assert(back.except(cur).isEmpty && cur.except(back).isEmpty)
+      val bad = hist.filter(
+        col("mins_in_range.value") =!= array_min(col("records.value")) ||
+        col("maxs_in_range.value") =!= array_max(col("records.value")) ||
+        col("range_start") > col("range_end"))
+      assert(bad.isEmpty)
+      hist.unpersist()
+    }
+  }
+
+  test("delta/rate: delta/sec algebra with the zero-interval guard") {
+    forAllSeeded(seriesGen, 5) { rows =>
+      val out = DeltaRate.withRates(toCurrent(rows), EventsSource.spec)
+        .select("intvl_sec", "value_delta", "value_per_sec").collect()
+      out.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val (sec, delta, rate) =
+            (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+          assert(sec >= 0.0)
+          val div = if (sec == 0.0) 1.0 else sec
+          assert(rate === delta / div)
+        }
+      }
+    }
+  }
+
+  test("dbnames algebra: activate/deactivate transitions") {
+    val r = new Registry
+    val s = r.registerServer(ServerConfig(id = 7, hostname = "h"))
+    val m = "pg_stat_all_tables"
+    assert(!r.isDbModuleEnabled(s, m, "db1"))
+    r.activateDbModule(s, m, Some(Seq("db1", "db2")))
+    assert(r.isDbModuleEnabled(s, m, "db1") && !r.isDbModuleEnabled(s, m, "db3"))
+    r.activateDbModule(s, m, Some(Seq("db2", "db3"))) // merge, dedup
+    assert(r.dbModuleDbnames(s, m) === Some(Some(Seq("db1", "db2", "db3"))))
+    r.deactivateDbModule(s, m, Some(Seq("db2"))) // EXCEPT removal
+    assert(r.dbModuleDbnames(s, m) === Some(Some(Seq("db1", "db3"))))
+    r.deactivateDbModule(s, m, Some(Seq("db1", "db3"))) // empties → dropped
+    assert(r.dbModuleDbnames(s, m).isEmpty)
+    r.activateDbModule(s, m) // all-db
+    assert(r.isDbModuleEnabled(s, m, "anything"))
+    intercept[IllegalStateException](
+      r.deactivateDbModule(s, m, Some(Seq("db1"))))
+    r.deactivateDbModule(s, m)
+    assert(!r.isDbModuleEnabled(s, m, "anything"))
+  }
+}

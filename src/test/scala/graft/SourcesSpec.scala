@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.CatalogMirror
+import graft.sources._
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val t0 = lit(Timestamp.valueOf("2024-01-01 00:00:00"))
+
+  test("qualstats: single-sided filter, semi-join, ordered constvalues") {
+    import spark.implicits._
+    val raw = Seq(
+      // valid left-sided qual, two const positions out of order
+      (1, Option(77L), 5L, 100L, 10L, 1L, Option(200L), Option.empty[Long],
+        200L, 1, 96L, "f", 2, "b", 3L, 9L, 1L, 0.5, 1.0),
+      (1, Option(77L), 5L, 100L, 10L, 1L, Option(200L), Option.empty[Long],
+        200L, 1, 96L, "f", 1, "a", 3L, 9L, 1L, 0.5, 1.0),
+      // two-sided qual → dropped (:7062)
+      (1, Option(78L), 6L, 100L, 10L, 1L, Option(200L), Option(201L),
+        200L, 1, 96L, "f", 1, "x", 1L, 1L, 0L, 0.0, 0.0),
+      // unknown statement → dropped by semi-join
+      (1, Option(79L), 7L, 100L, 10L, 999L, Option(200L), Option.empty[Long],
+        200L, 1, 96L, "f", 1, "y", 1L, 1L, 0L, 0.0, 0.0))
+      .toDF("srvid", "uniquequalid", "uniquequalnodeid", "dbid", "userid",
+        "queryid", "lrelid", "rrelid", "relid", "attnum", "opno", "eval_type",
+        "constant_position", "constvalue", "occurences", "execution_count",
+        "nbfiltered", "mean_err_estimate_ratio", "mean_err_estimate_num")
+      .withColumn("ts", t0)
+    val known = Seq((1L, 100L, 10L)).toDF("queryid", "dbid", "userid")
+    val out = QualstatsSource.normalize(raw, known).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("qualid") === 77L)
+    // constvalues ordered by constant_position: a (pos 1) before b (pos 2)
+    assert(r.getAs[Seq[String]]("constvalues") === Seq("a", "b"))
+    assert(r.getAs[Long]("occurences") === 6L)
+    assert(r.getAs[Seq[org.apache.spark.sql.Row]]("quals").length === 1)
+  }
+
+  test("kcache ladder: pre-2.2 nulls plan counters; dropped dbs excluded") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, true, 10L, 100L, 5L, 6L, 0.1, 0.2, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      (2L, true, 10L, 666L, 5L, 6L, 0.1, 0.2, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))
+      .toDF("queryid", "top", "userid", "dbid",
+        "reads", "writes", "user_time", "system_time", "minflts", "majflts",
+        "nswaps", "msgsnds", "msgrcvs", "nsignals", "nvcsws", "nivcsws")
+    val dbs = Seq((100L, Option.empty[Timestamp]),
+        (666L, Option(Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .toDF("oid", "dropped")
+    val out = ModuleSources.kcacheCapture(raw, 200, dbs, t0)
+    val rows = out.collect()
+    assert(rows.length === 1) // dropped-db row excluded
+    val r = rows.head
+    assert(r.getAs[Long]("exec_reads") === 5L)
+    assert(r.isNullAt(r.fieldIndex("plan_reads"))) // pre-2.2 default
+    // 2.2+ ladder picks the split columns
+    val raw22 = raw.limit(1)
+      .select(col("queryid"), col("top"), col("userid"), col("dbid"),
+        col("reads").as("plan_reads"), col("writes").as("plan_writes"),
+        col("user_time").as("plan_user_time"), col("system_time").as("plan_system_time"),
+        col("minflts").as("plan_minflts"), col("majflts").as("plan_majflts"),
+        col("nswaps").as("plan_nswaps"), col("msgsnds").as("plan_msgsnds"),
+        col("msgrcvs").as("plan_msgrcvs"), col("nsignals").as("plan_nsignals"),
+        col("nvcsws").as("plan_nvcsws"), col("nivcsws").as("plan_nivcsws"),
+        (col("reads") + 1).as("exec_reads"), col("writes").as("exec_writes"),
+        col("user_time").as("exec_user_time"), col("system_time").as("exec_system_time"),
+        col("minflts").as("exec_minflts"), col("majflts").as("exec_majflts"),
+        col("nswaps").as("exec_nswaps"), col("msgsnds").as("exec_msgsnds"),
+        col("msgrcvs").as("exec_msgrcvs"), col("nsignals").as("exec_nsignals"),
+        col("nvcsws").as("exec_nvcsws"), col("nivcsws").as("exec_nivcsws"))
+    val out22 = ModuleSources.kcacheCapture(raw22, 202, dbs, t0).head()
+    assert(out22.getAs[Long]("plan_reads") === 5L)
+    assert(out22.getAs[Long]("exec_reads") === 6L)
+  }
+
+  test("wait sampling: dbid resolution via dedup'd pgss, background → 0") {
+    import spark.implicits._
+    val profile = Seq(
+      (1, 42L, "LWLock", "WALWriteLock", java.math.BigDecimal.valueOf(7)),
+      (1, 42L, "LWLock", "WALWriteLock", java.math.BigDecimal.valueOf(3)),
+      (1, 0L, "Activity", "BgWriterMain", java.math.BigDecimal.valueOf(5)))
+      .toDF("srvid", "queryid", "event_type", "event", "count")
+    val pgss = Seq((42L, 100L), (42L, 100L)).toDF("queryid", "dbid")
+    val out = ModuleSources.waitSamplingCapture(profile, pgss, t0)
+      .orderBy("queryid").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("dbid") === 0L)   // background resolved to 0
+    assert(out(1).getAs[Long]("dbid") === 100L)
+    assert(out(1).getAs[java.math.BigDecimal]("count").longValue === 10L)
+  }
+
+  test("atLeastOneRow synthesizes an empty-source row") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("slot_name", "restart_lsn")
+    val out = ModuleSources.atLeastOneRow(spark, empty, t0).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(1)) // NULL record columns, real ts
+  }
+
+  test("catalog mirror: per-(srvid,dbid) replace + refresh bookkeeping") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val m = new CatalogMirror(spark, root)
+    val v1 = Seq((1L, "t1"), (2L, "t2")).toDF("oid", "relname")
+    m.replace("pg_class", 1, 100L, v1)
+    assert(m.read("pg_class", 1, 100L).get.count() === 2)
+    // replace with new content for the same (srvid, dbid)
+    val v2 = Seq((3L, "t3")).toDF("oid", "relname")
+    m.replace("pg_class", 1, 100L, v2)
+    assert(m.read("pg_class", 1, 100L).get.count() === 1)
+    // other (srvid, dbid) untouched, unknown catalog rejected
+    assert(m.read("pg_class", 1, 200L).isEmpty)
+    intercept[IllegalArgumentException](m.replace("nope", 1, 1L, v1))
+    // refresh stamped only via pg_class; staleness filter honors it
+    assert(m.lastRefresh(1, 100L).isDefined)
+    val now = new Timestamp(System.currentTimeMillis())
+    assert(m.staleDbids(1, Seq(100L, 200L), 3600, now) === Seq(200L))
+    assert(m.staleDbids(1, Seq(100L), 0, new Timestamp(now.getTime + 1000))
+      === Seq(100L))
+  }
+}
