@@ -20,6 +20,15 @@ object Hashing {
   def h60(seed: Int, c: Column): Column =
     h60(concat(lit(s"$seed:"), c))
 
+  /** Driver-side evaluation of [[h60]] (same md5-prefix formula) — for
+    * precomputing row-independent constants like LSH plane weights. */
+  def h60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment equivalent of [[h60]], for oracle building. */
   def h60Sql(expr: String): String =
     s"('0x'||substr(md5($expr),1,15))::BIGINT"

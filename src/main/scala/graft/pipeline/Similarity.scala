@@ -2,15 +2,16 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import Hashing.h60
+import graft.functions.NativeFunctions
 
 /** Approximate-nearest-neighbor operators over an embedding column
   * (`Array[Float]`).
   *
   *   - Brute-force cosine top-k: broadcast the query vector, score every
-  *     row with per-row array math (`zip_with` + `aggregate` fold —
-  *     stays in codegen), `TakeOrdered` for the top-k. The correctness
-  *     baseline; linear scan, embarrassingly parallel, no shuffle.
+  *     row with the codegen'd native dot product
+  *     (graft.functions.DotProduct), `TakeOrdered` for the top-k. The
+  *     correctness baseline; linear scan, embarrassingly parallel, no
+  *     shuffle.
   *   - Random-hyperplane LSH buckets: 60-bit-hash-derived pseudo-random
   *     weights give `planes` sign bits per vector; the bucket id
   *     becomes the shuffle/partition key, so at 100 TB the query only
@@ -25,11 +26,11 @@ object Similarity {
   /** Cast a float embedding to double element-wise (exact widening). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.DotProduct); left-to-right
+    * accumulation, bit-identical to the HOF fold and the oracle. */
+  def dot(a: Column, b: Column): Column = NativeFunctions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -37,6 +38,7 @@ object Similarity {
   def bruteForceTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val q = e.filter(col(idCol) === queryId).select(col("v").as("qv"))
     e.filter(col(idCol) =!= queryId)
@@ -46,31 +48,23 @@ object Similarity {
       .limit(k)
   }
 
-  /** Pseudo-random hyperplane weight for (plane, component): uniform in
-    * [-1, 1] with 1/1000 resolution, derived from the portable hash so
-    * the oracle can reproduce it. */
-  def planeWeight(plane: Int, component: Column): Column =
-    ((h60(plane, component.cast("string")) % 2001L) - 1000L).cast("double") /
-      lit(1000.0d)
+  /** Pseudo-random hyperplane weights for one plane: uniform in [-1, 1]
+    * with 1/1000 resolution, derived from the portable 60-bit hash. The
+    * weights are row-independent, so they're computed driver-side and
+    * shipped as literal arrays (the oracle reproduces them from the same
+    * md5 formula in SQL). */
+  def planeWeights(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      ((Hashing.h60Scala(s"$plane:$i") % 2001L) - 1000L).toDouble / 1000.0d
+    }
 
-  /** Sign-bit bucket id from `planes` random hyperplanes. */
+  /** Sign-bit bucket id from `planes` random hyperplanes — one codegen'd
+    * dot per plane against a constant weight vector. */
   def lshBucket(v: Column, dim: Int, planes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), lit(dim - 1)),
-            (x, i) => x * planeWeightExpr(p, i)),
-          lit(0.0d), (acc, x) => acc + x)
-        when(proj > 0.0d, call_function("shiftleft", lit(1L), p))
-          .otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc + x)
-
-  /** planeWeight with both plane and component as runtime columns (for
-    * use inside transform lambdas). */
-  private def planeWeightExpr(plane: Column, component: Column): Column =
-    ((h60(concat(plane.cast("string"), lit(":"), component.cast("string")))
-      % 2001L) - 1000L).cast("double") / lit(1000.0d)
+    (0 until planes).map { p =>
+      when(dot(v, typedLit(planeWeights(p, dim).toSeq)) > 0.0d, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: score only the vectors in the query's bucket.
     * Returns the top-k of that bucket (a subset of the brute-force
@@ -79,6 +73,7 @@ object Similarity {
   def lshTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, planes))
     val q = e.filter(col(idCol) === queryId)
