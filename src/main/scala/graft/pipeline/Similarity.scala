@@ -84,4 +84,28 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Embedding-cosine near-duplicate pairs (i < j, cosine >= threshold):
+    * LSH-bucket candidate generation (pairs must share the full sign
+    * bucket) followed by exact cosine verification of candidates only —
+    * the same candidates-then-verify shape as MinHash dedup, with the
+    * bucket id as the shuffle key. Approximate by construction (a
+    * near-dup straddling a hyperplane is missed; more planes ↔ fewer
+    * candidates, lower recall). */
+  def cosineDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, thresholdPpm: Long): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, planes))
+      .localCheckpoint()
+    val l = e.select(col("id").as("i"), col("v").as("vi"), col("bucket"))
+    val r = e.select(col("id").as("j"), col("v").as("vj"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        TextOps.ppm(cosine(col("vi"), col("vj"))).as("cos_ppm"))
+      .filter(col("cos_ppm") >= thresholdPpm)
+  }
 }

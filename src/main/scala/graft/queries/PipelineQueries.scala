@@ -88,6 +88,12 @@ object PipelineQueries {
         queryId = 0L, k = 5, planes = 6, dim = 64)
       .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
 
+  // embedding-cosine near-dup: LSH-bucket candidates + exact verify
+  private def p12(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 2, dim = 64, thresholdPpm = 400000L)
+      .orderBy(col("i"), col("j"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -150,14 +156,17 @@ object PipelineQueries {
                  sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos
               FROM e, q WHERE e.vec_id != 0)"""
 
-  /** LSH bucket projection columns for p10 (planes=6, dim=64). */
-  private val lshProj = (0 until 6).map { p =>
+  /** LSH bucket projection columns (same md5-derived weights as
+    * Similarity.planeWeights). */
+  private def lshProjSql(planes: Int): String = (0 until planes).map { p =>
     val w = s"((${h60Sql(s"$p || ':' || i::VARCHAR")} % 2001) - 1000)::DOUBLE / 1000.0"
     s"list_aggregate(list_transform(range(0, 64), i -> v[i+1] * ($w)), 'sum') AS proj$p"
   }.mkString(", ")
-  private val lshBucket = (0 until 6)
+  private def lshBucketSql(planes: Int): String = (0 until planes)
     .map(p => s"(CASE WHEN proj$p > 0.0 THEN ${1L << p} ELSE 0 END)")
     .mkString(" + ")
+  private val lshProj = lshProjSql(6)
+  private val lshBucket = lshBucketSql(6)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_text_stats" -> (p01 _),
@@ -170,7 +179,8 @@ object PipelineQueries {
     "p08_simhash_pairs" -> (p08 _),
     "p09_cosine_topk" -> (p09 _),
     "p10_cosine_lsh" -> (p10 _),
-    "p11_multimodal_stub" -> (p11 _))
+    "p11_multimodal_stub" -> (p11 _),
+    "p12_cosine_neardup" -> (p12 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -284,6 +294,19 @@ object PipelineQueries {
                  FROM bk, q WHERE bk.vec_id != 0 AND bk.bucket = q.qbucket)
           SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
           FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    "p12_cosine_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          pr AS (SELECT vec_id, v, ${lshProjSql(2)} FROM e),
+          bk AS (SELECT vec_id, v, CAST(${lshBucketSql(2)} AS BIGINT) AS bucket FROM pr),
+          cand AS (SELECT a.vec_id AS i, a.v AS vi, b.vec_id AS j, b.v AS vj
+                   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          sc AS (SELECT i, j,
+                   CAST(floor((list_aggregate(list_transform(range(0, 64), k -> vi[k+1] * vj[k+1]), 'sum') /
+                     (sqrt(list_aggregate(list_transform(vi, x -> x * x), 'sum')) *
+                      sqrt(list_aggregate(list_transform(vj, x -> x * x), 'sum')))) * 1000000.0) AS BIGINT) AS cos_ppm
+                 FROM cand)
+          SELECT i, j, cos_ppm FROM sc WHERE cos_ppm >= 400000
+          ORDER BY i, j""",
     "p11_multimodal_stub" ->
       """WITH a AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                            md5(text) AS sig

@@ -305,6 +305,24 @@ object PowaQueries {
       .orderBy(col("event_type"), col("ranking"), col("rank"))
   }
 
+  // ---- §3.3: the canonical dashboard query — readback (current ∪
+  //      history) followed by per-second rates, end to end (this is
+  //      SparkEntry.entry with an oracle).
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val cur = EventsSource.current(s, d)
+    val split = ts("2024-01-15 00:00:00")
+    val hist = Coalesce.aggregate(cur.filter(col("record.ts") < split), EventsSource.spec)
+    val series = Readback.series(
+      cur.filter(col("record.ts") >= split), hist, EventsSource.spec,
+      ts("2024-01-10 00:00:00"), ts("2024-01-20 00:00:00"))
+    DeltaRate.withRates(series, EventsSource.spec)
+      .select(
+        col("user_id"), col("event_type"),
+        col("record.ts").as("ts"), col("record.value").as("value"),
+        col("intvl_sec"), col("value_delta"), col("value_per_sec"))
+      .orderBy(col("user_id"), col("event_type"), col("ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -327,7 +345,8 @@ object PowaQueries {
     "q19_array_except" -> (q19 _),
     "q20_mru_touch" -> (q20 _),
     "q21_coalesce_batches" -> (q21 _),
-    "q22_constvalues_rankings" -> (q22 _))
+    "q22_constvalues_rankings" -> (q22 _),
+    "q23_readback_rates" -> (q23 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -500,5 +519,16 @@ object PowaQueries {
           UNION ALL
           SELECT event_type, 'most_errestim', CAST(r_ratio AS INT), $cols FROM m WHERE r_ratio <= 5
           ORDER BY event_type, ranking, rank"""
-    })
+    },
+    "q23_readback_rates" ->
+      """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
+                value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
+         FROM (
+           SELECT user_id, event_type, ts, value,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DOUBLE) / 1000000.0 AS intvl_sec,
+             value - LAG(value) OVER w AS value_delta
+           FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+           WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
+         ORDER BY user_id, event_type, ts""")
 }
