@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc profiling main (not part of the driver contract). */
 object Scratch {
@@ -13,12 +12,8 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    println("=== q01 (rollup agg) ===")
-    queries.PowaQueries.queries("q01_db_rollup")(spark, d).explain("formatted")
-    println("=== q09 (semi join) ===")
-    queries.PowaQueries.queries("q09_semi_join")(spark, d).explain("formatted")
-    println("=== q06 (readback) ===")
-    queries.PowaQueries.queries("q06_readback_union")(spark, d).explain("formatted")
+    println("=== q22 multiTopK plan ===")
+    queries.PowaQueries.queries("q22_constvalues_rankings")(spark, d).explain("formatted")
     spark.stop()
   }
 }

@@ -14,7 +14,7 @@ import graft.spec.{DatasourceSpec, Specs}
   * `history_db` (per-database rollup, populated at snapshot time,
   * :4070-4094), `history` (coalesced array-of-record rows).
   */
-final class GenericDatasource(val spec: DatasourceSpec) {
+class GenericDatasource(val spec: DatasourceSpec) {
   import GenericDatasource._
 
   val name: String = spec.name
@@ -32,8 +32,11 @@ final class GenericDatasource(val spec: DatasourceSpec) {
   /** Snapshot (generated `{ds}_snapshot`, :1406-1488): read this server's
     * staged rows, append per-entity records into `current` (+ the per-db
     * rollup into `current_db`), then drain the staging partition.
+    * `now` is the orchestrator tick timestamp (used by subclasses that
+    * stamp dimensions, e.g. the statements MRU).
     */
-  def snapshot(store: Store, srvid: Int): Long = {
+  def snapshot(store: Store, srvid: Int,
+      now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Long = {
     val staged = store.read(name, Staging, spec.stagingSchema)
       .filter(col("srvid") === srvid)
       .cache() // two outputs from one scan (SURVEY.md §7.4 item 6)
@@ -92,7 +95,7 @@ final class GenericDatasource(val spec: DatasourceSpec) {
   /** Reset (generated `{ds}_reset`, :1572-1589): drop every tier's
     * partition for this server. */
   def reset(store: Store, srvid: Int): Unit =
-    Seq(Staging, Current, CurrentDb, History, HistoryDb)
+    Seq(Staging, Current, CurrentDb, History, HistoryDb, Dim)
       .foreach(t => store.dropPartition(name, t, srvid))
 
   /** Readback (powa_stat_get_activity shape, :7765-7792). */
@@ -113,6 +116,7 @@ object GenericDatasource {
   val CurrentDb = "current_db"
   val History = "history"
   val HistoryDb = "history_db"
+  val Dim = "dim"
 
   /** Tier schemas minus the srvid partition column (Store re-adds it). */
   def currentNoSrvid(s: DatasourceSpec) =
@@ -136,7 +140,10 @@ object GenericDatasource {
 final class Engine(val spark: SparkSession, storageRoot: String) {
   val registry = new Registry
   val store = new Store(spark, storageRoot)
-  val datasources: Seq[GenericDatasource] = Specs.all.map(new GenericDatasource(_))
+  val datasources: Seq[GenericDatasource] = Specs.all.map { s =>
+    if (s.name == Specs.statements.name) new StatementsDatasource
+    else new GenericDatasource(s)
+  }
   private val byName = datasources.map(d => d.name -> d).toMap
 
   def datasource(name: String): GenericDatasource = byName(name)
@@ -160,7 +167,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       server.versionNum >= d.spec.minVersion)
 
     active.foreach { d =>
-      try d.snapshot(store, srvid)
+      try d.snapshot(store, srvid, now)
       catch { case e: Exception =>
         errors :+= s"${d.name}_snapshot: ${e.getMessage}" }
     }

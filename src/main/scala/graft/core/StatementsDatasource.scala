@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.spec.Specs
+
+/** The `powa_statements` datasource with its query-text dimension — the
+  * one datasource whose snapshot is more than a generic append: the
+  * staging rows carry the statement text (src_tmp layout,
+  * powa--5.2.0.sql:1980-2022) and the snapshot maintains the
+  * `powa_statements` MRU dimension besides the two record sinks
+  * (:4006-4108). Aggregate/purge/reset stay generic; reset also clears
+  * the dimension partition.
+  */
+final class StatementsDatasource extends GenericDatasource(Specs.statements) {
+  import GenericDatasource._
+
+  /** staging = generic staging + the query text column. */
+  val stagingWithQuery: StructType =
+    StructType(spec.stagingSchema.fields :+ StructField("query", StringType))
+
+  val dimSchema: StructType = StructType(Seq(
+    StructField("queryid", LongType), StructField("dbid", LongType),
+    StructField("userid", LongType), StructField("query", StringType),
+    StructField("last_present_ts", TimestampType)))
+
+  def readDim(store: Store, srvid: Int): DataFrame =
+    store.read(name, Dim, dimSchema)
+      .filter(col("srvid") === srvid).drop("srvid")
+
+  override def snapshot(store: Store, srvid: Int,
+      now: java.sql.Timestamp): Long = {
+    val staged = store.read(name, Staging, stagingWithQuery)
+      .filter(col("srvid") === srvid)
+    val n = staged.count()
+    if (n > 0) {
+      val newDim = StatementsPipeline.snapshot(
+        store, readDim(store, srvid), staged, srvid, lit(now))
+      store.overwritePartition(name, Dim, srvid,
+        newDim.withColumn("srvid", lit(srvid)))
+      store.dropPartition(name, Staging, srvid)
+    }
+    n
+  }
+}

@@ -74,15 +74,24 @@ object TopK {
         acc.withColumn(s"__rank_$i",
           row_number().over(Window.partitionBy(groupKeys: _*).orderBy(orderBy: _*)))
     }
-    rankings.zipWithIndex.map { case ((name, _, fromBottom), i) =>
+    // One (ranking, rank, keep) entry per ranking, exploded — a UNION of
+    // per-ranking filters would recompute the whole input (scan + agg +
+    // windows) once per branch; this keeps a single pass: one window
+    // shuffle, one sort per distinct ordering.
+    val entries = array(rankings.zipWithIndex.map { case ((name, _, fromBottom), i) =>
       val r = col(s"__rank_$i")
+      val rank = if (fromBottom) col("nb_lines") - r + 1 else r
       val keep = if (fromBottom) r > col("nb_lines") - k else r <= k
-      val rank = if (fromBottom) (col("nb_lines") - r + 1).cast("int") else r
-      withRanks.filter(keep)
-        .withColumn("ranking", lit(name))
-        .withColumn("rank", rank)
-        .drop(rankings.indices.map(j => s"__rank_$j") :+ "nb_lines": _*)
-    }.reduce(_.unionByName(_))
+      struct(lit(name).as("ranking"), rank.cast("int").as("rank"),
+        keep.as("keep"))
+    }: _*)
+    val dropped = rankings.indices.map(j => s"__rank_$j") :+ "nb_lines"
+    withRanks
+      .select(col("*"), explode(entries).as("__e"))
+      .filter(col("__e.keep"))
+      .withColumn("ranking", col("__e.ranking"))
+      .withColumn("rank", col("__e.rank"))
+      .drop(dropped :+ "__e": _*)
   }
 
   /** Packed form: one row per group with an array of the top-k payloads

@@ -165,6 +165,35 @@ class EngineSpec extends AnyFunSuite {
       .otherwise(0))).head().getLong(0) === 1)
   }
 
+  test("statements datasource maintains its query-text dimension via Engine") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 140, hostname = "h"))
+    def staged(ts: String, calls: Long): org.apache.spark.sql.DataFrame =
+      Seq((srvid, Timestamp.valueOf(ts), 1L, 100L, true, 10L, calls))
+        .toDF("srvid", "ts", "queryid", "dbid", "toplevel", "userid", "calls")
+        .withColumn("total_exec_time", lit(1.0))
+        .withColumn("rows", lit(1L))
+        .select(col("*") +: graft.spec.Specs.statements.counterCols
+          .filterNot(c => Set("calls", "total_exec_time", "rows").contains(c.name))
+          .map(c => lit(null).cast(c.dt).as(c.name)): _*)
+        .withColumn("query", lit("SELECT 1"))
+    e.ingest("powa_statements", staged("2024-01-01 00:00:00", 5L))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    e.ingest("powa_statements", staged("2024-01-01 00:05:00", 9L))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:05:30"))
+
+    val sd = e.datasource("powa_statements").asInstanceOf[StatementsDatasource]
+    val dim = sd.readDim(e.store, srvid).collect()
+    assert(dim.length === 1) // MRU-touched, not duplicated
+    assert(dim.head.getAs[Timestamp]("last_present_ts") ===
+      Timestamp.valueOf("2024-01-01 00:05:30"))
+    assert(tierCount(e, "powa_statements", GenericDatasource.Current) === 2)
+    // reset clears the dimension too
+    e.reset(srvid)
+    assert(sd.readDim(e.store, srvid).count() === 0)
+  }
+
   test("spec sanity: 23 datasources, statements record arity matches reference") {
     assert(Specs.all.size === 23)
     // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)
