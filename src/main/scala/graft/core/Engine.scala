@@ -65,13 +65,15 @@ class GenericDatasource(val spec: DatasourceSpec) {
 
   /** Aggregate (generated `{ds}_aggregate`, :1490-1540): coalesce this
     * server's current rows into history, then empty current — history is
-    * written before current is truncated (SURVEY.md §7.4 item 2). */
+    * written before current is truncated (SURVEY.md §7.4 item 2).
+    * History lands month-bucketed on range_start (srvid=N/bucket=YYYY-MM)
+    * so retention purge is mostly directory drops. */
   def aggregate(store: Store, srvid: Int): Unit = {
     def one(tierCur: String, tierHist: String, s: DatasourceSpec): Unit = {
       val cur = store.read(name, tierCur, currentNoSrvid(s))
         .filter(col("srvid") === srvid)
       if (!cur.isEmpty) {
-        store.append(name, tierHist, Coalesce.aggregate(cur, s))
+        store.appendBucketed(name, tierHist, Coalesce.aggregate(cur, s))
         store.dropPartition(name, tierCur, srvid)
       }
     }
@@ -80,13 +82,24 @@ class GenericDatasource(val spec: DatasourceSpec) {
   }
 
   /** Purge (generated `{ds}_purge`, :1542-1570): drop history rows whose
-    * range fell entirely before the retention cutoff. */
+    * range fell entirely before the retention cutoff. Whole months before
+    * the cutoff month drop as directories (O(1), no read); only the
+    * boundary month is rewritten row-level. */
   def purge(store: Store, srvid: Int, cutoff: java.sql.Timestamp): Unit = {
+    val cutoffMonth = new java.text.SimpleDateFormat("yyyy-MM").format(cutoff)
     def one(tier: String, s: DatasourceSpec): Unit = {
-      val hist = store.read(name, tier, historyNoSrvid(s))
-        .filter(col("srvid") === srvid)
-      if (!hist.isEmpty)
-        store.overwritePartition(name, tier, srvid, Coalesce.purge(hist, cutoff))
+      val (stale, boundary) = store.listBuckets(name, tier, srvid)
+        .partition(_ < cutoffMonth)
+      stale.foreach(b => store.dropBucket(name, tier, srvid, b))
+      if (boundary.contains(cutoffMonth)) {
+        val hist = store.readBucketed(name, tier, historyNoSrvid(s))
+          .filter(col("srvid") === srvid)
+        if (!hist.isEmpty)
+          store.overwritePartition(name, tier, srvid,
+            Coalesce.purge(hist, cutoff)
+              .withColumn("bucket", date_format(col("range_start"), "yyyy-MM")),
+            partitionCols = Seq("bucket"))
+      }
     }
     one(History, spec)
     dbSpec.foreach(dbs => one(HistoryDb, dbs))
@@ -103,7 +116,7 @@ class GenericDatasource(val spec: DatasourceSpec) {
       to: java.sql.Timestamp): DataFrame = {
     val cur = store.read(name, Current, currentNoSrvid(spec))
       .filter(col("srvid") === srvid)
-    val hist = store.read(name, History, historyNoSrvid(spec))
+    val hist = store.readBucketed(name, History, historyNoSrvid(spec))
       .filter(col("srvid") === srvid)
     Readback.series(cur, hist, spec, lit(from), lit(to))
   }

@@ -2,8 +2,9 @@ package graft.core
 
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, date_format}
 import org.apache.spark.sql.types.StructType
 
 /** Parquet-backed tier storage. Layout (SURVEY.md §7.1):
@@ -63,12 +64,50 @@ final class Store(val spark: SparkSession, root: String) {
   def append(ds: String, tier: String, df: DataFrame): Unit =
     df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
 
+  /** History-tier append with a second physical partition level: a month
+    * bucket of `range_start` (srvid=N/bucket=YYYY-MM/). This is the
+    * cluster layout — retention purges become whole-directory drops and
+    * readback prunes entire months before Parquet stats are even
+    * consulted (SCALE.md). */
+  def appendBucketed(ds: String, tier: String, df: DataFrame): Unit =
+    df.withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
+      .write.mode("append").partitionBy("srvid", "bucket")
+      .parquet(dir(ds, tier).toString)
+
+  /** Read a bucketed tier, hiding the bucket column again. */
+  def readBucketed(ds: String, tier: String, schema: StructType): DataFrame = {
+    val withBucket = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.StringType))
+    read(ds, tier, withBucket).drop("bucket")
+  }
+
+  /** Month buckets currently present for one server. */
+  def listBuckets(ds: String, tier: String, srvid: Int): Seq[String] = {
+    val p = partDir(ds, tier, srvid)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=")).toList.sorted
+      finally s.close()
+    }
+  }
+
+  /** Drop one month bucket — the O(1) arm of retention purge. */
+  def dropBucket(ds: String, tier: String, srvid: Int, bucket: String): Unit =
+    deleteRecursively(partDir(ds, tier, srvid).resolve(s"bucket=$bucket"))
+
   /** Replace a single server's partition with `df` (rows must all belong
     * to that srvid). Equivalent of `DELETE … WHERE srvid = ?; INSERT …`.
-    * Cluster path: Delta `REPLACE WHERE` / dynamic partition overwrite. */
-  def overwritePartition(ds: String, tier: String, srvid: Int, df: DataFrame): Unit = {
+    * Cluster path: Delta `REPLACE WHERE` / dynamic partition overwrite.
+    * `partitionCols` preserves sub-partitioning (e.g. history buckets). */
+  def overwritePartition(ds: String, tier: String, srvid: Int, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
     val tmp = dir(ds, tier + s".tmp$srvid")
-    df.drop("srvid").write.mode("overwrite").parquet(tmp.toString)
+    val w = df.drop("srvid").write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     dropPartition(ds, tier, srvid)
     val dst = partDir(ds, tier, srvid)
     Files.createDirectories(dst.getParent)

@@ -33,10 +33,9 @@ class EngineSpec extends AnyFunSuite {
 
   private def tierCount(e: Engine, ds: String, tier: String): Long = {
     val spec = Specs.byName(ds)
-    val s = if (tier == GenericDatasource.History)
-      GenericDatasource.historyNoSrvid(spec)
-    else GenericDatasource.currentNoSrvid(spec)
-    e.store.read(ds, tier, s).count()
+    if (tier == GenericDatasource.History)
+      e.store.readBucketed(ds, tier, GenericDatasource.historyNoSrvid(spec)).count()
+    else e.store.read(ds, tier, GenericDatasource.currentNoSrvid(spec)).count()
   }
 
   test("01_general cadence: snapshot x5 -> aggregate, tick 6 -> purge, reset") {
@@ -61,7 +60,9 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(tierCount(e, ds, GenericDatasource.Current) === 0)
     assert(tierCount(e, ds, GenericDatasource.History) === 1)
-    val hist = e.store.read(ds, GenericDatasource.History,
+    assert(e.store.listBuckets(ds, GenericDatasource.History, srvid) ===
+      Seq("2024-01"))
+    val hist = e.store.readBucketed(ds, GenericDatasource.History,
       GenericDatasource.historyNoSrvid(Specs.byName(ds)))
     val row = hist.select(size(col("records")), col("range_start"), col("range_end")).head()
     assert(row.getInt(0) === 5)
@@ -79,6 +80,34 @@ class EngineSpec extends AnyFunSuite {
     assert(tierCount(e, ds, GenericDatasource.Current) === 0)
     assert(tierCount(e, ds, GenericDatasource.History) === 0)
     assert(e.registry.meta(srvid).coalesceSeq === 0)
+  }
+
+  test("purge drops whole stale month buckets, rewrites only the boundary month") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 160, hostname = "h", powaCoalesce = 5,
+      retentionSec = 45L * 86400)) // generous while both months accumulate
+    val ds = "powa_stat_bgwriter"
+    def tick(day: String, t: Int): Unit = {
+      import spark.implicits._
+      val batch = Seq((srvid, Timestamp.valueOf(s"$day 00:00:00"),
+        100L * t, 10L * t, 5L * t, 2L * t, 1L * t))
+        .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+          "buffers_backend", "buffers_backend_fsync", "buffers_alloc")
+      e.ingest(ds, batch)
+      e.takeSnapshot(srvid, Timestamp.valueOf(s"$day 00:00:30"))
+    }
+    (1 to 5).foreach(t => tick(f"2024-01-${9 + t}%02d", t))   // Jan bucket
+    (6 to 10).foreach(t => tick(f"2024-02-${14 + t}%02d", t)) // Feb bucket
+    assert(e.store.listBuckets(ds, GenericDatasource.History, srvid) ===
+      Seq("2024-01", "2024-02"))
+    // shrink retention (powa_configure_server), then tick 11 → phase 1 →
+    // purge; cutoff = Mar 1 − 15d = Feb 15
+    e.registry.configureServer(srvid, _.copy(retentionSec = 15L * 86400))
+    tick("2024-03-01", 11)
+    assert(e.store.listBuckets(ds, GenericDatasource.History, srvid) ===
+      Seq("2024-02"))
+    assert(tierCount(e, ds, GenericDatasource.History) === 1)
   }
 
   test("per-db rollup tier populated at snapshot time") {
