@@ -211,6 +211,18 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     errors.size
   }
 
+  /** Readback + rates in one call — the dashboard query (SURVEY §3.3):
+    * `powa_stat_get_activity`-shaped reconstitution followed by the
+    * generated `/` rate operator over consecutive records. */
+  def readSeriesWithRates(dsName: String, srvid: Int,
+      from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    val d = datasource(dsName)
+    val series = d.readSeries(store, srvid, from, to)
+    if (d.spec.needOperators)
+      graft.operators.DeltaRate.withRates(series, d.spec)
+    else series
+  }
+
   /** powa_reset(srvid) (:6359-6429). */
   def reset(srvid: Int): Unit = {
     datasources.foreach(_.reset(store, srvid))

@@ -52,5 +52,34 @@ class StreamIngestSpec extends AnyFunSuite {
       GenericDatasource.currentNoSrvid(Specs.byName(ds)))
     assert(cur.count() === 0)
     assert(engine.registry.meta(srvid).coalesceSeq === 5)
+
+    // the dashboard read API spans the aggregate boundary and adds rates
+    val series = engine.readSeriesWithRates(ds, srvid,
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(series.count() === 5)
+    assert(series.columns.contains("buffers_clean_per_sec"))
+  }
+
+  test("watermarked windowed rollup emits per-window aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = streaming.EventRollup.rollup(df, Seq(col("event_type")),
+        windowLen = "1 hour", watermark = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "click", 3.0),
+      (Timestamp.valueOf("2024-01-01 01:10:00"), "view", 5.0))
+    q.processAllAvailable()
+    val out = spark.table("rollup_out").orderBy("range_start", "event_type").collect()
+    q.stop()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n") === 2 && out(0).getAs[Double]("sum_value") === 5.0)
+    assert(out(0).getAs[Timestamp]("range_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(out(1).getAs[String]("event_type") === "view")
   }
 }
