@@ -53,7 +53,12 @@ object Dedup {
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .localCheckpoint()
-    val exploded = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // join on the 60-bit shingle hash, not the string — a quarter of the
+    // shuffle bytes and a long-vs-long equality in the probe loop; the
+    // oracle hashes identically, so results stay comparable
+    val exploded = withSh
+      .select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc"), col("n_sh"), h60(col("s")).as("shingle"))
     val a = exploded.select(col("doc").as("i"), col("n_sh").as("na"), col("shingle"))
     val b = exploded.select(col("doc").as("j"), col("n_sh").as("nb"), col("shingle"))
     a.join(b, a("shingle") === b("shingle") && a("i") < b("j"))

@@ -227,8 +227,9 @@ object PipelineQueries {
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "p05_ngram_jaccard" ->
       s"""WITH $shinglesCte,
+          eh AS (SELECT doc_id, nsh, ${h60Sql("shingle")} AS sh_h FROM e),
           p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.nsh AS na2, b.nsh AS nb2, COUNT(*) AS inter2
-                FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM eh a JOIN eh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
                 GROUP BY 1, 2, 3, 4)
           SELECT i, j, CAST(na2 AS BIGINT) AS na, CAST(nb2 AS BIGINT) AS nb,
                  CAST(inter2 AS BIGINT) AS inter,
