@@ -155,6 +155,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   val store = new Store(spark, storageRoot)
   val datasources: Seq[GenericDatasource] = Specs.all.map { s =>
     if (s.name == Specs.statements.name) new StatementsDatasource
+    else if (s.name == Specs.qualstats.name) new QualstatsDatasource
     else new GenericDatasource(s)
   }
   private val byName = datasources.map(d => d.name -> d).toMap

@@ -81,3 +81,19 @@ object NativeFunctions {
   /** Column-level dot product; caller must have registered the session. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
 }
+
+/** SparkSessionExtensions hook: makes the engine's native functions
+  * available to plain-SQL users of any session built with
+  * `.withExtensions(new GraftExtensions)` (or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) —
+  * `SELECT graft_dot(a.v, b.v) FROM …` works without touching the
+  * Scala API.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(NativeFunctions.DotName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, NativeFunctions.DotName),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.NativeFunctions
@@ -20,6 +21,16 @@ class DotProductSpec extends AnyFunSuite {
     // bitwise comparison — same fold order must give identical doubles
     assert(both.filter(col("native") =!= col("hof")).isEmpty)
     assert(both.count() === 500)
+  }
+
+  test("graft_dot is usable from plain SQL once registered") {
+    // (GraftExtensions performs this same registration at session build
+    // time for spark.sql.extensions users; a second in-JVM session can't
+    // be built here without tearing down the shared test session.)
+    NativeFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
   }
 
   test("mismatched lengths use the common prefix; type check rejects non-arrays") {

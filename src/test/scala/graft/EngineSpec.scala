@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core._
 import graft.spec.Specs
@@ -221,6 +222,37 @@ class EngineSpec extends AnyFunSuite {
     // reset clears the dimension too
     e.reset(srvid)
     assert(sd.readDim(e.store, srvid).count() === 0)
+  }
+
+  test("qualstats datasource: quals dimension + constvalues tier via Engine") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 180, hostname = "h"))
+    def staged(ts: String): org.apache.spark.sql.DataFrame =
+      Seq((srvid, Timestamp.valueOf(ts), 77L, 1L, 100L, 10L,
+        6L, 9L, 1L, 0.5, 1.0))
+        .toDF("srvid", "ts", "qualid", "queryid", "dbid", "userid",
+          "occurences", "execution_count", "nbfiltered",
+          "mean_err_estimate_ratio", "mean_err_estimate_num")
+        .withColumn("quals", array(struct(lit(200L).as("relid"),
+          lit(1).as("attnum"), lit(96L).as("opno"), lit("f").as("eval_type"))))
+        .withColumn("constvalues", array(lit("a"), lit("b")))
+    e.ingest("powa_qualstats", staged("2024-01-01 00:00:00"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    e.ingest("powa_qualstats", staged("2024-01-01 00:05:00"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:05:30"))
+
+    val qd = e.datasource("powa_qualstats").asInstanceOf[QualstatsDatasource]
+    assert(qd.readDim(e.store, srvid).count() === 1) // anti-join, no dup
+    assert(tierCount(e, "powa_qualstats", GenericDatasource.Current) === 2)
+    val cv = e.store.read("powa_qualstats", qd.Constvalues,
+      StructType(qd.stagingFull.fields.filterNot(_.name == "srvid")))
+    assert(cv.count() === 2)
+    assert(cv.select(explode(col("constvalues"))).count() === 4)
+    e.reset(srvid)
+    assert(qd.readDim(e.store, srvid).count() === 0)
+    assert(e.store.read("powa_qualstats", qd.Constvalues,
+      StructType(qd.stagingFull.fields.filterNot(_.name == "srvid"))).count() === 0)
   }
 
   test("spec sanity: 23 datasources, statements record arity matches reference") {
