@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.spec.Specs
+
+/** Multi-server, multi-datasource engine run: two servers with different
+  * phase offsets (srvid % 20) ticking together, several datasource kinds
+  * active at once, readback via the public API. Mirrors the shape of the
+  * reference's remote fleet (sql/02_remote_api.sql) at miniature scale.
+  */
+class IntegrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def bg(srvid: Int, t: Int): DataFrame = {
+    import spark.implicits._
+    Seq((srvid, Timestamp.valueOf(f"2024-01-01 00:$t%02d:00"),
+      100L * t, 10L * t, 5L * t, 2L * t, 1L * t))
+      .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+        "buffers_backend", "buffers_backend_fsync", "buffers_alloc")
+  }
+
+  private def db(srvid: Int, t: Int): DataFrame = {
+    import spark.implicits._
+    Seq((srvid, Timestamp.valueOf(f"2024-01-01 00:$t%02d:00"), 100L,
+      3, 10L * t, 1L * t))
+      .toDF("srvid", "ts", "datid", "numbackends", "xact_commit", "xact_rollback")
+      .select(col("*") +: Specs.statDatabase.counterCols
+        .filterNot(c => Set("numbackends", "xact_commit", "xact_rollback")
+          .contains(c.name))
+        .map(c => lit(null).cast(c.dt).as(c.name)): _*)
+  }
+
+  test("two servers, phase-shifted cadence, multiple sources, readback") {
+    val e = mkEngine()
+    // srvid 20 → phase 0; srvid 23 → phase 3: their aggregate ticks are
+    // de-phased by srvid % 20 (powa--5.2.0.sql:3550)
+    val a = e.registry.registerServer(ServerConfig(
+      id = 20, hostname = "a", powaCoalesce = 5))
+    val b = e.registry.registerServer(ServerConfig(
+      id = 23, hostname = "b", powaCoalesce = 5))
+
+    (1 to 5).foreach { t =>
+      Seq(a, b).foreach { s =>
+        e.ingest("powa_stat_bgwriter", bg(s, t))
+        e.ingest("powa_stat_database", db(s, t))
+        e.takeSnapshot(s, Timestamp.valueOf(f"2024-01-01 00:$t%02d:30"))
+      }
+    }
+
+    def histCount(srvid: Int, ds: String): Long =
+      e.store.readBucketed(ds, GenericDatasource.History,
+          GenericDatasource.historyNoSrvid(Specs.byName(ds)))
+        .filter(col("srvid") === srvid).count()
+    def curCount(srvid: Int, ds: String): Long =
+      e.store.read(ds, GenericDatasource.Current,
+          GenericDatasource.currentNoSrvid(Specs.byName(ds)))
+        .filter(col("srvid") === srvid).count()
+
+    // server 20 (phase 0): tick 5 hit (5+0)%5==0 → all 5 coalesced
+    assert(histCount(a, "powa_stat_bgwriter") === 1)
+    assert(curCount(a, "powa_stat_bgwriter") === 0)
+    // server 23 (phase 3): its aggregate fired at tick 2 ((2+3)%5==0),
+    // coalescing ticks 1-2; ticks 3-5 still in current — the fleet never
+    // aggregates in lockstep (powa--5.2.0.sql:3550)
+    assert(histCount(b, "powa_stat_bgwriter") === 1)
+    assert(curCount(b, "powa_stat_bgwriter") === 3)
+    val bHist = e.store.readBucketed("powa_stat_bgwriter",
+        GenericDatasource.History,
+        GenericDatasource.historyNoSrvid(Specs.byName("powa_stat_bgwriter")))
+      .filter(col("srvid") === b)
+    assert(bHist.select(size(col("records"))).head().getInt(0) === 2)
+
+    // per-db rollup flowed for pg_stat_database (datid key)
+    val dbs = e.datasource("powa_stat_database")
+    assert(curCount(a, "powa_stat_database") === 0 ||
+      histCount(a, "powa_stat_database") >= 1)
+
+    // readback with rates across tiers for server 20
+    val series = e.readSeriesWithRates("powa_stat_bgwriter", a,
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(series.count() === 5)
+    val rates = series.orderBy(col("record.ts"))
+      .select(col("buffers_clean_per_sec")).collect()
+    assert(rates.head.isNullAt(0))
+    // 100 more buffers per 60s tick → 100/60 per second
+    assert(math.abs(rates(1).getDouble(0) - 100.0 / 60.0) < 1e-12)
+
+    // deleting server b sweeps its partitions and registry rows
+    e.deleteServer(b)
+    assert(curCount(b, "powa_stat_bgwriter") === 0)
+    assert(!e.registry.serverIds.contains(b))
+    assert(e.registry.serverIds.contains(a))
+  }
+
+  private def mkEngine(): Engine = {
+    val root = java.nio.file.Files.createTempDirectory("graft_integ").toString
+    new Engine(spark, root)
+  }
+}
