@@ -72,6 +72,27 @@ final class Registry {
   def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit =
     servers(srvid) = patch(server(srvid))
 
+  /** powa_configure_server(json): field-whitelisted JSON patch
+    * (:2768-2783) — unknown keys raise, mirroring the reference's
+    * "invalid field" error (tested by sql/02_remote_api.sql). */
+  def configureServerJson(srvid: Int, patch: Map[String, String]): Unit = {
+    val allowed = Set("hostname", "alias", "port", "frequency",
+      "retention", "powa_coalesce", "version")
+    patch.keys.find(!allowed.contains(_)).foreach { k =>
+      throw new IllegalArgumentException(s"invalid field $k")
+    }
+    configureServer(srvid, cfg => patch.foldLeft(cfg) {
+      case (c, ("hostname", v)) => c.copy(hostname = v)
+      case (c, ("alias", v)) => c.copy(alias = Some(v))
+      case (c, ("port", v)) => c.copy(port = v.toInt)
+      case (c, ("frequency", v)) => c.copy(frequencySec = v.toInt)
+      case (c, ("retention", v)) => c.copy(retentionSec = v.toLong)
+      case (c, ("powa_coalesce", v)) => c.copy(powaCoalesce = v.toInt)
+      case (c, ("version", v)) => c.copy(versionNum = v.toInt)
+      case (c, _) => c
+    })
+  }
+
   /** powa_deactivate_server: frequency = -1 (:2807). */
   def deactivateServer(srvid: Int): Unit =
     configureServer(srvid, _.copy(frequencySec = -1))

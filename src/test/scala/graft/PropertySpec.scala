@@ -72,6 +72,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("configure-server json patch: whitelist + constraint enforcement") {
+    val r = new Registry
+    val s = r.registerServer(ServerConfig(id = 9, hostname = "h"))
+    r.configureServerJson(s, Map("frequency" -> "600", "retention" -> "7200"))
+    assert(r.server(s).frequencySec === 600)
+    assert(r.server(s).retentionSec === 7200L)
+    // unknown field raises (02_remote_api.sql json-patch errors)
+    intercept[IllegalArgumentException](
+      r.configureServerJson(s, Map("nope" -> "1")))
+    // CHECK constraints still apply through the patch path
+    intercept[IllegalArgumentException](
+      r.configureServerJson(s, Map("frequency" -> "3")))
+    intercept[IllegalArgumentException](
+      r.configureServerJson(s, Map("powa_coalesce" -> "2")))
+  }
+
   test("dbnames algebra: activate/deactivate transitions") {
     val r = new Registry
     val s = r.registerServer(ServerConfig(id = 7, hostname = "h"))
