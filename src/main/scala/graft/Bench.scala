@@ -19,6 +19,17 @@ object Bench {
       "region", "events", "documents", "embeddings")
       .foreach(t => try Tables.table(spark, sfDir, t).count()
         catch { case _: Throwable => () })
+    // warm shuffle writers, window exec, joins and codegen compilation
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = spark.range(100000).withColumn("k", col("id") % 100)
+      w.groupBy("k").count()
+        .join(w.select(col("k"), col("id")), "k")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("k").orderBy("id")))
+        .filter(col("r") <= 3).count()
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q01,q02 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
