@@ -59,6 +59,49 @@ object ModuleSources {
       .withColumn("ts", ts)
   }
 
+  /** pg_stat_bgwriter on pg17+ (`powa_stat_bgwriter_src`,
+    * powa--5.2.0.sql:4622-4665): the buffers_backend* columns were
+    * removed from the view, so they're reconstructed from pg_stat_io —
+    * `sum(writes + extends)` / `sum(fsyncs)` over client backends —
+    * cross-joined onto the single bgwriter row. Pre-17 reads the view
+    * directly. */
+  def bgwriterCapture(
+      bgwriter: DataFrame, statIo: DataFrame, versionNum: Int,
+      ts: Column = current_timestamp()): DataFrame =
+    if (versionNum >= 170000) {
+      val io = statIo.filter(col("backend_type") === "client backend")
+        .agg(
+          sum(col("writes") + col("extends")).cast("long").as("buffers_backend"),
+          sum(col("fsyncs")).cast("long").as("buffers_backend_fsync"))
+      bgwriter.select(ts.as("ts"), col("buffers_clean"),
+          col("maxwritten_clean"), col("buffers_alloc"))
+        .crossJoin(io)
+        .select(col("ts"), col("buffers_clean"), col("maxwritten_clean"),
+          col("buffers_backend"), col("buffers_backend_fsync"),
+          col("buffers_alloc"))
+    } else {
+      bgwriter.select(ts.as("ts"), col("buffers_clean"),
+        col("maxwritten_clean"), col("buffers_backend"),
+        col("buffers_backend_fsync"), col("buffers_alloc"))
+    }
+
+  /** pg_stat_checkpointer pre-17 emulation (`powa_stat_checkpointer_src`,
+    * powa--5.2.0.sql:4666-4701): before the dedicated view existed its
+    * columns lived on pg_stat_bgwriter under checkpoint names. */
+  def checkpointerCapture(
+      checkpointer: DataFrame, bgwriter: DataFrame, versionNum: Int,
+      ts: Column = current_timestamp()): DataFrame =
+    if (versionNum >= 170000)
+      checkpointer.select(ts.as("ts"), col("num_timed"), col("num_requested"),
+        col("write_time"), col("sync_time"), col("buffers_written"))
+    else
+      bgwriter.select(ts.as("ts"),
+        col("checkpoints_timed").as("num_timed"),
+        col("checkpoints_req").as("num_requested"),
+        col("checkpoint_write_time").as("write_time"),
+        col("checkpoint_sync_time").as("sync_time"),
+        col("buffers_checkpoint").as("buffers_written"))
+
   /** Synthesize-at-least-one-row (`(SELECT now()) LEFT JOIN
     * pg_replication_slots ON true`, powa--5.2.0.sql:4381-4382): some
     * sources must emit a row per snapshot even when the monitored view is

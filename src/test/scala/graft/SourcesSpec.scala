@@ -93,6 +93,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(1).getAs[java.math.BigDecimal]("count").longValue === 10L)
   }
 
+  test("bgwriter pg17+ reconstructs backend counters from pg_stat_io") {
+    import spark.implicits._
+    val bg17 = Seq((5L, 2L, 9L)).toDF(
+      "buffers_clean", "maxwritten_clean", "buffers_alloc")
+    val io = Seq(
+      ("client backend", 10L, 4L, 3L),
+      ("client backend", 20L, 6L, 2L),
+      ("checkpointer", 99L, 99L, 99L)) // excluded backend type
+      .toDF("backend_type", "writes", "extends", "fsyncs")
+    val out = ModuleSources.bgwriterCapture(bg17, io, 170000, t0).head()
+    assert(out.getAs[Long]("buffers_backend") === 40L)      // Σ writes+extends
+    assert(out.getAs[Long]("buffers_backend_fsync") === 5L) // Σ fsyncs
+    assert(out.getAs[Long]("buffers_clean") === 5L)
+    // pre-17: columns read straight off the view
+    val bg16 = bg17.withColumn("buffers_backend", lit(7L))
+      .withColumn("buffers_backend_fsync", lit(1L))
+    val out16 = ModuleSources.bgwriterCapture(bg16, io, 160000, t0).head()
+    assert(out16.getAs[Long]("buffers_backend") === 7L)
+  }
+
+  test("checkpointer pre-17 emulated from bgwriter columns") {
+    import spark.implicits._
+    val bgOld = Seq((3L, 4L, 1.5, 0.5, 11L)).toDF(
+      "checkpoints_timed", "checkpoints_req", "checkpoint_write_time",
+      "checkpoint_sync_time", "buffers_checkpoint")
+    val out = ModuleSources.checkpointerCapture(
+      spark.emptyDataFrame, bgOld, 160000, t0).head()
+    assert(out.getAs[Long]("num_timed") === 3L)
+    assert(out.getAs[Long]("buffers_written") === 11L)
+    val cp17 = Seq((6L, 7L, 2.0, 1.0, 22L)).toDF(
+      "num_timed", "num_requested", "write_time", "sync_time",
+      "buffers_written")
+    val out17 = ModuleSources.checkpointerCapture(
+      cp17, spark.emptyDataFrame, 170000, t0).head()
+    assert(out17.getAs[Long]("buffers_written") === 22L)
+  }
+
   test("atLeastOneRow synthesizes an empty-source row") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long)].toDF("slot_name", "restart_lsn")
