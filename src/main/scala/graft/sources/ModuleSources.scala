@@ -32,12 +32,19 @@ object ModuleSources {
         kcacheCounters.map(c => col(s"exec_$c"))))
   }
 
+  /** Dropped databases are excluded via anti-join (:6616-6618) and
+    * ignored users via the role-name membership list (:6612-6615 — the
+    * reference joins pg_roles and applies `NOT rolname = ANY(...)`;
+    * rows here carry `rolname` already). */
   def kcacheCapture(
       raw: DataFrame, version: Int, databases: DataFrame,
+      ignoredUsers: Seq[String] = Nil,
       ts: Column = current_timestamp()): DataFrame =
     raw
       .join(databases.filter(col("dropped").isNotNull).select(col("oid").as("dbid")),
         Seq("dbid"), "left_anti")
+      .filter(if (ignoredUsers.isEmpty) lit(true)
+              else !col("rolname").isin(ignoredUsers: _*))
       .select(ts.as("ts") +: SourceAdapter.pick(kcacheLadder, version): _*)
 
   /** pg_wait_sampling source (`powa_wait_sampling_src`,

@@ -51,9 +51,14 @@ class SourcesSpec extends AnyFunSuite {
     val dbs = Seq((100L, Option.empty[Timestamp]),
         (666L, Option(Timestamp.valueOf("2024-01-01 00:00:00"))))
       .toDF("oid", "dropped")
-    val out = ModuleSources.kcacheCapture(raw, 200, dbs, t0)
+    val out = ModuleSources.kcacheCapture(raw, 200, dbs, ts = t0)
     val rows = out.collect()
     assert(rows.length === 1) // dropped-db row excluded
+    // ignored-users membership filter (:6612-6615)
+    val withRole = raw.withColumn("rolname",
+      when(col("queryid") === 1L, "bot").otherwise("alice"))
+    assert(ModuleSources.kcacheCapture(withRole, 200, dbs,
+      ignoredUsers = Seq("bot"), ts = t0).count() === 0) // bot + dropped-db both gone
     val r = rows.head
     assert(r.getAs[Long]("exec_reads") === 5L)
     assert(r.isNullAt(r.fieldIndex("plan_reads"))) // pre-2.2 default
@@ -72,7 +77,7 @@ class SourcesSpec extends AnyFunSuite {
         col("nswaps").as("exec_nswaps"), col("msgsnds").as("exec_msgsnds"),
         col("msgrcvs").as("exec_msgrcvs"), col("nsignals").as("exec_nsignals"),
         col("nvcsws").as("exec_nvcsws"), col("nivcsws").as("exec_nivcsws"))
-    val out22 = ModuleSources.kcacheCapture(raw22, 202, dbs, t0).head()
+    val out22 = ModuleSources.kcacheCapture(raw22, 202, dbs, ts = t0).head()
     assert(out22.getAs[Long]("plan_reads") === 5L)
     assert(out22.getAs[Long]("exec_reads") === 6L)
   }
