@@ -88,6 +88,17 @@ object PipelineQueries {
         queryId = 0L, k = 5, planes = 6, dim = 64)
       .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
 
+  // corpus vocabulary stats: token document-frequency top-50 — the
+  // corpus-level profile that drives stopword/shingle-skew decisions
+  private def p13(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(50)
+
   // embedding-cosine near-dup: LSH-bucket candidates + exact verify
   private def p12(s: SparkSession, d: String): DataFrame =
     Similarity.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -180,7 +191,8 @@ object PipelineQueries {
     "p09_cosine_topk" -> (p09 _),
     "p10_cosine_lsh" -> (p10 _),
     "p11_multimodal_stub" -> (p11 _),
-    "p12_cosine_neardup" -> (p12 _))
+    "p12_cosine_neardup" -> (p12 _),
+    "p13_token_docfreq" -> (p13 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -295,6 +307,11 @@ object PipelineQueries {
                  FROM bk, q WHERE bk.vec_id != 0 AND bk.bucket = q.qbucket)
           SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
           FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    "p13_token_docfreq" ->
+      s"""WITH $toksCte,
+          dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+          SELECT token, COUNT(*) AS doc_freq FROM dt GROUP BY token
+          ORDER BY doc_freq DESC, token ASC LIMIT 50""",
     "p12_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
           pr AS (SELECT vec_id, v, ${lshProjSql(2)} FROM e),
