@@ -85,6 +85,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse quantization by nearest centroid. Centroids
+    * here are a deterministic sample of the collection (the first
+    * `nCentroids` ids — a k-means step would slot in identically); every
+    * vector is assigned to its max-cosine centroid (tie → lowest
+    * centroid id) and the query scans only its cell. The cell id is the
+    * physical partition key at scale, exactly like the LSH bucket;
+    * recall/cost trades off with `nCentroids`. */
+  def ivfTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nCentroids: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val cents = e.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("v"), col("cid").as("cell"))
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("cell").as("qcell"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col(idCol), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine >= threshold):
     * LSH-bucket candidate generation (pairs must share the full sign
     * bucket) followed by exact cosine verification of candidates only —

@@ -88,6 +88,12 @@ object PipelineQueries {
         queryId = 0L, k = 5, planes = 6, dim = 64)
       .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
 
+  // IVF-cell ANN: assign to nearest-of-8 sampled centroids, search cell
+  private def p14(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 100L, k = 5, nCentroids = 8)
+      .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
+
   // corpus vocabulary stats: token document-frequency top-50 — the
   // corpus-level profile that drives stopword/shingle-skew decisions
   private def p13(s: SparkSession, d: String): DataFrame =
@@ -192,7 +198,8 @@ object PipelineQueries {
     "p10_cosine_lsh" -> (p10 _),
     "p11_multimodal_stub" -> (p11 _),
     "p12_cosine_neardup" -> (p12 _),
-    "p13_token_docfreq" -> (p13 _))
+    "p13_token_docfreq" -> (p13 _),
+    "p14_cosine_ivf" -> (p14 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -312,6 +319,25 @@ object PipelineQueries {
           dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
           SELECT token, COUNT(*) AS doc_freq FROM dt GROUP BY token
           ORDER BY doc_freq DESC, token ASC LIMIT 50""",
+    "p14_cosine_ivf" -> {
+      def cosSql(a: String, b: String): String =
+        s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+            (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+             sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                   FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, v, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                  FROM asg0),
+          cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+          q AS (SELECT v AS qv, cell AS qcell FROM cell WHERE vec_id = 100),
+          sc AS (SELECT cell.vec_id, ${cosSql("cell.v", "q.qv")} AS cos
+                 FROM cell, q WHERE cell.vec_id != 100 AND cell.cell = q.qcell)
+          SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5"""
+    },
     "p12_cosine_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
           pr AS (SELECT vec_id, v, ${lshProjSql(2)} FROM e),
