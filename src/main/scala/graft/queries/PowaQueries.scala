@@ -16,16 +16,19 @@ object PowaQueries {
   private val D18_2 = DecimalType(18, 2)
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
 
-  // ---- §2.4: per-db rollup aggregation (powa--5.2.0.sql:4070-4094)
+  // ---- §2.4: per-db rollup aggregation (powa--5.2.0.sql:4070-4094).
+  //      Sums are carried as integer cents (scale-4 fixed point for the
+  //      discounted price) so both engines hash identical int64 values —
+  //      wide-decimal output canonicalizes differently across engines.
   private def q01(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(D18_2)).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D18_2)).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(col("l_quantity").cast(D18_2) * 100).cast("long").as("sum_qty_cents"),
+        sum(col("l_extendedprice").cast(D18_2) * 100).cast("long").as("sum_base_price_cents"),
         sum(col("l_extendedprice").cast(D18_2) *
-          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))) * 10000)
+          .cast("long").as("sum_disc_price_e4"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -227,7 +230,7 @@ object PowaQueries {
       .select(col("srvid"), date_trunc("day", col("record.ts")).as("day"),
         col("record.value").cast(D18_2).as("v"))
       .groupBy(col("srvid"), col("day"))
-      .agg(sum(col("v")).cast(DecimalType(38, 2)).as("sum_value"),
+      .agg(sum(col("v") * 100).cast("long").as("sum_value_cents"),
         count(lit(1)).as("n"))
       .orderBy(col("srvid"), col("day"))
 
@@ -351,9 +354,9 @@ object PowaQueries {
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_qty_cents,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_base_price_cents,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000) AS BIGINT) AS sum_disc_price_e4,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -441,7 +444,7 @@ object PowaQueries {
          FROM orders WINDOW w AS (PARTITION BY o_orderpriority)
          ORDER BY o_orderpriority""",
     "q15_json_extract" ->
-      """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                 COUNT(props->>'$.k') AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q16_topk_packed" ->
@@ -460,7 +463,7 @@ object PowaQueries {
     "q18_db_rollup_tier" ->
       """SELECT CAST(user_id % 4 AS INTEGER) AS srvid,
                 DATE_TRUNC('day', ts) AS day,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_value_cents,
                 COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY srvid, day""",
     "q19_array_except" ->
