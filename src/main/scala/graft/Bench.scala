@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and emits one JSON result line (last stdout line)
+  * plus a copy at SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json)
+  * so the driver can parse it even if the log is noisy. Failures are
+  * recorded per-query as ok=false — a failed query must never masquerade
+  * as a fast time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,12 +23,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (parquet footers, codegen, shuffle machinery) so
     // per-query numbers measure the queries, not first-job startup.
+    // events must warm through Tables.events — the raw parquet carries
+    // TIMESTAMP(NANOS) and a plain read deterministically fails.
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-      "region", "events", "documents", "embeddings")
-      .foreach(t => try Tables.table(spark, sfDir, t).count()
-        catch { case _: Throwable => () })
+      "region", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, sfDir, t).count())
+    Tables.events(spark, sfDir).count()
     // warm shuffle writers, window exec, joins and codegen compilation
-    try {
+    locally {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val w = spark.range(100000).withColumn("k", col("id") % 100)
@@ -29,20 +39,36 @@ object Bench {
         .withColumn("r", row_number().over(
           Window.partitionBy("k").orderBy("id")))
         .filter(col("r") <= 3).count()
-    } catch { case _: Throwable => () }
+    }
     // SPARK_GRAFT_ONLY=q01,q02 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(!_._3)
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // last stdout line, after spark.stop() so no executor chatter follows
+    println(json)
   }
 }
