@@ -86,23 +86,30 @@ class GenericDatasource(val spec: DatasourceSpec) {
     * the cutoff month drop as directories (O(1), no read); only the
     * boundary month is rewritten row-level. */
   def purge(store: Store, srvid: Int, cutoff: java.sql.Timestamp): Unit = {
+    purgeBucketedTier(store, srvid, cutoff, History, historyNoSrvid(spec))
+    dbSpec.foreach(dbs =>
+      purgeBucketedTier(store, srvid, cutoff, HistoryDb, historyNoSrvid(dbs)))
+  }
+
+  /** One bucketed tier's retention purge — also used by subclasses with
+    * extra history tiers (qualstats constvalues). Any schema with
+    * top-level `range_start`/`range_end` columns works. */
+  protected def purgeBucketedTier(store: Store, srvid: Int,
+      cutoff: java.sql.Timestamp, tier: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val cutoffMonth = new java.text.SimpleDateFormat("yyyy-MM").format(cutoff)
-    def one(tier: String, s: DatasourceSpec): Unit = {
-      val (stale, boundary) = store.listBuckets(name, tier, srvid)
-        .partition(_ < cutoffMonth)
-      stale.foreach(b => store.dropBucket(name, tier, srvid, b))
-      if (boundary.contains(cutoffMonth)) {
-        val hist = store.readBucketed(name, tier, historyNoSrvid(s))
-          .filter(col("srvid") === srvid)
-        if (!hist.isEmpty)
-          store.overwritePartition(name, tier, srvid,
-            Coalesce.purge(hist, cutoff)
-              .withColumn("bucket", date_format(col("range_start"), "yyyy-MM")),
-            partitionCols = Seq("bucket"))
-      }
+    val (stale, boundary) = store.listBuckets(name, tier, srvid)
+      .partition(_ < cutoffMonth)
+    stale.foreach(b => store.dropBucket(name, tier, srvid, b))
+    if (boundary.contains(cutoffMonth)) {
+      val hist = store.readBucketed(name, tier, schema)
+        .filter(col("srvid") === srvid)
+      if (!hist.isEmpty)
+        store.overwritePartition(name, tier, srvid,
+          Coalesce.purge(hist, cutoff)
+            .withColumn("bucket", date_format(col("range_start"), "yyyy-MM")),
+          partitionCols = Seq("bucket"))
     }
-    one(History, spec)
-    dbSpec.foreach(dbs => one(HistoryDb, dbs))
   }
 
   /** Reset (generated `{ds}_reset`, :1572-1589): drop every tier's

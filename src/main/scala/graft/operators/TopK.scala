@@ -94,6 +94,49 @@ object TopK {
       .drop(dropped :+ "__e": _*)
   }
 
+  /** Packed multi-ranking form — the exact output shape of the
+    * reference's `powa_qualstats_aggregate_constvalues_current`
+    * (powa--5.2.0.sql:6925-6982): ONE row per group carrying one
+    * rank-ordered top-k payload array per ranking
+    * (`array_agg(qual_values ORDER BY rank) FILTER (WHERE rank <= 20)`),
+    * plus caller-supplied extra aggregates (e.g. the coalesce range
+    * bounds `min/max OVER W` at :6957).
+    *
+    * Single window shuffle on the group key (all rankings share the
+    * partition), then one hash aggregation: `collect_list(when(keep,
+    * struct(rank, payload)))` reproduces the FILTER clause (collect_list
+    * skips nulls) and `array_sort` + `transform` the ORDER BY rank.
+    * `fromBottom = true` flips the rank to count from the group's end
+    * (the `least_filtering` `FILTER (rank >= nb_lines - 20)` arm,
+    * :6948).
+    */
+  def multiTopKPacked(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      rankings: Seq[(String, Seq[Column], Boolean)], // (name, order, fromBottom)
+      payload: Column,
+      k: Int,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val cnt = Window.partitionBy(groupKeys: _*)
+    val withRanks = rankings.zipWithIndex.foldLeft(
+        df.withColumn("nb_lines", count(lit(1)).over(cnt))) {
+      case (acc, ((_, orderBy, _), i)) =>
+        acc.withColumn(s"__rank_$i",
+          row_number().over(Window.partitionBy(groupKeys: _*).orderBy(orderBy: _*)))
+    }
+    val packs = rankings.zipWithIndex.map { case ((rname, _, fromBottom), i) =>
+      val r = col(s"__rank_$i")
+      val ord = if (fromBottom) col("nb_lines") - r + 1 else r
+      val keep = if (fromBottom) r > col("nb_lines") - k else r <= k
+      transform(
+        array_sort(collect_list(when(keep,
+          struct(ord.cast("int").as("rank"), payload.as("p"))))),
+        x => x.getField("p")).as(rname)
+    }
+    val aggs = packs ++ extraAggs
+    withRanks.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Packed form: one row per group with an array of the top-k payloads
     * ordered by rank — `array_agg(payload ORDER BY rank) FILTER (rank<=k)`
     * (powa--5.2.0.sql:6945-6950). `payload` must be a struct column.

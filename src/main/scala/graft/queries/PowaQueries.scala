@@ -326,6 +326,51 @@ object PowaQueries {
       .orderBy(col("user_id"), col("event_type"), col("ts"))
   }
 
+  // ---- §2.4/§2.11: the packed constvalues lifecycle operator
+  //      (powa_qualstats_aggregate_constvalues_current,
+  //      powa--5.2.0.sql:6925-6982) — events mapped onto the constvalues
+  //      tier shape (qual = user_id, constvalue = event_type), packed via
+  //      QualstatsDatasource.aggregateConstvalues with k=3, then the six
+  //      rank-ordered qual_values arrays re-flattened for the oracle.
+  //      Doubles stay hash-safe: every double is integer-valued (cents),
+  //      so partial sums are exact in any order and AVG divides the same
+  //      exact sum by the same count in both engines.
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("value").cast(D18_2) * 100).cast("long")
+    val cv = Tables.events(s, d).select(
+      (col("user_id") % 4).cast("int").as("srvid"),
+      col("user_id").as("qualid"),
+      lit(0L).as("queryid"), lit(0L).as("dbid"), lit(0L).as("userid"),
+      col("ts"),
+      array(col("event_type")).as("constvalues"),
+      lit(1L).as("occurences"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("execution_count"),
+      cents.as("nbfiltered"),
+      cents.cast("double").as("mean_err_estimate_ratio"),
+      (cents % 7).cast("double").as("mean_err_estimate_num"))
+    val packed = new graft.core.QualstatsDatasource()
+      .aggregateConstvalues(cv, k = 3)
+    val rankingNames = Seq("most_used", "most_filtering", "least_filtering",
+      "most_executed", "most_errestim_ratio", "most_errestim_num")
+    // one pass: per-ranking (ranking, rank, qual_values) entries, flattened
+    val entries = flatten(array(rankingNames.map(n =>
+      transform(col(n), (x, i) => struct(
+        lit(n).as("ranking"), (i + 1).cast("int").as("rank"),
+        x.as("v")))): _*))
+    packed
+      .select(col("srvid"), col("qualid"), explode(entries).as("e"))
+      .select(col("srvid"), col("qualid"),
+        col("e.ranking").as("ranking"), col("e.rank").as("rank"),
+        col("e.v.constvalues").getItem(0).as("constvalue"),
+        col("e.v.occurences").as("occurences"),
+        col("e.v.execution_count").as("execution_count"),
+        col("e.v.nbfiltered").as("nbfiltered"),
+        col("e.v.mean_err_estimate_ratio").as("mean_err_estimate_ratio"),
+        col("e.v.mean_err_estimate_num").as("mean_err_estimate_num"))
+      .orderBy(col("srvid"), col("qualid"), col("ranking"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -349,7 +394,8 @@ object PowaQueries {
     "q20_mru_touch" -> (q20 _),
     "q21_coalesce_batches" -> (q21 _),
     "q22_constvalues_rankings" -> (q22 _),
-    "q23_readback_rates" -> (q23 _))
+    "q23_readback_rates" -> (q23 _),
+    "q24_constvalues_lifecycle" -> (q24 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -522,6 +568,46 @@ object PowaQueries {
           UNION ALL
           SELECT event_type, 'most_errestim', CAST(r_ratio AS INT), $cols FROM m WHERE r_ratio <= 5
           ORDER BY event_type, ranking, rank"""
+    },
+    "q24_constvalues_lifecycle" -> {
+      val cols = "constvalue, occurences, execution_count, nbfiltered, " +
+        "mean_err_estimate_ratio, mean_err_estimate_num"
+      s"""WITH cv AS (
+            SELECT CAST(user_id % 4 AS INTEGER) AS srvid, user_id AS qualid,
+                   event_type AS constvalue,
+                   COALESCE(CAST(props->>'$$.k' AS BIGINT), 0) AS exec_cnt,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+          g AS (
+            SELECT srvid, qualid, constvalue,
+                   CAST(COUNT(*) AS BIGINT) AS occurences,
+                   CAST(SUM(exec_cnt) AS BIGINT) AS execution_count,
+                   CAST(SUM(cents) AS BIGINT) AS nbfiltered,
+                   AVG(CAST(cents AS DOUBLE)) AS mean_err_estimate_ratio,
+                   AVG(CAST(cents % 7 AS DOUBLE)) AS mean_err_estimate_num
+            FROM cv GROUP BY 1, 2, 3),
+          r AS (
+            SELECT *, COUNT(*) OVER W AS nb,
+              ROW_NUMBER() OVER (W ORDER BY occurences DESC, constvalue ASC) AS r_used,
+              ROW_NUMBER() OVER (W ORDER BY (CASE WHEN execution_count = 0 THEN 0
+                ELSE CAST(nbfiltered AS DOUBLE) / execution_count END) DESC,
+                constvalue ASC) AS r_filt,
+              ROW_NUMBER() OVER (W ORDER BY execution_count DESC, constvalue ASC) AS r_exec,
+              ROW_NUMBER() OVER (W ORDER BY mean_err_estimate_ratio DESC, constvalue ASC) AS r_ratio,
+              ROW_NUMBER() OVER (W ORDER BY mean_err_estimate_num DESC, constvalue ASC) AS r_num
+            FROM g WINDOW W AS (PARTITION BY srvid, qualid))
+          SELECT srvid, qualid, 'most_used' AS ranking, CAST(r_used AS INT) AS rank, $cols FROM r WHERE r_used <= 3
+          UNION ALL
+          SELECT srvid, qualid, 'most_filtering', CAST(r_filt AS INT), $cols FROM r WHERE r_filt <= 3
+          UNION ALL
+          SELECT srvid, qualid, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM r WHERE r_filt > nb - 3
+          UNION ALL
+          SELECT srvid, qualid, 'most_executed', CAST(r_exec AS INT), $cols FROM r WHERE r_exec <= 3
+          UNION ALL
+          SELECT srvid, qualid, 'most_errestim_ratio', CAST(r_ratio AS INT), $cols FROM r WHERE r_ratio <= 3
+          UNION ALL
+          SELECT srvid, qualid, 'most_errestim_num', CAST(r_num AS INT), $cols FROM r WHERE r_num <= 3
+          ORDER BY srvid, qualid, ranking, rank"""
     },
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,

@@ -255,6 +255,62 @@ class EngineSpec extends AnyFunSuite {
       StructType(qd.stagingFull.fields.filterNot(_.name == "srvid"))).count() === 0)
   }
 
+  test("qualstats constvalues lifecycle: aggregate packs+drains, purge drops") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 200, hostname = "h"))
+    // one qual key, three constvalues variants with distinct metric shapes:
+    //   a: most used, heavy exec;  b: zero-exec (ratio guard), worst
+    //   err-ratio;  c: most filtering, worst err-num
+    def staged(ts: String): org.apache.spark.sql.DataFrame =
+      Seq(
+        (srvid, Timestamp.valueOf(ts), 77L, 1L, 100L, 10L, 10L, 10L, 1L, 0.1, 1.0, "a"),
+        (srvid, Timestamp.valueOf(ts), 77L, 1L, 100L, 10L, 5L, 0L, 0L, 0.9, 2.0, "b"),
+        (srvid, Timestamp.valueOf(ts), 77L, 1L, 100L, 10L, 7L, 10L, 9L, 0.5, 3.0, "c"))
+        .toDF("srvid", "ts", "qualid", "queryid", "dbid", "userid",
+          "occurences", "execution_count", "nbfiltered",
+          "mean_err_estimate_ratio", "mean_err_estimate_num", "cv")
+        .withColumn("quals", array(struct(lit(200L).as("relid"),
+          lit(1).as("attnum"), lit(96L).as("opno"), lit("f").as("eval_type"))))
+        .withColumn("constvalues", array(col("cv"))).drop("cv")
+    e.ingest("powa_qualstats", staged("2024-01-01 00:00:00"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    e.ingest("powa_qualstats", staged("2024-01-01 00:05:00"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:05:30"))
+
+    val qd = e.datasource("powa_qualstats").asInstanceOf[QualstatsDatasource]
+    assert(e.store.read("powa_qualstats", qd.Constvalues,
+      qd.constvaluesSchema).count() === 6)
+
+    qd.aggregate(e.store, srvid)
+    // constvalues tier drained (the r1 grows-forever defect), history packed
+    assert(e.store.read("powa_qualstats", qd.Constvalues,
+      qd.constvaluesSchema).count() === 0)
+    val hist = qd.readConstvaluesHistory(e.store, srvid).collect()
+    assert(hist.length === 1) // one row per qual key
+    val row = hist.head
+    assert(row.getAs[Timestamp]("range_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(row.getAs[Timestamp]("range_end") === Timestamp.valueOf("2024-01-01 00:05:00"))
+    def firstCv(field: String): Seq[String] =
+      row.getAs[collection.Seq[org.apache.spark.sql.Row]](field)
+        .map(_.getAs[collection.Seq[String]]("constvalues").head).toSeq
+    // the two ts-batches were summed per variant before ranking
+    val mu = row.getAs[collection.Seq[org.apache.spark.sql.Row]]("most_used")
+    assert(mu.head.getAs[Long]("occurences") === 20L) // 2 batches x 10
+    assert(firstCv("most_used") === Seq("a", "c", "b"))
+    assert(firstCv("most_filtering") === Seq("c", "a", "b")) // ratio .9 .1 0-guard
+    assert(firstCv("least_filtering") === Seq("b", "a", "c"))
+    assert(firstCv("most_executed") === Seq("a", "c", "b")) // tie a/c -> cv asc
+    assert(firstCv("most_errestim_ratio") === Seq("b", "c", "a"))
+    assert(firstCv("most_errestim_num") === Seq("c", "b", "a"))
+
+    // retention purge drops the packed tier too (:7249-7255)
+    qd.purge(e.store, srvid, Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(qd.readConstvaluesHistory(e.store, srvid).count() === 0)
+    e.reset(srvid)
+    assert(qd.readConstvaluesHistory(e.store, srvid).count() === 0)
+  }
+
   test("spec sanity: 23 datasources, statements record arity matches reference") {
     assert(Specs.all.size === 23)
     // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)
