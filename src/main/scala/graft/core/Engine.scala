@@ -112,6 +112,15 @@ class GenericDatasource(val spec: DatasourceSpec) {
     }
   }
 
+  /** Snapshot-pass ordering (reference priorities, :168-181). */
+  def priority: Double = spec.priority
+
+  /** Retention cutoff for the purge pass — overridable for datasources
+    * with a grace factor (powa_databases_purge, :5835). */
+  def purgeCutoff(now: java.sql.Timestamp,
+      retentionSec: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(now.getTime - retentionSec * 1000L)
+
   /** Reset (generated `{ds}_reset`, :1572-1589): drop every tier's
     * partition for this server. */
   def reset(store: Store, srvid: Int): Unit =
@@ -160,11 +169,12 @@ object GenericDatasource {
 final class Engine(val spark: SparkSession, storageRoot: String) {
   val registry = new Registry
   val store = new Store(spark, storageRoot)
-  val datasources: Seq[GenericDatasource] = Specs.all.map { s =>
-    if (s.name == Specs.statements.name) new StatementsDatasource
-    else if (s.name == Specs.qualstats.name) new QualstatsDatasource
-    else new GenericDatasource(s)
-  }
+  val datasources: Seq[GenericDatasource] =
+    new DatabasesDatasource +: Specs.all.map { s =>
+      if (s.name == Specs.statements.name) new StatementsDatasource
+      else if (s.name == Specs.qualstats.name) new QualstatsDatasource
+      else new GenericDatasource(s)
+    }
   private val byName = datasources.map(d => d.name -> d).toMap
 
   def datasource(name: String): GenericDatasource = byName(name)
@@ -183,9 +193,12 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     meta.coalesceSeq += 1
     var errors = Vector.empty[String]
 
+    // priority-ordered walk (:168-181): databases (−3) before
+    // statements (−2) before kcache (−1) before the generic rest (10),
+    // so dimension providers run before their dependents every tick
     val active = datasources.filter(d =>
       registry.isEnabled(srvid, d.name) &&
-      server.versionNum >= d.spec.minVersion)
+      server.versionNum >= d.spec.minVersion).sortBy(_.priority)
 
     active.foreach { d =>
       try d.snapshot(store, srvid, now)
@@ -206,8 +219,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     if (phase == 1) {
       active.foreach { d =>
         try {
-          val cutoff = new java.sql.Timestamp(
-            now.getTime - registry.retentionSec(srvid, d.name) * 1000L)
+          val cutoff = d.purgeCutoff(now, registry.retentionSec(srvid, d.name))
           d.purge(store, srvid, cutoff)
         } catch { case e: Exception =>
           errors :+= s"${d.name}_purge: ${e.getMessage}" }

@@ -43,4 +43,23 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
     }
     n
   }
+
+  /** `powa_statements_purge` (powa--5.2.0.sql:5850-5905): the generic
+    * history purge PLUS dropping dimension rows not seen since the
+    * retention cutoff (`last_present_ts < now - retention`, :5881-5888)
+    * — without this the query-text dimension grows without bound.
+    * Statements of a dropped database stop being MRU-touched, so they
+    * age out here one retention after the drop; the databases dimension
+    * row outlives them thanks to its 1.2 grace
+    * (DatabasesDatasource.purgeCutoff) — same end state as the
+    * reference's FK-cascade ordering. */
+  override def purge(store: Store, srvid: Int,
+      cutoff: java.sql.Timestamp): Unit = {
+    super.purge(store, srvid, cutoff)
+    val dim = readDim(store, srvid)
+    if (!dim.isEmpty)
+      store.overwritePartition(name, Dim, srvid,
+        dim.filter(col("last_present_ts") >= lit(cutoff))
+          .withColumn("srvid", lit(srvid)))
+  }
 }

@@ -43,6 +43,10 @@ final case class ColSpec(
   * @param needOperators whether diff/rate operators are generated
   *                    (`_need_operators`, false for pg_stat_activity,
   *                    powa--5.2.0.sql:1677-1694)
+  * @param priority    snapshot-pass ordering — the reference registers
+  *                    per-function priorities (powa--5.2.0.sql:168-181:
+  *                    databases −3, statements −2, kcache −1, default 10)
+  *                    so dimension providers run before their dependents
   */
 final case class DatasourceSpec(
     name: String,
@@ -50,7 +54,8 @@ final case class DatasourceSpec(
     counterCols: Seq[ColSpec],
     minVersion: Int = 0,
     perDbRollup: Boolean = false,
-    needOperators: Boolean = true) {
+    needOperators: Boolean = true,
+    priority: Double = 10) {
 
   /** Every record carries its snapshot timestamp first — mirrors the
     * `ts timestamp with time zone` lead column of every `*_history_record`

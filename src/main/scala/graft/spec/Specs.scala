@@ -54,7 +54,8 @@ object Specs {
       big("jit_optimization_count"), dp("jit_optimization_time"),
       big("jit_emission_count"), dp("jit_emission_time"),
       big("jit_deform_count"), dp("jit_deform_time")),
-    perDbRollup = true)
+    perDbRollup = true,
+    priority = -2) // powa_statements_snapshot registered at -2 (:171)
 
   /** powa_user_functions (:1623-1626; keys :2192-2199). */
   val userFunctions: DatasourceSpec = DatasourceSpec(
@@ -109,7 +110,8 @@ object Specs {
       big("exec_minflts"), big("exec_majflts"), big("exec_nswaps"),
       big("exec_msgsnds"), big("exec_msgrcvs"), big("exec_nsignals"),
       big("exec_nvcsws"), big("exec_nivcsws")),
-    perDbRollup = true)
+    perDbRollup = true,
+    priority = -1) // powa_kcache_snapshot registered at -1 (:180)
 
   /** pg_qualstats per-qual series (:1924-1933; keys :3149-3158). Rate
     * suffix overrides: the mean_err columns keep their name as-is. */

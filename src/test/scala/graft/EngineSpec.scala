@@ -311,6 +311,78 @@ class EngineSpec extends AnyFunSuite {
     assert(qd.readConstvaluesHistory(e.store, srvid).count() === 0)
   }
 
+  test("databases dimension: diff-sync per tick at priority -3, grace purge") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 220, hostname = "h", powaCoalesce = 5, retentionSec = 3600))
+    val dd = e.datasource("powa_databases").asInstanceOf[DatabasesDatasource]
+    def src(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("oid", "datname").withColumn("srvid", lit(srvid))
+
+    // the snapshot walk runs databases before statements before kcache
+    assert(e.datasources.sortBy(_.priority).map(_.name).take(3) ===
+      Seq("powa_databases", "powa_statements", "powa_kcache"))
+
+    // tick 1: two dbs appear (missing arm)
+    e.ingest("powa_databases", src(1L -> "db1", 2L -> "db2"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:00"))
+    val d1 = dd.readDim(e.store, srvid).orderBy("oid").collect()
+    assert(d1.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(1L -> "db1", 2L -> "db2"))
+    assert(d1.forall(_.isNullAt(2)))
+
+    // tick 2: db1 gone (dropped stamp), db2 renamed, db3 new
+    e.ingest("powa_databases", src(2L -> "db2_renamed", 3L -> "db3"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:00"))
+    val d2 = dd.readDim(e.store, srvid).orderBy("oid").collect()
+    assert(d2.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(1L -> "db1", 2L -> "db2_renamed", 3L -> "db3"))
+    assert(d2(0).getTimestamp(2) === Timestamp.valueOf("2024-01-01 00:01:00"))
+    assert(d2(1).isNullAt(2) && d2(2).isNullAt(2))
+
+    // grace: cutoff is retention x 1.2 back from now (:5835)
+    assert(dd.purgeCutoff(Timestamp.valueOf("2024-01-01 02:00:00"), 3600) ===
+      Timestamp.valueOf("2024-01-01 00:48:00"))
+    // purge keeps the dropped row while inside the grace window...
+    dd.purge(e.store, srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    assert(dd.readDim(e.store, srvid).count() === 3)
+    // ...and drops it once the stamp predates the cutoff
+    dd.purge(e.store, srvid, Timestamp.valueOf("2024-01-01 00:02:00"))
+    assert(dd.readDim(e.store, srvid).orderBy("oid").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 3L))
+
+    e.reset(srvid)
+    assert(dd.readDim(e.store, srvid).count() === 0)
+  }
+
+  test("statements dimension purge drops stale query texts") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 240, hostname = "h"))
+    def staged(ts: String, queryid: Long): org.apache.spark.sql.DataFrame =
+      Seq((srvid, Timestamp.valueOf(ts), queryid, 100L, true, 10L, 1L))
+        .toDF("srvid", "ts", "queryid", "dbid", "toplevel", "userid", "calls")
+        .withColumn("total_exec_time", lit(1.0))
+        .withColumn("rows", lit(1L))
+        .select(col("*") +: graft.spec.Specs.statements.counterCols
+          .filterNot(c => Set("calls", "total_exec_time", "rows").contains(c.name))
+          .map(c => lit(null).cast(c.dt).as(c.name)): _*)
+        .withColumn("query", lit(s"SELECT $queryid"))
+    e.ingest("powa_statements", staged("2024-01-01 00:00:00", 1L))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    e.ingest("powa_statements", staged("2024-01-05 00:00:00", 2L))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-05 00:00:30"))
+
+    val sd = e.datasource("powa_statements").asInstanceOf[StatementsDatasource]
+    assert(sd.readDim(e.store, srvid).count() === 2)
+    // queryid 1 was last seen Jan 1 -> purged at a Jan 3 cutoff (:5881-5888)
+    sd.purge(e.store, srvid, Timestamp.valueOf("2024-01-03 00:00:00"))
+    val dim = sd.readDim(e.store, srvid).collect()
+    assert(dim.length === 1)
+    assert(dim.head.getAs[Long]("queryid") === 2L)
+  }
+
   test("spec sanity: 23 datasources, statements record arity matches reference") {
     assert(Specs.all.size === 23)
     // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)
