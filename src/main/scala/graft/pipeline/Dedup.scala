@@ -59,9 +59,12 @@ object Dedup {
     val exploded = withSh
       .select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc"), col("n_sh"), h60(col("s")).as("shingle"))
+    // join via the USING-column form on distinctly-aliased sides — the
+    // attribute-reference form (a("shingle") === b("shingle")) trips
+    // Spark's trivially-true self-join ambiguity detection
     val a = exploded.select(col("doc").as("i"), col("n_sh").as("na"), col("shingle"))
     val b = exploded.select(col("doc").as("j"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, a("shingle") === b("shingle") && a("i") < b("j"))
+    a.join(b, Seq("shingle")).filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
@@ -78,36 +81,49 @@ object Dedup {
   def minhashA(i: Int): Long = 1103515245L * (i + 1) % MinhashMod | 1L
   def minhashB(i: Int): Long = 12345L * (2 * i + 1) % MinhashMod
 
-  /** MinHash signatures as k columns m0..m{k-1}: explode the shingle set,
-    * hash each shingle ONCE (md5-derived base), then derive the k family
-    * values with universal hashing `(base*a_i + b_i) mod p` — integer-only
-    * math, exact in both engines, and 1/k-th of the md5 work. Everything
-    * runs in whole-stage codegen (an array_min-over-transform formulation
-    * would use the interpreted higher-order-function path, an order of
-    * magnitude slower). One shuffle on doc id. */
-  def minhashSignatures(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
+  /** THE shared minhash frame: one row per doc with its hashed shingle
+    * set `(doc, sh: array<long>)`, materialized once. Signatures AND
+    * candidate verification both derive from it — hashing each shingle
+    * exactly once (md5 is the expensive step) and shuffling long arrays
+    * instead of string arrays (~4× fewer bytes). The hash runs in the
+    * codegen'd explode→project path, NOT inside a higher-order function
+    * (interpreted, an order of magnitude slower); the groupBy re-shuffle
+    * on doc is one exchange of (doc, long) pairs. */
+  def hashedShingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // spread docs across cores first: a single-file parquet source would
     // otherwise run the whole shingle+hash stage as one task
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val exploded = spread.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("doc"), (h60(col("shingle")) % MinhashMod).as("hbase"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("doc"), (h60(col("s")) % MinhashMod).as("h"))
+      .groupBy(col("doc")).agg(collect_set(col("h")).as("sh"))
+      .localCheckpoint()
+  }
+
+  /** MinHash signatures m0..m{k-1} from a hashed-shingle frame: derive
+    * the k family values with universal hashing `(base*a_i + b_i) mod p`
+    * — integer-only math, exact in both engines. The explode→groupBy
+    * round-trips on the same key the frame is already partitioned by, so
+    * no second exchange. */
+  def signaturesFromHashed(hsh: DataFrame, k: Int): DataFrame = {
+    val exploded = hsh.select(col("doc"), explode(col("sh")).as("hbase"))
     val mins = (0 until k).map(i =>
       min((col("hbase") * minhashA(i) + minhashB(i)) % MinhashMod).as(s"m$i"))
     exploded.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
+
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    signaturesFromHashed(hashedShingles(df, idCol, textCol, n), k)
 
   /** MinHash+LSH candidate pairs (i < j), deduplicated across bands.
     * Band signature = h60 over `rowsPerBand` signature components. The
     * shuffle key is (band, signature) — bucket sizes are bounded by
     * collision probability, so this is the join that survives 10^9 docs.
     */
-  def minhashCandidates(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
+  def candidatesFromSignatures(
+      sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val bandStructs = array((0 until nBands).map { b =>
       val parts = (0 until rowsPerBand)
@@ -123,20 +139,27 @@ object Dedup {
       .select(col("i"), col("j")).distinct()
   }
 
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(df, idCol, textCol, n, k), k, rowsPerBand)
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification of the
-    * candidates only. */
+    * candidates only. Verification intersects the hashed long arrays
+    * from the SAME materialized frame the signatures came from — nothing
+    * is shingled or md5'd twice, and candidate rows carry long arrays,
+    * not strings. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, n, k, rowsPerBand)
-    val sh = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .localCheckpoint()
-    val withA = cands.join(sh.withColumnRenamed("doc", "i")
-      .withColumnRenamed("sh", "sha"), Seq("i"))
-    val withB = withA.join(sh.withColumnRenamed("doc", "j")
-      .withColumnRenamed("sh", "shb"), Seq("j"))
+    val hsh = hashedShingles(df, idCol, textCol, n)
+    val cands = candidatesFromSignatures(
+      signaturesFromHashed(hsh, k), k, rowsPerBand)
+    val withA = cands.join(
+      hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
+    val withB = withA.join(
+      hsh.select(col("doc").as("j"), col("sh").as("shb")), Seq("j"))
     withB.select(col("i"), col("j"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
         size(col("sha")).cast("long").as("na"),

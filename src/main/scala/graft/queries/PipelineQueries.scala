@@ -269,13 +269,15 @@ object PipelineQueries {
       }.mkString(" UNION ALL ")
       s"""WITH $shinglesCte,
           hb AS (SELECT doc_id, ${h60Sql("shingle")} % $mod AS hbase FROM e),
+          shh AS (SELECT doc_id, list_distinct(list_transform(sh,
+                    s -> ${h60Sql("s")} % $mod)) AS sh FROM sh),
           mh AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
           bands AS ($bands),
           cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
                    FROM bands a JOIN bands b
                      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           $verifySql
-          FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j
+          FROM cand JOIN shh sa ON sa.doc_id = i JOIN shh sb ON sb.doc_id = j
           WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
