@@ -91,21 +91,32 @@ object Similarity {
     * vector is assigned to its max-cosine centroid (tie → lowest
     * centroid id) and the query scans only its cell. The cell id is the
     * physical partition key at scale, exactly like the LSH bucket;
-    * recall/cost trades off with `nCentroids`. */
+    * recall/cost trades off with `nCentroids`.
+    *
+    * The IVF codebook is driver-resident by construction (coarse
+    * codebooks are 2^10..2^20 vectors — the same assumption every IVF
+    * index makes), so the assignment is a pure PROJECTION against the
+    * literal centroid matrix: per row, `array_max` over
+    * (cosine, −cid) structs picks the max-cosine / lowest-id cell with
+    * zero exchanges — no crossJoin, no per-row window shuffle (the r1
+    * formulation shuffled the whole collection on vec_id just to run a
+    * row_number argmax). */
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nCentroids: Int): DataFrame = {
     NativeFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val cents = e.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("v"), col("cid").as("cell"))
+    val cents: Array[(Long, Seq[Double])] = e
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*))
+    val assigned = e.withColumn("cell", -best.getField("ncid"))
     val q = assigned.filter(col(idCol) === queryId)
       .select(col("v").as("qv"), col("cell").as("qcell"))
     assigned.filter(col(idCol) =!= queryId)
