@@ -35,21 +35,86 @@ final class CatalogMirror(spark: SparkSession, root: String) {
 
   private def dir(cat: String, srvid: Int, dbid: Long) =
     Paths.get(root, "catalog", cat, s"srvid=$srvid", s"dbid=$dbid")
+  private def stagingDir(cat: String, srvid: Int, dbid: Long) =
+    Paths.get(root, "catalog_staging", cat, s"srvid=$srvid", s"dbid=$dbid")
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
 
   /** Replace one catalog's content for (srvid, dbid). */
-  def replace(cat: String, srvid: Int, dbid: Long, df: DataFrame): Unit = {
+  def replace(cat: String, srvid: Int, dbid: Long, df: DataFrame,
+      ts: java.sql.Timestamp =
+        new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
     require(catalogs.exists(_._1 == cat), s"unknown catalog $cat")
     val tmp = Paths.get(root, "catalog", cat + s".tmp$srvid-$dbid")
     df.write.mode("overwrite").parquet(tmp.toString)
     val dst = dir(cat, srvid, dbid)
-    if (Files.exists(dst)) {
-      Files.walk(dst).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-    }
+    deleteRecursively(dst)
     Files.createDirectories(dst.getParent)
     Files.move(tmp, dst)
     if (cat == "pg_class") // family-complete marker (:5762-5777)
-      refreshes((srvid, dbid)) = new java.sql.Timestamp(System.currentTimeMillis())
+      refreshes((srvid, dbid)) = ts
+  }
+
+  /** Remote-collector landing zone — the `powa_catalog_*_src_tmp`
+    * analogue (:5739-5749): staged rows wait here until the next
+    * `powa_take_snapshot` tick runs the catalog pass. */
+  def stage(cat: String, srvid: Int, dbid: Long, df: DataFrame): Unit = {
+    require(catalogs.exists(_._1 == cat), s"unknown catalog $cat")
+    df.write.mode("overwrite").parquet(stagingDir(cat, srvid, dbid).toString)
+  }
+
+  /** dbids with staged data for one catalog. */
+  def stagedDbids(cat: String, srvid: Int): Seq[Long] = {
+    val p = stagingDir(cat, srvid, 0L).getParent
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("dbid="))
+          .map(_.stripPrefix("dbid=").toLong).toList.sorted
+      } finally s.close()
+    }
+  }
+
+  /** The per-tick catalog import pass `powa_take_snapshot` runs for
+    * remote servers (powa--5.2.0.sql:3663-3694): walk the catalogs in
+    * priority order, import staged content for every database whose
+    * mirror is stale (`last_refresh + interval < now`, :725-745), and
+    * drain the staging area. Each catalog is individually try/caught
+    * like the datasource walk. Returns accumulated error messages. */
+  def snapshot(srvid: Int, refreshSec: Long,
+      now: java.sql.Timestamp): Seq[String] = {
+    var errs = Vector.empty[String]
+    catalogs.sortBy(_._2).foreach { case (cat, _) =>
+      try {
+        val staged = stagedDbids(cat, srvid)
+        staleDbids(srvid, staged, refreshSec, now).foreach { dbid =>
+          replace(cat, srvid, dbid,
+            spark.read.parquet(stagingDir(cat, srvid, dbid).toString), now)
+        }
+        // drain including fresh-skipped dbids (the reference truncates
+        // the whole src_tmp after the pass, :5779-5785)
+        staged.foreach(dbid => deleteRecursively(stagingDir(cat, srvid, dbid)))
+      } catch { case e: Exception =>
+        errs :+= s"catalog_$cat: ${e.getMessage}" }
+    }
+    errs
+  }
+
+  /** Drop every mirror + staged catalog of one server (reset /
+    * delete-and-purge sweep). */
+  def reset(srvid: Int): Unit = {
+    catalogs.foreach { case (cat, _) =>
+      deleteRecursively(Paths.get(root, "catalog", cat, s"srvid=$srvid"))
+      deleteRecursively(Paths.get(root, "catalog_staging", cat, s"srvid=$srvid"))
+    }
+    refreshes.keys.filter(_._1 == srvid).toSeq.foreach(refreshes.remove)
   }
 
   def read(cat: String, srvid: Int, dbid: Long): Option[DataFrame] = {

@@ -169,6 +169,7 @@ object GenericDatasource {
 final class Engine(val spark: SparkSession, storageRoot: String) {
   val registry = new Registry
   val store = new Store(spark, storageRoot)
+  val catalogs = new CatalogMirror(spark, storageRoot)
   val datasources: Seq[GenericDatasource] =
     new DatabasesDatasource +: Specs.all.map { s =>
       if (s.name == Specs.statements.name) new StatementsDatasource
@@ -227,6 +228,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       meta.purgets = Some(now)
     }
 
+    // catalog import pass, remote servers only — runs LAST in the tick
+    // like the reference's v_catname loop (powa--5.2.0.sql:3663-3694)
+    if (srvid != 0)
+      errors ++= catalogs.snapshot(srvid, server.catalogRefreshSec, now)
+
     meta.errors ++= errors
     errors.size
   }
@@ -246,6 +252,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   /** powa_reset(srvid) (:6359-6429). */
   def reset(srvid: Int): Unit = {
     datasources.foreach(_.reset(store, srvid))
+    catalogs.reset(srvid)
     val m = registry.meta(srvid)
     m.coalesceSeq = 0; m.errors = Vector.empty
   }
@@ -253,6 +260,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   /** powa_delete_and_purge_server (:2842-2888): config rows + all data. */
   def deleteServer(srvid: Int): Unit = {
     datasources.foreach(_.reset(store, srvid))
+    catalogs.reset(srvid)
     registry.dropServer(srvid)
   }
 }

@@ -29,7 +29,10 @@ final case class ServerConfig(
     versionNum: Int = 170000,
     /** per-feature retention overrides (extension name → seconds) —
       * powa_extension_config.retention (:199). */
-    featureRetention: Map[String, Long] = Map.empty) {
+    featureRetention: Map[String, Long] = Map.empty,
+    /** catalog mirror refresh interval — powa_catalog_functions'
+      * `_refresh_interval` default '1 year' (:729). */
+    catalogRefreshSec: Long = 365L * 86400) {
   require(frequencySec == -1 || frequencySec >= 5,
     "frequency must be -1 (disabled) or >= 5s (powa--5.2.0.sql:128)")
   require(powaCoalesce >= 5, "powa_coalesce must be >= 5 (powa.c:277-281)")

@@ -97,6 +97,53 @@ class IntegrationSpec extends AnyFunSuite {
     assert(e.registry.serverIds.contains(a))
   }
 
+  test("catalog import runs inside the remote tick, stamps after pg_class") {
+    import spark.implicits._
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 60, hostname = "remote", catalogRefreshSec = 3600))
+    val dbid = 5L
+    def cat(rows: (Long, String)*): DataFrame =
+      rows.toSeq.toDF("oid", "name")
+
+    // tick 1: only pg_database staged — imported, but NO refresh stamp
+    // (the stamp means "family complete" and only pg_class sets it)
+    e.catalogs.stage("pg_database", srvid, dbid, cat(1L -> "db1"))
+    assert(e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:00")) === 0)
+    assert(e.catalogs.read("pg_database", srvid, dbid).get.count() === 1)
+    assert(e.catalogs.lastRefresh(srvid, dbid).isEmpty)
+    assert(e.catalogs.stagedDbids("pg_database", srvid).isEmpty) // drained
+
+    // tick 2: pg_class staged — the pass stamps last_refresh = tick ts
+    e.catalogs.stage("pg_class", srvid, dbid, cat(7L -> "t1", 8L -> "t2"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:00"))
+    assert(e.catalogs.lastRefresh(srvid, dbid) ===
+      Some(Timestamp.valueOf("2024-01-01 00:01:00")))
+    assert(e.catalogs.read("pg_class", srvid, dbid).get.count() === 2)
+
+    // tick 3: fresh mirror → staged update SKIPPED and drained (:725-745)
+    e.catalogs.stage("pg_class", srvid, dbid, cat(9L -> "t3"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:02:00"))
+    assert(e.catalogs.read("pg_class", srvid, dbid).get.count() === 2)
+    assert(e.catalogs.stagedDbids("pg_class", srvid).isEmpty)
+
+    // tick 4: past the refresh interval → imported again
+    e.catalogs.stage("pg_class", srvid, dbid, cat(9L -> "t3"))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 02:00:00"))
+    assert(e.catalogs.read("pg_class", srvid, dbid).get.count() === 1)
+    assert(e.catalogs.lastRefresh(srvid, dbid) ===
+      Some(Timestamp.valueOf("2024-01-01 02:00:00")))
+
+    // local server (srvid 0) never runs the catalog pass (:3663-3665)
+    e.catalogs.stage("pg_class", 0, dbid, cat(1L -> "x"))
+    e.takeSnapshot(0, Timestamp.valueOf("2024-01-01 02:01:00"))
+    assert(e.catalogs.read("pg_class", 0, dbid).isEmpty)
+
+    e.reset(srvid)
+    assert(e.catalogs.read("pg_class", srvid, dbid).isEmpty)
+    assert(e.catalogs.lastRefresh(srvid, dbid).isEmpty)
+  }
+
   private def mkEngine(): Engine = {
     val root = java.nio.file.Files.createTempDirectory("graft_integ").toString
     new Engine(spark, root)
