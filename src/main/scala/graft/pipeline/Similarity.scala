@@ -126,6 +126,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** How many hyperplanes `cosineDupPairs` needs at a given corpus size:
+    * the expected bucket population is n / 2^planes, and the self-join
+    * cost is quadratic IN THE BUCKET, so planes must GROW with the
+    * corpus — planes = ceil(log2(n / targetBucket)). A fixed small
+    * plane count (like the 2-plane / 4-bucket test configuration) is a
+    * correctness fixture, NOT the 100 TB setting: at n = 10^9 and a
+    * 1024-vector target bucket this returns ~20 planes, keeping
+    * per-bucket work ~10^6 comparisons. Recall drops as planes grow
+    * (a near-dup pair straddling any plane is missed) — the standard
+    * answer is several independent hash tables (seeded plane families),
+    * each at this planes count. */
+  def planesForCorpus(n: Long, targetBucket: Long = 1024L): Int = {
+    require(n > 0 && targetBucket > 0)
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucket.toDouble) / math.log(2.0)).toInt)
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine >= threshold):
     * LSH-bucket candidate generation (pairs must share the full sign
     * bucket) followed by exact cosine verification of candidates only —

@@ -61,6 +61,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("planesForCorpus: planes grow log2 with corpus / shrink with bucket") {
+    import graft.pipeline.Similarity.planesForCorpus
+    assert(planesForCorpus(1L << 30, 1024L) === 20) // 2^30 / 2^10
+    assert(planesForCorpus(2048L, 1024L) === 1)
+    assert(planesForCorpus(100L, 1024L) === 1)      // floor at 1 plane
+    assert(planesForCorpus(1000000000L, 1024L) === 20)
+    // doubling the corpus adds exactly one plane at powers of two
+    assert(planesForCorpus(1L << 21, 1024L) ===
+      planesForCorpus(1L << 20, 1024L) + 1)
+  }
+
   test("multimodal stub: metadata + fixed-width features per asset") {
     val assets = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
