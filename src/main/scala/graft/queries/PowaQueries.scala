@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{EventsSource, Tables}
 import graft.operators._
-import graft.sources.SourceAdapter
+import graft.sources.{ModuleSources, SourceAdapter}
 
 /** SURVEY.md §2 operator inventory expressed over the driver testdata,
   * each with a DuckDB oracle. Query naming: q{NN}_{operator}. */
@@ -371,6 +371,145 @@ object PowaQueries {
       .orderBy(col("srvid"), col("qualid"), col("ranking"), col("rank"))
   }
 
+  // ---- shared deterministic event-derived columns for q25-q27
+  private def evCents: Column = (col("value").cast(D18_2) * 100).cast("long")
+  private def evK: Column =
+    coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+
+  // ---- §2.1: the kcache version ladder (powa--5.2.0.sql:6567-6666) —
+  //      pre-2.2 exec-only view (plan_* → NULL) vs 2.2+ split counters,
+  //      with the dropped-db anti-join and ignored-users filter. events
+  //      map: queryid=event_id, dbid=user_id%50, rolname=event_type.
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = ev.select(
+      col("event_id").as("queryid"), lit(true).as("top"),
+      col("user_id").as("userid"), (col("user_id") % 50).as("dbid"),
+      col("event_type").as("rolname"), col("user_id"),
+      evCents.as("c"), evK.as("k"))
+    // the 12 kcache counters, derived deterministically from (c, k, ids)
+    def counters(prefix: String, shift: Column): DataFrame => DataFrame =
+      df => {
+        val vals = Seq(
+          "reads" -> (col("c") + shift), "writes" -> (col("k") + shift),
+          "user_time" -> (col("k") + shift).cast("double"),
+          "system_time" -> (col("c") + shift).cast("double"),
+          "minflts" -> (col("queryid") + shift),
+          "majflts" -> (col("userid") + shift),
+          "nswaps" -> (col("c") % 3 + shift), "msgsnds" -> (col("k") % 5 + shift),
+          "msgrcvs" -> (col("queryid") % 7 + shift),
+          "nsignals" -> (col("userid") % 11 + shift),
+          "nvcsws" -> (col("c") % 13 + shift), "nivcsws" -> (col("k") % 17 + shift))
+        vals.foldLeft(df) { case (acc, (n, v)) => acc.withColumn(prefix + n, v) }
+      }
+    val rawV0 = counters("", lit(0L))(base.filter(col("user_id") % 2 === 0))
+    val rawV202 = counters("exec_", lit(0L))(
+      counters("plan_", lit(1000L))(base.filter(col("user_id") % 2 =!= 0)))
+    val databases = ev.select((col("user_id") % 50).as("oid")).distinct()
+      .withColumn("dropped",
+        when(col("oid") % 7 === 0, ts("2024-01-01 00:00:00"))
+          .otherwise(lit(null).cast("timestamp")))
+    val t = ts("2024-06-01 00:00:00")
+    val v0 = ModuleSources.kcacheCapture(rawV0, 201, databases, Seq("click"), t)
+      .withColumn("version", lit(201))
+    val v202 = ModuleSources.kcacheCapture(rawV202, 202, databases, Seq("click"), t)
+      .withColumn("version", lit(202))
+    v0.unionByName(v202)
+      .select(col("queryid"), col("version"), col("dbid"), col("userid"),
+        col("plan_reads"), col("plan_user_time"),
+        col("exec_reads"), col("exec_writes"), col("exec_user_time"),
+        col("exec_nivcsws"))
+      .orderBy(col("queryid"))
+  }
+
+  // ---- §2.1/§2.3: wait-sampling capture (powa--5.2.0.sql:7289-7343) —
+  //      left join to dedup'd pgss (queryid, dbid) pairs, COALESCE(dbid,
+  //      0) for unmatched, SUM(count) GROUP BY the full key.
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val profile = ev.select(
+      (col("user_id") % 4).cast("int").as("srvid"),
+      (col("event_id") % 100).as("queryid"),
+      col("event_type"), upper(col("event_type")).as("event"),
+      evK.as("count"), evCents.as("c"))
+    val pgss = profile.filter(col("c") > 0)
+      .select(col("queryid"), (col("queryid") % 10).as("dbid"))
+    ModuleSources.waitSamplingCapture(
+        profile.drop("c"), pgss, ts("2024-06-01 00:00:00"))
+      .select(col("srvid"), col("dbid"), col("event_type"), col("event"),
+        col("queryid"), col("count").as("wait_count"))
+      .orderBy(col("srvid"), col("dbid"), col("event_type"), col("queryid"))
+  }
+
+  // ---- §2.1: bgwriter pg17+ reconstruction from pg_stat_io
+  //      (powa--5.2.0.sql:4622-4665): sum(writes+extends)/sum(fsyncs)
+  //      over client backends cross-joined onto the bgwriter row.
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val bgw = Tables.orders(s, d).agg(
+      sum((col("o_totalprice").cast(D18_2) * 100).cast("long"))
+        .as("buffers_clean"),
+      count(lit(1)).as("maxwritten_clean"),
+      max(col("o_orderkey")).as("buffers_alloc"))
+    val statIo = Tables.events(s, d).select(
+      when(col("user_id") % 3 === 0, lit("client backend"))
+        .otherwise(lit("other")).as("backend_type"),
+      evK.as("writes"), evCents.as("extends"),
+      (col("user_id") % 2).as("fsyncs"))
+    ModuleSources.bgwriterCapture(bgw, statIo, 170000,
+      ts("2024-06-01 00:00:00"))
+  }
+
+  // ---- §2.1: checkpointer pre-17 emulation (powa--5.2.0.sql:4666-4701):
+  //      the checkpoint_* columns of pg_stat_bgwriter renamed onto the
+  //      pg_stat_checkpointer shape.
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val bgw = Tables.lineitem(s, d).agg(
+      count(lit(1)).as("checkpoints_timed"),
+      sum(col("l_linenumber").cast("long")).as("checkpoints_req"),
+      sum((col("l_quantity").cast(D18_2) * 100).cast("long")).cast("double")
+        .as("checkpoint_write_time"),
+      sum((col("l_discount").cast(DecimalType(4, 2)) * 100).cast("long"))
+        .cast("double").as("checkpoint_sync_time"),
+      max(col("l_orderkey")).as("buffers_checkpoint"))
+    ModuleSources.checkpointerCapture(bgw, bgw, 160000,
+      ts("2024-06-01 00:00:00"))
+  }
+
+  // ---- §2.1: synthesize-at-least-one-row (powa--5.2.0.sql:4381-4382) —
+  //      an empty source still emits one NULL record per snapshot.
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val empty = Tables.nation(s, d).filter(col("n_nationkey") < 0)
+      .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+    val nonEmpty = Tables.region(s, d)
+      .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+    ModuleSources.atLeastOneRow(s, empty, ts("2024-06-01 00:00:00"))
+      .unionByName(
+        ModuleSources.atLeastOneRow(s, nonEmpty, ts("2024-06-02 00:00:00")))
+      .orderBy(col("ts"), col("k").asc_nulls_first)
+  }
+
+  // ---- §2.11: the databases dimension lifecycle — two chained
+  //      diff-sync ticks (missing/renamed/dropped, powa--5.2.0.sql:
+  //      3731-3796) followed by the dropped-grace purge arm
+  //      (:5820-5845), exactly the DatabasesDatasource flow.
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def scan(pred: Column): DataFrame = ev.filter(pred)
+      .groupBy(col("user_id").as("oid"))
+      .agg(min(col("event_type")).as("datname"))
+    val dim0 = scan(col("event_id") % 5 < 3)
+      .withColumn("dropped", lit(null).cast("timestamp"))
+    val src1 = scan(col("event_id") % 5 === 3 && col("user_id") % 11 =!= 0)
+    val src2 = scan(col("event_id") % 5 === 4 && col("user_id") % 13 =!= 0)
+    val s1 = DiffSync.sync(dim0, src1, Seq("oid"), "datname", "dropped",
+      ts("2024-02-01 00:00:00"))
+    val s2 = DiffSync.sync(s1, src2, Seq("oid"), "datname", "dropped",
+      ts("2024-03-01 00:00:00"))
+    s2.filter(col("dropped").isNull ||
+        col("dropped") >= ts("2024-02-15 00:00:00"))
+      .orderBy(col("oid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -395,7 +534,13 @@ object PowaQueries {
     "q21_coalesce_batches" -> (q21 _),
     "q22_constvalues_rankings" -> (q22 _),
     "q23_readback_rates" -> (q23 _),
-    "q24_constvalues_lifecycle" -> (q24 _))
+    "q24_constvalues_lifecycle" -> (q24 _),
+    "q25_kcache_ladder" -> (q25 _),
+    "q26_wait_sampling" -> (q26 _),
+    "q27_bgwriter_pg17" -> (q27 _),
+    "q28_checkpointer_pre17" -> (q28 _),
+    "q29_at_least_one_row" -> (q29 _),
+    "q30_db_dimension_lifecycle" -> (q30 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -609,6 +754,98 @@ object PowaQueries {
           SELECT srvid, qualid, 'most_errestim_num', CAST(r_num AS INT), $cols FROM r WHERE r_num <= 3
           ORDER BY srvid, qualid, ranking, rank"""
     },
+    "q25_kcache_ladder" ->
+      """WITH ev AS (
+           SELECT event_id AS queryid, user_id, event_type,
+                  user_id % 50 AS dbid, user_id AS userid,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+           FROM events),
+         f AS (SELECT * FROM ev
+               WHERE dbid % 7 <> 0 AND event_type <> 'click')
+         SELECT queryid,
+                CASE WHEN user_id % 2 = 0 THEN 201 ELSE 202 END AS version,
+                dbid, userid,
+                CASE WHEN user_id % 2 = 0 THEN NULL ELSE c + 1000 END AS plan_reads,
+                CASE WHEN user_id % 2 = 0 THEN NULL
+                     ELSE CAST(k + 1000 AS DOUBLE) END AS plan_user_time,
+                c AS exec_reads, k AS exec_writes,
+                CAST(k AS DOUBLE) AS exec_user_time,
+                k % 17 AS exec_nivcsws
+         FROM f ORDER BY queryid""",
+    "q26_wait_sampling" ->
+      """WITH p AS (
+           SELECT CAST(user_id % 4 AS INTEGER) AS srvid,
+                  event_id % 100 AS queryid, event_type,
+                  upper(event_type) AS event,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS cnt,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         pgss AS (SELECT DISTINCT queryid, queryid % 10 AS dbid
+                  FROM p WHERE c > 0),
+         j AS (SELECT p.srvid, COALESCE(g.dbid, 0) AS dbid, p.event_type,
+                      p.event, p.queryid, p.cnt
+               FROM p LEFT JOIN pgss g ON p.queryid = g.queryid)
+         SELECT srvid, dbid, event_type, event, queryid,
+                CAST(SUM(cnt) AS BIGINT) AS wait_count
+         FROM j GROUP BY 1, 2, 3, 4, 5
+         ORDER BY srvid, dbid, event_type, queryid""",
+    "q27_bgwriter_pg17" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events)
+         SELECT TIMESTAMP '2024-06-01 00:00:00' AS ts,
+           (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+            FROM orders) AS buffers_clean,
+           (SELECT COUNT(*) FROM orders) AS maxwritten_clean,
+           (SELECT CAST(SUM(k + c) AS BIGINT) FROM ev WHERE user_id % 3 = 0)
+             AS buffers_backend,
+           (SELECT CAST(SUM(user_id % 2) AS BIGINT) FROM ev WHERE user_id % 3 = 0)
+             AS buffers_backend_fsync,
+           (SELECT MAX(o_orderkey) FROM orders) AS buffers_alloc""",
+    "q28_checkpointer_pre17" ->
+      """SELECT TIMESTAMP '2024-06-01 00:00:00' AS ts,
+                COUNT(*) AS num_timed,
+                CAST(SUM(l_linenumber) AS BIGINT) AS num_requested,
+                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) AS write_time,
+                CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS DOUBLE) AS sync_time,
+                MAX(l_orderkey) AS buffers_written
+         FROM lineitem""",
+    "q29_at_least_one_row" ->
+      """SELECT TIMESTAMP '2024-06-01 00:00:00' AS ts,
+                CAST(NULL AS BIGINT) AS k, CAST(NULL AS VARCHAR) AS name
+         UNION ALL
+         SELECT TIMESTAMP '2024-06-02 00:00:00' AS ts, r_regionkey, r_name
+         FROM region
+         ORDER BY ts, k NULLS FIRST""",
+    "q30_db_dimension_lifecycle" ->
+      """WITH dim0 AS (
+           SELECT user_id AS oid, MIN(event_type) AS datname,
+                  CAST(NULL AS TIMESTAMP) AS dropped
+           FROM events WHERE event_id % 5 < 3 GROUP BY 1),
+         src1 AS (SELECT user_id AS oid, MIN(event_type) AS datname
+                  FROM events WHERE event_id % 5 = 3 AND user_id % 11 <> 0
+                  GROUP BY 1),
+         s1 AS (SELECT COALESCE(d.oid, s.oid) AS oid,
+                       COALESCE(s.datname, d.datname) AS datname,
+                       CASE WHEN s.oid IS NOT NULL THEN NULL
+                            ELSE COALESCE(d.dropped, TIMESTAMP '2024-02-01 00:00:00')
+                       END AS dropped
+                FROM dim0 d FULL OUTER JOIN src1 s ON d.oid = s.oid),
+         src2 AS (SELECT user_id AS oid, MIN(event_type) AS datname
+                  FROM events WHERE event_id % 5 = 4 AND user_id % 13 <> 0
+                  GROUP BY 1),
+         s2 AS (SELECT COALESCE(d.oid, s.oid) AS oid,
+                       COALESCE(s.datname, d.datname) AS datname,
+                       CASE WHEN s.oid IS NOT NULL THEN NULL
+                            ELSE COALESCE(d.dropped, TIMESTAMP '2024-03-01 00:00:00')
+                       END AS dropped
+                FROM s1 d FULL OUTER JOIN src2 s ON d.oid = s.oid)
+         SELECT oid, datname, dropped FROM s2
+         WHERE dropped IS NULL OR dropped >= TIMESTAMP '2024-02-15 00:00:00'
+         ORDER BY oid""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
