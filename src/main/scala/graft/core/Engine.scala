@@ -185,11 +185,30 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   def ingest(dsName: String, df: DataFrame): Unit =
     store.append(dsName, GenericDatasource.Staging, df)
 
+  /** Per-server snapshot locks — `powa_prevent_concurrent_snapshot`
+    * (powa--5.2.0.sql:3413-3448): the reference takes `FOR UPDATE
+    * NOWAIT` on the server's metas row and raises if it's held; a
+    * tryLock'd mutex is the same fail-fast invariant (one concurrent
+    * tick per server, overlapping tickers error rather than queue). */
+  private val snapshotLocks =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.locks.ReentrantLock]()
+
   /** One tick. Returns the number of errors (like powa_take_snapshot). */
   def takeSnapshot(srvid: Int,
       now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Int = {
     val server = registry.server(srvid)
     if (server.frequencySec == -1) return 0
+    val lock = snapshotLocks.computeIfAbsent(srvid,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!lock.tryLock())
+      throw new IllegalStateException(
+        s"a concurrent snapshot is already running for server $srvid")
+    try takeSnapshotLocked(srvid, now, server)
+    finally lock.unlock()
+  }
+
+  private def takeSnapshotLocked(srvid: Int, now: java.sql.Timestamp,
+      server: ServerConfig): Int = {
     val meta = registry.meta(srvid)
     meta.coalesceSeq += 1
     var errors = Vector.empty[String]

@@ -383,6 +383,31 @@ class EngineSpec extends AnyFunSuite {
     assert(dim.head.getAs[Long]("queryid") === 2L)
   }
 
+  test("concurrent snapshot guard: overlapping tick on one server fails fast") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 260, hostname = "h"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    // an empty tick is fast; to make the overlap deterministic, hold the
+    // internal per-server lock exactly as an in-flight tick would
+    val lockField = e.getClass.getDeclaredField("snapshotLocks")
+    lockField.setAccessible(true)
+    val locks = lockField.get(e)
+      .asInstanceOf[java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.locks.ReentrantLock]]
+    val l = locks.computeIfAbsent(srvid,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    val holder = new Thread(() => { l.lock(); entered.countDown(); gate.await() })
+    holder.start(); entered.await()
+    val ex = intercept[IllegalStateException] {
+      e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+    }
+    assert(ex.getMessage.contains("concurrent snapshot"))
+    gate.countDown(); holder.join()
+    // other servers are unaffected (the lock is per-srvid)
+    val other = e.registry.registerServer(ServerConfig(id = 261, hostname = "h"))
+    assert(e.takeSnapshot(other, Timestamp.valueOf("2024-01-01 00:01:00")) === 0)
+  }
+
   test("spec sanity: 23 datasources, statements record arity matches reference") {
     assert(Specs.all.size === 23)
     // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)
