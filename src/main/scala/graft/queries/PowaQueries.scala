@@ -510,6 +510,58 @@ object PowaQueries {
       .orderBy(col("oid"))
   }
 
+  // ---- §2.10/§2.12: FULL ENGINE ROUND-TRIP under the driver gate —
+  //      weekly event rollups staged as powa_stat_bgwriter batches,
+  //      ticked through Engine.takeSnapshot (priority walk, coalesce
+  //      cadence with aggregate at tick 5, staging drain), then read
+  //      back via readSeriesWithRates (current ∪ history + generated
+  //      rate operators). The oracle recomputes the same series
+  //      directly from events — proving the snapshot→aggregate→
+  //      readback lifecycle is value-preserving end to end.
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q31")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 20, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400)) // srvid%20==0: aggregate at tick 5
+      val weekly = Tables.events(s, d).filter(col("user_id") % 4 === 0)
+        .groupBy(date_trunc("week", col("ts")).as("ts"))
+        .agg(
+          sum(evCents).as("buffers_clean"),
+          count(lit(1)).as("maxwritten_clean"),
+          sum(evK).as("buffers_backend"),
+          max(col("event_id")).as("buffers_backend_fsync"),
+          min(col("event_id")).as("buffers_alloc"))
+        .withColumn("srvid", lit(srvid))
+        .localCheckpoint()
+      val weeks = weekly.select(col("ts")).orderBy(col("ts"))
+        .collect().map(_.getTimestamp(0)) // tick list: tiny by construction
+      weeks.foreach { wts =>
+        e.ingest("powa_stat_bgwriter", weekly.filter(col("ts") === wts))
+        e.takeSnapshot(srvid,
+          new java.sql.Timestamp(wts.getTime + 3L * 86400 * 1000))
+      }
+      e.readSeriesWithRates("powa_stat_bgwriter", srvid,
+          java.sql.Timestamp.valueOf("2023-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+        .select(col("record.ts").as("ts"),
+          col("record.buffers_clean").as("buffers_clean"),
+          col("record.maxwritten_clean").as("maxwritten_clean"),
+          col("record.buffers_backend").as("buffers_backend"),
+          col("record.buffers_backend_fsync").as("buffers_backend_fsync"),
+          col("record.buffers_alloc").as("buffers_alloc"),
+          col("intvl_sec"),
+          col("buffers_clean_per_sec"), col("buffers_backend_per_sec"))
+        .orderBy(col("ts"))
+        .localCheckpoint() // pin the result before the store is swept
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -540,7 +592,8 @@ object PowaQueries {
     "q27_bgwriter_pg17" -> (q27 _),
     "q28_checkpointer_pre17" -> (q28 _),
     "q29_at_least_one_row" -> (q29 _),
-    "q30_db_dimension_lifecycle" -> (q30 _))
+    "q30_db_dimension_lifecycle" -> (q30 _),
+    "q31_engine_roundtrip" -> (q31 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -846,6 +899,35 @@ object PowaQueries {
          SELECT oid, datname, dropped FROM s2
          WHERE dropped IS NULL OR dropped >= TIMESTAMP '2024-02-15 00:00:00'
          ORDER BY oid""",
+    "q31_engine_roundtrip" ->
+      """WITH ev AS (
+           SELECT event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+           FROM events WHERE user_id % 4 = 0),
+         w AS (SELECT DATE_TRUNC('week', ts) AS wts,
+                      CAST(SUM(cents) AS BIGINT) AS buffers_clean,
+                      COUNT(*) AS maxwritten_clean,
+                      CAST(SUM(k) AS BIGINT) AS buffers_backend,
+                      MAX(event_id) AS buffers_backend_fsync,
+                      MIN(event_id) AS buffers_alloc
+               FROM ev GROUP BY 1),
+         r AS (SELECT wts, buffers_clean, maxwritten_clean, buffers_backend,
+                      buffers_backend_fsync, buffers_alloc,
+                      CAST(epoch_us(wts) - epoch_us(LAG(wts) OVER w2) AS DOUBLE)
+                        / 1000000.0 AS intvl_sec,
+                      buffers_clean - LAG(buffers_clean) OVER w2 AS d_clean,
+                      buffers_backend - LAG(buffers_backend) OVER w2 AS d_backend
+               FROM w WINDOW w2 AS (ORDER BY wts))
+         SELECT wts AS ts, buffers_clean, maxwritten_clean, buffers_backend,
+                buffers_backend_fsync, buffers_alloc, intvl_sec,
+                CAST(d_clean AS DOUBLE) /
+                  (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END)
+                  AS buffers_clean_per_sec,
+                CAST(d_backend AS DOUBLE) /
+                  (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END)
+                  AS buffers_backend_per_sec
+         FROM r ORDER BY ts""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
