@@ -143,13 +143,63 @@ object Similarity {
       math.log(n.toDouble / targetBucket.toDouble) / math.log(2.0)).toInt)
   }
 
+  /** Per-table seeded plane weights — independent hyperplane families
+    * for multi-table LSH (seed prefix `t<table>:`). */
+  def planeWeights(table: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      ((Hashing.h60Scala(s"t$table:$plane:$i") % 2001L) - 1000L).toDouble / 1000.0d
+    }
+
+  /** Sign-bit bucket for one seeded table. */
+  def lshBucketSeeded(v: Column, dim: Int, planes: Int, table: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(v, typedLit(planeWeights(table, p, dim).toSeq)) > 0.0d,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH near-dup pairs: candidates are pairs sharing a
+    * bucket in ANY of `tables` independently-seeded hyperplane
+    * families, verified by exact cosine once. This is the standard
+    * recall repair for the planes-vs-bucket-size tension that
+    * [[planesForCorpus]] quantifies: per-table recall for similarity r
+    * is ~r^planes, overall ~1-(1-r^planes)^tables, while each table
+    * keeps its buckets small enough to self-join. The shuffle key is
+    * (table, bucket); vectors are joined back from the single
+    * materialized frame only for surviving candidates. */
+  def cosineDupPairsMulti(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, thresholdPpm: Long, tables: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("buckets", array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucketSeeded(col("v"), dim, planes, t).as("b"))): _*))
+      .localCheckpoint()
+    // candidates shuffle only (id, table, bucket) — no vectors
+    val banded = e.select(col("id"), explode(col("buckets")).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val l = banded.select(col("id").as("i"), col("t"), col("b"))
+    val r = banded.select(col("id").as("j"), col("t"), col("b"))
+    val cands = l.join(r, Seq("t", "b")).filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    cands
+      .join(e.select(col("id").as("i"), col("v").as("vi")), Seq("i"))
+      .join(e.select(col("id").as("j"), col("v").as("vj")), Seq("j"))
+      .select(col("i"), col("j"),
+        TextOps.ppm(cosine(col("vi"), col("vj"))).as("cos_ppm"))
+      .filter(col("cos_ppm") >= thresholdPpm)
+  }
+
   /** Embedding-cosine near-duplicate pairs (i < j, cosine >= threshold):
     * LSH-bucket candidate generation (pairs must share the full sign
     * bucket) followed by exact cosine verification of candidates only —
     * the same candidates-then-verify shape as MinHash dedup, with the
     * bucket id as the shuffle key. Approximate by construction (a
     * near-dup straddling a hyperplane is missed; more planes ↔ fewer
-    * candidates, lower recall). */
+    * candidates, lower recall — [[cosineDupPairsMulti]] repairs recall
+    * with independent tables). */
   def cosineDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, thresholdPpm: Long): DataFrame = {

@@ -111,6 +111,14 @@ object PipelineQueries {
         planes = 2, dim = 64, thresholdPpm = 400000L)
       .orderBy(col("i"), col("j"))
 
+  // multi-table LSH near-dup: candidates share a bucket in ANY of the
+  // independently-seeded plane families (recall ~ 1-(1-r^planes)^tables)
+  private def p15(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineDupPairsMulti(Tables.embeddings(s, d), "vec_id",
+        "embedding", planes = 3, dim = 64, thresholdPpm = 400000L,
+        tables = 2)
+      .orderBy(col("i"), col("j"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -179,6 +187,13 @@ object PipelineQueries {
     val w = s"((${h60Sql(s"$p || ':' || i::VARCHAR")} % 2001) - 1000)::DOUBLE / 1000.0"
     s"list_aggregate(list_transform(range(0, 64), i -> v[i+1] * ($w)), 'sum') AS proj$p"
   }.mkString(", ")
+
+  /** Seeded per-table variant (Similarity.planeWeights(table, plane)). */
+  private def lshProjSqlSeeded(table: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val w = s"((${h60Sql(s"'t$table:$p:' || i::VARCHAR")} % 2001) - 1000)::DOUBLE / 1000.0"
+      s"list_aggregate(list_transform(range(0, 64), i -> v[i+1] * ($w)), 'sum') AS proj$p"
+    }.mkString(", ")
   private def lshBucketSql(planes: Int): String = (0 until planes)
     .map(p => s"(CASE WHEN proj$p > 0.0 THEN ${1L << p} ELSE 0 END)")
     .mkString(" + ")
@@ -199,7 +214,8 @@ object PipelineQueries {
     "p11_multimodal_stub" -> (p11 _),
     "p12_cosine_neardup" -> (p12 _),
     "p13_token_docfreq" -> (p13 _),
-    "p14_cosine_ivf" -> (p14 _))
+    "p14_cosine_ivf" -> (p14 _),
+    "p15_cosine_multitable" -> (p15 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -353,6 +369,26 @@ object PipelineQueries {
                  FROM cand)
           SELECT i, j, cos_ppm FROM sc WHERE cos_ppm >= 400000
           ORDER BY i, j""",
+    "p15_cosine_multitable" -> {
+      val tablesSql = (0 until 2).map { t =>
+        s"""pr$t AS (SELECT vec_id, v, ${lshProjSqlSeeded(t, 3)} FROM e),
+            bk$t AS (SELECT vec_id, $t AS t,
+                            CAST(${lshBucketSql(3)} AS BIGINT) AS b FROM pr$t)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          $tablesSql,
+          banded AS (SELECT * FROM bk0 UNION ALL SELECT * FROM bk1),
+          cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+                   FROM banded a JOIN banded b
+                     ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+          sc AS (SELECT i, j,
+                   CAST(floor((list_aggregate(list_transform(range(0, 64), k -> ea.v[k+1] * eb.v[k+1]), 'sum') /
+                     (sqrt(list_aggregate(list_transform(ea.v, x -> x * x), 'sum')) *
+                      sqrt(list_aggregate(list_transform(eb.v, x -> x * x), 'sum')))) * 1000000.0) AS BIGINT) AS cos_ppm
+                 FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
+          SELECT i, j, cos_ppm FROM sc WHERE cos_ppm >= 400000
+          ORDER BY i, j"""
+    },
     "p11_multimodal_stub" ->
       """WITH a AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                            md5(text) AS sig

@@ -72,6 +72,21 @@ class PipelineSpec extends AnyFunSuite {
       planesForCorpus(1L << 20, 1024L) + 1)
   }
 
+  test("multi-table LSH recall: identical vectors pair in every table") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),             // identical to 0
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairsMulti(vecs, "vec_id", "embedding",
+      planes = 3, dim = 64, thresholdPpm = 990000L, tables = 2)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // identical vectors share every bucket in every table -> always found
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("multimodal stub: metadata + fixed-width features per asset") {
     val assets = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
