@@ -70,9 +70,9 @@ final class DatabasesDatasource extends GenericDatasource(DatasourceSpec(
 
   /** Drop rows whose dropped stamp predates the grace cutoff. */
   override def purge(store: Store, srvid: Int,
-      cutoff: java.sql.Timestamp): Unit = {
-    val dim = readDim(store, srvid)
-    if (!dim.isEmpty)
+      cutoff: java.sql.Timestamp): Unit =
+    if (store.hasPartition(name, Dim, srvid)) {
+      val dim = readDim(store, srvid)
       store.overwritePartition(name, Dim, srvid,
         dim.filter(col("dropped").isNull || col("dropped") >= lit(cutoff))
           .withColumn("srvid", lit(srvid)))

@@ -69,14 +69,15 @@ class GenericDatasource(val spec: DatasourceSpec) {
     * History lands month-bucketed on range_start (srvid=N/bucket=YYYY-MM)
     * so retention purge is mostly directory drops. */
   def aggregate(store: Store, srvid: Int): Unit = {
-    def one(tierCur: String, tierHist: String, s: DatasourceSpec): Unit = {
-      val cur = store.read(name, tierCur, currentNoSrvid(s))
-        .filter(col("srvid") === srvid)
-      if (!cur.isEmpty) {
-        store.appendBucketed(name, tierHist, Coalesce.aggregate(cur, s))
-        store.dropPartition(name, tierCur, srvid)
+    def one(tierCur: String, tierHist: String, s: DatasourceSpec): Unit =
+      if (store.hasPartition(name, tierCur, srvid)) { // no job when idle
+        val cur = store.read(name, tierCur, currentNoSrvid(s))
+          .filter(col("srvid") === srvid)
+        if (!cur.isEmpty) {
+          store.appendBucketed(name, tierHist, Coalesce.aggregate(cur, s))
+          store.dropPartition(name, tierCur, srvid)
+        }
       }
-    }
     one(Current, History, spec)
     dbSpec.foreach(dbs => one(CurrentDb, HistoryDb, dbs))
   }
@@ -221,8 +222,13 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       server.versionNum >= d.spec.minVersion).sortBy(_.priority)
 
     active.foreach { d =>
-      try d.snapshot(store, srvid, now)
-      catch { case e: Exception =>
+      // directory-probe fast path: a tick with nothing staged for this
+      // datasource launches zero Spark jobs (every snapshot consumes
+      // the staging tier, so an absent partition means a no-op)
+      try {
+        if (store.hasPartition(d.name, GenericDatasource.Staging, srvid))
+          d.snapshot(store, srvid, now)
+      } catch { case e: Exception =>
         errors :+= s"${d.name}_snapshot: ${e.getMessage}" }
     }
     meta.snapts = Some(now)

@@ -167,11 +167,13 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
     * tiers drain. */
   override def aggregate(store: Store, srvid: Int): Unit = {
     super.aggregate(store, srvid)
-    val cv = store.read(name, Constvalues, constvaluesSchema)
-      .filter(col("srvid") === srvid)
-    if (!cv.isEmpty) {
-      store.appendBucketed(name, ConstvaluesHistory, aggregateConstvalues(cv))
-      store.dropPartition(name, Constvalues, srvid)
+    if (store.hasPartition(name, Constvalues, srvid)) {
+      val cv = store.read(name, Constvalues, constvaluesSchema)
+        .filter(col("srvid") === srvid)
+      if (!cv.isEmpty) {
+        store.appendBucketed(name, ConstvaluesHistory, aggregateConstvalues(cv))
+        store.dropPartition(name, Constvalues, srvid)
+      }
     }
   }
 

@@ -56,10 +56,11 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
   override def purge(store: Store, srvid: Int,
       cutoff: java.sql.Timestamp): Unit = {
     super.purge(store, srvid, cutoff)
-    val dim = readDim(store, srvid)
-    if (!dim.isEmpty)
+    if (store.hasPartition(name, Dim, srvid)) {
+      val dim = readDim(store, srvid)
       store.overwritePartition(name, Dim, srvid,
         dim.filter(col("last_present_ts") >= lit(cutoff))
           .withColumn("srvid", lit(srvid)))
+    }
   }
 }

@@ -60,6 +60,13 @@ final class Store(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Does this server have any data in the tier? A pure directory probe
+    * — the orchestrator's fast path for skipping idle datasources
+    * without launching a Spark job (the metadata-only partition-pruning
+    * equivalent on a cluster catalog). */
+  def hasPartition(ds: String, tier: String, srvid: Int): Boolean =
+    Files.isDirectory(partDir(ds, tier, srvid))
+
   /** Append rows (must carry srvid) into the tier, one partition per srvid. */
   def append(ds: String, tier: String, df: DataFrame): Unit =
     df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
