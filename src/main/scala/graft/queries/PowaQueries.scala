@@ -562,6 +562,64 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.12/§2.13: no-operator datasource readback — pg_stat_activity
+  //      has `_need_operators => false` (powa--5.2.0.sql:1694): its
+  //      series reads back verbatim, no delta/rate columns. Same engine
+  //      round-trip shape as q31 on the activity spec: daily batches of
+  //      session rows, coalesce at tick 5, readback = raw records.
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q32")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 40, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400))
+      val spec = graft.spec.Specs.byName("powa_stat_activity")
+      val rows = Tables.events(s, d)
+        .filter(col("user_id") % 4 === 1 &&
+          col("ts") < ts("2024-01-07 00:00:00"))
+        .select(
+          lit(srvid).as("srvid"), col("ts"),
+          (col("user_id") % 50).as("datid"),
+          (col("event_id") % 1000).cast("int").as("pid"),
+          col("event_type").as("application_name"),
+          lit("active").as("state"),
+          col("event_id").as("query_id"),
+          lit("client backend").as("backend_type"),
+          col("ts").as("clock_ts"),
+          date_trunc("day", col("ts")).as("batch"))
+        .select(col("*") +: spec.counterCols
+          .filterNot(c => Set("datid", "pid", "application_name", "state",
+            "query_id", "backend_type", "clock_ts").contains(c.name))
+          .map(c => lit(null).cast(c.dt).as(c.name)): _*)
+        .localCheckpoint()
+      val days = rows.select(col("batch")).distinct().orderBy(col("batch"))
+        .collect().map(_.getTimestamp(0))
+      days.foreach { day =>
+        e.ingest("powa_stat_activity",
+          rows.filter(col("batch") === day).drop("batch"))
+        e.takeSnapshot(srvid,
+          new java.sql.Timestamp(day.getTime + 23L * 3600 * 1000))
+      }
+      // needOperators=false → readSeriesWithRates returns the raw series
+      e.readSeriesWithRates("powa_stat_activity", srvid,
+          java.sql.Timestamp.valueOf("2023-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+        .select(col("record.ts").as("ts"),
+          col("record.datid").as("datid"), col("record.pid").as("pid"),
+          col("record.application_name").as("application_name"),
+          col("record.state").as("state"),
+          col("record.query_id").as("query_id"),
+          col("record.backend_type").as("backend_type"))
+        .orderBy(col("query_id"))
+        .localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -593,7 +651,8 @@ object PowaQueries {
     "q28_checkpointer_pre17" -> (q28 _),
     "q29_at_least_one_row" -> (q29 _),
     "q30_db_dimension_lifecycle" -> (q30 _),
-    "q31_engine_roundtrip" -> (q31 _))
+    "q31_engine_roundtrip" -> (q31 _),
+    "q32_activity_readback" -> (q32 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -928,6 +987,15 @@ object PowaQueries {
                   (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END)
                   AS buffers_backend_per_sec
          FROM r ORDER BY ts""",
+    "q32_activity_readback" ->
+      """SELECT ts, user_id % 50 AS datid,
+                CAST(event_id % 1000 AS INTEGER) AS pid,
+                event_type AS application_name,
+                'active' AS state, event_id AS query_id,
+                'client backend' AS backend_type
+         FROM events
+         WHERE user_id % 4 = 1 AND ts < TIMESTAMP '2024-01-07 00:00:00'
+         ORDER BY query_id""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
