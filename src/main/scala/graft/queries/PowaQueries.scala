@@ -620,6 +620,75 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.4/§2.11: the qualstats constvalues lifecycle through the
+  //      FULL engine — daily staged batches snapshot into the
+  //      constvalues tier, the tick-5 aggregate packs them into the
+  //      month-bucketed constvalues_history via the six rankings, and
+  //      the packed arrays are read back and flattened. The oracle
+  //      recomputes the packing from events over the aggregated window
+  //      (everything staged before the tick-5 aggregate).
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q33")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 60, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400))
+      val cents = (col("value").cast(D18_2) * 100).cast("long")
+      val rows = Tables.events(s, d)
+        .filter(col("user_id") % 4 === 2 &&
+          col("ts") < ts("2024-01-06 00:00:00"))
+        .select(
+          lit(srvid).as("srvid"), col("ts"),
+          col("user_id").as("qualid"), lit(1L).as("queryid"),
+          lit(1L).as("dbid"), lit(1L).as("userid"),
+          lit(1L).as("occurences"),
+          coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+            .as("execution_count"),
+          cents.as("nbfiltered"),
+          cents.cast("double").as("mean_err_estimate_ratio"),
+          (cents % 7).cast("double").as("mean_err_estimate_num"),
+          date_trunc("day", col("ts")).as("batch"),
+          col("event_type"))
+        .withColumn("quals", array(struct(lit(1L).as("relid"),
+          lit(1).as("attnum"), lit(96L).as("opno"), lit("f").as("eval_type"))))
+        .withColumn("constvalues", array(col("event_type")))
+        .drop("event_type")
+        .localCheckpoint()
+      val days = rows.select(col("batch")).distinct().orderBy(col("batch"))
+        .collect().map(_.getTimestamp(0))
+      days.foreach { day =>
+        e.ingest("powa_qualstats", rows.filter(col("batch") === day).drop("batch"))
+        e.takeSnapshot(srvid,
+          new java.sql.Timestamp(day.getTime + 23L * 3600 * 1000))
+      }
+      val qd = e.datasource("powa_qualstats")
+        .asInstanceOf[graft.core.QualstatsDatasource]
+      val packed = qd.readConstvaluesHistory(e.store, srvid)
+      val rankingNames = Seq("most_used", "most_filtering", "least_filtering",
+        "most_executed", "most_errestim_ratio", "most_errestim_num")
+      val entries = flatten(array(rankingNames.map(n =>
+        transform(col(n), (x, i) => struct(
+          lit(n).as("ranking"), (i + 1).cast("int").as("rank"),
+          x.as("v")))): _*))
+      packed
+        .select(col("qualid"), col("range_start"), col("range_end"),
+          explode(entries).as("e"))
+        .select(col("qualid"), col("range_start"), col("range_end"),
+          col("e.ranking").as("ranking"), col("e.rank").as("rank"),
+          col("e.v.constvalues").getItem(0).as("constvalue"),
+          col("e.v.occurences").as("occurences"),
+          col("e.v.execution_count").as("execution_count"),
+          col("e.v.nbfiltered").as("nbfiltered"))
+        .orderBy(col("qualid"), col("ranking"), col("rank"))
+        .localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -652,7 +721,8 @@ object PowaQueries {
     "q29_at_least_one_row" -> (q29 _),
     "q30_db_dimension_lifecycle" -> (q30 _),
     "q31_engine_roundtrip" -> (q31 _),
-    "q32_activity_readback" -> (q32 _))
+    "q32_activity_readback" -> (q32 _),
+    "q33_qualstats_roundtrip" -> (q33 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -996,6 +1066,46 @@ object PowaQueries {
          FROM events
          WHERE user_id % 4 = 1 AND ts < TIMESTAMP '2024-01-07 00:00:00'
          ORDER BY query_id""",
+    "q33_qualstats_roundtrip" -> {
+      val cols = "constvalue, occurences, execution_count, nbfiltered"
+      s"""WITH cv AS (
+            SELECT user_id AS qualid, event_type AS constvalue, ts,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   COALESCE(CAST(props->>'$$.k' AS BIGINT), 0) AS k
+            FROM events
+            WHERE user_id % 4 = 2 AND ts < TIMESTAMP '2024-01-06 00:00:00'),
+          g AS (
+            SELECT qualid, constvalue, MIN(ts) AS mints, MAX(ts) AS maxts,
+                   CAST(COUNT(*) AS BIGINT) AS occurences,
+                   CAST(SUM(k) AS BIGINT) AS execution_count,
+                   CAST(SUM(cents) AS BIGINT) AS nbfiltered,
+                   AVG(CAST(cents AS DOUBLE)) AS ratio,
+                   AVG(CAST(cents % 7 AS DOUBLE)) AS num
+            FROM cv GROUP BY 1, 2),
+          r AS (
+            SELECT *, COUNT(*) OVER W AS nb,
+              MIN(mints) OVER W AS range_start, MAX(maxts) OVER W AS range_end,
+              ROW_NUMBER() OVER (W ORDER BY occurences DESC, constvalue ASC) AS r_used,
+              ROW_NUMBER() OVER (W ORDER BY (CASE WHEN execution_count = 0 THEN 0
+                ELSE CAST(nbfiltered AS DOUBLE) / execution_count END) DESC,
+                constvalue ASC) AS r_filt,
+              ROW_NUMBER() OVER (W ORDER BY execution_count DESC, constvalue ASC) AS r_exec,
+              ROW_NUMBER() OVER (W ORDER BY ratio DESC, constvalue ASC) AS r_ratio,
+              ROW_NUMBER() OVER (W ORDER BY num DESC, constvalue ASC) AS r_num
+            FROM g WINDOW W AS (PARTITION BY qualid))
+          SELECT qualid, range_start, range_end, 'most_used' AS ranking, CAST(r_used AS INT) AS rank, $cols FROM r WHERE r_used <= 20
+          UNION ALL
+          SELECT qualid, range_start, range_end, 'most_filtering', CAST(r_filt AS INT), $cols FROM r WHERE r_filt <= 20
+          UNION ALL
+          SELECT qualid, range_start, range_end, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM r WHERE r_filt > nb - 20
+          UNION ALL
+          SELECT qualid, range_start, range_end, 'most_executed', CAST(r_exec AS INT), $cols FROM r WHERE r_exec <= 20
+          UNION ALL
+          SELECT qualid, range_start, range_end, 'most_errestim_ratio', CAST(r_ratio AS INT), $cols FROM r WHERE r_ratio <= 20
+          UNION ALL
+          SELECT qualid, range_start, range_end, 'most_errestim_num', CAST(r_num AS INT), $cols FROM r WHERE r_num <= 20
+          ORDER BY qualid, ranking, rank"""
+    },
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
