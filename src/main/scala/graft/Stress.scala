@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Coalesce, DeltaRate, Readback}
+
+/** Scale-stress main: multiply the sf0.1 events stream N× (more
+  * servers × more entities — the realistic growth axis) and measure the
+  * signature operators end to end. This is the local stand-in for the
+  * 100 TB question: coalesce and readback are linear hash-aggregations/
+  * scans keyed by (srvid, entity), so rows/sec should hold roughly flat
+  * as SPARK_GRAFT_MULT grows — a super-linear fall-off would flag a
+  * shuffle or memory cliff. Run:
+  *
+  *   SPARK_GRAFT_MULT=50 sbt "runMain graft.Stress"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // N× the stream: rep r shifts the entity id space and the server id,
+    // so cardinality grows with volume (the realistic fleet-growth shape;
+    // a pure row-duplication would just deepen per-key arrays instead)
+    val ev = EventsSource.current(spark, sfDir)
+    val big = ev.crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(
+        ((col("srvid") + (col("rep") % 16) * 4)).cast("int").as("srvid"),
+        (col("user_id") + col("rep") * 1000000L).as("user_id"),
+        col("event_type"), col("record"))
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val n = big.count()
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val (coalesceSec, histRows) =
+      timed(Coalesce.aggregate(big, EventsSource.spec).count())
+
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val hist = Coalesce.aggregate(
+      big.filter(col("record.ts") < split), EventsSource.spec)
+    val (readbackSec, seriesRows) = timed(
+      DeltaRate.withRates(
+        Readback.series(
+          big.filter(col("record.ts") >= split), hist, EventsSource.spec,
+          lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+          lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))),
+        EventsSource.spec).count())
+
+    val json =
+      s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
+      s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
+      s""""hist_rows":$histRows,""" +
+      s""""readback_sec":$readbackSec,"readback_rows_per_sec":${(seriesRows / readbackSec).toLong},""" +
+      s""""series_rows":$seriesRows,"sf":"$sfDir"}"""
+    spark.stop()
+    println(json)
+  }
+}
