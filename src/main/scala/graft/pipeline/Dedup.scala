@@ -170,6 +170,42 @@ object Dedup {
       .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
   }
 
+  /** Resolve near-dup PAIRS into dedup DECISIONS: connected components
+    * over the pair graph, labeling every document with the minimum doc
+    * id of its component (the canonical keeper). Min-label propagation:
+    * each round every node takes the smallest label among itself and
+    * its neighbors; converges in graph-diameter rounds. Near-dup
+    * components are dense and shallow (diameter ~2-3), so the round
+    * count stays tiny even at 10^9 docs — for adversarially deep chain
+    * graphs the large-star/small-star variant (O(log n) rounds) slots
+    * into the same loop. Each round is one broadcast-or-shuffle join on
+    * the edge list + a min-aggregation; driver only sees the converged
+    * flag, never the data. */
+  def connectedComponents(
+      edges: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+    val sym = edges.select(col("i").as("a"), col("j").as("b"))
+      .union(edges.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym
+        .join(labels.select(col("id").as("a"), col("lbl").as("albl")), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min(col("albl")).as("nlbl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("is_keeper"))
+  }
+
   /** SimHash over distinct tokens: `bits`-wide (≤ 48 so the value and all
     * shifts stay positive in both engines). Per-row fold over the token
     * array — a weighted bit-vote per token, assembled into one long. */

@@ -119,6 +119,17 @@ object PipelineQueries {
         tables = 2)
       .orderBy(col("i"), col("j"))
 
+  // pair list -> dedup decisions: connected components over the
+  // minhash near-dup pairs, min-doc_id canonical keeper per cluster
+  private def p16(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+    Dedup.connectedComponents(pairs.select(col("i"), col("j")),
+        docs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -188,6 +199,29 @@ object PipelineQueries {
     s"list_aggregate(list_transform(range(0, 64), i -> v[i+1] * ($w)), 'sum') AS proj$p"
   }.mkString(", ")
 
+  /** The minhash-LSH CTE chain through candidate pairs + hashed shingle
+    * sets (shared by p06 verification and p16 clustering). */
+  private lazy val minhashCtes: String = {
+    val mod = Dedup.MinhashMod
+    val mins = (0 until 16)
+      .map(i => s"MIN((hbase * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $mod) AS m$i")
+      .mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"m${4 * b + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${h60Sql(parts)} AS bsig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""$shinglesCte,
+        hb AS (SELECT doc_id, ${h60Sql("shingle")} % $mod AS hbase FROM e),
+        shh AS (SELECT doc_id, list_distinct(list_transform(sh,
+                  s -> ${h60Sql("s")} % $mod)) AS sh FROM sh),
+        mh AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+        bands AS ($bands),
+        cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+  }
+
   /** Seeded per-table variant (Similarity.planeWeights(table, plane)). */
   private def lshProjSqlSeeded(table: Int, planes: Int): String =
     (0 until planes).map { p =>
@@ -215,7 +249,8 @@ object PipelineQueries {
     "p12_cosine_neardup" -> (p12 _),
     "p13_token_docfreq" -> (p13 _),
     "p14_cosine_ivf" -> (p14 _),
-    "p15_cosine_multitable" -> (p15 _))
+    "p15_cosine_multitable" -> (p15 _),
+    "p16_dedup_clusters" -> (p16 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -273,32 +308,31 @@ object PipelineQueries {
           FROM p
           WHERE floor((inter2::DOUBLE / (na2 + nb2 - inter2)::DOUBLE) * 1000000.0) >= 800000
           ORDER BY i, j""",
-    "p06_minhash_lsh" -> {
-      val mod = Dedup.MinhashMod
-      val mins = (0 until 16)
-        .map(i => s"MIN((hbase * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % $mod) AS m$i")
-        .mkString(", ")
-      val bands = (0 until 4).map { b =>
-        val parts = (0 until 4).map(r => s"m${4 * b + r}::VARCHAR")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, ${h60Sql(parts)} AS bsig FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH $shinglesCte,
-          hb AS (SELECT doc_id, ${h60Sql("shingle")} % $mod AS hbase FROM e),
-          shh AS (SELECT doc_id, list_distinct(list_transform(sh,
-                    s -> ${h60Sql("s")} % $mod)) AS sh FROM sh),
-          mh AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
-          bands AS ($bands),
-          cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+    "p06_minhash_lsh" ->
+      s"""WITH $minhashCtes
           $verifySql
           FROM cand JOIN shh sa ON sa.doc_id = i JOIN shh sb ON sb.doc_id = j
           WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                 (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
-          ORDER BY i, j"""
-    },
+          ORDER BY i, j""",
+    "p16_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j
+                    FROM cand JOIN shh sa ON sa.doc_id = i
+                              JOIN shh sb ON sb.doc_id = j
+                    WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                          * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+          SELECT node AS doc_id, MIN(lbl) AS cluster,
+                 MIN(lbl) = node AS is_keeper
+          FROM reach GROUP BY node ORDER BY doc_id""",
     "p07_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM simh ORDER BY doc_id""",

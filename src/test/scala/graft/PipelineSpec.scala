@@ -87,6 +87,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("connected components: chains collapse to min label, singletons keep") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // chain 5-4-3-2 (diameter 3), pair (10,11), singleton 20
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (10L, 11L)).toDF("i", "j")
+    val nodes = Seq(2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    val out = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (2L, 2L, true), (3L, 2L, false), (4L, 2L, false), (5L, 2L, false),
+      (10L, 10L, true), (11L, 10L, false), (20L, 20L, true)))
+  }
+
   test("multimodal stub: metadata + fixed-width features per asset") {
     val assets = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
