@@ -106,6 +106,7 @@ final class Registry {
     require(srvid != 0, "cannot delete the local server")
     servers.remove(srvid); metas.remove(srvid)
     enabled.keys.filter(_._1 == srvid).toSeq.foreach(enabled.remove)
+    dbModules.keys.filter(_._1 == srvid).toSeq.foreach(dbModules.remove)
   }
 
   def server(srvid: Int): ServerConfig =
@@ -133,51 +134,62 @@ final class Registry {
   }
 
   // ---- db-module dbnames algebra (powa_{activate,deactivate}_db_module,
-  //      powa--5.2.0.sql:2397-2567): a db module is enabled either for
-  //      ALL databases (empty dbnames) or for an explicit name list;
-  //      activation merges names, deactivation removes them
-  //      (`unnest(dbnames) EXCEPT unnest(_dbnames)`, :2540-2545) and
-  //      drops the row when the list empties.
-  private val dbModules = mutable.Map[(Int, String), Option[Vector[String]]]()
+  //      powa--5.2.0.sql:2397-2567; transition script sql/03_db_module.sql):
+  //      a CONFIGURED db module is enabled for ALL databases (dbnames
+  //      NULL), enabled for an explicit name list, or disabled (row kept,
+  //      enabled=false). Activation REPLACES the dbnames (`SET enabled =
+  //      true, dbnames = databases`, :2443-2446 — no merge); specific
+  //      deactivation removes names via EXCEPT (:2540-2545) and flips to
+  //      disabled when the list empties.
+  sealed trait DbModuleState
+  case object DbAll extends DbModuleState
+  final case class DbNames(names: Vector[String]) extends DbModuleState
+  case object DbDisabled extends DbModuleState
 
-  /** Activate for all dbs (dbnames = None) or add specific names. */
+  private val dbModules = mutable.Map[(Int, String), DbModuleState]()
+
+  def dbModuleState(srvid: Int, module: String): Option[DbModuleState] =
+    dbModules.get((srvid, module))
+
+  /** Activate for all dbs (dbnames = None) or for exactly `dbnames` —
+    * the stored list is REPLACED, not merged (:2443-2446). */
   def activateDbModule(srvid: Int, module: String,
-      dbnames: Option[Seq[String]] = None): Unit = {
-    val key = (srvid, module)
-    (dbModules.get(key), dbnames) match {
-      case (_, None) => dbModules(key) = None          // all-db wins (:2494)
-      case (Some(None), Some(_)) => ()                  // already all-db
-      case (cur, Some(names)) =>
-        val existing = cur.flatten.getOrElse(Vector.empty)
-        dbModules(key) = Some((existing ++ names).distinct)
+      dbnames: Option[Seq[String]] = None): Unit =
+    dbModules((srvid, module)) = dbnames match {
+      case None => DbAll
+      case Some(names) => DbNames(names.toVector)
     }
-  }
 
-  /** Deactivate entirely (dbnames = None) or remove specific names. */
+  /** Deactivate entirely (dbnames = None → disabled row kept) or remove
+    * specific names (EXCEPT, :2540-2545; empties → disabled). */
   def deactivateDbModule(srvid: Int, module: String,
       dbnames: Option[Seq[String]] = None): Unit = {
     val key = (srvid, module)
     (dbModules.get(key), dbnames) match {
-      case (None, _) => ()
-      case (_, None) => dbModules.remove(key)
-      case (Some(None), Some(_)) =>
+      case (None, _) =>
+        // deactivating an unconfigured db module isn't supported (:2497-2499)
+        throw new IllegalStateException(s"db module $module is not configured")
+      case (Some(DbDisabled), _) => () // noop (:2503-2507)
+      case (_, None) => dbModules(key) = DbDisabled // (:2521-2529)
+      case (Some(DbAll), Some(_)) =>
         throw new IllegalStateException(
-          s"$module is enabled for all databases; deactivate globally first (:2530)")
-      case (Some(Some(existing)), Some(names)) =>
-        val left = existing.filterNot(names.contains) // EXCEPT (:2540-2545)
-        if (left.isEmpty) dbModules.remove(key)
-        else dbModules(key) = Some(left)
+          s"$module is enabled for all databases; deactivate globally first (:2510-2512)")
+      case (Some(DbNames(existing)), Some(names)) =>
+        if (!names.forall(existing.contains))
+          throw new IllegalStateException(
+            s"$module is not activated on all of ${names.mkString(",")} (:2516-2518)")
+        val left = existing.filterNot(names.contains).sorted // EXCEPT + sort (:2541)
+        dbModules(key) =
+          if (left.isEmpty) DbDisabled else DbNames(left)
     }
   }
 
   /** Is the module enabled for this database name? */
   def isDbModuleEnabled(srvid: Int, module: String, dbname: String): Boolean =
     dbModules.get((srvid, module)) match {
-      case None => false
-      case Some(None) => true
-      case Some(Some(names)) => names.contains(dbname)
+      case Some(DbAll) => true
+      case Some(DbNames(names)) => names.contains(dbname)
+      case _ => false
     }
 
-  def dbModuleDbnames(srvid: Int, module: String): Option[Option[Seq[String]]] =
-    dbModules.get((srvid, module)).map(_.map(_.toSeq))
 }

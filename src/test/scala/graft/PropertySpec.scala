@@ -88,24 +88,45 @@ class PropertySpec extends AnyFunSuite {
       r.configureServerJson(s, Map("powa_coalesce" -> "2")))
   }
 
-  test("dbnames algebra: activate/deactivate transitions") {
+  test("dbnames algebra: the sql/03_db_module.sql transition script") {
     val r = new Registry
     val s = r.registerServer(ServerConfig(id = 7, hostname = "h"))
-    val m = "pg_stat_all_tables"
-    assert(!r.isDbModuleEnabled(s, m, "db1"))
-    r.activateDbModule(s, m, Some(Seq("db1", "db2")))
-    assert(r.isDbModuleEnabled(s, m, "db1") && !r.isDbModuleEnabled(s, m, "db3"))
-    r.activateDbModule(s, m, Some(Seq("db2", "db3"))) // merge, dedup
-    assert(r.dbModuleDbnames(s, m) === Some(Some(Seq("db1", "db2", "db3"))))
-    r.deactivateDbModule(s, m, Some(Seq("db2"))) // EXCEPT removal
-    assert(r.dbModuleDbnames(s, m) === Some(Some(Seq("db1", "db3"))))
-    r.deactivateDbModule(s, m, Some(Seq("db1", "db3"))) // empties → dropped
-    assert(r.dbModuleDbnames(s, m).isEmpty)
-    r.activateDbModule(s, m) // all-db
-    assert(r.isDbModuleEnabled(s, m, "anything"))
+    val m = "pg_stat_user_functions"
+    import r.{DbAll, DbNames, DbDisabled}
+
+    // default all-db config
+    r.activateDbModule(s, m)
+    assert(r.dbModuleState(s, m) === Some(DbAll))
+    // can't deactivate a specific db on an "all databases" config
     intercept[IllegalStateException](
-      r.deactivateDbModule(s, m, Some(Seq("db1"))))
+      r.deactivateDbModule(s, m, Some(Seq("test"))))
+    // activating a specific db on an all-db config switches to that db only
+    r.activateDbModule(s, m, Some(Seq("d1")))
+    assert(r.dbModuleState(s, m) === Some(DbNames(Vector("d1"))))
+    // activating a specific db on a specific-db config REPLACES it (:2443)
+    r.activateDbModule(s, m, Some(Seq("d2")))
+    assert(r.dbModuleState(s, m) === Some(DbNames(Vector("d2"))))
+    // deactivating without a list switches back to all-db, disabled
     r.deactivateDbModule(s, m)
-    assert(!r.isDbModuleEnabled(s, m, "anything"))
+    assert(r.dbModuleState(s, m) === Some(DbDisabled))
+    assert(!r.isDbModuleEnabled(s, m, "d2"))
+    // activating with multiple dbs re-enables with exactly those
+    r.activateDbModule(s, m, Some(Seq("d1", "d3", "d4")))
+    assert(r.dbModuleState(s, m) === Some(DbNames(Vector("d1", "d3", "d4"))))
+    // deactivating a specific db just removes it (EXCEPT, :2540-2545)
+    r.deactivateDbModule(s, m, Some(Seq("d3")))
+    assert(r.dbModuleState(s, m) === Some(DbNames(Vector("d1", "d4"))))
+    // can't deactivate a db that isn't activated
+    intercept[IllegalStateException](
+      r.deactivateDbModule(s, m, Some(Seq("d3"))))
+    // deactivating all remaining dbs flips to disabled
+    r.deactivateDbModule(s, m, Some(Seq("d1", "d4")))
+    assert(r.dbModuleState(s, m) === Some(DbDisabled))
+    // deactivating a deactivated module is a noop
+    r.deactivateDbModule(s, m, Some(Seq("d1", "d4")))
+    assert(r.dbModuleState(s, m) === Some(DbDisabled))
+    // deactivating an unconfigured module isn't supported
+    intercept[IllegalStateException](
+      r.deactivateDbModule(s, "pg_stat_all_indexes"))
   }
 }
