@@ -73,13 +73,25 @@ class GenericDatasource(val spec: DatasourceSpec) {
       if (store.hasPartition(name, tierCur, srvid)) { // no job when idle
         val cur = store.read(name, tierCur, currentNoSrvid(s))
           .filter(col("srvid") === srvid)
-        if (!cur.isEmpty) {
-          store.appendBucketed(name, tierHist, Coalesce.aggregate(cur, s))
-          store.dropPartition(name, tierCur, srvid)
-        }
+        if (!cur.isEmpty)
+          store.aggregateCommit(name, tierCur, tierHist,
+            srvid, Coalesce.aggregate(cur, s))
       }
     one(Current, History, spec)
     dbSpec.foreach(dbs => one(CurrentDb, HistoryDb, dbs))
+  }
+
+  /** Crash recovery: resolve any aggregate a previous run left inflight
+    * (roll back before the commit point, roll forward after — the
+    * single-transaction guarantee of the reference's aggregate,
+    * powa--5.2.0.sql:6047-6055, restored over plain files). */
+  def recover(store: Store): Unit = {
+    store.inflightSrvids(name, History)
+      .foreach(id => store.recoverAggregate(name, Current, History, id))
+    dbSpec.foreach { _ =>
+      store.inflightSrvids(name, HistoryDb)
+        .foreach(id => store.recoverAggregate(name, CurrentDb, HistoryDb, id))
+    }
   }
 
   /** Purge (generated `{ds}_purge`, :1542-1570): drop history rows whose
@@ -180,6 +192,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   private val byName = datasources.map(d => d.name -> d).toMap
 
   def datasource(name: String): GenericDatasource = byName(name)
+
+  /** Startup crash recovery: resolve aggregates left inflight by a
+    * previous process (pure directory probes when the store is clean). */
+  def recover(): Unit = datasources.foreach(_.recover(store))
+  recover()
 
   /** Remote collector landing: append staged rows (must carry srvid, ts,
     * keys, counters — the `*_src_tmp` shape). */

@@ -170,11 +170,16 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
     if (store.hasPartition(name, Constvalues, srvid)) {
       val cv = store.read(name, Constvalues, constvaluesSchema)
         .filter(col("srvid") === srvid)
-      if (!cv.isEmpty) {
-        store.appendBucketed(name, ConstvaluesHistory, aggregateConstvalues(cv))
-        store.dropPartition(name, Constvalues, srvid)
-      }
+      if (!cv.isEmpty)
+        store.aggregateCommit(name, Constvalues, ConstvaluesHistory,
+          srvid, aggregateConstvalues(cv))
     }
+  }
+
+  override def recover(store: Store): Unit = {
+    super.recover(store)
+    store.inflightSrvids(name, ConstvaluesHistory).foreach(id =>
+      store.recoverAggregate(name, Constvalues, ConstvaluesHistory, id))
   }
 
   /** `powa_qualstats_purge` (powa--5.2.0.sql:7236-7260) drops coalesced

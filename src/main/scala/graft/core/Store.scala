@@ -126,6 +126,100 @@ final class Store(val spark: SparkSession, root: String) {
   def dropPartition(ds: String, tier: String, srvid: Int): Unit =
     deleteRecursively(partDir(ds, tier, srvid))
 
+  // ---- atomic aggregate commit --------------------------------------
+  //
+  // The reference's aggregate runs `INSERT INTO history … ; DELETE FROM
+  // current …` inside ONE transaction (powa--5.2.0.sql:6047-6055). A
+  // bare appendBucketed + dropPartition pair leaves a crash window in
+  // which history holds the coalesced rows while current still holds the
+  // raw ones — a re-run would aggregate current again and DUPLICATE
+  // history. The commit protocol below restores exactly-once:
+  //
+  //   1. write the coalesced rows into a dot-prefixed INFLIGHT directory
+  //      inside the history tier (invisible to every Spark read);
+  //   2. drop the current partition — this is the commit point;
+  //   3. move the inflight month buckets into the visible history
+  //      partition; 4. delete the inflight dir.
+  //
+  // Recovery is deterministic from on-disk state alone: an inflight dir
+  // with current still present means the commit point was never reached →
+  // ROLL BACK (delete inflight; the next aggregate redoes the work); an
+  // inflight dir with current absent means the commit happened → ROLL
+  // FORWARD (finish the moves). On a cluster the same protocol is a
+  // Delta/Iceberg transactional REPLACE; here it is the filesystem form.
+
+  private def inflightDir(ds: String, histTier: String, srvid: Int): Path =
+    dir(ds, histTier).resolve(s".inflight_srvid=$srvid")
+
+  /** Atomically replace `current(srvid)` with its coalesced form appended
+    * into the bucketed `histTier`. `df` must carry `range_start` (for the
+    * month bucket) and belong entirely to `srvid`. */
+  def aggregateCommit(ds: String, curTier: String, histTier: String,
+      srvid: Int, df: DataFrame): Unit = {
+    recoverAggregate(ds, curTier, histTier, srvid) // resolve any stale run
+    val inflight = inflightDir(ds, histTier, srvid)
+    df.drop("srvid")
+      .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(inflight.toString)
+    dropPartition(ds, curTier, srvid) // commit point
+    promoteInflight(ds, histTier, srvid)
+  }
+
+  /** Steps 3–4: move inflight buckets into the visible partition. File
+    * moves are idempotent by name (Spark part files carry a UUID), so a
+    * crashed promotion can simply be re-run. */
+  private def promoteInflight(ds: String, histTier: String, srvid: Int): Unit = {
+    val inflight = inflightDir(ds, histTier, srvid)
+    if (!Files.isDirectory(inflight)) return
+    val dst = partDir(ds, histTier, srvid)
+    val children = Files.list(inflight)
+    try children.iterator().asScala.toList.foreach { b =>
+      val bn = b.getFileName.toString
+      if (bn.startsWith("bucket=")) {
+        val bdst = dst.resolve(bn)
+        if (!Files.isDirectory(bdst)) {
+          Files.createDirectories(bdst.getParent)
+          Files.move(b, bdst)
+        } else {
+          val parts = Files.list(b)
+          try parts.iterator().asScala.toList
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { f =>
+              Files.move(f, bdst.resolve(f.getFileName),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          finally parts.close()
+        }
+      }
+    } finally children.close()
+    deleteRecursively(inflight)
+  }
+
+  /** Resolve one (possibly crashed) aggregate: roll back if the commit
+    * point was not reached, roll forward if it was. Pure directory probes
+    * when nothing is inflight — safe to call every tick. */
+  def recoverAggregate(ds: String, curTier: String, histTier: String,
+      srvid: Int): Unit =
+    if (Files.isDirectory(inflightDir(ds, histTier, srvid))) {
+      if (hasPartition(ds, curTier, srvid))
+        deleteRecursively(inflightDir(ds, histTier, srvid)) // roll back
+      else promoteInflight(ds, histTier, srvid)              // roll forward
+    }
+
+  /** All srvids with an unresolved inflight aggregate in `histTier`. */
+  def inflightSrvids(ds: String, histTier: String): Seq[Int] = {
+    val d = dir(ds, histTier)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".inflight_srvid="))
+        .map(_.stripPrefix(".inflight_srvid=").toInt).toList
+      finally s.close()
+    }
+  }
+
   /** Drop a whole tier (global reset). */
   def dropTier(ds: String, tier: String): Unit = deleteRecursively(dir(ds, tier))
 

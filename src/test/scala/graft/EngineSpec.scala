@@ -428,4 +428,56 @@ class EngineSpec extends AnyFunSuite {
     assert(Specs.qualstats.counterCols.find(_.name == "mean_err_estimate_ratio")
       .get.rateColName === "mean_err_estimate_ratio")
   }
+
+  test("aggregate commit protocol: crash recovery is exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_commit").toString
+    val e = new Engine(spark, root)
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 40, hostname = "h", powaCoalesce = 100, retentionSec = 86400))
+    val ds = "powa_stat_bgwriter"
+    val d = e.datasource(ds)
+    (1 to 3).foreach { t =>
+      e.ingest(ds, bgwriterBatch(srvid, t))
+      e.takeSnapshot(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    assert(tierCount(e, ds, GenericDatasource.Current) === 3)
+
+    // crash BEFORE the commit point: inflight exists, current intact →
+    // recovery rolls back (deletes inflight); nothing reaches history
+    val inflight = java.nio.file.Paths.get(
+      root, ds, GenericDatasource.History, s".inflight_srvid=$srvid")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("junk"), "partial")
+    e.recover()
+    assert(!java.nio.file.Files.exists(inflight))
+    assert(tierCount(e, ds, GenericDatasource.Current) === 3)
+    assert(tierCount(e, ds, GenericDatasource.History) === 0)
+
+    // crash AFTER the commit point: coalesced rows fully staged inflight,
+    // current already dropped → recovery rolls forward into history
+    val cur = e.store.read(ds, GenericDatasource.Current,
+      GenericDatasource.currentNoSrvid(d.spec)).filter(col("srvid") === srvid)
+    graft.operators.Coalesce.aggregate(cur, d.spec)
+      .drop("srvid")
+      .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
+      .write.partitionBy("bucket").parquet(inflight.toString)
+    e.store.dropPartition(ds, GenericDatasource.Current, srvid)
+    e.recover()
+    assert(!java.nio.file.Files.exists(inflight))
+    assert(tierCount(e, ds, GenericDatasource.Current) === 0)
+    assert(tierCount(e, ds, GenericDatasource.History) === 1)
+    val packed = e.store.readBucketed(ds, GenericDatasource.History,
+      GenericDatasource.historyNoSrvid(d.spec))
+    assert(packed.select(size(col("records"))).head().getInt(0) === 3)
+    // recovery is idempotent — a second pass changes nothing
+    e.recover()
+    assert(tierCount(e, ds, GenericDatasource.History) === 1)
+
+    // the normal (uncrashed) path still aggregates current → history
+    e.ingest(ds, bgwriterBatch(srvid, 4))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:04:30"))
+    d.aggregate(e.store, srvid)
+    assert(tierCount(e, ds, GenericDatasource.Current) === 0)
+    assert(tierCount(e, ds, GenericDatasource.History) === 2)
+  }
 }
