@@ -206,6 +206,21 @@ object Dedup {
       (col("id") === col("lbl")).as("is_keeper"))
   }
 
+  /** Near-dup removal end-to-end — the operation a training pipeline
+    * actually ships: resolve the near-dup pair list into clusters
+    * ([[connectedComponents]]), keep the min-id canonical document per
+    * cluster, and return the surviving rows of `docs` (every singleton
+    * is its own keeper). The final step is a left-semi join on the id —
+    * broadcastable whenever the keeper set of *clustered* docs is small
+    * relative to the corpus, which is the common case. */
+  def removeNearDups(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val keepers = connectedComponents(pairs.select(col("i"), col("j")),
+        docs, idCol)
+      .filter(col("is_keeper"))
+    docs.join(keepers.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** SimHash over distinct tokens: `bits`-wide (≤ 48 so the value and all
     * shifts stay positive in both engines). Per-row fold over the token
     * array — a weighted bit-vote per token, assembled into one long. */

@@ -216,4 +216,23 @@ object Similarity {
         TextOps.ppm(cosine(col("vi"), col("vj"))).as("cos_ppm"))
       .filter(col("cos_ppm") >= thresholdPpm)
   }
+
+  /** Int8 scalar quantization of an embedding column: per-vector scale
+    * 127/max|x|, elements floor(x·scale) ∈ [−127, 127]. The standard 4×
+    * footprint cut before ANN indexing at scale. Pure projection — no
+    * shuffle, no join; at 100 TB it is scan-bound, so the interpreted
+    * higher-order functions are acceptable here (unlike in join keys,
+    * where the hot path demands codegen — see NativeFunctions). All
+    * math is float→double widening (exact) plus one double divide and
+    * multiply, reproduced bit-for-bit by the oracle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = (x: Column) => x.cast("double")
+    df.select(col(idCol), col(vecCol))
+      .withColumn("mx", array_max(transform(col(vecCol), x => abs(xd(x)))))
+      .withColumn("scale",
+        when(col("mx") === 0d, lit(1.0)).otherwise(lit(127.0) / col("mx")))
+      .select(col(idCol), col("scale"),
+        transform(col(vecCol), x => floor(xd(x) * col("scale")).cast("int"))
+          .as("qvec"))
+  }
 }

@@ -130,6 +130,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // deterministic curation: hash-seeded 50% Bernoulli thin, then a
+  // hash-ranked cap of 25 docs per language — reproducible sampling
+  // with zero RNG state, the step between dedup and training
+  private def p17(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedCap(
+        Sampling.bernoulliPpm(Tables.documents(s, d), "doc_id",
+          ppm = 500000L, seed = 1),
+        "lang", "doc_id", n = 25, seed = 0)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  // near-dup REMOVAL end-to-end: minhash pairs -> clusters -> keep the
+  // canonical min-id doc per cluster -> the surviving corpus
+  private def p18(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+    Dedup.removeNearDups(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // int8 scalar quantization of the embedding column (4x ANN footprint
+  // cut), exploded to (pos, q) rows for the exact oracle compare
+  private def p19(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"),
+        floor(col("scale") * 1000000.0).cast("long").as("scale_ppm"),
+        posexplode(col("qvec")).as(Seq("pos", "q")))
+      .select(col("vec_id"), col("scale_ppm"),
+        col("pos").cast("long").as("pos"), col("q"))
+      .orderBy(col("vec_id"), col("pos"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -250,7 +283,10 @@ object PipelineQueries {
     "p13_token_docfreq" -> (p13 _),
     "p14_cosine_ivf" -> (p14 _),
     "p15_cosine_multitable" -> (p15 _),
-    "p16_dedup_clusters" -> (p16 _))
+    "p16_dedup_clusters" -> (p16 _),
+    "p17_sample_stratified" -> (p17 _),
+    "p18_dedup_removal" -> (p18 _),
+    "p19_embedding_quantize" -> (p19 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -333,6 +369,55 @@ object PipelineQueries {
           SELECT node AS doc_id, MIN(lbl) AS cluster,
                  MIN(lbl) = node AS is_keeper
           FROM reach GROUP BY node ORDER BY doc_id""",
+    "p17_sample_stratified" ->
+      s"""WITH thin AS (
+            SELECT doc_id, lang FROM documents
+            WHERE ${h60Sql(1, "CAST(doc_id AS VARCHAR)")} % 1000000 < 500000),
+          r AS (
+            SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                ${h60Sql(0, "CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC)
+                AS sample_rank
+            FROM thin)
+          SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+          FROM r WHERE sample_rank <= 25
+          ORDER BY lang, sample_rank""",
+    "p18_dedup_removal" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j
+                    FROM cand JOIN shh sa ON sa.doc_id = i
+                              JOIN shh sb ON sb.doc_id = j
+                    WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                          * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+          keep AS (SELECT node FROM reach GROUP BY node
+                   HAVING MIN(lbl) = node)
+          SELECT d.doc_id, d.lang, d.n_chars
+          FROM documents d JOIN keep k ON k.node = d.doc_id
+          ORDER BY d.doc_id""",
+    "p19_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+          m AS (SELECT vec_id, v,
+                       list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+                FROM e),
+          s AS (SELECT vec_id, v,
+                       CASE WHEN mx = 0 THEN CAST(1 AS DOUBLE)
+                            ELSE CAST(127 AS DOUBLE) / mx END AS scale
+                FROM m)
+          SELECT vec_id,
+                 CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_ppm,
+                 CAST(i AS BIGINT) AS pos,
+                 CAST(floor(v[i + 1] * scale) AS INTEGER) AS q
+          FROM s, range(0, 64) AS t(i)
+          ORDER BY vec_id, pos""",
     "p07_simhash" ->
       s"""WITH $simhashCte
           SELECT doc_id, simhash FROM simh ORDER BY doc_id""",

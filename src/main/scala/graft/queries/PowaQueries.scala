@@ -689,6 +689,88 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.3/§2.11: the STATEMENTS datasource end-to-end — the flagship
+  //      pipeline (powa--5.2.0.sql:4006-4108) through the full engine:
+  //      daily staged batches with query text drive the MRU dimension
+  //      (touch + missing-insert), the per-entity current tier, and the
+  //      per-db rollup tier; tick 5 coalesces both tiers into history.
+  //      Output joins the dimension with per-key readback sums and the
+  //      per-db rollup readback — one frame proving dim, record, and
+  //      rollup sinks all preserve values through snapshot→aggregate→
+  //      readback. The oracle recomputes everything from events.
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q34")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 80, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400))
+      val spec = graft.spec.Specs.statements
+      val filled = Set("calls", "total_exec_time", "rows")
+      val rows = Tables.events(s, d)
+        .filter(col("user_id") % 4 === 3 &&
+          col("ts") < ts("2024-01-06 00:00:00"))
+        .select(
+          lit(srvid).as("srvid"), col("ts"),
+          col("user_id").as("queryid"),
+          (col("user_id") % 5).as("dbid"),
+          lit(true).as("toplevel"),
+          (col("user_id") % 3).as("userid"),
+          lit(1L).as("calls"),
+          evCents.cast("double").as("total_exec_time"),
+          evK.as("rows"),
+          date_trunc("day", col("ts")).as("batch"))
+        .select(col("*") +: spec.counterCols
+          .filterNot(c => filled.contains(c.name))
+          .map(c => lit(0).cast(c.dt).as(c.name)): _*)
+        .withColumn("query",
+          concat(lit("SELECT "), col("queryid").cast("string")))
+        .localCheckpoint()
+      val days = rows.select(col("batch")).distinct().orderBy(col("batch"))
+        .collect().map(_.getTimestamp(0))
+      days.foreach { day =>
+        e.ingest("powa_statements",
+          rows.filter(col("batch") === day).drop("batch"))
+        e.takeSnapshot(srvid,
+          new java.sql.Timestamp(day.getTime + 23L * 3600 * 1000))
+      }
+      val ds = e.datasource("powa_statements")
+        .asInstanceOf[graft.core.StatementsDatasource]
+      val from = java.sql.Timestamp.valueOf("2023-01-01 00:00:00")
+      val to = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+      val dim = ds.readDim(e.store, srvid)
+      val perKey = ds.readSeries(e.store, srvid, from, to)
+        .groupBy(col("queryid"), col("dbid"), col("userid"))
+        .agg(
+          sum(col("record.calls")).as("calls"),
+          sum(col("record.total_exec_time")).as("runtime"),
+          sum(col("record.rows")).as("rows_sum"))
+      val dbs = ds.dbSpec.get
+      val perDb = Readback.series(
+          e.store.read(ds.name, graft.core.GenericDatasource.CurrentDb,
+            graft.core.GenericDatasource.currentNoSrvid(dbs))
+            .filter(col("srvid") === srvid),
+          e.store.readBucketed(ds.name, graft.core.GenericDatasource.HistoryDb,
+            graft.core.GenericDatasource.historyNoSrvid(dbs))
+            .filter(col("srvid") === srvid),
+          dbs, lit(from), lit(to))
+        .groupBy(col("dbid"))
+        .agg(sum(col("record.calls")).as("db_calls"),
+          sum(col("record.total_exec_time")).as("db_runtime"))
+      dim.join(perKey, Seq("queryid", "dbid", "userid"))
+        .join(perDb, Seq("dbid"))
+        .select(col("queryid"), col("dbid"), col("userid"), col("query"),
+          col("last_present_ts"), col("calls"), col("runtime"),
+          col("rows_sum"), col("db_calls"), col("db_runtime"))
+        .orderBy(col("queryid"), col("dbid"), col("userid"))
+        .localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -722,7 +804,8 @@ object PowaQueries {
     "q30_db_dimension_lifecycle" -> (q30 _),
     "q31_engine_roundtrip" -> (q31 _),
     "q32_activity_readback" -> (q32 _),
-    "q33_qualstats_roundtrip" -> (q33 _))
+    "q33_qualstats_roundtrip" -> (q33 _),
+    "q34_statements_roundtrip" -> (q34 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1106,6 +1189,31 @@ object PowaQueries {
           SELECT qualid, range_start, range_end, 'most_errestim_num', CAST(r_num AS INT), $cols FROM r WHERE r_num <= 20
           ORDER BY qualid, ranking, rank"""
     },
+    "q34_statements_roundtrip" ->
+      """WITH ev AS (
+           SELECT user_id AS queryid, user_id % 5 AS dbid,
+                  user_id % 3 AS userid, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+           FROM events
+           WHERE user_id % 4 = 3 AND ts < TIMESTAMP '2024-01-06 00:00:00'),
+         per_key AS (
+           SELECT queryid, dbid, userid,
+                  CAST(COUNT(*) AS BIGINT) AS calls,
+                  SUM(CAST(cents AS DOUBLE)) AS runtime,
+                  CAST(SUM(k) AS BIGINT) AS rows_sum,
+                  MAX(DATE_TRUNC('day', ts)) + INTERVAL 23 HOUR AS last_present_ts
+           FROM ev GROUP BY 1, 2, 3),
+         per_db AS (
+           SELECT dbid, CAST(COUNT(*) AS BIGINT) AS db_calls,
+                  SUM(CAST(cents AS DOUBLE)) AS db_runtime
+           FROM ev GROUP BY 1)
+         SELECT k.queryid, k.dbid, k.userid,
+                'SELECT ' || CAST(k.queryid AS VARCHAR) AS query,
+                k.last_present_ts, k.calls, k.runtime, k.rows_sum,
+                d.db_calls, d.db_runtime
+         FROM per_key k JOIN per_db d USING (dbid)
+         ORDER BY queryid, dbid, userid""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec

@@ -121,4 +121,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) === "de")
     assert(out(3L) === "unknown")
   }
+
+  test("sampling: deterministic, bounded per group, thin before rank composes") {
+    val docs = Tables.documents(spark, sf)
+    val a = Sampling.bernoulliPpm(docs, "doc_id", 500000L, seed = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulliPpm(docs, "doc_id", 500000L, seed = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b) // hash-seeded: re-runs pick the same rows
+    val n = docs.count()
+    assert(math.abs(a.size.toDouble / n - 0.5) < 0.15) // ~ the asked rate
+    // a different seed picks a different (but equally deterministic) set
+    val c = Sampling.bernoulliPpm(docs, "doc_id", 500000L, seed = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== c)
+
+    val capped = Sampling.stratifiedCap(docs, "lang", "doc_id", n = 10)
+    val perGroup = capped.groupBy("lang").count()
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ <= 10))
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Sampling.stratifiedCap(docs, "lang", "doc_id", n = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("removeNearDups keeps exactly the min-id doc of every dup cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"), // cluster {1,2,3} via pairs below
+      (4L, "y"), (5L, "y"),            // cluster {4,5}
+      (6L, "z"))                       // singleton
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("i", "j")
+    val kept = Dedup.removeNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 6L))
+  }
+
+  test("quantizeInt8: range bound, max element saturates, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(3.0f, -2.0f, 1.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // |q| <= 127 everywhere; the max-|x| element hits exactly +/-127
+    q.values.foreach(v => assert(v.forall(x => x >= -127 && x <= 127)))
+    assert(q(1L)(1) === -127) // -1.0 is the max magnitude of vec 1
+    assert(q(3L)(0) === 127)
+    assert(q(2L) === Seq(0, 0, 0)) // zero vector: scale guard, no NaN
+  }
 }
