@@ -771,6 +771,64 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.11: CATALOG MIRRORS through the engine tick — remote-server
+  //      catalog staging imported by the per-tick catalog pass
+  //      (powa--5.2.0.sql:3663-3694, :5714-5787): full replace per
+  //      (srvid, dbid), freshness-filtered work list (a re-stage inside
+  //      the refresh window is skipped AND drained), pg_class-last
+  //      refresh stamping. Three phases over two dbids prove replace +
+  //      skip + stale-refresh; the oracle recomputes the surviving
+  //      mirror contents directly.
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q35")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 3, hostname = "remote", powaCoalesce = 5,
+        catalogRefreshSec = 86400)) // 1-day freshness window
+      val part = Tables.table(s, d, "part")
+      def cls(m: Int) = part.filter(col("p_partkey") % 7 === m)
+        .select(col("p_partkey").cast("long").as("oid"),
+          col("p_name").as("name"))
+      val region = Tables.table(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("oid"),
+          col("r_name").as("name"))
+      def t(x: String) = java.sql.Timestamp.valueOf(x)
+
+      // T1: initial import for both dbids
+      Seq(1L, 2L).foreach { dbid =>
+        e.catalogs.stage("pg_namespace", srvid, dbid, region)
+        e.catalogs.stage("pg_class", srvid, dbid, cls(0))
+      }
+      e.takeSnapshot(srvid, t("2024-01-01 00:00:00"))
+      // T2 (1 h later, inside the window): re-stage both — must be
+      // SKIPPED by the freshness filter and drained
+      Seq(1L, 2L).foreach { dbid =>
+        e.catalogs.stage("pg_class", srvid, dbid, cls(1))
+      }
+      e.takeSnapshot(srvid, t("2024-01-01 01:00:00"))
+      // T3 (2 days later, stale): re-stage dbid 1 only → replaced;
+      // dbid 2 keeps its T1 content
+      e.catalogs.stage("pg_namespace", srvid, 1L,
+        region.withColumn("name", upper(col("name"))))
+      e.catalogs.stage("pg_class", srvid, 1L, cls(2))
+      e.takeSnapshot(srvid, t("2024-01-03 00:00:00"))
+
+      val frames = for {
+        dbid <- Seq(1L, 2L); cat <- Seq("pg_class", "pg_namespace")
+      } yield e.catalogs.read(cat, srvid, dbid).get
+        .select(lit(dbid).as("dbid"), lit(cat).as("cat"),
+          col("oid"), col("name"))
+      frames.reduce(_ unionByName _)
+        .orderBy(col("cat"), col("dbid"), col("oid"))
+        .localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -805,7 +863,8 @@ object PowaQueries {
     "q31_engine_roundtrip" -> (q31 _),
     "q32_activity_readback" -> (q32 _),
     "q33_qualstats_roundtrip" -> (q33 _),
-    "q34_statements_roundtrip" -> (q34 _))
+    "q34_statements_roundtrip" -> (q34 _),
+    "q35_catalog_mirror" -> (q35 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1214,6 +1273,19 @@ object PowaQueries {
                 d.db_calls, d.db_runtime
          FROM per_key k JOIN per_db d USING (dbid)
          ORDER BY queryid, dbid, userid""",
+    "q35_catalog_mirror" ->
+      """SELECT 1 AS dbid, 'pg_class' AS cat, p_partkey AS oid, p_name AS name
+         FROM part WHERE p_partkey % 7 = 2
+         UNION ALL
+         SELECT 2, 'pg_class', p_partkey, p_name
+         FROM part WHERE p_partkey % 7 = 0
+         UNION ALL
+         SELECT 1, 'pg_namespace', CAST(r_regionkey AS BIGINT), upper(r_name)
+         FROM region
+         UNION ALL
+         SELECT 2, 'pg_namespace', CAST(r_regionkey AS BIGINT), r_name
+         FROM region
+         ORDER BY cat, dbid, oid""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
