@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.pipeline._
+
+/** Physical-plan shape assertions — pins the scale properties SCALE.md
+  * claims so a regression (a new shuffle, a lost pushdown, a join that
+  * stops broadcasting) fails a test instead of surfacing as a 100 TB
+  * slowdown. Plans are inspected AFTER an action so AQE has settled on
+  * the final plan.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    // AQE prints the final plan followed by the initial plan — assert on
+    // the final section only
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("quantizeInt8 and bernoulliPpm are shuffle-free projections") {
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sf),
+      "vec_id", "embedding")
+    assert(!finalPlan(q).contains("Exchange"), "quantize must not shuffle")
+    val b = Sampling.bernoulliPpm(Tables.documents(spark, sf), "doc_id", 500000L)
+    assert(!finalPlan(b).contains("Exchange"), "bernoulli must not shuffle")
+  }
+
+  test("coalesce aggregation is a single hash-agg shuffle") {
+    val hist = Coalesce.aggregate(
+      EventsSource.current(spark, sf), EventsSource.spec)
+    val plan = finalPlan(hist)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$plan")
+  }
+
+  test("readback range predicates push down to the parquet scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    try {
+      Coalesce.aggregate(EventsSource.current(spark, sf), EventsSource.spec)
+        .write.parquet(s"$root/hist")
+      val hist = spark.read.parquet(s"$root/hist")
+        .filter(col("range_start") <= lit(java.sql.Timestamp.valueOf(
+          "2024-01-20 00:00:00")) &&
+          col("range_end") >= lit(java.sql.Timestamp.valueOf(
+            "2024-01-10 00:00:00")))
+      hist.collect()
+      // read the scan's full pushed-filter list (the plan string elides it)
+      val pushed = hist.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata("PushedFilters")
+        }.getOrElse("")
+      assert(pushed.contains("LessThanOrEqual(range_start") &&
+        pushed.contains("GreaterThanOrEqual(range_end"),
+        s"range bounds must reach the scan, pushed: $pushed")
+    } finally {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
+  test("missing-entity anti-join against a small dimension broadcasts") {
+    // NOTE: the full-merge diff-sync itself is a FULL OUTER join, which
+    // Spark can never broadcast (BroadcastHashJoin supports no full
+    // outer) — acceptable because both sides are dimension-sized. The
+    // joins that touch FACT-scale data are the anti/semi detection
+    // joins, and those must broadcast the dimension:
+    import spark.implicits._
+    val dim = (1L to 50L).map(i => (i, s"db$i")).toDF("oid", "datname")
+    val src = (20L to 70L).map(i => (i, s"db$i")).toDF("oid", "datname")
+    val missing = src.join(dim, Seq("oid"), "left_anti") // q08 shape
+    val plan = finalPlan(missing)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"missing-entity detection must broadcast the dim, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"missing-entity detection must not sort-merge, plan:\n$plan")
+  }
+
+  test("brute-force cosine topk plan: broadcast query vector, no shuffle join") {
+    val p = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", queryId = 0L, k = 10)
+    val plan = finalPlan(p)
+    assert(!plan.contains("SortMergeJoin"),
+      s"query-vector join must broadcast, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not global sort, plan:\n$plan")
+  }
+}
