@@ -70,16 +70,23 @@ case class DotProduct(left: Expression, right: Expression)
 
 object NativeFunctions {
   val DotName = "graft_dot"
+  val H60Name = "graft_h60"
 
-  /** Register the expression in the session's function registry (the
+  /** Register the expressions in the session's function registry (the
     * supported route to a `Column` over a custom Expression). Idempotent.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      H60Name, exprs => Md5Prefix60Expr(exprs(0)), "scala_udf")
+  }
 
   /** Column-level dot product; caller must have registered the session. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Column-level native 60-bit hash; caller must have registered. */
+  def h60(c: Column): Column = call_function(H60Name, c)
 }
 
 /** SparkSessionExtensions hook: makes the engine's native functions
@@ -90,10 +97,16 @@ object NativeFunctions {
   * Scala API.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(NativeFunctions.DotName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, NativeFunctions.DotName),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(NativeFunctions.H60Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Md5Prefix60Expr].getName, NativeFunctions.H60Name),
+      (exprs: Seq[Expression]) => Md5Prefix60Expr(exprs(0))))
+  }
 }
