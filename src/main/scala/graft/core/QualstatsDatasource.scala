@@ -54,15 +54,19 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
       val n = staged.count()
       if (n > 0) {
         val idKeys = Seq("qualid", "queryid", "dbid", "userid")
-        // missing quals → dimension insert (:7126-7143)
+        // missing quals → dimension insert (:7126-7143). Unlike the
+        // statements dim there is no MRU touch here, so a tick that
+        // brings no new qual shapes (the steady state — dims stabilize
+        // fast) skips the dimension rewrite entirely.
         val dim = readDim(store, srvid)
         val missing = staged.select(
             col("qualid"), col("queryid"), col("dbid"), col("userid"),
             col("quals"))
           .join(dim, idKeys, "left_anti")
           .dropDuplicates(idKeys)
-        store.overwritePartition(name, Dim, srvid,
-          dim.unionByName(missing).withColumn("srvid", lit(srvid)))
+        if (!missing.isEmpty)
+          store.overwritePartition(name, Dim, srvid,
+            dim.unionByName(missing).withColumn("srvid", lit(srvid)))
 
         // per-qual metric records → generic current tier (:7144-7153)
         store.append(name, Current, staged.select(

@@ -80,4 +80,55 @@ object TextOps {
     * before the heavier near-dup stages. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** TF-IDF top-k terms per document, in EXACT RATIONAL FORM:
+    * `score = (tf × N × 1e6) div df` — pure integer arithmetic, so both
+    * engines agree bit-for-bit (a float `log` idf would diverge across
+    * libm implementations). Monotonic in tf/df exactly like the log
+    * form for ranking purposes. Two hash aggs (tf, df) + one join on
+    * token (vocabulary-sized — AQE broadcasts it when small) + one
+    * window for the per-doc rank. Overflow bound: tf × N × 1e6 must fit
+    * int64 — fine to ~10^12 token occurrences; shard the corpus id
+    * space beyond that. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.dropDuplicates("doc_id", "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.count() // corpus size: one scalar the pipeline knows
+    graft.operators.TopK.topKPerGroup(
+      tf.join(dfreq, "token")
+        .withColumn("score", expr(s"(tf * ${n}L * 1000000L) div df")),
+      groupKeys = Seq(col("doc_id")),
+      orderBy = Seq(col("score").desc, col("token").asc),
+      k = k)
+  }
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every word k-gram,
+    * slide a w-wide window over the positions, keep each window's
+    * minimum hash, emit the distinct selected hashes per document. Two
+    * documents sharing a sufficiently long run of text share selected
+    * fingerprints regardless of alignment — the position-robust
+    * containment/plagiarism detector that set-based fingerprints
+    * (md5-of-sorted-tokens) can't provide. One window shuffle on
+    * doc_id; fingerprint density is ~2/(w+1) of the k-gram count. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), Hashing.h60(col("gram")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    pos.select(col("doc_id"), min(col("h")).over(win).as("fp"))
+      .distinct()
+  }
 }

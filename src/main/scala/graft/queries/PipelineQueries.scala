@@ -163,6 +163,20 @@ object PipelineQueries {
         col("pos").cast("long").as("pos"), col("q"))
       .orderBy(col("vec_id"), col("pos"))
 
+  // TF-IDF top terms per doc in exact rational form (integer
+  // (tf*N*1e6) div df — no float log, so both engines agree exactly)
+  private def p20(s: SparkSession, d: String): DataFrame =
+    TextOps.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  // winnowing fingerprints: 4-gram rolling hashes, 5-wide window minima
+  private def p21(s: SparkSession, d: String): DataFrame =
+    TextOps.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+        k = 4, w = 5)
+      .orderBy(col("doc_id"), col("fp"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -286,7 +300,9 @@ object PipelineQueries {
     "p16_dedup_clusters" -> (p16 _),
     "p17_sample_stratified" -> (p17 _),
     "p18_dedup_removal" -> (p18 _),
-    "p19_embedding_quantize" -> (p19 _))
+    "p19_embedding_quantize" -> (p19 _),
+    "p20_tfidf_topterms" -> (p20 _),
+    "p21_winnow_fingerprints" -> (p21 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -401,6 +417,39 @@ object PipelineQueries {
           SELECT d.doc_id, d.lang, d.n_chars
           FROM documents d JOIN keep k ON k.node = d.doc_id
           ORDER BY d.doc_id""",
+    "p20_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS token
+                     FROM documents),
+          tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM t GROUP BY 1, 2),
+          d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq
+                FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY 1),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+          sc AS (SELECT doc_id, token,
+                        (tf * n.n * 1000000) // d.dfreq AS score
+                 FROM tf JOIN d USING (token), n),
+          r AS (SELECT doc_id, token, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, token ASC) AS rank
+                FROM sc)
+          SELECT doc_id, CAST(rank AS INTEGER) AS rank, token,
+                 CAST(score AS BIGINT) AS score
+          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "p21_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          g0 AS (SELECT doc_id,
+                        list_transform(range(0, GREATEST(len(toks) - 3, 0)),
+                          i -> array_to_string(toks[i+1:i+4], ' ')) AS grams
+                 FROM t),
+          g AS (SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+                       ${h60Sql("unnest(grams)")} AS h
+                FROM g0),
+          w AS (SELECT doc_id,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+                FROM g)
+          SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
     "p19_embedding_quantize" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

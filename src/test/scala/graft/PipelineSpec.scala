@@ -158,6 +158,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === Set(1L, 4L, 6L))
   }
 
+  test("tfidf rational form ranks a repeated rare term over corpus-wide terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the zebra zebra zebra zebra"),
+      (2L, "the quick brown fox"),
+      (3L, "the lazy dog sleeps"))
+      .toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "token").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "the" appears in all 3 docs (df=3); "zebra" only in doc 1 (df=1)
+    assert(top(1L) === "zebra")
+  }
+
+  test("winnowing: shared text runs share fingerprints, disjoint text shares none") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words here $shared"),
+      (2L, s"$shared completely different tail text"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "shared run must overlap")
+    assert((fp(1L) intersect fp(3L)).isEmpty, "disjoint text must not")
+    // determinism: identical input -> identical selected set
+    val again = TextOps.winnowFingerprints(docs, "doc_id", "text", 4, 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(again === fp)
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(
