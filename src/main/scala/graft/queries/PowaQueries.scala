@@ -829,6 +829,67 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.10/§2.11: MULTI-SERVER FLEET isolation — three servers with
+  //      different powa_coalesce settings ingest disjoint slices and
+  //      tick through the same engine; the `srvid % 20` de-phasing puts
+  //      them on different aggregate schedules, so at read time each
+  //      server's data sits in a different current/history mix. The
+  //      readback sums must still equal a direct recomputation of each
+  //      server's own slice — value preservation AND tenant isolation
+  //      in one oracle-checked frame.
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q36")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val servers = Seq((41, 0, 5), (62, 1, 6), (83, 2, 7))
+      servers.foreach { case (id, _, coal) =>
+        e.registry.registerServer(graft.core.ServerConfig(
+          id = id, hostname = s"h$id", powaCoalesce = coal,
+          retentionSec = 3650L * 86400))
+      }
+      val base = Tables.events(s, d)
+        .filter(col("ts") < ts("2024-01-08 00:00:00"))
+        .select(col("ts"), col("user_id"), col("event_id"), evCents.as("cents"),
+          date_trunc("day", col("ts")).as("batch"))
+        .localCheckpoint()
+      val days = base.select(col("batch")).distinct().orderBy(col("batch"))
+        .collect().map(_.getTimestamp(0))
+      days.foreach { day =>
+        servers.foreach { case (id, m, _) =>
+          val slice = base
+            .filter(col("batch") === day && col("user_id") % 3 === m)
+            .select(
+              lit(id).as("srvid"), col("ts"),
+              col("cents").as("buffers_clean"),
+              lit(1L).as("maxwritten_clean"),
+              col("event_id").as("buffers_backend"),
+              lit(0L).as("buffers_backend_fsync"),
+              lit(0L).as("buffers_alloc"))
+          e.ingest("powa_stat_bgwriter", slice)
+          e.takeSnapshot(id,
+            new java.sql.Timestamp(day.getTime + 23L * 3600 * 1000))
+        }
+      }
+      val from = java.sql.Timestamp.valueOf("2023-01-01 00:00:00")
+      val to = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+      val ds = e.datasource("powa_stat_bgwriter")
+      servers.map { case (id, _, _) =>
+        ds.readSeries(e.store, id, from, to)
+          .groupBy(col("srvid"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(col("record.buffers_clean")).as("sum_cents"),
+            sum(col("record.buffers_backend")).as("sum_event_id"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("srvid"))
+        .localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -864,7 +925,8 @@ object PowaQueries {
     "q32_activity_readback" -> (q32 _),
     "q33_qualstats_roundtrip" -> (q33 _),
     "q34_statements_roundtrip" -> (q34 _),
-    "q35_catalog_mirror" -> (q35 _))
+    "q35_catalog_mirror" -> (q35 _),
+    "q36_fleet_isolation" -> (q36 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1286,6 +1348,16 @@ object PowaQueries {
          SELECT 2, 'pg_namespace', CAST(r_regionkey AS BIGINT), r_name
          FROM region
          ORDER BY cat, dbid, oid""",
+    "q36_fleet_isolation" ->
+      """SELECT CASE user_id % 3 WHEN 0 THEN 41 WHEN 1 THEN 62 ELSE 83 END
+                  AS srvid,
+                CAST(COUNT(*) AS BIGINT) AS n_records,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+                CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+         FROM events
+         WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+         GROUP BY 1 ORDER BY srvid""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
