@@ -62,12 +62,53 @@ object Stress {
           lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))),
         EventsSource.spec).count())
 
+    // Dedup axis: the corpus multiplied the web-crawl way — every rep is
+    // a verbatim copy (heavy near-dup collisions, the worst case for LSH
+    // bucket sizes) except a third get a rep-specific token appended so
+    // cardinality also grows. MinHash+LSH end to end: signatures, banded
+    // candidates, verification.
+    val docs = Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" rep"), col("rep")))
+          .otherwise(col("text")).as("text"))
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val (minhashSec, dupPairs) = timed(
+      graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8).count())
+
+    // ANN axis: vectors multiplied with the planes rule applied — the
+    // bucket count must grow with the corpus for the in-bucket join to
+    // stay subquadratic (Similarity.planesForCorpus).
+    val vecs = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val nVecs = vecs.count()
+    val planes = graft.pipeline.Similarity.planesForCorpus(nVecs,
+      targetBucket = 256)
+    val (annSec, annPairs) = timed(
+      graft.pipeline.Similarity.cosineDupPairs(vecs, "vec_id", "embedding",
+        planes = planes, dim = 64, thresholdPpm = 950000L).count())
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
       s""""hist_rows":$histRows,""" +
       s""""readback_sec":$readbackSec,"readback_rows_per_sec":${(seriesRows / readbackSec).toLong},""" +
-      s""""series_rows":$seriesRows,"sf":"$sfDir"}"""
+      s""""series_rows":$seriesRows,""" +
+      s""""n_docs":$nDocs,"minhash_sec":$minhashSec,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},""" +
+      s""""dup_pairs":$dupPairs,""" +
+      s""""n_vecs":$nVecs,"ann_planes":$planes,"ann_sec":$annSec,""" +
+      s""""ann_vecs_per_sec":${(nVecs / annSec).toLong},"ann_pairs":$annPairs,""" +
+      s""""sf":"$sfDir"}"""
     spark.stop()
     println(json)
   }

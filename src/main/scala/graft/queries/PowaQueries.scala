@@ -890,6 +890,73 @@ object PowaQueries {
     }
   }
 
+  /** Staging-row shape for the q37 streaming source. */
+  private case class StreamBgRow(srvid: Int, ts: java.sql.Timestamp,
+    buffers_clean: Long, maxwritten_clean: Long, buffers_backend: Long,
+    buffers_backend_fsync: Long, buffers_alloc: Long)
+
+  // ---- §2.10: STRUCTURED STREAMING front-end under the driver gate —
+  //      the same daily-rollup math as q31 but fed through
+  //      StreamIngest: each micro-batch lands in staging and drives one
+  //      snapshot tick, the 5th tick fires the coalesce aggregate, and
+  //      the readback (current ∪ history + rates) must equal the oracle
+  //      recomputing directly from events. Proves the streaming path is
+  //      value-identical to the batch path.
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q37")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 20, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400))
+      val daily = Tables.events(s, d)
+        .filter(col("user_id") % 4 === 1 &&
+          col("ts") < ts("2024-01-06 00:00:00"))
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
+        .agg(
+          sum(evCents).as("buffers_clean"),
+          count(lit(1)).as("maxwritten_clean"),
+          sum(evK).as("buffers_backend"),
+          max(col("event_id")).as("buffers_backend_fsync"),
+          min(col("event_id")).as("buffers_alloc"))
+        .orderBy(col("ts"))
+        .collect() // 5 daily rows — the stream feeder, not the operator
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[StreamBgRow]
+      val ticks = daily.map(r =>
+        new java.sql.Timestamp(r.getTimestamp(0).getTime + 23L * 3600 * 1000))
+          .iterator
+      val q = graft.streaming.StreamIngest.attach(
+          e, "powa_stat_bgwriter", mem.toDF(),
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+          tickNow = () => ticks.next())
+        .start()
+      try {
+        daily.foreach { r =>
+          mem.addData(StreamBgRow(srvid, r.getTimestamp(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      e.readSeriesWithRates("powa_stat_bgwriter", srvid,
+          java.sql.Timestamp.valueOf("2023-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+        .select(col("record.ts").as("ts"),
+          col("record.buffers_clean").as("buffers_clean"),
+          col("record.maxwritten_clean").as("maxwritten_clean"),
+          col("record.buffers_backend").as("buffers_backend"),
+          col("intvl_sec"), col("buffers_clean_per_sec"))
+        .orderBy(col("ts"))
+        .localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -926,7 +993,8 @@ object PowaQueries {
     "q33_qualstats_roundtrip" -> (q33 _),
     "q34_statements_roundtrip" -> (q34 _),
     "q35_catalog_mirror" -> (q35 _),
-    "q36_fleet_isolation" -> (q36 _))
+    "q36_fleet_isolation" -> (q36 _),
+    "q37_stream_roundtrip" -> (q37 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1358,6 +1426,29 @@ object PowaQueries {
          FROM events
          WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
          GROUP BY 1 ORDER BY srvid""",
+    "q37_stream_roundtrip" ->
+      """WITH ev AS (
+           SELECT event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+           FROM events
+           WHERE user_id % 4 = 1 AND ts < TIMESTAMP '2024-01-06 00:00:00'),
+         w AS (SELECT DATE_TRUNC('day', ts) AS dts,
+                      CAST(SUM(cents) AS BIGINT) AS buffers_clean,
+                      COUNT(*) AS maxwritten_clean,
+                      CAST(SUM(k) AS BIGINT) AS buffers_backend
+               FROM ev GROUP BY 1),
+         r AS (SELECT dts, buffers_clean, maxwritten_clean, buffers_backend,
+                      CAST(epoch_us(dts) - epoch_us(LAG(dts) OVER w2) AS DOUBLE)
+                        / 1000000.0 AS intvl_sec,
+                      buffers_clean - LAG(buffers_clean) OVER w2 AS d_clean
+               FROM w WINDOW w2 AS (ORDER BY dts))
+         SELECT dts AS ts, buffers_clean, maxwritten_clean, buffers_backend,
+                intvl_sec,
+                CAST(d_clean AS DOUBLE) /
+                  (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END)
+                  AS buffers_clean_per_sec
+         FROM r ORDER BY ts""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
