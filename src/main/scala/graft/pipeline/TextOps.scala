@@ -107,6 +107,42 @@ object TextOps {
       k = k)
   }
 
+  /** Eval-set decontamination: flag training documents sharing any word
+    * n-gram with an evaluation document, with the shared-distinct-gram
+    * count as evidence. The join is an inverted index keyed by the
+    * 60-bit gram hash; the eval side is tiny relative to the corpus
+    * (thousands of docs vs billions), so it broadcasts and the train
+    * side streams through at scan speed — the shape this op needs at
+    * 100 TB. Long n-grams (8+) keep the index selective. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(as), Hashing.h60(col("g")).as("h"))
+    grams(train, "train_" + idCol).join(grams(eval, "eval_" + idCol), "h")
+      .groupBy(col("train_" + idCol), col("eval_" + idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Repetition ratio: 1 − distinct/total word n-grams, as ppm — the
+    * degenerate-text detector (looping generations, boilerplate spam).
+    * Pure per-row projection, no shuffle. */
+  def withRepetition(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("n_distinct_grams",
+        size(array_distinct(grams)).cast("long"))
+      .withColumn("rep_ppm",
+        when(col("n_grams") === 0, lit(0L)).otherwise(
+          ppm(lit(1.0d) - col("n_distinct_grams").cast("double") /
+            col("n_grams").cast("double"))))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every word k-gram,
     * slide a w-wide window over the positions, keep each window's
     * minimum hash, emit the distinct selected hashes per document. Two

@@ -177,6 +177,24 @@ object PipelineQueries {
         k = 4, w = 5)
       .orderBy(col("doc_id"), col("fp"))
 
+  // eval-set decontamination: train docs sharing an 8-gram with any
+  // eval doc (doc_id % 10 == 0 plays the eval set)
+  private def p22(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextOps.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+      .orderBy(col("train_doc_id"), col("eval_doc_id"))
+  }
+
+  // repetition ratio: degenerate-text detector (1 - distinct/total 3-grams)
+  private def p23(s: SparkSession, d: String): DataFrame =
+    TextOps.withRepetition(Tables.documents(s, d), "text", n = 3)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        col("rep_ppm"))
+      .orderBy(col("doc_id"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -302,7 +320,9 @@ object PipelineQueries {
     "p18_dedup_removal" -> (p18 _),
     "p19_embedding_quantize" -> (p19 _),
     "p20_tfidf_topterms" -> (p20 _),
-    "p21_winnow_fingerprints" -> (p21 _))
+    "p21_winnow_fingerprints" -> (p21 _),
+    "p22_decontamination" -> (p22 _),
+    "p23_repetition" -> (p23 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -450,6 +470,35 @@ object PipelineQueries {
                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
                 FROM g)
           SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
+    "p22_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          g0 AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          range(0, GREATEST(len(toks) - 7, 0)),
+                          i -> array_to_string(toks[i+1:i+8], ' '))) AS grams
+                 FROM t),
+          g AS (SELECT doc_id, ${h60Sql("unnest(grams)")} AS h FROM g0),
+          tr AS (SELECT doc_id AS train_doc_id, h FROM g WHERE doc_id % 10 <> 0),
+          ev AS (SELECT doc_id AS eval_doc_id, h FROM g WHERE doc_id % 10 = 0)
+          SELECT train_doc_id, eval_doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM tr JOIN ev USING (h)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p23_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(range(0, GREATEST(len(toks) - 2, 0)),
+                        i -> array_to_string(toks[i+1:i+3], ' ')) AS grams
+               FROM t)
+         SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+                CASE WHEN len(grams) = 0 THEN 0
+                     ELSE CAST(floor((1.0 - len(list_distinct(grams))::DOUBLE
+                       / len(grams)::DOUBLE) * 1000000.0) AS BIGINT)
+                END AS rep_ppm
+         FROM g ORDER BY doc_id""",
     "p19_embedding_quantize" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -192,6 +192,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === fp)
   }
 
+  test("decontamination flags exactly the train docs overlapping eval 8-grams") {
+    import spark.implicits._
+    val run = "a b c d e f g h" // one 8-gram
+    val train = Seq(
+      (1L, s"$run tail text here"), // shares the run
+      (2L, "completely different text with no overlap at all present"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"prefix words $run")).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 100L, 1L)))
+  }
+
+  test("repetition ratio: looped text scores high, varied text scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "ab")) // shorter than n -> 0 grams, guard path
+      .toDF("doc_id", "text")
+    val out = TextOps.withRepetition(docs, "text", n = 3)
+      .select("doc_id", "n_grams", "rep_ppm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._2 > 700000L) // 8 grams, only 2 distinct
+    assert(out(2L)._2 === 0L)
+    assert(out(3L) === ((0L, 0L)))
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(
