@@ -198,6 +198,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   def recover(): Unit = datasources.foreach(_.recover(store))
   recover()
 
+  /** `powa_log` analogue (powa--5.2.0.sql:1434, :1466): per-datasource
+    * "running X" / rowcount trace, emitted only when a sink is
+    * installed — the reference gates on its debug GUC the same way. */
+  @volatile var log: String => Unit = _ => ()
+
   /** Remote collector landing: append staged rows (must carry srvid, ts,
     * keys, counters — the `*_src_tmp` shape). */
   def ingest(dsName: String, df: DataFrame): Unit =
@@ -243,8 +248,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       // datasource launches zero Spark jobs (every snapshot consumes
       // the staging tier, so an absent partition means a no-op)
       try {
-        if (store.hasPartition(d.name, GenericDatasource.Staging, srvid))
-          d.snapshot(store, srvid, now)
+        if (store.hasPartition(d.name, GenericDatasource.Staging, srvid)) {
+          log(s"running ${d.name}_snapshot")
+          val n = d.snapshot(store, srvid, now)
+          log(s"${d.name}_snapshot - rowcount: $n")
+        }
       } catch { case e: Exception =>
         errors :+= s"${d.name}_snapshot: ${e.getMessage}" }
     }

@@ -126,6 +126,26 @@ final class Registry {
   def isEnabled(srvid: Int, dsName: String): Boolean =
     enabled.getOrElse((srvid, dsName), true)
 
+  /** Extension-backed datasources (powa_extension_functions rows,
+    * powa--5.2.0.sql:154-191) — the core `pg_stat_*` modules have no
+    * extension dependency and are never touched by extension sync. */
+  val extensionDatasources: Map[String, Seq[String]] = Map(
+    "pg_stat_statements" -> Seq("powa_statements"),
+    "pg_stat_kcache" -> Seq("powa_kcache"),
+    "pg_qualstats" -> Seq("powa_qualstats"),
+    "pg_wait_sampling" -> Seq("powa_wait_sampling"))
+
+  /** Event-trigger analogue (`powa_check_created_extensions` /
+    * `powa_check_dropped_extensions`, powa--5.2.0.sql:3329-3411): given
+    * the set of statistics extensions currently present on a server,
+    * auto-activate the datasources of newly present extensions and
+    * deactivate those of dropped ones. Unknown names are ignored, like
+    * the reference's "bail out if this isn't a known extension". */
+  def syncExtensions(srvid: Int, present: Set[String]): Unit =
+    extensionDatasources.foreach { case (ext, dss) =>
+      dss.foreach(ds => setEnabled(srvid, ds, present.contains(ext)))
+    }
+
   /** powa_get_server_retention resolution (:2942-2990): per-feature
     * override, else server retention, else global default. */
   def retentionSec(srvid: Int, feature: String): Long = {

@@ -429,6 +429,34 @@ class EngineSpec extends AnyFunSuite {
       .get.rateColName === "mean_err_estimate_ratio")
   }
 
+  test("extension sync auto-(de)activates extension-backed datasources") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 120, hostname = "h"))
+    assert(e.registry.isEnabled(srvid, "powa_kcache")) // default on
+    // drop pg_stat_kcache: its datasource deactivates, core modules stay
+    e.registry.syncExtensions(srvid,
+      Set("pg_stat_statements", "pg_qualstats", "pg_wait_sampling"))
+    assert(!e.registry.isEnabled(srvid, "powa_kcache"))
+    assert(e.registry.isEnabled(srvid, "powa_statements"))
+    assert(e.registry.isEnabled(srvid, "powa_stat_bgwriter")) // core module
+    // re-create it: reactivates
+    e.registry.syncExtensions(srvid, Set("pg_stat_statements",
+      "pg_stat_kcache", "pg_qualstats", "pg_wait_sampling"))
+    assert(e.registry.isEnabled(srvid, "powa_kcache"))
+  }
+
+  test("powa_log analogue traces per-datasource runs and rowcounts") {
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 140, hostname = "h", powaCoalesce = 5))
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    e.log = lines += _
+    e.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, 1))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:30"))
+    assert(lines.contains("running powa_stat_bgwriter_snapshot"))
+    assert(lines.contains("powa_stat_bgwriter_snapshot - rowcount: 1"))
+  }
+
   test("aggregate commit protocol: crash recovery is exactly-once") {
     val root = java.nio.file.Files.createTempDirectory("graft_commit").toString
     val e = new Engine(spark, root)
