@@ -83,6 +83,44 @@ class PlanSpec extends AnyFunSuite {
       s"missing-entity detection must not sort-merge, plan:\n$plan")
   }
 
+  test("stratified cap is a single window shuffle") {
+    val capped = Sampling.stratifiedCap(
+      Tables.documents(spark, sf), "lang", "doc_id", n = 10)
+    val plan = finalPlan(capped)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly the window shuffle, plan:\n$plan")
+  }
+
+  test("readback + rates: union is exchange-free, rates add one window shuffle") {
+    val root = java.nio.file.Files.createTempDirectory("graft_plan2").toString
+    try {
+      val e = new graft.core.Engine(spark, root)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 20, hostname = "h", powaCoalesce = 5))
+      import spark.implicits._
+      (1 to 6).foreach { t =>
+        e.ingest("powa_stat_bgwriter",
+          Seq((srvid, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$t:00"),
+            100L * t, 10L * t, 5L * t, 2L * t, 1L * t))
+            .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+              "buffers_backend", "buffers_backend_fsync", "buffers_alloc"))
+        e.takeSnapshot(srvid, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+      }
+      // history AND current both populated; the series union + explode
+      // must not shuffle, and the rate windows add exactly one exchange
+      val series = e.readSeriesWithRates("powa_stat_bgwriter", srvid,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
+      val plan = finalPlan(series)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected exactly the rate-window shuffle, plan:\n$plan")
+    } finally {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   test("brute-force cosine topk plan: broadcast query vector, no shuffle join") {
     val p = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", queryId = 0L, k = 10)
