@@ -957,6 +957,70 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.11: PER-FEATURE RETENTION through the engine purge —
+  //      powa_get_server_retention resolution (powa--5.2.0.sql:
+  //      2942-2990): bgwriter carries a 30-day feature override while
+  //      checkpointer inherits the 10-year server default. Both ingest
+  //      the same five January days (packed into history at tick 5)
+  //      plus a mid-March day; the tick-6 purge then drops ONLY
+  //      bgwriter's January history. The readback sums prove the purge
+  //      divergence and that the survivor is untouched.
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q38")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 20, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400,
+        featureRetention = Map("powa_stat_bgwriter" -> 30L * 86400)))
+      val base = Tables.events(s, d)
+        .filter(col("ts") < ts("2024-01-07 00:00:00"))
+        .select(col("ts"), col("user_id"), evCents.as("cents"), evK.as("k"))
+        // day 6 plays the "recent" batch: shift it to mid-March so the
+        // 30-day cutoff falls between it and the January history
+        .withColumn("ts", when(col("ts") >= ts("2024-01-06 00:00:00"),
+            col("ts") + expr("INTERVAL 70 DAYS")).otherwise(col("ts")))
+        .withColumn("batch", date_trunc("day", col("ts")))
+        .localCheckpoint()
+      val days = base.select(col("batch")).distinct().orderBy(col("batch"))
+        .collect().map(_.getTimestamp(0))
+      days.foreach { day =>
+        val slice = base.filter(col("batch") === day)
+        e.ingest("powa_stat_bgwriter", slice
+          .filter(col("user_id") % 4 === 2)
+          .select(lit(srvid).as("srvid"), col("ts"),
+            col("cents").as("buffers_clean"),
+            lit(1L).as("maxwritten_clean"), col("k").as("buffers_backend"),
+            lit(0L).as("buffers_backend_fsync"), lit(0L).as("buffers_alloc")))
+        e.ingest("powa_stat_checkpointer", slice
+          .filter(col("user_id") % 4 === 3)
+          .select(lit(srvid).as("srvid"), col("ts"),
+            col("k").as("num_timed"), lit(1L).as("num_requested"),
+            col("cents").cast("double").as("write_time"),
+            lit(0.0d).as("sync_time"), col("cents").as("buffers_written")))
+        e.takeSnapshot(srvid,
+          new java.sql.Timestamp(day.getTime + 23L * 3600 * 1000))
+      }
+      val from = java.sql.Timestamp.valueOf("2023-01-01 00:00:00")
+      val to = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+      val bg = e.datasource("powa_stat_bgwriter")
+        .readSeries(e.store, srvid, from, to)
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("record.buffers_clean")).as("sum_c"))
+        .select(lit("bgwriter").as("ds"), col("n_records"), col("sum_c"))
+      val cp = e.datasource("powa_stat_checkpointer")
+        .readSeries(e.store, srvid, from, to)
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("record.num_timed")).as("sum_c"))
+        .select(lit("checkpointer").as("ds"), col("n_records"), col("sum_c"))
+      bg.unionByName(cp).orderBy(col("ds")).localCheckpoint()
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -994,7 +1058,8 @@ object PowaQueries {
     "q34_statements_roundtrip" -> (q34 _),
     "q35_catalog_mirror" -> (q35 _),
     "q36_fleet_isolation" -> (q36 _),
-    "q37_stream_roundtrip" -> (q37 _))
+    "q37_stream_roundtrip" -> (q37 _),
+    "q38_feature_retention" -> (q38 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1449,6 +1514,20 @@ object PowaQueries {
                   (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END)
                   AS buffers_clean_per_sec
          FROM r ORDER BY ts""",
+    "q38_feature_retention" ->
+      """WITH ev AS (
+           SELECT ts, user_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+           FROM events WHERE ts < TIMESTAMP '2024-01-07 00:00:00'),
+         bg AS (SELECT 'bgwriter' AS ds, CAST(COUNT(*) AS BIGINT) AS n_records,
+                       CAST(SUM(cents) AS BIGINT) AS sum_c
+                FROM ev WHERE user_id % 4 = 2
+                  AND ts >= TIMESTAMP '2024-01-06 00:00:00'),
+         cp AS (SELECT 'checkpointer' AS ds, CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(k) AS BIGINT)
+                FROM ev WHERE user_id % 4 = 3)
+         SELECT * FROM bg UNION ALL SELECT * FROM cp ORDER BY ds""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
