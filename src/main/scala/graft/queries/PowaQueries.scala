@@ -1021,6 +1021,41 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.1/§2.3: kcache capture filters — dropped-database anti-join
+  //      against the databases dimension (powa--5.2.0.sql:6616-6618)
+  //      and ignored-users membership (:6612-6615), through the real
+  //      kcacheCapture adapter at kcache 2.2 (split plan/exec ladder).
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.table(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("oid"),
+        when(col("n_nationkey") % 5 === 0, ts("2024-01-01 00:00:00"))
+          .otherwise(lit(null).cast("timestamp")).as("dropped"))
+    val raw = Tables.events(s, d)
+      .filter(col("ts") < ts("2024-01-03 00:00:00"))
+      .select(
+        (col("user_id") % 25).as("dbid"), col("event_id").as("queryid"),
+        lit(true).as("top"), col("user_id").as("userid"),
+        col("event_type").as("rolname"),
+        evCents.as("exec_reads_src"), evK.as("exec_writes_src"))
+    val withCounters = ModuleSources.kcacheCounters.foldLeft(raw) {
+      case (df, c) => df
+        .withColumn(s"plan_$c",
+          lit(if (c.endsWith("time")) null else null)
+            .cast(if (c.endsWith("time")) "double" else "long"))
+        .withColumn(s"exec_$c", c match {
+          case "reads" => col("exec_reads_src")
+          case "writes" => col("exec_writes_src")
+          case _ if c.endsWith("time") => lit(0.0d)
+          case _ => lit(0L)
+        })
+    }
+    ModuleSources.kcacheCapture(withCounters, version = 202, databases = dim,
+        ignoredUsers = Seq("click"), ts = ts("2024-02-01 00:00:00"))
+      .select(col("dbid"), col("queryid"), col("userid"),
+        col("exec_reads"), col("exec_writes"))
+      .orderBy(col("queryid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -1059,7 +1094,8 @@ object PowaQueries {
     "q35_catalog_mirror" -> (q35 _),
     "q36_fleet_isolation" -> (q36 _),
     "q37_stream_roundtrip" -> (q37 _),
-    "q38_feature_retention" -> (q38 _))
+    "q38_feature_retention" -> (q38 _),
+    "q39_kcache_filters" -> (q39 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1528,6 +1564,18 @@ object PowaQueries {
                        CAST(SUM(k) AS BIGINT)
                 FROM ev WHERE user_id % 4 = 3)
          SELECT * FROM bg UNION ALL SELECT * FROM cp ORDER BY ds""",
+    "q39_kcache_filters" ->
+      """SELECT user_id % 25 AS dbid, event_id AS queryid,
+                user_id AS userid,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS exec_reads,
+                COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS exec_writes
+         FROM events
+         WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+           AND user_id % 25 NOT IN
+             (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)
+           AND event_type <> 'click'
+         ORDER BY queryid""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec

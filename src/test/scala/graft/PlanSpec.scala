@@ -121,6 +121,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the eval side, never sort-merges") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"train-side gram stream must not sort for the join, plan:\n$plan")
+  }
+
   test("brute-force cosine topk plan: broadcast query vector, no shuffle join") {
     val p = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", queryId = 0L, k = 10)
