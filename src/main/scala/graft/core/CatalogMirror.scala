@@ -30,33 +30,40 @@ final class CatalogMirror(spark: SparkSession, root: String) {
     "pg_proc" -> 4, "pg_language" -> 5, "pg_attribute" -> 6,
     "pg_class" -> 10)
 
+  /** In-memory cache of the per-(srvid, dbid) refresh stamp; the durable
+    * copy lives in a `_last_refresh` marker file next to the pg_class
+    * mirror (underscore-prefixed → invisible to Spark reads), so the
+    * freshness-skip behavior survives a process restart — like the
+    * reference persisting `last_refresh` in powa_catalog_databases
+    * (powa--5.2.0.sql:707-711). */
   private val refreshes =
-    scala.collection.mutable.Map[(Int, Long), java.sql.Timestamp]()
+    scala.collection.mutable.Map[(Int, Long), Option[java.sql.Timestamp]]()
 
   private def dir(cat: String, srvid: Int, dbid: Long) =
     Paths.get(root, "catalog", cat, s"srvid=$srvid", s"dbid=$dbid")
   private def stagingDir(cat: String, srvid: Int, dbid: Long) =
     Paths.get(root, "catalog_staging", cat, s"srvid=$srvid", s"dbid=$dbid")
+  private def refreshMarker(srvid: Int, dbid: Long) =
+    dir("pg_class", srvid, dbid).resolve("_last_refresh")
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-    }
+    AtomicSwap.deleteRecursively(p)
 
-  /** Replace one catalog's content for (srvid, dbid). */
+  /** Replace one catalog's content for (srvid, dbid) — an atomic pointer
+    * flip (AtomicSwap), so a dashboard reading the mirror never observes
+    * an absent catalog mid-import. */
   def replace(cat: String, srvid: Int, dbid: Long, df: DataFrame,
       ts: java.sql.Timestamp =
         new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
     require(catalogs.exists(_._1 == cat), s"unknown catalog $cat")
-    val tmp = Paths.get(root, "catalog", cat + s".tmp$srvid-$dbid")
-    df.write.mode("overwrite").parquet(tmp.toString)
     val dst = dir(cat, srvid, dbid)
-    deleteRecursively(dst)
     Files.createDirectories(dst.getParent)
-    Files.move(tmp, dst)
-    if (cat == "pg_class") // family-complete marker (:5762-5777)
-      refreshes((srvid, dbid)) = ts
+    AtomicSwap.replace(dst.getParent, s"dbid=$dbid")(
+      vdir => df.write.mode("overwrite").parquet(vdir.toString))
+    if (cat == "pg_class") { // family-complete marker (:5762-5777)
+      Files.writeString(refreshMarker(srvid, dbid), ts.getTime.toString)
+      refreshes((srvid, dbid)) = Some(ts)
+    }
   }
 
   /** Remote-collector landing zone — the `powa_catalog_*_src_tmp`
@@ -117,20 +124,30 @@ final class CatalogMirror(spark: SparkSession, root: String) {
     refreshes.keys.filter(_._1 == srvid).toSeq.foreach(refreshes.remove)
   }
 
+  /** Lazily loaded refresh stamp: in-memory cache first, then the
+    * durable marker file (absent = never refreshed). */
+  private def loadRefresh(srvid: Int, dbid: Long): Option[java.sql.Timestamp] =
+    refreshes.getOrElseUpdate((srvid, dbid), {
+      val m = refreshMarker(srvid, dbid)
+      if (Files.isRegularFile(m))
+        Some(new java.sql.Timestamp(Files.readString(m).trim.toLong))
+      else None
+    })
+
   def read(cat: String, srvid: Int, dbid: Long): Option[DataFrame] = {
     val d = dir(cat, srvid, dbid)
     if (Files.isDirectory(d)) Some(spark.read.parquet(d.toString)) else None
   }
 
   def lastRefresh(srvid: Int, dbid: Long): Option[java.sql.Timestamp] =
-    refreshes.get((srvid, dbid))
+    loadRefresh(srvid, dbid)
 
   /** Work-list filter (:725-745): dbids whose catalogs are fresh within
     * `maxAgeSec` are excluded from the next import round. */
   def staleDbids(srvid: Int, dbids: Seq[Long], maxAgeSec: Long,
       now: java.sql.Timestamp): Seq[Long] =
     dbids.filter { dbid =>
-      refreshes.get((srvid, dbid))
+      loadRefresh(srvid, dbid)
         .forall(ts => ts.getTime + maxAgeSec * 1000L < now.getTime)
     }
 }

@@ -37,6 +37,7 @@ class GenericDatasource(val spec: DatasourceSpec) {
     */
   def snapshot(store: Store, srvid: Int,
       now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Long = {
+    recoverPending(store, srvid)
     val staged = store.read(name, Staging, spec.stagingSchema)
       .filter(col("srvid") === srvid)
       .cache() // two outputs from one scan (SURVEY.md §7.4 item 6)
@@ -79,6 +80,19 @@ class GenericDatasource(val spec: DatasourceSpec) {
       }
     one(Current, History, spec)
     dbSpec.foreach(dbs => one(CurrentDb, HistoryDb, dbs))
+  }
+
+  /** Resolve any pending aggregate commit BEFORE new rows land in a
+    * current tier. This ordering is what makes roll-forward unambiguous:
+    * whenever a `.committed` marker exists, current can only hold rows
+    * that commit already coalesced, so recovery may drop it (see the
+    * Store commit-protocol invariant). Pure directory probes when the
+    * store is clean. Subclasses with extra current/history tier pairs
+    * (qualstats constvalues) extend it. */
+  protected def recoverPending(store: Store, srvid: Int): Unit = {
+    store.recoverAggregate(name, Current, History, srvid)
+    dbSpec.foreach(_ =>
+      store.recoverAggregate(name, CurrentDb, HistoryDb, srvid))
   }
 
   /** Crash recovery: resolve any aggregate a previous run left inflight
@@ -180,7 +194,7 @@ object GenericDatasource {
   *     (:3490-3497, :3696-3700).
   */
 final class Engine(val spark: SparkSession, storageRoot: String) {
-  val registry = new Registry
+  val registry = new Registry(Some(new RegistryStore(spark, storageRoot)))
   val store = new Store(spark, storageRoot)
   val catalogs = new CatalogMirror(spark, storageRoot)
   val datasources: Seq[GenericDatasource] =
@@ -210,9 +224,17 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
 
   /** Per-server snapshot locks — `powa_prevent_concurrent_snapshot`
     * (powa--5.2.0.sql:3413-3448): the reference takes `FOR UPDATE
-    * NOWAIT` on the server's metas row and raises if it's held; a
-    * tryLock'd mutex is the same fail-fast invariant (one concurrent
-    * tick per server, overlapping tickers error rather than queue). */
+    * NOWAIT` on the server's metas row and raises if it's held. The
+    * reference's lock is cross-connection, so a thread mutex alone is
+    * not parity: the guard here is a try-locked FILE lock under the
+    * store root (`_locks/srvid=N.lock`), which fails fast against a
+    * concurrent tick from ANY process sharing the store — plus the
+    * in-process mutex for a crisp same-JVM error (a second Engine in
+    * the same JVM surfaces as OverlappingFileLockException, also
+    * fail-fast). Overlapping tickers error rather than queue, exactly
+    * like NOWAIT. The lock also serializes the Store commit protocol's
+    * single-mutator assumption across processes (round-2 VERDICT
+    * item 2). */
   private val snapshotLocks =
     new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.locks.ReentrantLock]()
 
@@ -221,13 +243,26 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Int = {
     val server = registry.server(srvid)
     if (server.frequencySec == -1) return 0
+    def fail() = throw new IllegalStateException(
+      s"a concurrent snapshot is already running for server $srvid")
     val lock = snapshotLocks.computeIfAbsent(srvid,
       _ => new java.util.concurrent.locks.ReentrantLock())
-    if (!lock.tryLock())
-      throw new IllegalStateException(
-        s"a concurrent snapshot is already running for server $srvid")
-    try takeSnapshotLocked(srvid, now, server)
-    finally lock.unlock()
+    if (!lock.tryLock()) fail()
+    try {
+      val lockDir = java.nio.file.Paths.get(storageRoot, "_locks")
+      java.nio.file.Files.createDirectories(lockDir)
+      val ch = java.nio.channels.FileChannel.open(
+        lockDir.resolve(s"srvid=$srvid.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val fileLock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException =>
+          ch.close(); fail() }
+      if (fileLock == null) { ch.close(); fail() }
+      try takeSnapshotLocked(srvid, now, server)
+      finally { fileLock.release(); ch.close() }
+    } finally lock.unlock()
   }
 
   private def takeSnapshotLocked(srvid: Int, now: java.sql.Timestamp,
@@ -284,6 +319,9 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       errors ++= catalogs.snapshot(srvid, server.catalogRefreshSec, now)
 
     meta.errors ++= errors
+    // write the metas through — coalesce_seq (the cadence phase),
+    // snapts/aggts/purgets and accumulated errors survive restarts
+    registry.persistMetas()
     errors.size
   }
 
@@ -305,6 +343,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     catalogs.reset(srvid)
     val m = registry.meta(srvid)
     m.coalesceSeq = 0; m.errors = Vector.empty
+    registry.persistMetas()
   }
 
   /** powa_delete_and_purge_server (:2842-2888): config rows + all data. */

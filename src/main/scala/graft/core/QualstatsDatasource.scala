@@ -46,8 +46,14 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
     store.read(name, Dim, dimSchema)
       .filter(col("srvid") === srvid).drop("srvid")
 
+  override protected def recoverPending(store: Store, srvid: Int): Unit = {
+    super.recoverPending(store, srvid)
+    store.recoverAggregate(name, Constvalues, ConstvaluesHistory, srvid)
+  }
+
   override def snapshot(store: Store, srvid: Int,
       now: java.sql.Timestamp): Long = {
+    recoverPending(store, srvid)
     val staged = store.read(name, Staging, stagingFull)
       .filter(col("srvid") === srvid).cache()
     try {

@@ -45,7 +45,15 @@ final case class SnapshotMeta(
     var purgets: Option[java.sql.Timestamp] = None,
     var errors: Vector[String] = Vector.empty)
 
-final class Registry {
+/** `persistence = Some(RegistryStore)` makes every config mutation
+  * write-through to the store's `_registry/` parquet tables and loads
+  * them back at construction — the reference keeps all of this in
+  * ordinary tables, so registrations, `coalesce_seq` (the cadence
+  * phase) and accumulated errors survive restarts. `None` (the default)
+  * keeps the registry purely in-memory, for tests and ad-hoc use. */
+final class Registry(persistence: Option[RegistryStore] = None) {
+  import RegistryStore._
+
   private val servers = mutable.LinkedHashMap[Int, ServerConfig]()
   private val metas = mutable.Map[Int, SnapshotMeta]()
   /** (srvid, datasource) → enabled. Registration seeds all datasources
@@ -53,7 +61,24 @@ final class Registry {
   private val enabled = mutable.Map[(Int, String), Boolean]()
   private var nextId = 1
 
-  registerLocal()
+  private def saveServers(): Unit = persistence.foreach(
+    _.saveServers(servers.values.toSeq.map(serverRow)))
+  private def saveModules(): Unit = persistence.foreach(
+    _.saveModules(enabled.toSeq.map { case ((id, m), on) => ModuleRow(id, m, on) }))
+  private def saveDbModules(): Unit = persistence.foreach(
+    _.saveDbModules(dbModules.toSeq.map { case ((id, m), st) =>
+      st match {
+        case DbAll => DbModuleRow(id, m, "all", Seq.empty)
+        case DbNames(names) => DbModuleRow(id, m, "names", names)
+        case DbDisabled => DbModuleRow(id, m, "disabled", Seq.empty)
+      }
+    }))
+
+  /** Write the snapshot metas through to the store — the engine calls
+    * this once per tick, after snapts/aggts/purgets/errors settle
+    * (`UPDATE powa_snapshot_metas`, powa--5.2.0.sql:3490-3497). */
+  def persistMetas(): Unit = persistence.foreach(
+    _.saveMetas(metas.toSeq.map { case (id, m) => metaRow(id, m) }))
 
   private def registerLocal(): Unit = {
     servers(0) = ServerConfig(0, "", alias = Some("local"))
@@ -68,12 +93,15 @@ final class Registry {
     nextId = math.max(nextId, id + 1)
     servers(id) = cfg.copy(id = id)
     metas(id) = SnapshotMeta()
+    saveServers(); persistMetas()
     id
   }
 
   /** powa_configure_server: field-whitelisted patch (:2768-2783). */
-  def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit =
+  def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit = {
     servers(srvid) = patch(server(srvid))
+    saveServers()
+  }
 
   /** powa_configure_server(json): field-whitelisted JSON patch
     * (:2768-2783) — unknown keys raise, mirroring the reference's
@@ -107,6 +135,7 @@ final class Registry {
     servers.remove(srvid); metas.remove(srvid)
     enabled.keys.filter(_._1 == srvid).toSeq.foreach(enabled.remove)
     dbModules.keys.filter(_._1 == srvid).toSeq.foreach(dbModules.remove)
+    saveServers(); persistMetas(); saveModules(); saveDbModules()
   }
 
   def server(srvid: Int): ServerConfig =
@@ -117,7 +146,12 @@ final class Registry {
 
   /** powa_activate_module / powa_deactivate_module (:2597-2684);
     * name "powa" toggles everything (alias, :2612-2625). */
-  def setEnabled(srvid: Int, dsName: String, on: Boolean): Unit =
+  def setEnabled(srvid: Int, dsName: String, on: Boolean): Unit = {
+    setEnabled0(srvid, dsName, on)
+    saveModules()
+  }
+
+  private def setEnabled0(srvid: Int, dsName: String, on: Boolean): Unit =
     if (dsName == "powa") enabled.keys.filter(_._1 == srvid)
       .foreach(k => enabled(k) = on)
     else enabled((srvid, dsName)) = on
@@ -141,10 +175,12 @@ final class Registry {
     * auto-activate the datasources of newly present extensions and
     * deactivate those of dropped ones. Unknown names are ignored, like
     * the reference's "bail out if this isn't a known extension". */
-  def syncExtensions(srvid: Int, present: Set[String]): Unit =
+  def syncExtensions(srvid: Int, present: Set[String]): Unit = {
     extensionDatasources.foreach { case (ext, dss) =>
-      dss.foreach(ds => setEnabled(srvid, ds, present.contains(ext)))
+      dss.foreach(ds => setEnabled0(srvid, ds, present.contains(ext)))
     }
+    saveModules()
+  }
 
   /** powa_get_server_retention resolution (:2942-2990): per-feature
     * override, else server retention, else global default. */
@@ -174,11 +210,13 @@ final class Registry {
   /** Activate for all dbs (dbnames = None) or for exactly `dbnames` —
     * the stored list is REPLACED, not merged (:2443-2446). */
   def activateDbModule(srvid: Int, module: String,
-      dbnames: Option[Seq[String]] = None): Unit =
+      dbnames: Option[Seq[String]] = None): Unit = {
     dbModules((srvid, module)) = dbnames match {
       case None => DbAll
       case Some(names) => DbNames(names.toVector)
     }
+    saveDbModules()
+  }
 
   /** Deactivate entirely (dbnames = None → disabled row kept) or remove
     * specific names (EXCEPT, :2540-2545; empties → disabled). */
@@ -202,6 +240,7 @@ final class Registry {
         dbModules(key) =
           if (left.isEmpty) DbDisabled else DbNames(left)
     }
+    saveDbModules()
   }
 
   /** Is the module enabled for this database name? */
@@ -212,4 +251,21 @@ final class Registry {
       case _ => false
     }
 
+  // construction-time load — last in the class body so every map above
+  // is initialized before the persisted rows pour in
+  persistence match {
+    case Some(p) =>
+      p.loadServers().foreach(r => servers(r.srvid) = r.toConfig)
+      p.loadMetas().foreach(r => metas(r.srvid) = r.toMeta)
+      p.loadModules().foreach(r => enabled((r.srvid, r.module)) = r.enabled)
+      p.loadDbModules().foreach(r =>
+        dbModules((r.srvid, r.module)) = r.state match {
+          case "all" => DbAll
+          case "names" => DbNames(r.dbnames.toVector)
+          case _ => DbDisabled
+        })
+      nextId = servers.keys.foldLeft(0)(math.max) + 1
+      if (!servers.contains(0)) { registerLocal(); saveServers(); persistMetas() }
+    case None => registerLocal()
+  }
 }

@@ -31,6 +31,7 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
 
   override def snapshot(store: Store, srvid: Int,
       now: java.sql.Timestamp): Long = {
+    recoverPending(store, srvid)
     val staged = store.read(name, Staging, stagingWithQuery)
       .filter(col("srvid") === srvid)
     val n = staged.count()

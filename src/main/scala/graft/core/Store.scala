@@ -1,7 +1,6 @@
 package graft.core
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, date_format}
@@ -23,10 +22,10 @@ import org.apache.spark.sql.types.StructType
   * (powa--5.2.0.sql:2123).
   *
   * Mutation model: `*_src_tmp` drain and aggregate-then-delete become
-  * partition rewrites. The rewrite is write-new, swap-directory — the
-  * commit-marker ordering of SURVEY.md §7.4 item 2 (history append
-  * happens before current truncate; a re-run is idempotent because
-  * aggregate reads only what's still in current).
+  * partition rewrites. A rewrite is write-new + atomic pointer flip
+  * (AtomicSwap — concurrent readers never observe an absent partition);
+  * the aggregate's move of rows from `current` into `history` runs under
+  * the commit protocol below (SURVEY.md §7.4 item 2).
   */
 final class Store(val spark: SparkSession, root: String) {
 
@@ -108,23 +107,33 @@ final class Store(val spark: SparkSession, root: String) {
   /** Replace a single server's partition with `df` (rows must all belong
     * to that srvid). Equivalent of `DELETE … WHERE srvid = ?; INSERT …`.
     * Cluster path: Delta `REPLACE WHERE` / dynamic partition overwrite.
-    * `partitionCols` preserves sub-partitioning (e.g. history buckets). */
+    * `partitionCols` preserves sub-partitioning (e.g. history buckets).
+    *
+    * Concurrent-reader safety (the Delta-style pointer, done with the
+    * filesystem's own atomic pointer): the new data is written into a
+    * dot-prefixed VERSION directory (invisible to Spark reads), then the
+    * visible `srvid=N` name — a SYMLINK to the live version — is flipped
+    * with one atomic rename. A reader never observes an absent or
+    * half-written partition; a reader that already resolved the old
+    * version keeps reading it, because the previous version directory is
+    * retained until the NEXT swap (one-version GC lag, the local
+    * equivalent of Delta's vacuum retention). The only non-atomic moment
+    * is the one-time conversion of a legacy real directory into the
+    * symlink layout (two renames apart). */
   def overwritePartition(ds: String, tier: String, srvid: Int, df: DataFrame,
-      partitionCols: Seq[String] = Nil): Unit = {
-    val tmp = dir(ds, tier + s".tmp$srvid")
-    val w = df.drop("srvid").write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
-    dropPartition(ds, tier, srvid)
-    val dst = partDir(ds, tier, srvid)
-    Files.createDirectories(dst.getParent)
-    Files.move(tmp, dst)
-  }
+      partitionCols: Seq[String] = Nil): Unit =
+    AtomicSwap.replace(dir(ds, tier), s"srvid=$srvid") { vdir =>
+      val w = df.drop("srvid").write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(vdir.toString)
+    }
 
   /** Drop one server's partition — `DELETE FROM … WHERE srvid = ?`
-    * (e.g. staging drain powa--5.2.0.sql:4102-4104, reset :6359-6429). */
+    * (e.g. staging drain powa--5.2.0.sql:4102-4104, reset :6359-6429).
+    * Removes the live pointer first (readers stop seeing the partition
+    * atomically), then any version directories. */
   def dropPartition(ds: String, tier: String, srvid: Int): Unit =
-    deleteRecursively(partDir(ds, tier, srvid))
+    AtomicSwap.drop(dir(ds, tier), s"srvid=$srvid")
 
   // ---- atomic aggregate commit --------------------------------------
   //
@@ -137,19 +146,32 @@ final class Store(val spark: SparkSession, root: String) {
   //
   //   1. write the coalesced rows into a dot-prefixed INFLIGHT directory
   //      inside the history tier (invisible to every Spark read);
-  //   2. drop the current partition — this is the commit point;
-  //   3. move the inflight month buckets into the visible history
-  //      partition; 4. delete the inflight dir.
+  //   2. atomically rename INFLIGHT → COMMITTED — this single rename is
+  //      the commit point;
+  //   3. drop the current partition (its rows are now represented by the
+  //      committed coalesce);
+  //   4. move the committed month buckets into the visible history
+  //      partition; 5. delete the committed dir.
   //
-  // Recovery is deterministic from on-disk state alone: an inflight dir
-  // with current still present means the commit point was never reached →
-  // ROLL BACK (delete inflight; the next aggregate redoes the work); an
-  // inflight dir with current absent means the commit happened → ROLL
-  // FORWARD (finish the moves). On a cluster the same protocol is a
-  // Delta/Iceberg transactional REPLACE; here it is the filesystem form.
+  // Recovery is deterministic from on-disk state alone, regardless of
+  // what `current` contains: an INFLIGHT dir means the commit point was
+  // never reached → ROLL BACK (delete inflight; current is untouched and
+  // the next aggregate redoes the work); a COMMITTED dir means the
+  // commit happened → ROLL FORWARD (drop whatever is left of current,
+  // finish the moves). Roll-forward may drop current only because every
+  // path that adds NEW rows to a current tier resolves pending commits
+  // first (GenericDatasource.recoverPending at snapshot start, recover()
+  // at engine start, and aggregateCommit itself): whenever a COMMITTED
+  // marker exists, current can hold only rows that commit already
+  // coalesced. Without that ordering a transient promote failure
+  // followed by fresh snapshots would make roll-forward lossy (round-2
+  // ADVICE). On a cluster the same protocol is a Delta/Iceberg
+  // transactional REPLACE; here it is the filesystem form.
 
   private def inflightDir(ds: String, histTier: String, srvid: Int): Path =
     dir(ds, histTier).resolve(s".inflight_srvid=$srvid")
+  private def committedDir(ds: String, histTier: String, srvid: Int): Path =
+    dir(ds, histTier).resolve(s".committed_srvid=$srvid")
 
   /** Atomically replace `current(srvid)` with its coalesced form appended
     * into the bucketed `histTier`. `df` must carry `range_start` (for the
@@ -162,15 +184,17 @@ final class Store(val spark: SparkSession, root: String) {
       .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(inflight.toString)
-    dropPartition(ds, curTier, srvid) // commit point
-    promoteInflight(ds, histTier, srvid)
+    Files.move(inflight, committedDir(ds, histTier, srvid),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // commit point
+    dropPartition(ds, curTier, srvid)
+    promoteCommitted(ds, histTier, srvid)
   }
 
-  /** Steps 3–4: move inflight buckets into the visible partition. File
+  /** Steps 4–5: move committed buckets into the visible partition. File
     * moves are idempotent by name (Spark part files carry a UUID), so a
     * crashed promotion can simply be re-run. */
-  private def promoteInflight(ds: String, histTier: String, srvid: Int): Unit = {
-    val inflight = inflightDir(ds, histTier, srvid)
+  private def promoteCommitted(ds: String, histTier: String, srvid: Int): Unit = {
+    val inflight = committedDir(ds, histTier, srvid)
     if (!Files.isDirectory(inflight)) return
     val dst = partDir(ds, histTier, srvid)
     val children = Files.list(inflight)
@@ -197,25 +221,36 @@ final class Store(val spark: SparkSession, root: String) {
   }
 
   /** Resolve one (possibly crashed) aggregate: roll back if the commit
-    * point was not reached, roll forward if it was. Pure directory probes
-    * when nothing is inflight — safe to call every tick. */
+    * point was not reached, roll forward if it was — unambiguous from the
+    * marker alone, whatever `current` contains. Pure directory probes
+    * when nothing is pending — safe to call every tick. */
   def recoverAggregate(ds: String, curTier: String, histTier: String,
-      srvid: Int): Unit =
-    if (Files.isDirectory(inflightDir(ds, histTier, srvid))) {
-      if (hasPartition(ds, curTier, srvid))
-        deleteRecursively(inflightDir(ds, histTier, srvid)) // roll back
-      else promoteInflight(ds, histTier, srvid)              // roll forward
+      srvid: Int): Unit = {
+    // uncommitted write → roll back; the raw rows in current are intact
+    if (Files.isDirectory(inflightDir(ds, histTier, srvid)))
+      deleteRecursively(inflightDir(ds, histTier, srvid))
+    // committed → roll forward; current (if anything is left of it) holds
+    // only rows this commit coalesced — see the protocol invariant above
+    if (Files.isDirectory(committedDir(ds, histTier, srvid))) {
+      dropPartition(ds, curTier, srvid)
+      promoteCommitted(ds, histTier, srvid)
     }
+  }
 
-  /** All srvids with an unresolved inflight aggregate in `histTier`. */
+  /** All srvids with an unresolved (inflight or committed) aggregate in
+    * `histTier`. */
   def inflightSrvids(ds: String, histTier: String): Seq[Int] = {
     val d = dir(ds, histTier)
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val s = Files.list(d)
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(".inflight_srvid="))
-        .map(_.stripPrefix(".inflight_srvid=").toInt).toList
+        .collect {
+          case n if n.startsWith(".inflight_srvid=") =>
+            n.stripPrefix(".inflight_srvid=").toInt
+          case n if n.startsWith(".committed_srvid=") =>
+            n.stripPrefix(".committed_srvid=").toInt
+        }.toList.distinct
       finally s.close()
     }
   }
@@ -224,8 +259,5 @@ final class Store(val spark: SparkSession, root: String) {
   def dropTier(ds: String, tier: String): Unit = deleteRecursively(dir(ds, tier))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
+    AtomicSwap.deleteRecursively(p)
 }

@@ -408,6 +408,87 @@ class EngineSpec extends AnyFunSuite {
     assert(e.takeSnapshot(other, Timestamp.valueOf("2024-01-01 00:01:00")) === 0)
   }
 
+  test("registry/metas persistence: a second Engine on the same root " +
+      "resumes servers, cadence phase, module config and errors") {
+    val root = java.nio.file.Files.createTempDirectory("graft_persist").toString
+    val a = new Engine(spark, root)
+    val srvid = a.registry.registerServer(ServerConfig(
+      id = 20, hostname = "h1", alias = Some("prod"), powaCoalesce = 5,
+      retentionSec = 3600, featureRetention = Map("powa_statements" -> 7200)))
+    a.registry.setEnabled(srvid, "powa_kcache", false)
+    a.registry.activateDbModule(srvid, "pg_stat_all_tables",
+      Some(Seq("db1", "db2")))
+    // 3 ticks, one with an error (malformed staging batch)
+    import spark.implicits._
+    (1 to 2).foreach { t =>
+      a.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, t))
+      a.takeSnapshot(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    a.ingest("powa_stat_checkpointer",
+      Seq((srvid, "not-a-timestamp")).toDF("srvid", "ts"))
+    a.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, 3))
+    a.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:03:30"))
+    assert(a.registry.meta(srvid).coalesceSeq === 3)
+    assert(a.registry.meta(srvid).errors.nonEmpty)
+
+    // "restart": a fresh Engine on the same root — no state handed over
+    val b = new Engine(spark, root)
+    assert(b.registry.server(srvid).hostname === "h1")
+    assert(b.registry.server(srvid).alias === Some("prod"))
+    assert(b.registry.retentionSec(srvid, "powa_statements") === 7200)
+    assert(b.registry.retentionSec(srvid, "powa_kcache") === 3600)
+    assert(!b.registry.isEnabled(srvid, "powa_kcache"))
+    assert(b.registry.isEnabled(srvid, "powa_statements"))
+    assert(b.registry.isDbModuleEnabled(srvid, "pg_stat_all_tables", "db1"))
+    assert(!b.registry.isDbModuleEnabled(srvid, "pg_stat_all_tables", "db3"))
+    assert(b.registry.meta(srvid).coalesceSeq === 3)
+    assert(b.registry.meta(srvid).snapts ===
+      Some(Timestamp.valueOf("2024-01-01 00:03:30")))
+    assert(b.registry.meta(srvid).errors
+      .exists(_.contains("powa_stat_checkpointer")))
+
+    // cadence continues where A left it: ticks 4 and 5 through B, the
+    // aggregate fires exactly on tick 5 (coalesce=5, srvid%20==0)
+    (4 to 5).foreach { t =>
+      b.ingest("powa_stat_bgwriter", bgwriterBatch(srvid, t))
+      b.takeSnapshot(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    assert(tierCount(b, "powa_stat_bgwriter", GenericDatasource.Current) === 0)
+    assert(tierCount(b, "powa_stat_bgwriter", GenericDatasource.History) === 1)
+    val hist = b.store.readBucketed("powa_stat_bgwriter",
+      GenericDatasource.History,
+      GenericDatasource.historyNoSrvid(Specs.byName("powa_stat_bgwriter")))
+    assert(hist.select(size(col("records"))).head().getInt(0) === 5)
+
+    // registration survives a new id allocation too
+    val other = b.registry.registerServer(ServerConfig(id = 0, hostname = "h2"))
+    assert(other === 21) // nextId = max persisted id + 1
+  }
+
+  test("cross-process snapshot lock: a held lock file fails the tick fast") {
+    val root = java.nio.file.Files.createTempDirectory("graft_xlock").toString
+    val e = new Engine(spark, root)
+    val srvid = e.registry.registerServer(ServerConfig(id = 30, hostname = "h"))
+    // simulate another process's in-flight tick: hold the file lock on a
+    // separate channel (same-JVM overlap surfaces as
+    // OverlappingFileLockException — equally fail-fast)
+    val lockDir = java.nio.file.Paths.get(root, "_locks")
+    java.nio.file.Files.createDirectories(lockDir)
+    val ch = java.nio.channels.FileChannel.open(
+      lockDir.resolve(s"srvid=$srvid.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      val ex = intercept[IllegalStateException] {
+        e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30"))
+      }
+      assert(ex.getMessage.contains("concurrent snapshot"))
+    } finally { held.release(); ch.close() }
+    // lock released → the tick proceeds
+    assert(e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:00")) === 0)
+  }
+
   test("spec sanity: 23 datasources, statements record arity matches reference") {
     assert(Specs.all.size === 23)
     // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)
@@ -470,8 +551,9 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(tierCount(e, ds, GenericDatasource.Current) === 3)
 
-    // crash BEFORE the commit point: inflight exists, current intact →
-    // recovery rolls back (deletes inflight); nothing reaches history
+    // crash BEFORE the commit point: inflight exists (whatever current
+    // contains) → recovery rolls back (deletes inflight); nothing
+    // reaches history and the raw rows are untouched
     val inflight = java.nio.file.Paths.get(
       root, ds, GenericDatasource.History, s".inflight_srvid=$srvid")
     java.nio.file.Files.createDirectories(inflight)
@@ -481,17 +563,22 @@ class EngineSpec extends AnyFunSuite {
     assert(tierCount(e, ds, GenericDatasource.Current) === 3)
     assert(tierCount(e, ds, GenericDatasource.History) === 0)
 
-    // crash AFTER the commit point: coalesced rows fully staged inflight,
-    // current already dropped → recovery rolls forward into history
+    // crash AFTER the commit point (the .inflight → .committed rename)
+    // but BEFORE current was dropped: recovery rolls forward — drops the
+    // already-coalesced raw rows and promotes exactly one copy. This is
+    // the round-2 ADVICE scenario: the old drop-current-is-the-commit
+    // protocol would have rolled this state BACK and deleted committed
+    // rows whose raw source a partial drop had already lost.
+    val committed = java.nio.file.Paths.get(
+      root, ds, GenericDatasource.History, s".committed_srvid=$srvid")
     val cur = e.store.read(ds, GenericDatasource.Current,
       GenericDatasource.currentNoSrvid(d.spec)).filter(col("srvid") === srvid)
     graft.operators.Coalesce.aggregate(cur, d.spec)
       .drop("srvid")
       .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
-      .write.partitionBy("bucket").parquet(inflight.toString)
-    e.store.dropPartition(ds, GenericDatasource.Current, srvid)
+      .write.partitionBy("bucket").parquet(committed.toString)
     e.recover()
-    assert(!java.nio.file.Files.exists(inflight))
+    assert(!java.nio.file.Files.exists(committed))
     assert(tierCount(e, ds, GenericDatasource.Current) === 0)
     assert(tierCount(e, ds, GenericDatasource.History) === 1)
     val packed = e.store.readBucketed(ds, GenericDatasource.History,
@@ -501,11 +588,30 @@ class EngineSpec extends AnyFunSuite {
     e.recover()
     assert(tierCount(e, ds, GenericDatasource.History) === 1)
 
-    // the normal (uncrashed) path still aggregates current → history
+    // transient promote failure mid-tick: the committed dir survives with
+    // current already dropped, the engine keeps ticking and fresh
+    // snapshots arrive. recoverPending resolves the commit BEFORE the
+    // new rows land, so nothing is lost and nothing duplicates.
     e.ingest(ds, bgwriterBatch(srvid, 4))
     e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:04:30"))
+    val cur4 = e.store.read(ds, GenericDatasource.Current,
+      GenericDatasource.currentNoSrvid(d.spec)).filter(col("srvid") === srvid)
+    graft.operators.Coalesce.aggregate(cur4, d.spec)
+      .drop("srvid")
+      .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
+      .write.partitionBy("bucket").parquet(committed.toString)
+    e.store.dropPartition(ds, GenericDatasource.Current, srvid)
+    // next tick: snapshot of tick 5 rows — must promote tick 4's commit
+    // first, then land the new rows in current
+    e.ingest(ds, bgwriterBatch(srvid, 5))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:05:30"))
+    assert(!java.nio.file.Files.exists(committed))
+    assert(tierCount(e, ds, GenericDatasource.Current) === 1) // tick 5 only
+    assert(tierCount(e, ds, GenericDatasource.History) === 2)
+
+    // the normal (uncrashed) path still aggregates current → history
     d.aggregate(e.store, srvid)
     assert(tierCount(e, ds, GenericDatasource.Current) === 0)
-    assert(tierCount(e, ds, GenericDatasource.History) === 2)
+    assert(tierCount(e, ds, GenericDatasource.History) === 3)
   }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{AtomicSwap, Store}
+
+/** The atomic partition-swap layout (AtomicSwap): a visible `srvid=N`
+  * symlink flipped over dot-prefixed version directories. Verifies the
+  * round-2 VERDICT item 4 claim directly — a reader looping during
+  * overwrites never observes an absent or mixed partition — plus the
+  * legacy-directory conversion and append-through-the-pointer paths.
+  */
+class SwapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("tag", LongType)))
+
+  private def mkStore(): (Store, String) = {
+    val root = Files.createTempDirectory("graft_swap").toString
+    (new Store(spark, root), root)
+  }
+
+  private def batch(srvid: Int, tag: Long, n: Int) =
+    spark.range(n).select(col("id").as("k"), lit(tag).as("tag"))
+      .withColumn("srvid", lit(srvid))
+
+  test("overwrite flips a symlink; reads see exactly the latest version") {
+    val (store, root) = mkStore()
+    store.overwritePartition("ds", "dim", 7, batch(7, 1L, 10))
+    val p = Paths.get(root, "ds", "dim", "srvid=7")
+    assert(Files.isSymbolicLink(p))
+    store.overwritePartition("ds", "dim", 7, batch(7, 2L, 20))
+    val back = store.read("ds", "dim", schema)
+    assert(back.count() === 20)
+    assert(back.select(min(col("tag")), max(col("tag"))).head() ===
+      org.apache.spark.sql.Row(2L, 2L))
+    assert(back.select(col("srvid")).distinct().head().getInt(0) === 7)
+    // exactly live + one predecessor version retained
+    val versions = Files.list(Paths.get(root, "ds", "dim")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    versions.forEachRemaining(f => names += f.getFileName.toString)
+    assert(names.count(_.startsWith(".v")) === 2)
+  }
+
+  test("a legacy real directory converts on first overwrite") {
+    val (store, root) = mkStore()
+    store.append("ds", "dim", batch(7, 1L, 10)) // hive layout, real dir
+    assert(!Files.isSymbolicLink(Paths.get(root, "ds", "dim", "srvid=7")))
+    store.overwritePartition("ds", "dim", 7, batch(7, 2L, 5))
+    assert(Files.isSymbolicLink(Paths.get(root, "ds", "dim", "srvid=7")))
+    assert(store.read("ds", "dim", schema).count() === 5)
+  }
+
+  test("append through the pointer lands in the live version") {
+    val (store, _) = mkStore()
+    store.overwritePartition("ds", "cur", 7, batch(7, 1L, 10))
+    store.append("ds", "cur", batch(7, 2L, 4))
+    assert(store.read("ds", "cur", schema).count() === 14)
+    // the appended rows survive the next overwrite only if included —
+    // overwrite is whole-partition replacement
+    store.overwritePartition("ds", "cur", 7, batch(7, 3L, 1))
+    assert(store.read("ds", "cur", schema).count() === 1)
+  }
+
+  test("dropPartition removes pointer and all versions") {
+    val (store, root) = mkStore()
+    store.overwritePartition("ds", "dim", 7, batch(7, 1L, 10))
+    store.overwritePartition("ds", "dim", 7, batch(7, 2L, 10))
+    store.dropPartition("ds", "dim", 7)
+    assert(store.read("ds", "dim", schema).count() === 0)
+    val left = Files.list(Paths.get(root, "ds", "dim")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    left.forEachRemaining(f => names += f.getFileName.toString)
+    assert(names.isEmpty)
+  }
+
+  test("bucketed overwrite keeps sub-partitioning under the pointer") {
+    val (store, _) = mkStore()
+    val df = spark.range(6).select(
+      col("id").as("k"), lit(1L).as("tag"),
+      concat(lit("2024-0"), (col("id") % 2 + 1)).as("bucket"))
+      .withColumn("srvid", lit(3))
+    store.overwritePartition("ds", "history", 3, df,
+      partitionCols = Seq("bucket"))
+    assert(store.listBuckets("ds", "history", 3) === Seq("2024-01", "2024-02"))
+    store.dropBucket("ds", "history", 3, "2024-01")
+    assert(store.listBuckets("ds", "history", 3) === Seq("2024-02"))
+    val withBucket = StructType(schema.fields :+
+      StructField("bucket", StringType))
+    assert(store.read("ds", "history", withBucket).count() === 3)
+  }
+
+  test("a reader looping during swaps never sees absent or mixed data") {
+    val (store, _) = mkStore()
+    store.overwritePartition("ds", "dim", 7, batch(7, 0L, 50))
+    // every read outcome is either (a) one complete version or (b) a
+    // LOUD FileNotFoundException from a query that straddled a flip
+    // (plan-before, execute-after) — never a silent empty/partial/mixed
+    // result, which is what the old delete-then-move swap produced
+    @volatile var failure: Option[String] = None
+    @volatile var straddles = 0
+    @volatile var clean = 0
+    @volatile var stop = false
+    def isStraddle(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val rows = store.read("ds", "dim", schema)
+            .groupBy(col("tag")).agg(count(lit(1)).as("n")).collect()
+          if (rows.length != 1)
+            failure = Some(s"mixed versions: ${rows.mkString(",")}")
+          else if (rows.head.getLong(1) != 50L)
+            failure = Some(s"partial read: ${rows.head}")
+          else clean += 1
+        } catch {
+          case e: Throwable if isStraddle(e) => straddles += 1
+          case e: Throwable =>
+            failure = Some(s"non-straddle failure: $e")
+        }
+      }
+    })
+    reader.start()
+    (1 to 8).foreach { tag =>
+      store.overwritePartition("ds", "dim", 7, batch(7, tag.toLong, 50))
+    }
+    stop = true
+    reader.join()
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(clean > 0) // the loop did real reads
+    // and after the last flip a fresh read always succeeds, first try
+    val after = store.read("ds", "dim", schema)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n")).collect()
+    assert(after.toSeq.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((8L, 50L)))
+  }
+
+  test("deleteRecursively never follows a symlink out of the tree") {
+    val root = Files.createTempDirectory("graft_links")
+    val outside = Files.createTempDirectory("graft_outside")
+    Files.writeString(outside.resolve("keep.txt"), "keep")
+    val inner = root.resolve("inner")
+    Files.createDirectories(inner)
+    Files.createSymbolicLink(inner.resolve("link"), outside)
+    AtomicSwap.deleteRecursively(root)
+    assert(!Files.exists(root))
+    assert(Files.exists(outside.resolve("keep.txt")))
+  }
+}
