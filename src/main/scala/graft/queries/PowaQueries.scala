@@ -1056,6 +1056,171 @@ object PowaQueries {
       .orderBy(col("queryid"))
   }
 
+  // ---- §2.11 (round-3): REGISTRY/METAS PERSISTENCE under the gate —
+  //      the q31 weekly bgwriter lifecycle, but the tick sequence is
+  //      split across TWO Engine instances on one store root (a
+  //      mid-cadence process restart). The second engine loads
+  //      powa_servers + powa_snapshot_metas back from the _registry/
+  //      parquet tables (powa--5.2.0.sql:120-136, :908-918) and resumes
+  //      at coalesce_seq = 3, so the aggregate keeps firing on global
+  //      ticks 5k — the in_history column proves which weeks were
+  //      coalesced. A restart that reset coalesce_seq (the round-2
+  //      durability gap) would shift every aggregate boundary and
+  //      hash-mismatch against the oracle's floor(n/5)*5 split.
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q40")
+    try {
+      val weekly = Tables.events(s, d).filter(col("user_id") % 4 === 3)
+        .groupBy(date_trunc("week", col("ts")).as("ts"))
+        .agg(
+          sum(evCents).as("buffers_clean"),
+          count(lit(1)).as("maxwritten_clean"),
+          sum(evK).as("buffers_backend"),
+          max(col("event_id")).as("buffers_backend_fsync"),
+          min(col("event_id")).as("buffers_alloc"))
+        .withColumn("srvid", lit(80))
+        .localCheckpoint()
+      val weeks = weekly.select(col("ts")).orderBy(col("ts"))
+        .collect().map(_.getTimestamp(0)) // tick list: tiny by construction
+      def run(e: graft.core.Engine, ws: Seq[java.sql.Timestamp]): Unit =
+        ws.foreach { wts =>
+          e.ingest("powa_stat_bgwriter", weekly.filter(col("ts") === wts))
+          e.takeSnapshot(80,
+            new java.sql.Timestamp(wts.getTime + 3L * 86400 * 1000))
+        }
+      val (beforeRestart, afterRestart) = weeks.toSeq.splitAt(3)
+      val a = new graft.core.Engine(s, root.toString)
+      a.registry.registerServer(graft.core.ServerConfig(
+        id = 80, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400)) // srvid%20==0: aggregate at tick 5k
+      run(a, beforeRestart)
+      // process restart: a fresh Engine re-loads servers + cadence phase
+      val b = new graft.core.Engine(s, root.toString)
+      run(b, afterRestart)
+      val spec = graft.spec.Specs.byName("powa_stat_bgwriter")
+      val histTs = b.store.readBucketed("powa_stat_bgwriter",
+          graft.core.GenericDatasource.History,
+          graft.core.GenericDatasource.historyNoSrvid(spec))
+        .select(explode(col("records.ts")).as("ts"),
+          lit(true).as("in_hist"))
+      b.readSeriesWithRates("powa_stat_bgwriter", 80,
+          java.sql.Timestamp.valueOf("2023-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+        .select(col("record.ts").as("ts"),
+          col("record.buffers_clean").as("buffers_clean"),
+          col("record.maxwritten_clean").as("maxwritten_clean"),
+          col("record.buffers_backend").as("buffers_backend"),
+          col("record.buffers_backend_fsync").as("buffers_backend_fsync"),
+          col("record.buffers_alloc").as("buffers_alloc"))
+        .join(histTs, Seq("ts"), "left")
+        .withColumn("in_history", coalesce(col("in_hist"), lit(false)))
+        .drop("in_hist")
+        .orderBy(col("ts"))
+        .localCheckpoint() // pin the result before the store is swept
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
+  // ---- §2.11 (round-3): the db-module dbnames ALGEBRA under the gate
+  //      (powa_{activate,deactivate}_db_module, powa--5.2.0.sql:
+  //      2397-2567): activation REPLACES the name list, specific
+  //      deactivation EXCEPTs names out (disabled when emptied), global
+  //      deactivation keeps a disabled row. Applied through a PERSISTENT
+  //      registry and read back from a second Registry instance on the
+  //      same root, so the stored db_module_config parquet — not the
+  //      in-memory state — is what's hashed. The oracle recomputes the
+  //      final membership set-algebraically from the nation table.
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q41")
+    try {
+      val nations = Tables.table(s, d, "nation")
+        .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+      def names(pred: Int => Boolean) =
+        nations.filter(t => pred(t._1)).map(_._2)
+      val pa = new graft.core.RegistryStore(s, root.toString)
+      val ra = new graft.core.Registry(Some(pa))
+      // EXCEPT arm: activate a list, then deactivate a sub-list
+      ra.activateDbModule(1, "pg_stat_all_tables", Some(names(_ % 3 == 0)))
+      ra.deactivateDbModule(1, "pg_stat_all_tables", Some(names(_ % 6 == 0)))
+      // all-databases arm (dbnames NULL)
+      ra.activateDbModule(1, "pg_stat_all_indexes", None)
+      // global deactivation keeps a disabled row
+      ra.activateDbModule(1, "pg_stat_user_functions", Some(names(_ % 4 == 0)))
+      ra.deactivateDbModule(1, "pg_stat_user_functions", None)
+      // re-activation REPLACES the previous list (:2443-2446 — no merge)
+      ra.activateDbModule(1, "pg_stat_user_indexes", Some(names(_ % 5 == 0)))
+      ra.activateDbModule(1, "pg_stat_user_indexes", Some(names(_ % 2 == 0)))
+      // hash the PERSISTED state: a second registry on the same root
+      val rb = new graft.core.Registry(
+        Some(new graft.core.RegistryStore(s, root.toString)))
+      val modules = Seq("pg_stat_all_tables", "pg_stat_all_indexes",
+        "pg_stat_user_functions", "pg_stat_user_indexes")
+      import s.implicits._
+      modules.flatMap(m => nations.map { case (_, n) =>
+        (m, n, rb.isDbModuleEnabled(1, m, n))
+      }).toDF("module", "dbname", "enabled")
+        .orderBy(col("module"), col("dbname"))
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
+  // ---- §2.11 (round-3): powa_configure_server's field-whitelisted
+  //      JSON patch (powa--5.2.0.sql:2768-2783) under the gate: patches
+  //      derived from the region table are applied to five registered
+  //      servers (an invalid-field patch on even servers must be
+  //      REJECTED whole, like the reference's "invalid field" error),
+  //      then the persisted powa_servers parquet is read back through a
+  //      fresh Registry and hashed against the oracle's recomputation.
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q42")
+    try {
+      val regions = Tables.table(s, d, "region")
+        .select(col("r_regionkey").cast("int").as("k"), col("r_name").as("name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+      val ra = new graft.core.Registry(
+        Some(new graft.core.RegistryStore(s, root.toString)))
+      val rejected = regions.map { case (k, name) =>
+        val srvid = ra.registerServer(graft.core.ServerConfig(
+          id = 100 + k, hostname = s"host$k"))
+        ra.configureServerJson(srvid, Map(
+          "alias" -> name,
+          "frequency" -> (600 + k * 10).toString,
+          "retention" -> (86400L * (k + 1)).toString,
+          "powa_coalesce" -> (100 + 5 * k).toString))
+        val bad = k % 2 == 0 &&
+          (try {
+            // whole patch must be rejected: valid fields ride along
+            ra.configureServerJson(srvid, Map(
+              "frequency" -> "9999", "not_a_field" -> "x"))
+            false
+          } catch { case _: IllegalArgumentException => true })
+        (srvid, bad)
+      }.toMap
+      val rb = new graft.core.Registry(
+        Some(new graft.core.RegistryStore(s, root.toString)))
+      import s.implicits._
+      regions.map { case (k, _) =>
+        val c = rb.server(100 + k)
+        (c.id, c.hostname, c.alias.getOrElse(""), c.frequencySec,
+          c.retentionSec, c.powaCoalesce, c.versionNum,
+          rejected(100 + k))
+      }.toDF("srvid", "hostname", "alias", "frequency", "retention",
+        "powa_coalesce", "version", "rejected")
+        .orderBy(col("srvid"))
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -1095,7 +1260,10 @@ object PowaQueries {
     "q36_fleet_isolation" -> (q36 _),
     "q37_stream_roundtrip" -> (q37 _),
     "q38_feature_retention" -> (q38 _),
-    "q39_kcache_filters" -> (q39 _))
+    "q39_kcache_filters" -> (q39 _),
+    "q40_restart_cadence" -> (q40 _),
+    "q41_db_module_algebra" -> (q41 _),
+    "q42_config_patch" -> (q42 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1576,6 +1744,46 @@ object PowaQueries {
              (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)
            AND event_type <> 'click'
          ORDER BY queryid""",
+    "q40_restart_cadence" ->
+      """WITH ev AS (
+           SELECT event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
+           FROM events WHERE user_id % 4 = 3),
+         w AS (SELECT DATE_TRUNC('week', ts) AS wts,
+                      CAST(SUM(cents) AS BIGINT) AS buffers_clean,
+                      COUNT(*) AS maxwritten_clean,
+                      CAST(SUM(k) AS BIGINT) AS buffers_backend,
+                      MAX(event_id) AS buffers_backend_fsync,
+                      MIN(event_id) AS buffers_alloc
+               FROM ev GROUP BY 1)
+         SELECT wts AS ts, buffers_clean, maxwritten_clean, buffers_backend,
+                buffers_backend_fsync, buffers_alloc,
+                ROW_NUMBER() OVER (ORDER BY wts) <=
+                  (COUNT(*) OVER () // 5) * 5 AS in_history
+         FROM w ORDER BY ts""",
+    "q41_db_module_algebra" ->
+      """WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
+         SELECT module, dbname, enabled FROM (
+           SELECT 'pg_stat_all_tables' AS module, name AS dbname,
+                  (k % 6 = 3) AS enabled FROM n
+           UNION ALL
+           SELECT 'pg_stat_all_indexes', name, TRUE FROM n
+           UNION ALL
+           SELECT 'pg_stat_user_functions', name, FALSE FROM n
+           UNION ALL
+           SELECT 'pg_stat_user_indexes', name, (k % 2 = 0) FROM n)
+         ORDER BY module, dbname""",
+    "q42_config_patch" ->
+      """SELECT 100 + r_regionkey AS srvid,
+                'host' || r_regionkey AS hostname,
+                r_name AS alias,
+                600 + r_regionkey * 10 AS frequency,
+                CAST(86400 * (r_regionkey + 1) AS BIGINT) AS retention,
+                100 + 5 * r_regionkey AS powa_coalesce,
+                170000 AS version,
+                (r_regionkey % 2 = 0) AS rejected
+         FROM region ORDER BY srvid""",
     "q23_readback_rates" ->
       """SELECT user_id, event_type, ts, value, intvl_sec, value_delta,
                 value_delta / (CASE WHEN intvl_sec = 0 THEN 1.0 ELSE intvl_sec END) AS value_per_sec
