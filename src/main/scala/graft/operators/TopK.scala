@@ -34,7 +34,8 @@ object TopK {
   /** The bottom-K variant used for `least_filtering`
     * (`FILTER (WHERE filtered_rank >= nb_lines - 20)`,
     * powa--5.2.0.sql:6945-6950): rank ascending but keep ranks counted
-    * from the end of the group.
+    * from the end of the group. NOTE the reference filter is `>=`, so a
+    * full group yields k+1 rows, not k — reproduced exactly.
     */
   def bottomKPerGroup(
       df: DataFrame,
@@ -45,7 +46,7 @@ object TopK {
     val cnt = Window.partitionBy(groupKeys: _*)
     df.withColumn("rank", row_number().over(w))
       .withColumn("nb_lines", count(lit(1)).over(cnt))
-      .filter(col("rank") > col("nb_lines") - k)
+      .filter(col("rank") >= col("nb_lines") - k)
       .drop("nb_lines")
   }
 
@@ -53,10 +54,11 @@ object TopK {
     * rankings over one pre-aggregated frame, evaluated in a single pass —
     * five `row_number() OVER (PARTITION BY group ORDER BY metric DESC)`
     * columns plus `sum(1) OVER W` group sizes, then per-ranking filters
-    * (`rank <= k` for the most-*, `rank > nb_lines - k` for least-*).
-    * Returns the union of rankings flattened as
+    * (`rank <= k` for the most-*, `rank >= nb_lines - k` for least-* —
+    * the reference's `>=` keeps k+1 rows from the bottom, reproduced
+    * exactly). Returns the union of rankings flattened as
     * (groupKeys..., ranking, rank, payload columns), where `rank` is
-    * always 1..k counted from the relevant end.
+    * counted from the relevant end (1..k, or 1..k+1 for least-*).
     *
     * One window shuffle total — the rankings share the partition key, so
     * Spark computes all row_numbers in one WindowExec over one sort per
@@ -81,7 +83,7 @@ object TopK {
     val entries = array(rankings.zipWithIndex.map { case ((name, _, fromBottom), i) =>
       val r = col(s"__rank_$i")
       val rank = if (fromBottom) col("nb_lines") - r + 1 else r
-      val keep = if (fromBottom) r > col("nb_lines") - k else r <= k
+      val keep = if (fromBottom) r >= col("nb_lines") - k else r <= k
       struct(lit(name).as("ranking"), rank.cast("int").as("rank"),
         keep.as("keep"))
     }: _*)
@@ -108,7 +110,8 @@ object TopK {
     * skips nulls) and `array_sort` + `transform` the ORDER BY rank.
     * `fromBottom = true` flips the rank to count from the group's end
     * (the `least_filtering` `FILTER (rank >= nb_lines - 20)` arm,
-    * :6948).
+    * :6948 — `>=`, so a full group packs k+1 payloads, reproduced
+    * exactly).
     */
   def multiTopKPacked(
       df: DataFrame,
@@ -127,7 +130,7 @@ object TopK {
     val packs = rankings.zipWithIndex.map { case ((rname, _, fromBottom), i) =>
       val r = col(s"__rank_$i")
       val ord = if (fromBottom) col("nb_lines") - r + 1 else r
-      val keep = if (fromBottom) r > col("nb_lines") - k else r <= k
+      val keep = if (fromBottom) r >= col("nb_lines") - k else r <= k
       transform(
         array_sort(collect_list(when(keep,
           struct(ord.cast("int").as("rank"), payload.as("p"))))),

@@ -1432,7 +1432,7 @@ object PowaQueries {
           UNION ALL
           SELECT event_type, 'most_filtering', CAST(r_filt AS INT), $cols FROM m WHERE r_filt <= 5
           UNION ALL
-          SELECT event_type, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM m WHERE r_filt > nb - 5
+          SELECT event_type, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM m WHERE r_filt >= nb - 5
           UNION ALL
           SELECT event_type, 'most_errestim', CAST(r_ratio AS INT), $cols FROM m WHERE r_ratio <= 5
           ORDER BY event_type, ranking, rank"""
@@ -1468,7 +1468,7 @@ object PowaQueries {
           UNION ALL
           SELECT srvid, qualid, 'most_filtering', CAST(r_filt AS INT), $cols FROM r WHERE r_filt <= 3
           UNION ALL
-          SELECT srvid, qualid, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM r WHERE r_filt > nb - 3
+          SELECT srvid, qualid, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM r WHERE r_filt >= nb - 3
           UNION ALL
           SELECT srvid, qualid, 'most_executed', CAST(r_exec AS INT), $cols FROM r WHERE r_exec <= 3
           UNION ALL
@@ -1638,7 +1638,7 @@ object PowaQueries {
           UNION ALL
           SELECT qualid, range_start, range_end, 'most_filtering', CAST(r_filt AS INT), $cols FROM r WHERE r_filt <= 20
           UNION ALL
-          SELECT qualid, range_start, range_end, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM r WHERE r_filt > nb - 20
+          SELECT qualid, range_start, range_end, 'least_filtering', CAST(nb - r_filt + 1 AS INT), $cols FROM r WHERE r_filt >= nb - 20
           UNION ALL
           SELECT qualid, range_start, range_end, 'most_executed', CAST(r_exec AS INT), $cols FROM r WHERE r_exec <= 20
           UNION ALL
