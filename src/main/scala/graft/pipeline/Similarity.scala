@@ -104,7 +104,6 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nCentroids: Int): DataFrame = {
-    NativeFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val cents: Array[(Long, Seq[Double])] = e
       .filter(col(idCol) < nCentroids)
@@ -112,7 +111,18 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val best = array_max(array(cents.map { case (cid, cv) =>
+    ivfTopKWith(embeddings, idCol, vecCol, queryId, k, cents.toSeq)
+  }
+
+  /** IVF-cell ANN against an explicit (driver-resident) codebook —
+    * shared by the sampled-codebook [[ivfTopK]] and the k-means-trained
+    * path ([[kmeansCentroidsInt]] → [[kmeansCodebook]]). */
+  def ivfTopKWith(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, codebook: Seq[(Long, Seq[Double])]): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val best = array_max(array(codebook.map { case (cid, cv) =>
       struct(cosine(col("v"), typedLit(cv)).as("ccos"),
         lit(-cid).as("ncid"))
     }: _*))
@@ -125,6 +135,67 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Squared L2 distance between an integer vector column and a literal
+    * integer centroid — interpreted HOFs, acceptable in a projection
+    * pass (never a join key; see NOTES on HOF placement). */
+  private def dist2Int(v: Column, cv: Seq[Long]): Column =
+    aggregate(zip_with(v, typedLit(cv), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** INTEGER-QUANTIZED Lloyd iterations — k-means training for the IVF
+    * codebook that is safe to verify across engines: float-mean k-means
+    * is order-dependent (a parallel sum of doubles re-associates), so
+    * instead the vectors are quantized to e4 fixed point
+    * (`floor(x·10⁴)` per element, exact in IEEE double) and every step
+    * is integer arithmetic — squared-L2 assignment (min dist, tie →
+    * lowest centroid id) and integer-division means (`DIV`, matching
+    * DuckDB `//`). Deterministic in any execution order, any engine.
+    *
+    * Scale shape: each iteration is one PROJECTION of the corpus
+    * against the literal codebook (zero exchanges — same argmax-as-
+    * array_max trick as [[ivfTopK]]) plus one k×dim-key hash aggregate;
+    * the only driver traffic is the k×dim codebook per iteration — the
+    * standard driver-resident-codebook assumption of every IVF build.
+    * Seeds are the k lowest-id vectors; a centroid that loses all its
+    * members drops out (both engines reproduce the drop).
+    */
+  def kmeansCentroidsInt(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
+      .localCheckpoint() // scanned every iteration — pin it once
+    var cents: Seq[(Long, Seq[Long])] = q.filter(col("id") < k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .toSeq.sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val best = array_max(array(cents.map { case (cid, cv) =>
+        struct((-dist2Int(col("qv"), cv)).as("ndist"), lit(-cid).as("ncid"))
+      }: _*))
+      val sums = q.withColumn("cell", -best.getField("ncid"))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(expr("sum(val) DIV count(1)").as("cval"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }.sortBy(_._1)
+    }
+    cents.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (v, pos) => (cid, pos.toLong, v) }
+    }.toDF("centroid", "pos", "value")
+  }
+
+  /** Trained integer centroids → double codebook for [[ivfTopKWith]]. */
+  def kmeansCodebook(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.collect()
+      .groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(_.getLong(2).toDouble / 10000.0d).toSeq)
+      }.sortBy(_._1)
 
   /** How many hyperplanes `cosineDupPairs` needs at a given corpus size:
     * the expected bucket population is n / 2^planes, and the self-join

@@ -195,6 +195,14 @@ object PipelineQueries {
         col("rep_ppm"))
       .orderBy(col("doc_id"))
 
+  // k-means IVF training, integer-quantized so the oracle can replay
+  // both Lloyd iterations exactly (float means are order-dependent and
+  // would flake the hash; e4 fixed point + DIV means are engine-exact)
+  private def p24(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansCentroidsInt(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy(col("centroid"), col("pos"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -322,7 +330,8 @@ object PipelineQueries {
     "p20_tfidf_topterms" -> (p20 _),
     "p21_winnow_fingerprints" -> (p21 _),
     "p22_decontamination" -> (p22 _),
-    "p23_repetition" -> (p23 _))
+    "p23_repetition" -> (p23 _),
+    "p24_kmeans_centroids" -> (p24 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -499,6 +508,38 @@ object PipelineQueries {
                        / len(grams)::DOUBLE) * 1000000.0) AS BIGINT)
                 END AS rep_ppm
          FROM g ORDER BY doc_id""",
+    "p24_kmeans_centroids" ->
+      """WITH q AS (SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+         qe AS (SELECT id, i AS pos, qv[i + 1] AS val
+                FROM q, range(0, 64) AS t(i)),
+         c0 AS (SELECT id AS cid, i AS pos, qv[i + 1] AS val
+                FROM q, range(0, 64) AS t(i) WHERE id < 8),
+         d1 AS (SELECT qe.id, c0.cid,
+                       CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT) AS dist
+                FROM qe JOIN c0 ON qe.pos = c0.pos GROUP BY qe.id, c0.cid),
+         a1 AS (SELECT id, cid FROM (
+                  SELECT id, cid, ROW_NUMBER() OVER
+                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+                  FROM d1) WHERE rn = 1),
+         c1 AS (SELECT a1.cid, qe.pos,
+                       CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                FROM a1 JOIN qe ON a1.id = qe.id GROUP BY a1.cid, qe.pos),
+         d2 AS (SELECT qe.id, c1.cid,
+                       CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT) AS dist
+                FROM qe JOIN c1 ON qe.pos = c1.pos GROUP BY qe.id, c1.cid),
+         a2 AS (SELECT id, cid FROM (
+                  SELECT id, cid, ROW_NUMBER() OVER
+                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+                  FROM d2) WHERE rn = 1),
+         c2 AS (SELECT a2.cid, qe.pos,
+                       CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                FROM a2 JOIN qe ON a2.id = qe.id GROUP BY a2.cid, qe.pos)
+         SELECT CAST(cid AS BIGINT) AS centroid, CAST(pos AS BIGINT) AS pos,
+                val AS value
+         FROM c2 ORDER BY centroid, pos""",
     "p19_embedding_quantize" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

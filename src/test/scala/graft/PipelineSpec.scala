@@ -87,6 +87,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("multi-table LSH recall rises with table count toward brute force") {
+    import graft.pipeline.Similarity
+    graft.functions.NativeFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val th = 400000L // the corpus's near-dup regime (max cosine ~0.48)
+    // ground truth: every pair at cosine >= threshold, exact all-pairs
+    val e = emb.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val truth = e.select(col("id").as("i"), col("v").as("vi"))
+      .crossJoin(e.select(col("id").as("j"), col("v").as("vj")))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        TextOps.ppm(Similarity.cosine(col("vi"), col("vj"))).as("ppm"))
+      .filter(col("ppm") >= th)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    def found(tables: Int): Set[(Long, Long)] =
+      Similarity.cosineDupPairsMulti(emb, "vec_id", "embedding",
+          planes = 3, dim = 64, thresholdPpm = th, tables = tables)
+        .select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (f1, f3, f12) = (found(1), found(3), found(12))
+    // verified candidates are never false positives...
+    assert(f1.subsetOf(truth) && f3.subsetOf(truth) && f12.subsetOf(truth))
+    // ...tables t=0..T-1 nest, so recall is monotone in T by construction
+    assert(f1.subsetOf(f3) && f3.subsetOf(f12))
+    val (r1, r12) =
+      (f1.size.toDouble / truth.size, f12.size.toDouble / truth.size)
+    // and the repair is real on this corpus: more independent tables →
+    // strictly higher recall, approaching brute force
+    // (theory at cos≈0.42, 3 planes: r ≈ 1 − (1 − 0.64³)^T)
+    assert(r12 > r1, s"recall did not improve: $r1 -> $r12")
+    assert(r12 >= 0.8, s"12-table recall too low: $r12")
+  }
+
+  test("k-means-trained IVF codebook: recall >= deterministic sample's") {
+    import graft.pipeline.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val trained = Similarity.kmeansCodebook(
+      Similarity.kmeansCentroidsInt(emb, "vec_id", "embedding", k = 8, iters = 2))
+    assert(trained.nonEmpty && trained.forall(_._2.length == 64))
+    val e = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val sampled = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    val queries = Seq(50L, 111L, 200L, 262L, 333L, 404L, 471L)
+    def recall(codebook: Seq[(Long, Seq[Double])]): Double = {
+      val hits = queries.map { q =>
+        val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfTopKWith(emb, "vec_id", "embedding", q, 10,
+          codebook).collect().map(_.getLong(0)).toSet
+        (got intersect truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    val (rt, rs) = (recall(trained), recall(sampled))
+    // Lloyd iterations move centroids toward the data's real clusters;
+    // on this corpus the trained codebook must not lose to the sample
+    assert(rt >= rs, s"trained recall $rt < sampled recall $rs")
+  }
+
   test("connected components: chains collapse to min label, singletons keep") {
     import spark.implicits._
     import graft.pipeline.Dedup
