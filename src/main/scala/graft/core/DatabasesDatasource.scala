@@ -49,8 +49,8 @@ final class DatabasesDatasource extends GenericDatasource(DatasourceSpec(
     val staged = store.read(name, Staging, srcSchema)
       .filter(col("srvid") === srvid)
       .select(col("oid"), col("datname"))
-    val n = staged.count()
-    if (n > 0) {
+    val n = if (store.traceRowcounts) staged.count() else -1L
+    if (n != 0) {
       val synced = DiffSync.sync(readDim(store, srvid), staged,
         Seq("oid"), "datname", "dropped", lit(now))
       store.overwritePartition(name, Dim, srvid,

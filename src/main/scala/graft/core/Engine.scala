@@ -42,8 +42,11 @@ class GenericDatasource(val spec: DatasourceSpec) {
       .filter(col("srvid") === srvid)
       .cache() // two outputs from one scan (SURVEY.md §7.4 item 6)
     try {
-      val n = staged.count()
-      if (n > 0) {
+      // an existing staging partition implies staged rows (ingest writes
+      // no partition dir for an empty frame), so the row count is a
+      // trace-only action, not a gate
+      val n = if (store.traceRowcounts) staged.count() else -1L
+      if (n != 0) {
         val keyCols = spec.keyNames.map(col)
         val recordCol = struct((col("ts") +: spec.counterCols.map(c => col(c.name))): _*)
         store.append(name, Current,
@@ -70,13 +73,14 @@ class GenericDatasource(val spec: DatasourceSpec) {
     * History lands month-bucketed on range_start (srvid=N/bucket=YYYY-MM)
     * so retention purge is mostly directory drops. */
   def aggregate(store: Store, srvid: Int): Unit = {
+    // a present current partition implies rows (only nonempty appends
+    // create it), so no isEmpty action — the directory probe is the gate
     def one(tierCur: String, tierHist: String, s: DatasourceSpec): Unit =
       if (store.hasPartition(name, tierCur, srvid)) { // no job when idle
         val cur = store.read(name, tierCur, currentNoSrvid(s))
           .filter(col("srvid") === srvid)
-        if (!cur.isEmpty)
-          store.aggregateCommit(name, tierCur, tierHist,
-            srvid, Coalesce.aggregate(cur, s))
+        store.aggregateCommit(name, tierCur, tierHist,
+          srvid, Coalesce.aggregate(cur, s))
       }
     one(Current, History, spec)
     dbSpec.foreach(dbs => one(CurrentDb, HistoryDb, dbs))
@@ -128,14 +132,13 @@ class GenericDatasource(val spec: DatasourceSpec) {
     val (stale, boundary) = store.listBuckets(name, tier, srvid)
       .partition(_ < cutoffMonth)
     stale.foreach(b => store.dropBucket(name, tier, srvid, b))
-    if (boundary.contains(cutoffMonth)) {
+    if (boundary.contains(cutoffMonth)) { // bucket present => rows present
       val hist = store.readBucketed(name, tier, schema)
         .filter(col("srvid") === srvid)
-      if (!hist.isEmpty)
-        store.overwritePartition(name, tier, srvid,
-          Coalesce.purge(hist, cutoff)
-            .withColumn("bucket", date_format(col("range_start"), "yyyy-MM")),
-          partitionCols = Seq("bucket"))
+      store.overwritePartition(name, tier, srvid,
+        Coalesce.purge(hist, cutoff)
+          .withColumn("bucket", date_format(col("range_start"), "yyyy-MM")),
+        partitionCols = Seq("bucket"))
     }
   }
 
@@ -194,7 +197,7 @@ object GenericDatasource {
   *     (:3490-3497, :3696-3700).
   */
 final class Engine(val spark: SparkSession, storageRoot: String) {
-  val registry = new Registry(Some(new RegistryStore(spark, storageRoot)))
+  val registry = new Registry(Some(new RegistryStore(storageRoot)))
   val store = new Store(spark, storageRoot)
   val catalogs = new CatalogMirror(spark, storageRoot)
   val datasources: Seq[GenericDatasource] =
@@ -214,8 +217,16 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
 
   /** `powa_log` analogue (powa--5.2.0.sql:1434, :1466): per-datasource
     * "running X" / rowcount trace, emitted only when a sink is
-    * installed — the reference gates on its debug GUC the same way. */
-  @volatile var log: String => Unit = _ => ()
+    * installed — the reference gates on its debug GUC the same way.
+    * Installing a sink also turns on the per-snapshot row counting
+    * (an extra Spark action per datasource per tick, paid only when
+    * tracing — exactly the reference's debug-GUC gating). */
+  private var logSink: String => Unit = _ => ()
+  def log: String => Unit = logSink
+  def log_=(f: String => Unit): Unit = {
+    logSink = f
+    store.traceRowcounts = true
+  }
 
   /** Remote collector landing: append staged rows (must carry srvid, ts,
     * keys, counters — the `*_src_tmp` shape). */

@@ -57,8 +57,8 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
     val staged = store.read(name, Staging, stagingFull)
       .filter(col("srvid") === srvid).cache()
     try {
-      val n = staged.count()
-      if (n > 0) {
+      val n = if (store.traceRowcounts) staged.count() else -1L
+      if (n != 0) {
         val idKeys = Seq("qualid", "queryid", "dbid", "userid")
         // missing quals → dimension insert (:7126-7143). Unlike the
         // statements dim there is no MRU touch here, so a tick that
@@ -177,12 +177,11 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
     * tiers drain. */
   override def aggregate(store: Store, srvid: Int): Unit = {
     super.aggregate(store, srvid)
-    if (store.hasPartition(name, Constvalues, srvid)) {
+    if (store.hasPartition(name, Constvalues, srvid)) { // dir => rows
       val cv = store.read(name, Constvalues, constvaluesSchema)
         .filter(col("srvid") === srvid)
-      if (!cv.isEmpty)
-        store.aggregateCommit(name, Constvalues, ConstvaluesHistory,
-          srvid, aggregateConstvalues(cv))
+      store.aggregateCommit(name, Constvalues, ConstvaluesHistory,
+        srvid, aggregateConstvalues(cv))
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
+import java.nio.file.Paths
 
 /** Durable form of the registry — the engine's mirror of the reference's
   * config tables, which all live in ordinary (dumpable, restart-surviving)
@@ -13,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * Layout: one tiny parquet table per config family under
   * `<root>/_registry/` (underscore-prefixed — invisible to data-tier
   * listings), each replaced through AtomicSwap on every mutation, so a
-  * crash mid-write leaves the previous config generation intact. These
-  * tables are driver-written and driver-read (a handful of rows); on a
-  * cluster they would be the same parquet files on the shared store.
+  * crash mid-write leaves the previous config generation intact. The
+  * rows are written and read DIRECTLY with parquet-java (RegistryIo) —
+  * a Spark job per single-row config write would cost ~10⁵× the data —
+  * while staying ordinary parquet any engine can read.
   *
   * What this buys (round-2 VERDICT item 1): `coalesce_seq` — and with it
   * the aggregate/purge cadence phase — server registrations, per-feature
@@ -23,40 +23,42 @@ import org.apache.spark.sql.SparkSession
   * restart, exactly like the reference's `UPDATE powa_snapshot_metas`
   * bookkeeping (:3490-3497).
   */
-final class RegistryStore(spark: SparkSession, root: String) {
+final class RegistryStore(root: String) {
   import RegistryStore._
-  import spark.implicits._
 
   private val dir = Paths.get(root, "_registry")
-  private def tableDir(name: String) = dir.resolve(name)
 
-  private def save[T: org.apache.spark.sql.Encoder](name: String,
-      rows: Seq[T]): Unit = {
-    Files.createDirectories(dir)
-    AtomicSwap.replace(dir, name)(vdir =>
-      spark.createDataset(rows).coalesce(1)
-        .write.mode("overwrite").parquet(vdir.toString))
-  }
+  def saveServers(rows: Seq[ServerRow]): Unit =
+    AtomicSwap.replace(dir, "servers")(v =>
+      RegistryIo.write(v, RegistryIo.serversSchema)(
+        f => rows.map(RegistryIo.serverGroup(f, _))))
+  def loadServers(): Seq[ServerRow] =
+    RegistryIo.read(dir.resolve("servers"), RegistryIo.serversSchema)
+      .map(RegistryIo.serverRowOf)
 
-  private def load[T: org.apache.spark.sql.Encoder](name: String): Seq[T] = {
-    val d = tableDir(name)
-    if (Files.isDirectory(d))
-      spark.read.parquet(d.toString).as[T].collect().toSeq
-    else Seq.empty
-  }
+  def saveMetas(rows: Seq[MetaRow]): Unit =
+    AtomicSwap.replace(dir, "snapshot_metas")(v =>
+      RegistryIo.write(v, RegistryIo.metasSchema)(
+        f => rows.map(RegistryIo.metaGroup(f, _))))
+  def loadMetas(): Seq[MetaRow] =
+    RegistryIo.read(dir.resolve("snapshot_metas"), RegistryIo.metasSchema)
+      .map(RegistryIo.metaRowOf)
 
-  def saveServers(rows: Seq[ServerRow]): Unit = save("servers", rows)
-  def loadServers(): Seq[ServerRow] = load[ServerRow]("servers")
-
-  def saveMetas(rows: Seq[MetaRow]): Unit = save("snapshot_metas", rows)
-  def loadMetas(): Seq[MetaRow] = load[MetaRow]("snapshot_metas")
-
-  def saveModules(rows: Seq[ModuleRow]): Unit = save("module_config", rows)
-  def loadModules(): Seq[ModuleRow] = load[ModuleRow]("module_config")
+  def saveModules(rows: Seq[ModuleRow]): Unit =
+    AtomicSwap.replace(dir, "module_config")(v =>
+      RegistryIo.write(v, RegistryIo.modulesSchema)(
+        f => rows.map(RegistryIo.moduleGroup(f, _))))
+  def loadModules(): Seq[ModuleRow] =
+    RegistryIo.read(dir.resolve("module_config"), RegistryIo.modulesSchema)
+      .map(RegistryIo.moduleRowOf)
 
   def saveDbModules(rows: Seq[DbModuleRow]): Unit =
-    save("db_module_config", rows)
-  def loadDbModules(): Seq[DbModuleRow] = load[DbModuleRow]("db_module_config")
+    AtomicSwap.replace(dir, "db_module_config")(v =>
+      RegistryIo.write(v, RegistryIo.dbModulesSchema)(
+        f => rows.map(RegistryIo.dbModuleGroup(f, _))))
+  def loadDbModules(): Seq[DbModuleRow] =
+    RegistryIo.read(dir.resolve("db_module_config"),
+      RegistryIo.dbModulesSchema).map(RegistryIo.dbModuleRowOf)
 }
 
 object RegistryStore {

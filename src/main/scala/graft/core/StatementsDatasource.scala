@@ -34,8 +34,8 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
     recoverPending(store, srvid)
     val staged = store.read(name, Staging, stagingWithQuery)
       .filter(col("srvid") === srvid)
-    val n = staged.count()
-    if (n > 0) {
+    val n = if (store.traceRowcounts) staged.count() else -1L
+    if (n != 0) {
       val newDim = StatementsPipeline.snapshot(
         store, readDim(store, srvid), staged, srvid, lit(now))
       store.overwritePartition(name, Dim, srvid,

@@ -56,8 +56,11 @@ object StatementsPipeline {
     val spec = Specs.statements
     val cached = capture.cache()
     try {
+      // no materialization needed before the dim rewrite: the store's
+      // overwrite writes a NEW version directory and only then flips the
+      // pointer (AtomicSwap), so this plan reads the still-live old
+      // version during its own write action
       val newDim = syncDimension(dim, cached, ts)
-        .localCheckpoint() // materialize before the store rewrite below
 
       // by_query: per-entity records into current (:4046-4068)
       val keyCols = spec.keyNames.map(col)

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.StructType
   */
 final class Store(val spark: SparkSession, root: String) {
 
+  /** When true, snapshots count staged rows for the powa_log trace.
+    * Off by default: the count is a Spark action per datasource per
+    * tick, and the reference gates the same rowcount reporting behind
+    * its debug GUC (powa--5.2.0.sql:1434). Engine flips it on when a
+    * log sink is installed. */
+  @volatile var traceRowcounts: Boolean = false
+
   private def dir(ds: String, tier: String): Path = Paths.get(root, ds, tier)
   private def partDir(ds: String, tier: String, srvid: Int): Path =
     dir(ds, tier).resolve(s"srvid=$srvid")

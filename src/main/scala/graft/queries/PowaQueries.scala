@@ -1141,7 +1141,7 @@ object PowaQueries {
         .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
       def names(pred: Int => Boolean) =
         nations.filter(t => pred(t._1)).map(_._2)
-      val pa = new graft.core.RegistryStore(s, root.toString)
+      val pa = new graft.core.RegistryStore(root.toString)
       val ra = new graft.core.Registry(Some(pa))
       // EXCEPT arm: activate a list, then deactivate a sub-list
       ra.activateDbModule(1, "pg_stat_all_tables", Some(names(_ % 3 == 0)))
@@ -1156,7 +1156,7 @@ object PowaQueries {
       ra.activateDbModule(1, "pg_stat_user_indexes", Some(names(_ % 2 == 0)))
       // hash the PERSISTED state: a second registry on the same root
       val rb = new graft.core.Registry(
-        Some(new graft.core.RegistryStore(s, root.toString)))
+        Some(new graft.core.RegistryStore(root.toString)))
       val modules = Seq("pg_stat_all_tables", "pg_stat_all_indexes",
         "pg_stat_user_functions", "pg_stat_user_indexes")
       import s.implicits._
@@ -1185,7 +1185,7 @@ object PowaQueries {
         .select(col("r_regionkey").cast("int").as("k"), col("r_name").as("name"))
         .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
       val ra = new graft.core.Registry(
-        Some(new graft.core.RegistryStore(s, root.toString)))
+        Some(new graft.core.RegistryStore(root.toString)))
       val rejected = regions.map { case (k, name) =>
         val srvid = ra.registerServer(graft.core.ServerConfig(
           id = 100 + k, hostname = s"host$k"))
@@ -1204,7 +1204,7 @@ object PowaQueries {
         (srvid, bad)
       }.toMap
       val rb = new graft.core.Registry(
-        Some(new graft.core.RegistryStore(s, root.toString)))
+        Some(new graft.core.RegistryStore(root.toString)))
       import s.implicits._
       regions.map { case (k, _) =>
         val c = rb.server(100 + k)

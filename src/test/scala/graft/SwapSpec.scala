@@ -106,7 +106,8 @@ class SwapSpec extends AnyFunSuite {
     @volatile var stop = false
     def isStraddle(e: Throwable): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
-        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+        .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+          c.isInstanceOf[java.nio.file.NoSuchFileException])
     val reader = new Thread(() => {
       while (!stop && failure.isEmpty) {
         try {
