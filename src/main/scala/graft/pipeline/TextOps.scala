@@ -167,4 +167,77 @@ object TextOps {
     pos.select(col("doc_id"), min(col("h")).over(win).as("fp"))
       .distinct()
   }
+
+  /** PII redaction rules: (name, pattern, replacement), applied in
+    * order. The patterns stay inside the Java-regex ∩ RE2 dialect (no
+    * lookaround, no backrefs) so the DuckDB oracle applies the
+    * identical strings. */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  /** Regex PII scrub — the pre-training redaction pass: per rule a
+    * match count column (`n_<name>`) and the text with all matches
+    * replaced, applied in rule order. Pure projection, codegen'd
+    * (regexp_replace/regexp_count are native expressions), so at 100 TB
+    * this runs at scan speed; rules are broadcast as literals. */
+  def redactPii(df: DataFrame, textCol: String,
+      rules: Seq[(String, String, String)] = piiRules): DataFrame = {
+    val counted = rules.foldLeft(df) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    }
+    val redacted = rules.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Gopher-style heuristic quality rules (the repetition signal is
+    * [[withRepetition]]'s): word count bounds, mean word length bounds,
+    * a minimum stopword share. Each metric is emitted alongside the
+    * verdict so the filter is auditable; ratios are floor-ppm rationals
+    * (engine-exact). Pure projection. */
+  def gopherQuality(df: DataFrame, textCol: String,
+      minWords: Int, maxWords: Int,
+      minMeanWordLenPpm: Long, maxMeanWordLenPpm: Long,
+      minStopwordPpm: Long): DataFrame = {
+    val toks = tokens(col(textCol))
+    val en = array(stopwords.head._2.map(lit): _*)
+    df.withColumn("n_words", size(toks).cast("long"))
+      .withColumn("__chars", aggregate(
+        transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x))
+      .withColumn("__stop",
+        size(filter(toks, t => array_contains(en, t))).cast("long"))
+      // exact rational ppm via integer division (matches DuckDB `//`)
+      .withColumn("mean_word_len_ppm", expr(
+        "CASE WHEN n_words = 0 THEN 0L ELSE __chars * 1000000L DIV n_words END"))
+      .withColumn("stopword_ppm", expr(
+        "CASE WHEN n_words = 0 THEN 0L ELSE __stop * 1000000L DIV n_words END"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len_ppm")
+          .between(minMeanWordLenPpm, maxMeanWordLenPpm) &&
+        col("stopword_ppm") >= minStopwordPpm)
+      .drop("__chars", "__stop")
+  }
+
+  /** Sequence packing: lay the corpus out as one deterministic token
+    * stream (ordered by `idCol` within each `shardCol` group) and
+    * assign every document to the fixed-size training bin its first
+    * token falls in — the standard pre-tokenization packing pass.
+    * One window shuffle keyed on the shard; at 100 TB the shard IS the
+    * physical partition (pack within source/date shards, never a
+    * global order — a global cumsum would serialize the corpus through
+    * one partition). */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+      textCol: String, binTokens: Long): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens"))
+          .over(win.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("bin", expr(s"offset DIV $binTokens"))
+  }
 }

@@ -203,6 +203,54 @@ object PipelineQueries {
         "vec_id", "embedding", k = 8, iters = 2)
       .orderBy(col("centroid"), col("pos"))
 
+  // PII redaction over deterministic customer-derived text (the
+  // documents corpus carries no digits/emails): per-rule match counts
+  // + the fully redacted text, hashed. The ordered regexp_replace
+  // chain and the counts are recomputed verbatim by the oracle.
+  private def p25(s: SparkSession, d: String): DataFrame =
+    TextOps.redactPii(
+        Tables.table(s, d, "customer").select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit(" reach "), lower(col("c_name")),
+            lit("@example.com or "),
+            lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"),
+            lit(" id "),
+            lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+            .as("text")),
+        "text")
+      .select(col("c_custkey"), col("n_email"), col("n_phone"),
+        col("n_ssn"), md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("c_custkey"))
+
+  // Gopher-style heuristic quality rules: auditable per-doc metrics +
+  // keep verdict (thresholds chosen to split this corpus ~1:10)
+  private def p26(s: SparkSession, d: String): DataFrame =
+    TextOps.gopherQuality(Tables.documents(s, d), "text",
+        minWords = 30, maxWords = 80,
+        minMeanWordLenPpm = 3500000L, maxMeanWordLenPpm = 4600000L,
+        minStopwordPpm = 20000L)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_ppm"),
+        col("stopword_ppm"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  // sequence packing: per-source deterministic token stream, each doc
+  // assigned to the 512-token training bin its first token falls in
+  private def p27(s: SparkSession, d: String): DataFrame =
+    TextOps.packSequences(Tables.documents(s, d), "doc_id", "source",
+        "text", binTokens = 512L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("offset"), col("bin"))
+      .orderBy(col("doc_id"))
+
   // ---------- multimodal ----------
 
   private def p11(s: SparkSession, d: String): DataFrame = {
@@ -331,7 +379,10 @@ object PipelineQueries {
     "p21_winnow_fingerprints" -> (p21 _),
     "p22_decontamination" -> (p22 _),
     "p23_repetition" -> (p23 _),
-    "p24_kmeans_centroids" -> (p24 _))
+    "p24_kmeans_centroids" -> (p24 _),
+    "p25_pii_redaction" -> (p25 _),
+    "p26_quality_rules" -> (p26 _),
+    "p27_sequence_packing" -> (p27 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -540,6 +591,69 @@ object PipelineQueries {
          SELECT CAST(cid AS BIGINT) AS centroid, CAST(pos AS BIGINT) AS pos,
                 val AS value
          FROM c2 ORDER BY centroid, pos""",
+    "p25_pii_redaction" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      s"""WITH t AS (
+            SELECT c_custkey,
+                   c_mktsegment || ' reach ' || lower(c_name) ||
+                     '@example.com or ' ||
+                     lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+                     lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') ||
+                     ' id ' ||
+                     lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+                     lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+            FROM customer)
+          SELECT c_custkey,
+                 CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_email,
+                 CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phone,
+                 CAST(len(regexp_extract_all(text, '$ssn')) AS INT) AS n_ssn,
+                 md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '$email', '<EMAIL>', 'g'),
+                   '$phone', '<PHONE>', 'g'),
+                   '$ssn', '<SSN>', 'g')) AS redacted_md5
+          FROM t ORDER BY c_custkey"""
+    },
+    "p26_quality_rules" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_words,
+                      CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                        'sum') AS BIGINT) AS chars,
+                      CAST(len(list_filter(toks,
+                        x -> x IN ('the','a','is','of','and'))) AS BIGINT) AS stop
+               FROM t),
+         r AS (SELECT doc_id, n_words,
+                      CASE WHEN n_words = 0 THEN 0
+                           ELSE chars * 1000000 // n_words END AS mean_word_len_ppm,
+                      CASE WHEN n_words = 0 THEN 0
+                           ELSE stop * 1000000 // n_words END AS stopword_ppm
+               FROM m)
+         SELECT doc_id, n_words,
+                CAST(mean_word_len_ppm AS BIGINT) AS mean_word_len_ppm,
+                CAST(stopword_ppm AS BIGINT) AS stopword_ppm,
+                (n_words BETWEEN 30 AND 80
+                  AND mean_word_len_ppm BETWEEN 3500000 AND 4600000
+                  AND stopword_ppm >= 20000) AS keep
+         FROM r ORDER BY doc_id""",
+    "p27_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+                      CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+                        AS n_tokens
+                    FROM documents),
+         o AS (SELECT doc_id, source, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS off
+               FROM t)
+         SELECT doc_id, source, n_tokens, CAST(off AS BIGINT) AS offset,
+                CAST(off AS BIGINT) // 512 AS bin
+         FROM o ORDER BY doc_id""",
     "p19_embedding_quantize" ->
       """WITH e AS (SELECT vec_id,
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

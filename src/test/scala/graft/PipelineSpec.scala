@@ -282,6 +282,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 0L)))
   }
 
+  test("redactPii: counts per rule, placeholders in, originals gone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, call 12-345-678-9012, ssn 123-45-6789"),
+      (2L, "clean text, nothing to scrub")).toDF("id", "text")
+    val out = TextOps.redactPii(df, "text").orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_email") === 2)
+    assert(out(0).getAs[Int]("n_phone") === 1)
+    assert(out(0).getAs[Int]("n_ssn") === 1)
+    val red = out(0).getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+      red.contains("<SSN>"))
+    assert(!red.contains("a@b.com") && !red.contains("12-345-678-9012") &&
+      !red.contains("123-45-6789"))
+    assert(out(1).getAs[Int]("n_email") === 0)
+    assert(out(1).getAs[String]("redacted") === "clean text, nothing to scrub")
+  }
+
+  test("gopherQuality: each rule can independently reject") {
+    import spark.implicits._
+    val good = Array.fill(40)("word").mkString(" ") + " the the"
+    val tooShort = "the word"
+    val longWords = Array.fill(40)("hippopotamus").mkString(" ") + " the"
+    val noStop = Array.fill(40)("word").mkString(" ")
+    val df = Seq((1L, good), (2L, tooShort), (3L, longWords), (4L, noStop))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(df, "text",
+        minWords = 10, maxWords = 100,
+        minMeanWordLenPpm = 2000000L, maxMeanWordLenPpm = 6000000L,
+        minStopwordPpm = 10000L)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false) // too few words
+    assert(out(3L) === false) // mean word length too high
+    assert(out(4L) === false) // no stopwords
+  }
+
+  test("packSequences: per-shard offsets, bin = first-token DIV budget") {
+    import spark.implicits._
+    def words(n: Int) = Array.fill(n)("w").mkString(" ")
+    val df = Seq(
+      (1L, "a", words(300)), (2L, "a", words(300)), (3L, "a", words(300)),
+      (10L, "b", words(600))).toDF("doc_id", "source", "text")
+    val out = TextOps.packSequences(df, "doc_id", "source", "text", 512L)
+      .select("doc_id", "offset", "bin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((300L, 0L)))
+    assert(out(3L) === ((600L, 1L)))
+    assert(out(10L) === ((0L, 0L))) // shard b independent of shard a
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(
