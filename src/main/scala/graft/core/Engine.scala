@@ -348,6 +348,36 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     else series
   }
 
+  /** The scheduling decision of the reference's wall-clock loops — the
+    * local bgworker sleeps `powa.frequency` between ticks
+    * (powa.c:344-505, compute_powa_frequency) and the remote collector
+    * schedules each server by its `powa_servers.frequency`
+    * (powa--5.2.0.sql:128): a server is due when it has never
+    * snapshotted or its last snapts is at least one frequency old;
+    * frequency −1 deactivates. */
+  def dueServers(now: java.sql.Timestamp): Seq[Int] =
+    registry.serverIds.filter { id =>
+      val s = registry.server(id)
+      s.frequencySec != -1 &&
+        registry.meta(id).snapts.forall(ts =>
+          now.getTime - ts.getTime >= s.frequencySec * 1000L)
+    }.sorted
+
+  /** One pass of the scheduler loop: tick every due server, each
+    * individually guarded (a failing server never blocks the fleet —
+    * same isolation as the per-datasource try/catch inside a tick).
+    * Returns per-server error counts. */
+  def tickDue(now: java.sql.Timestamp = new java.sql.Timestamp(
+      System.currentTimeMillis())): Map[Int, Int] =
+    dueServers(now).map { id =>
+      id -> (try takeSnapshot(id, now)
+             catch { case e: Exception =>
+               registry.meta(id).errors :+= s"tick: ${e.getMessage}"
+               registry.persistMetas()
+               1
+             })
+    }.toMap
+
   /** powa_reset(srvid) (:6359-6429). */
   def reset(srvid: Int): Unit = {
     datasources.foreach(_.reset(store, srvid))

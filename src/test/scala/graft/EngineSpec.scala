@@ -502,6 +502,27 @@ class EngineSpec extends AnyFunSuite {
     assert(e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:00")) === 0)
   }
 
+  test("scheduler loop: servers come due by their own frequency") {
+    val e = mkEngine()
+    val fast = e.registry.registerServer(ServerConfig(
+      id = 320, hostname = "h", frequencySec = 60))
+    val slow = e.registry.registerServer(ServerConfig(
+      id = 321, hostname = "h", frequencySec = 600))
+    val off = e.registry.registerServer(ServerConfig(
+      id = 322, hostname = "h", frequencySec = -1))
+    // never snapshotted → everything active is due (incl. local srvid 0)
+    assert(e.dueServers(Timestamp.valueOf("2024-01-01 00:00:00")) ===
+      Seq(0, fast, slow))
+    e.tickDue(Timestamp.valueOf("2024-01-01 00:00:00"))
+    // 2 minutes later only the 60s server is due again
+    assert(e.dueServers(Timestamp.valueOf("2024-01-01 00:02:00")) === Seq(fast))
+    // 10 minutes later both
+    assert(e.dueServers(Timestamp.valueOf("2024-01-01 00:10:00")) ===
+      Seq(0, fast, slow))
+    assert(!e.dueServers(Timestamp.valueOf("2024-01-01 01:00:00"))
+      .contains(off))
+  }
+
   test("spec sanity: 23 datasources, statements record arity matches reference") {
     assert(Specs.all.size === 23)
     // 34 counters + ts (powa--5.2.0.sql:1596-1617; SURVEY §7.4 item 3)

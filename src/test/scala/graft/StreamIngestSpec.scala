@@ -82,4 +82,36 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out(0).getAs[Timestamp]("range_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
     assert(out(1).getAs[String]("event_type") === "view")
   }
+
+  test("stateful streaming dedup: first wins; event-time TTL re-admits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val df = mem.toDF().toDF("ts", "content_hash", "payload")
+    val q = streaming.StreamDedup.firstSeen(df, "content_hash", "ts",
+        ttlMs = 3600 * 1000L) // 1 h of EVENT time
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def t(x: String) = Timestamp.valueOf(x)
+    // batch 1: a twice (in-batch dup) + b
+    mem.addData((t("2024-01-01 00:00:00"), "a", "a1"),
+      (t("2024-01-01 00:00:01"), "a", "a2"),
+      (t("2024-01-01 00:00:02"), "b", "b1"))
+    q.processAllAvailable()
+    // batch 2: b again (cross-batch dup, inside TTL) + c
+    mem.addData((t("2024-01-01 00:30:00"), "b", "b2"),
+      (t("2024-01-01 00:30:01"), "c", "c1"))
+    q.processAllAvailable()
+    // batch 3: event time jumps 3 h -> watermark passes every TTL; the
+    // next sighting of a is NEW again (dedup windows, not forever)
+    mem.addData((t("2024-01-01 03:30:00"), "z", "z1"))
+    q.processAllAvailable() // advances the watermark, expires a/b/c
+    mem.addData((t("2024-01-01 03:30:05"), "a", "a3"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_out")
+      .orderBy("ts").collect().map(r => (r.getString(1), r.getString(2)))
+    q.stop()
+    assert(out.toSeq ===
+      Seq("a" -> "a1", "b" -> "b1", "c" -> "c1", "z" -> "z1", "a" -> "a3"))
+  }
 }
