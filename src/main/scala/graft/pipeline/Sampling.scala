@@ -21,6 +21,37 @@ object Sampling {
       seed: Int = 0): DataFrame =
     df.filter(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L < ppm)
 
+  /** Source-mix reweighting — thin each source toward TARGET mix
+    * weights without ever upsampling: given per-source weights w_s, the
+    * largest feasible output size is T = min_s floor(n_s·W / w_s)
+    * (bounded by the scarcest source relative to its target), each
+    * source keeps m_s = floor(w_s·T / W) rows, and rows are selected by
+    * the deterministic hash filter at keep_ppm = floor(m_s·10⁶ / n_s).
+    * All integer arithmetic — engine-exact — and fully in-plan: one
+    * tiny per-source count aggregate broadcast back onto the corpus, a
+    * hash filter after it. At 100 TB the corpus side stays at scan
+    * speed; only #sources rows move.
+    *
+    * Adds `weight`, `n_source`, `keep_ppm`, `keep` to every row. */
+  def sourceMix(df: DataFrame, idCol: String, sourceCol: String,
+      weight: Column, seed: Int = 0): DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("weight", weight.cast("long"))
+    val w = Window.partitionBy() // #sources rows — a trivial frame
+    val quotas = counts
+      .withColumn("__W", sum(col("weight")).over(w))
+      .withColumn("__T",
+        min(expr("(n_source * __W) DIV weight")).over(w))
+      .withColumn("__m", expr("(weight * __T) DIV __W"))
+      .withColumn("keep_ppm", expr("(__m * 1000000L) DIV n_source"))
+      .select(col(sourceCol), col("n_source"), col("weight"), col("keep_ppm"))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("keep",
+        Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
+          col("keep_ppm"))
+  }
+
   /** Stratified cap: at most `n` rows per group, picked by hash rank —
     * the "balance languages / cap domains" operator. Cost is one window
     * shuffle keyed on the group column; group count is normally large

@@ -242,6 +242,17 @@ object PipelineQueries {
         col("stopword_ppm"), col("keep"))
       .orderBy(col("doc_id"))
 
+  // source-mix reweighting: thin every source toward name-derived
+  // target weights (1 + num%4) without upsampling; the summary hashes
+  // quota arithmetic AND the per-row hash selection
+  private def p28(s: SparkSession, d: String): DataFrame =
+    Sampling.sourceMix(Tables.documents(s, d), "doc_id", "source",
+        weight = lit(1L) + substring(col("source"), 4, 10).cast("long") % 4)
+      .groupBy(col("source"), col("n_source"), col("weight"),
+        col("keep_ppm"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+
   // sequence packing: per-source deterministic token stream, each doc
   // assigned to the 512-token training bin its first token falls in
   private def p27(s: SparkSession, d: String): DataFrame =
@@ -382,7 +393,8 @@ object PipelineQueries {
     "p24_kmeans_centroids" -> (p24 _),
     "p25_pii_redaction" -> (p25 _),
     "p26_quality_rules" -> (p26 _),
-    "p27_sequence_packing" -> (p27 _))
+    "p27_sequence_packing" -> (p27 _),
+    "p28_source_mix" -> (p28 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -641,6 +653,27 @@ object PipelineQueries {
                   AND mean_word_len_ppm BETWEEN 3500000 AND 4600000
                   AND stopword_ppm >= 20000) AS keep
          FROM r ORDER BY doc_id""",
+    "p28_source_mix" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_source,
+                  1 + CAST(substr(source, 4) AS BIGINT) % 4 AS weight
+               FROM documents GROUP BY source),
+         c2 AS (SELECT *, CAST((SELECT SUM(weight) FROM c) AS BIGINT) AS W
+                FROM c),
+         c3 AS (SELECT *,
+                  MIN((n_source * W) // weight) OVER () AS T FROM c2),
+         q AS (SELECT source, n_source, weight,
+                  (((weight * T) // W) * 1000000) // n_source AS keep_ppm
+               FROM c3),
+         k AS (SELECT d.source,
+                  SUM(CASE WHEN ${h60Sql(0, "CAST(d.doc_id AS VARCHAR)")}
+                    % 1000000 < q.keep_ppm THEN 1 ELSE 0 END) AS n_kept
+               FROM documents d JOIN q ON d.source = q.source
+               GROUP BY d.source)
+         SELECT q.source, q.n_source, q.weight,
+                CAST(q.keep_ppm AS BIGINT) AS keep_ppm,
+                CAST(k.n_kept AS BIGINT) AS n_kept
+         FROM q JOIN k ON q.source = k.source
+         ORDER BY q.source""",
     "p27_sequence_packing" ->
       """WITH t AS (SELECT doc_id, source,
                       CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)

@@ -334,6 +334,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10L) === ((0L, 0L))) // shard b independent of shard a
   }
 
+  test("sourceMix: scarce source bounds the mix, never upsamples") {
+    import spark.implicits._
+    // source b is scarce (5 rows) but wants 3x weight of a (100 rows):
+    // feasible T = min(100*4/1, 5*4/3) = 6; quotas a=1, b=4 (floor'd)
+    val df = ((0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 105).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val out = Sampling.sourceMix(df, "doc_id", "source",
+        weight = when(col("source") === "a", 1L).otherwise(3L))
+      .groupBy("source", "n_source", "weight", "keep_ppm")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (na, wa, ppmA, keptA) = out("a")
+    val (nb, wb, ppmB, keptB) = out("b")
+    assert((na, wa) === ((100L, 1L)) && (nb, wb) === ((5L, 3L)))
+    // W=4, T=min(400, 6)=6 -> quota a = 6/4 = 1, quota b = 18/4 = 4
+    assert(ppmA === 10000L)  // 1 of 100
+    assert(ppmB === 800000L) // 4 of 5
+    // the hash filter can never exceed the source's population
+    assert(keptA <= na && keptB <= nb)
+    // and the scarce source ends up overrepresented, as targeted
+    assert(keptB * na > keptA * nb || keptA === 0L)
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(
