@@ -98,6 +98,30 @@ object Stress {
       graft.pipeline.Similarity.cosineDupPairs(vecs, "vec_id", "embedding",
         planes = planes, dim = 64, thresholdPpm = 950000L).count())
 
+    // Curation axis (round 3): the scan-speed passes — quality rules +
+    // PII redaction are pure projections; packing is one per-shard
+    // window; the mix is a broadcast-quota filter. These must track the
+    // scan rate as the corpus multiplies.
+    val docsSharded = docs.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(64))))
+    val (qualitySec, qualityRows) = timed(
+      graft.pipeline.TextOps.gopherQuality(docsSharded, "text",
+        30, 80, 3500000L, 4600000L, 20000L)
+        .filter(col("keep")).count())
+    val (redactSec, redactRows) = timed(
+      graft.pipeline.TextOps.redactPii(docsSharded, "text")
+        .select(sum(col("n_email") + col("n_phone") + col("n_ssn")))
+        .count())
+    val (packSec, packBins) = timed(
+      graft.pipeline.TextOps.packSequences(docsSharded, "doc_id",
+        "source", "text", 4096L)
+        .select(col("source"), col("bin")).distinct().count())
+    val (mixSec, mixKept) = timed(
+      graft.pipeline.Sampling.sourceMix(docsSharded, "doc_id", "source",
+        weight = lit(1L) +
+          substring(col("source"), 4, 10).cast("long") % 4)
+        .filter(col("keep")).count())
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
@@ -108,6 +132,11 @@ object Stress {
       s""""dup_pairs":$dupPairs,""" +
       s""""n_vecs":$nVecs,"ann_planes":$planes,"ann_sec":$annSec,""" +
       s""""ann_vecs_per_sec":${(nVecs / annSec).toLong},"ann_pairs":$annPairs,""" +
+      s""""quality_sec":$qualitySec,"quality_docs_per_sec":${(nDocs / qualitySec).toLong},""" +
+      s""""quality_kept":$qualityRows,""" +
+      s""""redact_sec":$redactSec,"redact_docs_per_sec":${(nDocs / redactSec).toLong},""" +
+      s""""pack_sec":$packSec,"pack_bins":$packBins,""" +
+      s""""mix_sec":$mixSec,"mix_kept":$mixKept,""" +
       s""""sf":"$sfDir"}"""
     spark.stop()
     println(json)

@@ -32,7 +32,9 @@ object Sampling {
     * hash filter after it. At 100 TB the corpus side stays at scan
     * speed; only #sources rows move.
     *
-    * Adds `weight`, `n_source`, `keep_ppm`, `keep` to every row. */
+    * `weight` must be an expression over `sourceCol` alone (it is
+    * evaluated on the per-source counts frame). Adds `weight`,
+    * `n_source`, `keep_ppm`, `keep` to every row. */
   def sourceMix(df: DataFrame, idCol: String, sourceCol: String,
       weight: Column, seed: Int = 0): DataFrame = {
     val counts = df.groupBy(col(sourceCol))
