@@ -242,6 +242,29 @@ object PipelineQueries {
         col("stopword_ppm"), col("keep"))
       .orderBy(col("doc_id"))
 
+  // URL canonicalization + dedup: four deterministic variants of each
+  // synthetic URL (mixed-case scheme/host, default port + trailing
+  // slash, fragment) must collapse to one canonical row
+  private def p29(s: SparkSession, d: String): DataFrame = {
+    val base = expr("o_orderkey DIV 4")
+    val shop = concat(lit("shop-"), (base % 50).cast("string"),
+      lit(".example.com"))
+    val path = concat(lit("/item/"), base.cast("string"))
+    val url = when(col("o_orderkey") % 4 === 0,
+        concat(lit("https://"), shop, path))
+      .when(col("o_orderkey") % 4 === 1,
+        concat(lit("HTTPS://"), upper(shop), path))
+      .when(col("o_orderkey") % 4 === 2,
+        concat(lit("https://"), shop, lit(":443"), path, lit("/")))
+      .otherwise(
+        concat(lit("https://"), shop, path, lit("#ref"),
+          col("o_orderkey").cast("string")))
+    Urls.dedupByUrl(
+        Tables.orders(s, d).select(col("o_orderkey"), url.as("url")),
+        "o_orderkey", "url")
+      .orderBy(col("url_canonical"))
+  }
+
   // source-mix reweighting: thin every source toward name-derived
   // target weights (1 + num%4) without upsampling; the summary hashes
   // quota arithmetic AND the per-row hash selection
@@ -394,7 +417,8 @@ object PipelineQueries {
     "p25_pii_redaction" -> (p25 _),
     "p26_quality_rules" -> (p26 _),
     "p27_sequence_packing" -> (p27 _),
-    "p28_source_mix" -> (p28 _))
+    "p28_source_mix" -> (p28 _),
+    "p29_url_dedup" -> (p29 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -653,6 +677,37 @@ object PipelineQueries {
                   AND mean_word_len_ppm BETWEEN 3500000 AND 4600000
                   AND stopword_ppm >= 20000) AS keep
          FROM r ORDER BY doc_id""",
+    "p29_url_dedup" ->
+      """WITH u AS (
+           SELECT o_orderkey,
+                  'shop-' || CAST((o_orderkey // 4) % 50 AS VARCHAR) ||
+                    '.example.com' AS shop,
+                  '/item/' || CAST(o_orderkey // 4 AS VARCHAR) AS path
+           FROM orders),
+         v AS (
+           SELECT o_orderkey,
+                  CASE o_orderkey % 4
+                    WHEN 0 THEN 'https://' || shop || path
+                    WHEN 1 THEN 'HTTPS://' || upper(shop) || path
+                    WHEN 2 THEN 'https://' || shop || ':443' || path || '/'
+                    ELSE 'https://' || shop || path || '#ref' ||
+                      CAST(o_orderkey AS VARCHAR)
+                  END AS url
+           FROM u),
+         c AS (
+           SELECT o_orderkey,
+                  lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+                  regexp_replace(lower(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/#?]*)', 1)),
+                    ':(80|443)$', '') ||
+                  regexp_replace(regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/#?]*([^#]*)', 1),
+                    '/+$', '') AS url_canonical
+           FROM v)
+         SELECT url_canonical, COUNT(*) AS n_variants,
+                MIN(o_orderkey) AS keeper
+         FROM c GROUP BY url_canonical ORDER BY url_canonical""",
     "p28_source_mix" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_source,
                   1 + CAST(substr(source, 4) AS BIGINT) % 4 AS weight

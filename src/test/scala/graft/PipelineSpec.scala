@@ -334,6 +334,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10L) === ((0L, 0L))) // shard b independent of shard a
   }
 
+  test("url canonicalization: case/port/fragment/slash collapse, query kept") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/",
+      "https://www.example.com/A/b",
+      "https://www.example.com/A/b#frag",
+      "http://host.io:80/x?b=2&a=1",     // param order preserved
+      "http://host.io/x?b=2&a=1",
+      "https://other.net/p/?q=1")        // slash before query NOT stripped
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val out = urls.select(col("id"),
+        graft.pipeline.Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "https://www.example.com/A/b")
+    assert(out(1L) === out(0L) && out(2L) === out(0L))
+    assert(out(3L) === "http://host.io/x?b=2&a=1")
+    assert(out(4L) === out(3L))
+    assert(out(5L) === "https://other.net/p/?q=1")
+    val dedup = graft.pipeline.Urls.dedupByUrl(urls, "id", "url").collect()
+    assert(dedup.length === 3)
+    assert(dedup.find(_.getString(0) == out(0L)).get.getLong(2) === 0L) // min-id keeper
+  }
+
   test("sourceMix: scarce source bounds the mix, never upsamples") {
     import spark.implicits._
     // source b is scarce (5 rows) but wants 3x weight of a (100 rows):
