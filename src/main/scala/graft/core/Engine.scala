@@ -167,6 +167,21 @@ class GenericDatasource(val spec: DatasourceSpec) {
     Readback.series(cur, hist, spec, lit(from), lit(to))
   }
 
+  /** Per-database rollup readback — the `{ds}_history_db` tier pair the
+    * per-database dashboards query (populated at snapshot time,
+    * powa--5.2.0.sql:4070-4094): current_db ∪ unnest(history_db) over
+    * the range, one record stream per dbid. */
+  def readSeriesDb(store: Store, srvid: Int, from: java.sql.Timestamp,
+      to: java.sql.Timestamp): DataFrame = {
+    val dbs = dbSpec.getOrElse(throw new IllegalStateException(
+      s"$name has no per-db rollup tier"))
+    val cur = store.read(name, CurrentDb, currentNoSrvid(dbs))
+      .filter(col("srvid") === srvid)
+    val hist = store.readBucketed(name, HistoryDb, historyNoSrvid(dbs))
+      .filter(col("srvid") === srvid)
+    Readback.series(cur, hist, dbs, lit(from), lit(to))
+  }
+
 }
 
 object GenericDatasource {
@@ -345,6 +360,20 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     val series = d.readSeries(store, srvid, from, to)
     if (d.spec.needOperators)
       graft.operators.DeltaRate.withRates(series, d.spec)
+    else series
+  }
+
+  /** Per-database dashboard readback + rates — the `_db` tier analogue
+    * of [[readSeriesWithRates]] (the reference's per-database graphs
+    * read `{ds}_history_db` and apply the same generated operators). */
+  def readSeriesDbWithRates(dsName: String, srvid: Int,
+      from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    val d = datasource(dsName)
+    val series = d.readSeriesDb(store, srvid, from, to)
+    if (d.spec.needOperators)
+      graft.operators.DeltaRate.withRates(series,
+        d.dbSpec.getOrElse(throw new IllegalStateException(
+          s"$dsName has no per-db rollup tier")))
     else series
   }
 

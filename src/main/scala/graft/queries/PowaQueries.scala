@@ -745,15 +745,7 @@ object PowaQueries {
           sum(col("record.calls")).as("calls"),
           sum(col("record.total_exec_time")).as("runtime"),
           sum(col("record.rows")).as("rows_sum"))
-      val dbs = ds.dbSpec.get
-      val perDb = Readback.series(
-          e.store.read(ds.name, graft.core.GenericDatasource.CurrentDb,
-            graft.core.GenericDatasource.currentNoSrvid(dbs))
-            .filter(col("srvid") === srvid),
-          e.store.readBucketed(ds.name, graft.core.GenericDatasource.HistoryDb,
-            graft.core.GenericDatasource.historyNoSrvid(dbs))
-            .filter(col("srvid") === srvid),
-          dbs, lit(from), lit(to))
+      val perDb = ds.readSeriesDb(e.store, srvid, from, to)
         .groupBy(col("dbid"))
         .agg(sum(col("record.calls")).as("db_calls"),
           sum(col("record.total_exec_time")).as("db_runtime"))
