@@ -168,6 +168,41 @@ object TextOps {
       .distinct()
   }
 
+  /** Containment pairs — the partial-copy detector (a page quoting half
+    * of another page), which symmetric near-dup measures miss: for a
+    * candidate pair, containment(i⊂j) = |fp_i ∩ fp_j| / |fp_i| over the
+    * winnowing fingerprints ([[winnowFingerprints]] — position-robust
+    * by construction). Fingerprints above `dfCap` document frequency
+    * are dropped from candidate generation (boilerplate control — the
+    * standard cap that keeps the postings join subquadratic at corpus
+    * scale; denominators still count every fingerprint, so a dropped
+    * posting can only LOWER a score, never fake one). Ratios are
+    * integer ppm (engine-exact); pairs survive when either direction's
+    * containment reaches `minPpm`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, dfCap: Int, minPpm: Long): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint() // sizes + two join sides from one computation
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = kept.select(col("doc_id").as("i"), col("fp"))
+      .join(kept.select(col("doc_id").as("j"), col("fp")), "fp")
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("i"), col("n_fp").as("n_fp_i")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n_fp").as("n_fp_j")), "j")
+      .withColumn("containment_i_ppm",
+        expr("(n_shared * 1000000L) DIV n_fp_i"))
+      .withColumn("containment_j_ppm",
+        expr("(n_shared * 1000000L) DIV n_fp_j"))
+      .filter(greatest(col("containment_i_ppm"),
+        col("containment_j_ppm")) >= minPpm)
+  }
+
   /** PII redaction rules: (name, pattern, replacement), applied in
     * order. The patterns stay inside the Java-regex ∩ RE2 dialect (no
     * lookaround, no backrefs) so the DuckDB oracle applies the

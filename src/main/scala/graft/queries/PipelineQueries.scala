@@ -242,6 +242,15 @@ object PipelineQueries {
         col("stopword_ppm"), col("keep"))
       .orderBy(col("doc_id"))
 
+  // containment dedup: directional fingerprint-overlap scores catch
+  // partial copies that symmetric jaccard misses (df-capped postings)
+  private def p30(s: SparkSession, d: String): DataFrame =
+    TextOps.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 4, w = 5, dfCap = 50, minPpm = 300000L)
+      .select(col("i"), col("j"), col("n_shared"),
+        col("containment_i_ppm"), col("containment_j_ppm"))
+      .orderBy(col("i"), col("j"))
+
   // URL canonicalization + dedup: four deterministic variants of each
   // synthetic URL (mixed-case scheme/host, default port + trailing
   // slash, fragment) must collapse to one canonical row
@@ -418,7 +427,8 @@ object PipelineQueries {
     "p26_quality_rules" -> (p26 _),
     "p27_sequence_packing" -> (p27 _),
     "p28_source_mix" -> (p28 _),
-    "p29_url_dedup" -> (p29 _))
+    "p29_url_dedup" -> (p29 _),
+    "p30_containment" -> (p30 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -566,6 +576,40 @@ object PipelineQueries {
                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
                 FROM g)
           SELECT DISTINCT doc_id, fp FROM w ORDER BY doc_id, fp""",
+    "p30_containment" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          g0 AS (SELECT doc_id,
+                        list_transform(range(0, GREATEST(len(toks) - 3, 0)),
+                          i -> array_to_string(toks[i+1:i+4], ' ')) AS grams
+                 FROM t),
+          g AS (SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+                       ${h60Sql("unnest(grams)")} AS h
+                FROM g0),
+          wn AS (SELECT doc_id,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+                FROM g),
+          fps AS (SELECT DISTINCT doc_id, fp FROM wn),
+          rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+          kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+          sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+                    FROM fps GROUP BY doc_id),
+          sh AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                        CAST(COUNT(*) AS BIGINT) AS n_shared
+                 FROM kept a JOIN kept b
+                   ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          o AS (SELECT i, j, n_shared,
+                       (n_shared * 1000000) // si.n_fp AS ci,
+                       (n_shared * 1000000) // sj.n_fp AS cj
+                FROM sh
+                JOIN sizes si ON sh.i = si.doc_id
+                JOIN sizes sj ON sh.j = sj.doc_id)
+          SELECT i, j, n_shared,
+                 CAST(ci AS BIGINT) AS containment_i_ppm,
+                 CAST(cj AS BIGINT) AS containment_j_ppm
+          FROM o WHERE GREATEST(ci, cj) >= 300000 ORDER BY i, j""",
     "p22_decontamination" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
                      FROM documents),

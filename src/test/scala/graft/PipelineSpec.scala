@@ -334,6 +334,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(10L) === ((0L, 0L))) // shard b independent of shard a
   }
 
+  test("containment: a partial copy scores high toward the copied doc") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val half = (1 to 30).map(i => s"w$i").mkString(" ") // strict prefix copy
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, half), (2L, other)).toDF("doc_id", "text")
+    val pairs = TextOps.containmentPairs(docs, "doc_id", "text",
+        k = 4, w = 5, dfCap = 50, minPpm = 500000L)
+      .select("i", "j", "containment_i_ppm", "containment_j_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(pairs.keySet === Set((0L, 1L))) // the unrelated doc pairs with no one
+    val (ci, cj) = pairs((0L, 1L))
+    // the small doc is almost fully contained in the big one; the big
+    // doc only partially in the small — the asymmetry jaccard can't see
+    assert(cj >= 800000L, s"copy not detected: $cj")
+    assert(ci < cj, s"directionality lost: $ci vs $cj")
+  }
+
   test("url canonicalization: case/port/fragment/slash collapse, query kept") {
     import spark.implicits._
     val urls = Seq(
