@@ -79,18 +79,25 @@ object Bench {
         runs = once() :: runs
       (name, runs.map(_._1).min, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok) => s"\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val nFailed = results.count(!_._3)
     val total = results.map(_._2).sum
+    // stdout line stays COMPACT (3-decimal secs, failure count only, no
+    // per-query ok map): the driver captures a bounded log tail, and the
+    // r3 full-detail line overflowed it — "parsed": null, a lost round
+    // of bench numbers. Full detail still lands in the file sink.
     val json =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+    val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
+        (jsonFull + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
     // last stdout line, after spark.stop() so no executor chatter follows

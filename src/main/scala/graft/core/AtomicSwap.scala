@@ -54,7 +54,8 @@ object AtomicSwap {
     * atomic rename. Returns after old versions (except the immediate
     * predecessor) are GC'd. */
   def replace(parent: Path, linkName: String)(write: Path => Unit): Unit = {
-    val vdir = parent.resolve(versionName(nextVersion(parent, linkName), linkName))
+    val ver = nextVersion(parent, linkName)
+    val vdir = parent.resolve(versionName(ver, linkName))
     write(vdir)
     val dst = parent.resolve(linkName)
     if (Files.isSymbolicLink(dst)) {
@@ -65,7 +66,8 @@ object AtomicSwap {
       Files.createSymbolicLink(tmpLink, vdir.getFileName)
       Files.move(tmpLink, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      gc(parent, linkName, keep = Set(vdir.getFileName.toString, prev))
+      gc(parent, linkName, keep = Set(vdir.getFileName.toString, prev),
+        flipped = ver)
     } else if (Files.isDirectory(dst)) {
       // one-time conversion of a legacy real directory (two renames
       // apart — the only non-atomic moment in the layout's lifetime)
@@ -74,32 +76,44 @@ object AtomicSwap {
       Files.move(dst, aside)
       Files.createSymbolicLink(dst, vdir.getFileName)
       deleteRecursively(aside)
-      gc(parent, linkName, keep = Set(vdir.getFileName.toString))
+      gc(parent, linkName, keep = Set(vdir.getFileName.toString),
+        flipped = ver)
     } else {
       Files.createDirectories(parent)
       Files.deleteIfExists(dst) // dangling link from a partial crash
       Files.createSymbolicLink(dst, vdir.getFileName)
-      gc(parent, linkName, keep = Set(vdir.getFileName.toString))
+      gc(parent, linkName, keep = Set(vdir.getFileName.toString),
+        flipped = ver)
     }
   }
 
   /** Drop the link and every version directory. The pointer goes first,
-    * so readers stop seeing the partition atomically. */
+    * so readers stop seeing the partition atomically. Like replace(),
+    * drop() assumes a single mutator per link (the per-srvid snapshot
+    * lock / registry lock provide that). */
   def drop(parent: Path, linkName: String): Unit = {
     val dst = parent.resolve(linkName)
     if (Files.isSymbolicLink(dst)) Files.delete(dst)
     else deleteRecursively(dst) // legacy real directory
-    gc(parent, linkName, keep = Set.empty)
+    gc(parent, linkName, keep = Set.empty, flipped = Long.MaxValue)
   }
 
-  /** Delete version dirs not in `keep` plus crash leftovers. */
-  private def gc(parent: Path, linkName: String, keep: Set[String]): Unit = {
+  /** Delete version dirs not in `keep` plus crash leftovers. Dirs with
+    * a version NEWER than the one just flipped to are skipped: they can
+    * only belong to a concurrent writer mid-replace (possible when the
+    * caller's single-mutator discipline slips), and deleting one would
+    * leave that writer flipping the link to a vanished target. */
+  private def gc(parent: Path, linkName: String, keep: Set[String],
+      flipped: Long): Unit = {
     if (!Files.isDirectory(parent)) return
     val sfx = suffix(linkName)
     val s = Files.list(parent)
     val doomed = try s.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
-      (n.startsWith(".v") && n.endsWith(sfx) && !keep.contains(n)) ||
+      (n.startsWith(".v") && n.endsWith(sfx) && !keep.contains(n) &&
+        scala.util.Try(
+          n.stripPrefix(".v").stripSuffix(sfx).toLong).toOption
+          .forall(_ <= flipped)) ||
         n == s".swap_$linkName" || n == s".gc_$linkName"
     }.toList
     finally s.close()

@@ -242,6 +242,13 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     logSink = f
     store.traceRowcounts = true
   }
+  /** Uninstall the trace sink AND stop paying the per-datasource
+    * rowcount action it enables — the debug GUC turned back off
+    * (a sink installed once must not tax every later tick). */
+  def clearLog(): Unit = {
+    logSink = _ => ()
+    store.traceRowcounts = false
+  }
 
   /** Remote collector landing: append staged rows (must carry srvid, ts,
     * keys, counters — the `*_src_tmp` shape). */
@@ -293,7 +300,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
 
   private def takeSnapshotLocked(srvid: Int, now: java.sql.Timestamp,
       server: ServerConfig): Int = {
-    val meta = registry.meta(srvid)
+    // re-read the persisted meta row under the snapshot lock: the
+    // coalesce_seq bump is a read-modify-write of the STORED row, so a
+    // second engine sharing the root continues the cadence where the
+    // first left it instead of replaying its stale in-memory copy
+    val meta = registry.refreshMeta(srvid)
     meta.coalesceSeq += 1
     var errors = Vector.empty[String]
 
@@ -345,9 +356,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       errors ++= catalogs.snapshot(srvid, server.catalogRefreshSec, now)
 
     meta.errors ++= errors
-    // write the metas through — coalesce_seq (the cadence phase),
-    // snapts/aggts/purgets and accumulated errors survive restarts
-    registry.persistMetas()
+    // write THIS server's meta row through (scoped: other servers' rows,
+    // possibly owned by other engines on this root, are left untouched) —
+    // coalesce_seq (the cadence phase), snapts/aggts/purgets and
+    // accumulated errors survive restarts
+    registry.persistMetas(Set(srvid))
     errors.size
   }
 
@@ -402,7 +415,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       id -> (try takeSnapshot(id, now)
              catch { case e: Exception =>
                registry.meta(id).errors :+= s"tick: ${e.getMessage}"
-               registry.persistMetas()
+               registry.persistMetas(Set(id))
                1
              })
     }.toMap
@@ -413,7 +426,7 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     catalogs.reset(srvid)
     val m = registry.meta(srvid)
     m.coalesceSeq = 0; m.errors = Vector.empty
-    registry.persistMetas()
+    registry.persistMetas(Set(srvid))
   }
 
   /** powa_delete_and_purge_server (:2842-2888): config rows + all data. */

@@ -61,46 +61,85 @@ final class Registry(persistence: Option[RegistryStore] = None) {
   private val enabled = mutable.Map[(Int, String), Boolean]()
   private var nextId = 1
 
-  private def saveServers(): Unit = persistence.foreach(
-    _.saveServers(servers.values.toSeq.map(serverRow)))
-  private def saveModules(): Unit = persistence.foreach(
-    _.saveModules(enabled.toSeq.map { case ((id, m), on) => ModuleRow(id, m, on) }))
-  private def saveDbModules(): Unit = persistence.foreach(
-    _.saveDbModules(dbModules.toSeq.map { case ((id, m), st) =>
-      st match {
-        case DbAll => DbModuleRow(id, m, "all", Seq.empty)
-        case DbNames(names) => DbModuleRow(id, m, "names", names)
-        case DbDisabled => DbModuleRow(id, m, "disabled", Seq.empty)
-      }
+  // Every save is srvid-SCOPED: only this mutation's rows are replaced
+  // in the persisted table (RegistryStore merges under its lock), so an
+  // engine's write-through never clobbers rows another engine sharing
+  // the root owns — the reference's row-scoped UPDATE, not a table swap.
+  private def saveServers(scope: Set[Int]): Unit = persistence.foreach(
+    _.saveServers(scope,
+      servers.values.toSeq.filter(s => scope(s.id)).map(serverRow)))
+  private def saveModules(scope: Set[Int]): Unit = persistence.foreach(
+    _.saveModules(scope, enabled.toSeq.collect {
+      case ((id, m), on) if scope(id) => ModuleRow(id, m, on) }))
+  private def saveDbModules(scope: Set[Int]): Unit = persistence.foreach(
+    _.saveDbModules(scope, dbModules.toSeq.collect {
+      case ((id, m), st) if scope(id) =>
+        st match {
+          case DbAll => DbModuleRow(id, m, "all", Seq.empty)
+          case DbNames(names) => DbModuleRow(id, m, "names", names)
+          case DbDisabled => DbModuleRow(id, m, "disabled", Seq.empty)
+        }
     }))
 
-  /** Write the snapshot metas through to the store — the engine calls
-    * this once per tick, after snapts/aggts/purgets/errors settle
+  /** Run `body` holding the registry-wide lock (no-op without
+    * persistence) so multi-table mutations commit as one critical
+    * section. Re-entrant with the scoped saves above. */
+  private def locked[T](body: => T): T = persistence match {
+    case Some(p) => p.withLock(body)
+    case None => body
+  }
+
+  /** Write one server's snapshot meta through to the store — the engine
+    * calls this once per tick, after snapts/aggts/purgets/errors settle
     * (`UPDATE powa_snapshot_metas`, powa--5.2.0.sql:3490-3497). */
-  def persistMetas(): Unit = persistence.foreach(
-    _.saveMetas(metas.toSeq.map { case (id, m) => metaRow(id, m) }))
+  def persistMetas(scope: Set[Int]): Unit = persistence.foreach(
+    _.saveMetas(scope, metas.toSeq.collect {
+      case (id, m) if scope(id) => metaRow(id, m) }))
+
+  /** Full-table write-through — single-engine admin use only (a scoped
+    * save is what ticks use; this replaces every srvid this registry
+    * holds in memory). */
+  def persistMetas(): Unit = persistMetas(metas.keySet.toSet)
+
+  /** Re-read this server's persisted meta row into memory, returning it —
+    * called at tick start UNDER the per-server snapshot lock, so the
+    * coalesce_seq bump is read-modify-write on the STORED row (the
+    * reference's `FOR UPDATE` row claim) rather than on a possibly
+    * stale construction-time copy when several engines share a root. */
+  def refreshMeta(srvid: Int): SnapshotMeta = {
+    persistence.foreach(_.loadMeta(srvid).foreach(r =>
+      metas(srvid) = r.toMeta))
+    meta(srvid)
+  }
 
   private def registerLocal(): Unit = {
     servers(0) = ServerConfig(0, "", alias = Some("local"))
     metas(0) = SnapshotMeta()
   }
 
-  /** powa_register_server (:2686-2761). Returns the new srvid. */
-  def registerServer(cfg: ServerConfig): Int = {
+  /** powa_register_server (:2686-2761). Returns the new srvid. Runs
+    * under the registry lock with the persisted server set refreshed
+    * first, so two engines registering concurrently can neither pick
+    * the same auto-id nor overwrite each other's registration. */
+  def registerServer(cfg: ServerConfig): Int = locked {
+    persistence.foreach(_.loadServers().foreach { r =>
+      if (!servers.contains(r.srvid)) servers(r.srvid) = r.toConfig
+      nextId = math.max(nextId, r.srvid + 1)
+    })
     val id = if (cfg.id > 0) cfg.id else { val i = nextId; i }
     require(!servers.contains(id) || id == cfg.id && !servers.contains(id),
       s"server $id already registered")
     nextId = math.max(nextId, id + 1)
     servers(id) = cfg.copy(id = id)
     metas(id) = SnapshotMeta()
-    saveServers(); persistMetas()
+    saveServers(Set(id)); persistMetas(Set(id))
     id
   }
 
   /** powa_configure_server: field-whitelisted patch (:2768-2783). */
   def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit = {
     servers(srvid) = patch(server(srvid))
-    saveServers()
+    saveServers(Set(srvid))
   }
 
   /** powa_configure_server(json): field-whitelisted JSON patch
@@ -135,7 +174,11 @@ final class Registry(persistence: Option[RegistryStore] = None) {
     servers.remove(srvid); metas.remove(srvid)
     enabled.keys.filter(_._1 == srvid).toSeq.foreach(enabled.remove)
     dbModules.keys.filter(_._1 == srvid).toSeq.foreach(dbModules.remove)
-    saveServers(); persistMetas(); saveModules(); saveDbModules()
+    val scope = Set(srvid) // scoped empty writes = delete this srvid's rows
+    locked {
+      saveServers(scope); persistMetas(scope)
+      saveModules(scope); saveDbModules(scope)
+    }
   }
 
   def server(srvid: Int): ServerConfig =
@@ -148,7 +191,7 @@ final class Registry(persistence: Option[RegistryStore] = None) {
     * name "powa" toggles everything (alias, :2612-2625). */
   def setEnabled(srvid: Int, dsName: String, on: Boolean): Unit = {
     setEnabled0(srvid, dsName, on)
-    saveModules()
+    saveModules(Set(srvid))
   }
 
   private def setEnabled0(srvid: Int, dsName: String, on: Boolean): Unit =
@@ -179,7 +222,7 @@ final class Registry(persistence: Option[RegistryStore] = None) {
     extensionDatasources.foreach { case (ext, dss) =>
       dss.foreach(ds => setEnabled0(srvid, ds, present.contains(ext)))
     }
-    saveModules()
+    saveModules(Set(srvid))
   }
 
   /** powa_get_server_retention resolution (:2942-2990): per-feature
@@ -215,7 +258,7 @@ final class Registry(persistence: Option[RegistryStore] = None) {
       case None => DbAll
       case Some(names) => DbNames(names.toVector)
     }
-    saveDbModules()
+    saveDbModules(Set(srvid))
   }
 
   /** Deactivate entirely (dbnames = None → disabled row kept) or remove
@@ -240,7 +283,7 @@ final class Registry(persistence: Option[RegistryStore] = None) {
         dbModules(key) =
           if (left.isEmpty) DbDisabled else DbNames(left)
     }
-    saveDbModules()
+    saveDbModules(Set(srvid))
   }
 
   /** Is the module enabled for this database name? */
@@ -265,7 +308,9 @@ final class Registry(persistence: Option[RegistryStore] = None) {
           case _ => DbDisabled
         })
       nextId = servers.keys.foldLeft(0)(math.max) + 1
-      if (!servers.contains(0)) { registerLocal(); saveServers(); persistMetas() }
+      if (!servers.contains(0)) {
+        registerLocal(); saveServers(Set(0)); persistMetas(Set(0))
+      }
     case None => registerLocal()
   }
 }

@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Path, Paths}
 
 /** Durable form of the registry — the engine's mirror of the reference's
   * config tables, which all live in ordinary (dumpable, restart-surviving)
@@ -17,45 +17,76 @@ import java.nio.file.Paths
   * a Spark job per single-row config write would cost ~10⁵× the data —
   * while staying ordinary parquet any engine can read.
   *
+  * Concurrency (round-3 ADVICE): every save is ROW-SCOPED
+  * merge-on-write under a registry-wide lock — re-read the persisted
+  * table, replace only the rows in this write's srvid scope, write the
+  * merge — the file analogue of the reference's row-scoped
+  * `UPDATE powa_snapshot_metas` (:3490-3497). Two engines sharing a
+  * store root therefore never clobber each other's server rows, and the
+  * lock serializes AtomicSwap's version allocation and gc on the
+  * `_registry` links (two concurrent writers can no longer pick the
+  * same version directory or gc one mid-write). The lock is a blocking
+  * file lock (`_registry/.lock`) plus a per-root JVM monitor (file
+  * locks are per-process on POSIX), re-entrant so multi-table mutations
+  * (dropServer) hold it once across all four tables.
+  *
   * What this buys (round-2 VERDICT item 1): `coalesce_seq` — and with it
   * the aggregate/purge cadence phase — server registrations, per-feature
   * retention and accumulated per-datasource errors all survive a process
-  * restart, exactly like the reference's `UPDATE powa_snapshot_metas`
-  * bookkeeping (:3490-3497).
+  * restart, exactly like the reference's bookkeeping.
   */
 final class RegistryStore(root: String) {
   import RegistryStore._
 
   private val dir = Paths.get(root, "_registry")
 
-  def saveServers(rows: Seq[ServerRow]): Unit =
+  /** Serialize a registry mutation across threads AND processes sharing
+    * this root. Re-entrant. Reads don't need it: AtomicSwap guarantees a
+    * reader sees one complete version. */
+  def withLock[T](body: => T): T = withFileLock(dir)(body)
+
+  def saveServers(scope: Set[Int], rows: Seq[ServerRow]): Unit = withLock {
+    val merged = (loadServers().filterNot(r => scope(r.srvid)) ++ rows)
+      .sortBy(_.srvid)
     AtomicSwap.replace(dir, "servers")(v =>
       RegistryIo.write(v, RegistryIo.serversSchema)(
-        f => rows.map(RegistryIo.serverGroup(f, _))))
+        f => merged.map(RegistryIo.serverGroup(f, _))))
+  }
   def loadServers(): Seq[ServerRow] =
     RegistryIo.read(dir.resolve("servers"), RegistryIo.serversSchema)
       .map(RegistryIo.serverRowOf)
 
-  def saveMetas(rows: Seq[MetaRow]): Unit =
+  def saveMetas(scope: Set[Int], rows: Seq[MetaRow]): Unit = withLock {
+    val merged = (loadMetas().filterNot(r => scope(r.srvid)) ++ rows)
+      .sortBy(_.srvid)
     AtomicSwap.replace(dir, "snapshot_metas")(v =>
       RegistryIo.write(v, RegistryIo.metasSchema)(
-        f => rows.map(RegistryIo.metaGroup(f, _))))
+        f => merged.map(RegistryIo.metaGroup(f, _))))
+  }
   def loadMetas(): Seq[MetaRow] =
     RegistryIo.read(dir.resolve("snapshot_metas"), RegistryIo.metasSchema)
       .map(RegistryIo.metaRowOf)
+  def loadMeta(srvid: Int): Option[MetaRow] =
+    loadMetas().find(_.srvid == srvid)
 
-  def saveModules(rows: Seq[ModuleRow]): Unit =
+  def saveModules(scope: Set[Int], rows: Seq[ModuleRow]): Unit = withLock {
+    val merged = (loadModules().filterNot(r => scope(r.srvid)) ++ rows)
+      .sortBy(r => (r.srvid, r.module))
     AtomicSwap.replace(dir, "module_config")(v =>
       RegistryIo.write(v, RegistryIo.modulesSchema)(
-        f => rows.map(RegistryIo.moduleGroup(f, _))))
+        f => merged.map(RegistryIo.moduleGroup(f, _))))
+  }
   def loadModules(): Seq[ModuleRow] =
     RegistryIo.read(dir.resolve("module_config"), RegistryIo.modulesSchema)
       .map(RegistryIo.moduleRowOf)
 
-  def saveDbModules(rows: Seq[DbModuleRow]): Unit =
+  def saveDbModules(scope: Set[Int], rows: Seq[DbModuleRow]): Unit = withLock {
+    val merged = (loadDbModules().filterNot(r => scope(r.srvid)) ++ rows)
+      .sortBy(r => (r.srvid, r.module))
     AtomicSwap.replace(dir, "db_module_config")(v =>
       RegistryIo.write(v, RegistryIo.dbModulesSchema)(
-        f => rows.map(RegistryIo.dbModuleGroup(f, _))))
+        f => merged.map(RegistryIo.dbModuleGroup(f, _))))
+  }
   def loadDbModules(): Seq[DbModuleRow] =
     RegistryIo.read(dir.resolve("db_module_config"),
       RegistryIo.dbModulesSchema).map(RegistryIo.dbModuleRowOf)
@@ -98,4 +129,33 @@ object RegistryStore {
     * state ∈ {all, names, disabled}; dbnames only meaningful for names. */
   final case class DbModuleRow(srvid: Int, module: String, state: String,
       dbnames: Seq[String])
+
+  // ---- registry-wide mutation lock ----------------------------------
+  // One monitor per canonical _registry path (FileChannel locks are
+  // held per-PROCESS: a second lock attempt from the same JVM throws
+  // OverlappingFileLockException instead of queueing, so same-JVM
+  // callers must serialize on a monitor first). depth makes it
+  // re-entrant; it is only touched while synchronized on the state.
+  private final class LockState { var depth = 0 }
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, LockState]()
+
+  private def withFileLock[T](dir: Path)(body: => T): T = {
+    val key = dir.toAbsolutePath.normalize.toString
+    val st = jvmLocks.computeIfAbsent(key, _ => new LockState)
+    st.synchronized {
+      if (st.depth > 0) { st.depth += 1; try body finally st.depth -= 1 }
+      else {
+        Files.createDirectories(dir)
+        val ch = java.nio.channels.FileChannel.open(dir.resolve(".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock() // blocking: config writes are tiny and rare
+          st.depth = 1
+          try body finally { st.depth = 0; l.release() }
+        } finally ch.close()
+      }
+    }
+  }
 }

@@ -47,7 +47,18 @@ object Sampling {
         min(expr("(n_source * __W) DIV weight")).over(w))
       .withColumn("__m", expr("(weight * __T) DIV __W"))
       .withColumn("keep_ppm", expr("(__m * 1000000L) DIV n_source"))
-      .select(col(sourceCol), col("n_source"), col("weight"), col("keep_ppm"))
+      // a null/zero/negative weight would make the integer DIVs above
+      // null out that source's quota and silently drop its rows — fail
+      // loudly instead. The guard rides ON THE JOIN KEY so column
+      // pruning can never optimize the validation away (a guard on a
+      // payload column vanishes under e.g. `.count()`).
+      .select(
+        when(col("weight").isNull || col("weight") <= 0,
+          raise_error(concat(
+            lit("sourceMix: weight must be a positive integer for source "),
+            col(sourceCol).cast("string"))))
+          .otherwise(col(sourceCol)).as(sourceCol),
+        col("n_source"), col("weight"), col("keep_ppm"))
     df.join(broadcast(quotas), sourceCol)
       .withColumn("keep",
         Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <

@@ -59,7 +59,15 @@ object StreamDedup {
             val maxTs = rs.iterator
               .map(_.getAs[java.sql.Timestamp](tsIdx).getTime).max
             val fresh = !state.exists || maxTs - state.get > ttlMs
-            val out = if (fresh) rs.take(1) else Nil
+            // survivor = the EARLIEST row (tie-broken on full row text):
+            // intra-group iterator order after a shuffle is not
+            // guaranteed, so take(1) would make the surviving payload
+            // depend on partitioning — minBy keeps replay deterministic
+            val out =
+              if (fresh)
+                List(rs.minBy(r =>
+                  (r.getAs[java.sql.Timestamp](tsIdx).getTime, r.toString)))
+              else Nil
             state.update(maxTs) // last sighting; slides the window
             state.setTimeoutTimestamp(maxTs + ttlMs) // GC once watermark passes
             out.iterator

@@ -532,6 +532,50 @@ class EngineSpec extends AnyFunSuite {
     assert(readBack.select(col("srvid")).distinct().count() === 2)
   }
 
+  test("row-scoped metas persistence: one engine's tick never clobbers " +
+      "another engine's cadence on a shared root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rowscope").toString
+    val a = new Engine(spark, root)
+    val sa = a.registry.registerServer(ServerConfig(
+      id = 360, hostname = "h", powaCoalesce = 5))
+    val sb = a.registry.registerServer(ServerConfig(
+      id = 361, hostname = "h", powaCoalesce = 5))
+    // engine B constructed NOW: its in-memory metas for both servers are
+    // the (stale) zero copies
+    val b = new Engine(spark, root)
+    // A advances server sa's cadence to 3
+    (1 to 3).foreach { t =>
+      a.takeSnapshot(sa, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    // B ticks ITS server: the round-3 full-table persist would now write
+    // B's stale seq-0 copy of sa's row — the scoped write must not
+    b.takeSnapshot(sb, Timestamp.valueOf("2024-01-01 00:04:30"))
+    val c1 = new Engine(spark, root)
+    assert(c1.registry.meta(sa).coalesceSeq === 3) // NOT clobbered to 0
+    assert(c1.registry.meta(sb).coalesceSeq === 1)
+    // B ticks A's server: refreshMeta under the snapshot lock makes the
+    // bump a read-modify-write of the STORED row → 4, not stale 0+1
+    b.takeSnapshot(sa, Timestamp.valueOf("2024-01-01 00:05:30"))
+    assert(b.registry.meta(sa).coalesceSeq === 4)
+    val c2 = new Engine(spark, root)
+    assert(c2.registry.meta(sa).coalesceSeq === 4)
+    // scoped SERVER writes too: B re-configures its server; A's survives
+    b.registry.configureServerJson(sb, Map("alias" -> "bee"))
+    a.registry.configureServerJson(sa, Map("alias" -> "ay"))
+    val c3 = new Engine(spark, root)
+    assert(c3.registry.server(sa).alias === Some("ay"))
+    assert(c3.registry.server(sb).alias === Some("bee"))
+  }
+
+  test("clearLog uninstalls the trace sink and its per-tick rowcount tax") {
+    val e = mkEngine()
+    assert(!e.store.traceRowcounts)
+    e.log = _ => ()
+    assert(e.store.traceRowcounts)
+    e.clearLog()
+    assert(!e.store.traceRowcounts)
+  }
+
   test("scheduler loop: servers come due by their own frequency") {
     val e = mkEngine()
     val fast = e.registry.registerServer(ServerConfig(

@@ -402,6 +402,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptB * na > keptA * nb || keptA === 0L)
   }
 
+  test("sourceMix: a zero/null weight fails loudly instead of silently " +
+      "dropping the source") {
+    import spark.implicits._
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (10 until 20).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    def chain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    val zero = intercept[Exception] {
+      Sampling.sourceMix(df, "doc_id", "source",
+        weight = when(col("source") === "a", 1L).otherwise(0L)).count()
+    }
+    assert(chain(zero).contains("weight must be a positive integer"))
+    val nul = intercept[Exception] {
+      Sampling.sourceMix(df, "doc_id", "source",
+        weight = when(col("source") === "a", 1L).otherwise(lit(null))).count()
+    }
+    assert(chain(nul).contains("weight must be a positive integer"))
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(
