@@ -170,6 +170,71 @@ object Dedup {
       .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
   }
 
+  /** Exact-substring duplicate pairs — the distributed shape of
+    * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": find documents
+    * sharing a verbatim run of ≥ k tokens). A suffix array is a
+    * single-node structure; the scalable equivalent is positional
+    * k-token windows joined on their 60-bit hash:
+    *
+    *   - every document emits (pos, hash(window)) pairs — one
+    *     projection + posexplode, no pre-shuffle;
+    *   - the inverted-index self-join on the hash yields matched
+    *     position pairs (i, j, pa, pb);
+    *   - matches on one diagonal (pa − pb constant) with CONSECUTIVE
+    *     positions are one shared run: grouping by the island key
+    *     `pa − row_number()` (per (i,j,diagonal), ordered by pa)
+    *     collapses each run, and `max(run) + k − 1` is exactly the
+    *     longest common token substring (when ≥ k).
+    *
+    * Cost: the join shuffles (hash, doc, pos) triples; the island
+    * window shuffles matched pairs only. Like [[jaccardPairs]]' shingle
+    * join, a window hash occurring in d documents fans out O(d²) —
+    * `maxDf` drops boilerplate windows above that document frequency
+    * (the standard inverted-index skew guard; dropped windows can only
+    * lose pairs whose every shared run is boilerplate). */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDf: Option[Int] = None): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val wins = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc"), col("pos"), h60(col("col")).as("h"))
+    val filtered = maxDf match {
+      case Some(m) => wins.join(
+        wins.groupBy(col("h")).agg(count_distinct(col("doc")).as("df"))
+          .filter(col("df") > m).select(col("h")),
+        Seq("h"), "left_anti")
+      case None => wins
+    }
+    val a = filtered.select(col("doc").as("i"), col("pos").as("pa"), col("h"))
+    val b = filtered.select(col("doc").as("j"), col("pos").as("pb"), col("h"))
+    // the island window partitions by (i, j) ONLY — diag rides in the
+    // ORDER — so both downstream groupBys (keys ⊇ (i, j)) reuse its
+    // exchange; a (i, j, diag)-partitioned window would force the final
+    // per-pair aggregate to re-shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i"), col("j")).orderBy(col("diag"), col("pa"))
+    val prevDiag = lag(col("diag"), 1).over(w)
+    val prevPa = lag(col("pa"), 1).over(w)
+    val isNew = when(prevDiag.isNull || prevDiag =!= col("diag") ||
+      prevPa =!= col("pa") - 1, 1L).otherwise(0L)
+    a.join(b, Seq("h")).filter(col("i") < col("j"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", sum(isNew).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("i"), col("j"), col("island"))
+      .agg(count(lit(1)).as("run_win"))
+      .groupBy(col("i"), col("j"))
+      .agg((max(col("run_win")) + lit(k - 1).cast("long")).as("longest_run"),
+        sum(col("run_win")).as("shared_windows"))
+  }
+
   /** Resolve near-dup PAIRS into dedup DECISIONS: connected components
     * over the pair graph, labeling every document with the minimum doc
     * id of its component (the canonical keeper). Min-label propagation:

@@ -307,6 +307,55 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  // ---------- time-series alignment / sessionization ----------
+
+  // as-of join: each purchase picks up the most recent prior-or-equal
+  // view by the same user (union + running last — ONE shuffle, no range
+  // join). The view side is pre-aggregated to unique (user, ts) so the
+  // tie among simultaneous views is deterministic in both engines.
+  private def p31(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(D) * 100).cast("long").as("purchase_cents"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        (col("value").cast(D) * 100).cast("long").as("view_cents"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("view_cents")).as("view_cents"))
+    graft.operators.AsofJoin.backward(purchases, views, Seq("user_id"),
+        "ts", Seq("view_cents"))
+      .select(col("event_id"), col("user_id"), col("purchase_cents"),
+        col("view_cents"),
+        expr("(unix_micros(ts) - unix_micros(asof_ts)) DIV 1000000")
+          .as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  // gap-based sessionization: 30-minute inactivity splits a user's
+  // stream; per-session rollup incl. purchase count
+  private def p32(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Sessions.sessionize(ev, "user_id", "ts", gapSec = 1800,
+        tieBreak = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) DIV 1000000"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  // exact-substring dedup: pairs sharing a verbatim >= 6-token run,
+  // with the longest common token run per pair (diagonal islands)
+  private def p33(s: SparkSession, d: String): DataFrame =
+    Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text", k = 6)
+      .orderBy(col("i"), col("j"))
+
   // ---------- oracle SQL ----------
 
   /** Shared fragments: toks / distinct toks / full 3-shingle sets. */
@@ -428,7 +477,10 @@ object PipelineQueries {
     "p27_sequence_packing" -> (p27 _),
     "p28_source_mix" -> (p28 _),
     "p29_url_dedup" -> (p29 _),
-    "p30_containment" -> (p30 _))
+    "p30_containment" -> (p30 _),
+    "p31_asof_join" -> (p31 _),
+    "p32_sessionize" -> (p32 _),
+    "p33_substring_dup" -> (p33 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -610,6 +662,67 @@ object PipelineQueries {
                  CAST(ci AS BIGINT) AS containment_i_ppm,
                  CAST(cj AS BIGINT) AS containment_j_ppm
           FROM o WHERE GREATEST(ci, cj) >= 300000 ORDER BY i, j""",
+    "p31_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS purchase_cents
+               FROM events WHERE event_type = 'purchase'),
+          v0 AS (SELECT user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+               FROM events WHERE event_type = 'view'),
+          v AS (SELECT user_id, ts, MAX(vc) AS view_cents
+               FROM v0 GROUP BY 1, 2)
+          SELECT p.event_id, p.user_id, p.purchase_cents, v.view_cents,
+                 CAST(date_diff('microsecond', v.ts, p.ts) // 1000000
+                   AS BIGINT) AS gap_sec
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND v.ts <= p.ts
+          ORDER BY p.event_id""",
+    "p32_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+          n AS (SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN prev IS NULL OR
+                      date_diff('microsecond', prev, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+               FROM x),
+          ss AS (SELECT user_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+               FROM n)
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                 CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                   AS BIGINT) AS duration_sec
+          FROM ss GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p33_substring_dup" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          g0 AS (SELECT doc_id,
+                        list_transform(range(0, GREATEST(len(toks) - 5, 0)),
+                          i -> array_to_string(toks[i+1:i+6], ' ')) AS wins
+                 FROM t),
+          w AS (SELECT doc_id, generate_subscripts(wins, 1) - 1 AS pos,
+                       ${h60Sql("unnest(wins)")} AS h
+                FROM g0),
+          m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pa, b.pos AS pb
+                FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+          isl AS (SELECT i, j, pa - pb AS diag, pa,
+                         pa - ROW_NUMBER() OVER (PARTITION BY i, j, pa - pb
+                           ORDER BY pa) AS island
+                  FROM m),
+          runs AS (SELECT i, j, COUNT(*) AS nwin
+                   FROM isl GROUP BY i, j, diag, island)
+          SELECT i, j, CAST(MAX(nwin) + 5 AS BIGINT) AS longest_run,
+                 CAST(SUM(nwin) AS BIGINT) AS shared_windows
+          FROM runs GROUP BY i, j ORDER BY i, j""",
     "p22_decontamination" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
                      FROM documents),

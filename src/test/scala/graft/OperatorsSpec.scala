@@ -99,4 +99,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out(1).isNullAt(3))                                    // dropped stamped
     assert(out(2).getString(2) === "gamma" && out(2).isNullAt(3))  // new
   }
+
+  test("as-of join: inclusive backward match, left semantics, tolerance") {
+    import spark.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val left = Seq(
+      (1L, t("2024-01-01 00:10:00"), "l1"), // after r@00:05 -> 50
+      (1L, t("2024-01-01 00:05:00"), "l2"), // EQUAL ts -> inclusive match
+      (1L, t("2024-01-01 00:01:00"), "l3"), // before any right -> null
+      (2L, t("2024-01-01 00:30:00"), "l4")) // other key -> its own series
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 00:05:00"), 50L),
+      (1L, t("2024-01-01 00:02:00"), 20L),
+      (2L, t("2024-01-01 00:00:00"), 99L))
+      .toDF("k", "ts", "price")
+    val out = AsofJoin.backward(left, right, Seq("k"), "ts", Seq("price"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getAs[String]("tag"),
+        if (r.isNullAt(r.fieldIndex("price"))) -1L else r.getAs[Long]("price")))
+    assert(out.toSeq === Seq(("l3", -1L), ("l2", 50L), ("l1", 50L),
+      ("l4", 99L)))
+    // tolerance: l4 is 30 min after its only match -> nulled at 10 min
+    val tol = AsofJoin.backward(left, right, Seq("k"), "ts", Seq("price"),
+        toleranceMs = Some(10 * 60 * 1000L))
+      .filter(col("tag") === "l4").collect()
+    assert(tol.head.isNullAt(tol.head.fieldIndex("price")))
+    // and an in-tolerance match survives
+    val tolOk = AsofJoin.backward(left, right, Seq("k"), "ts", Seq("price"),
+        toleranceMs = Some(10 * 60 * 1000L))
+      .filter(col("tag") === "l1").collect()
+    assert(tolOk.head.getAs[Long]("price") === 50L)
+  }
 }

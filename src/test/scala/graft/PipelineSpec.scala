@@ -438,4 +438,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(q(3L)(0) === 127)
     assert(q(2L) === Seq(0, 0, 0)) // zero vector: scale guard, no NaN
   }
+
+  test("sessionize: gap splits, boundary-inclusive gap survives, per-key") {
+    import spark.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00")),
+      (1L, t("2024-01-01 00:29:00")), // 29 min gap: same session
+      (1L, t("2024-01-01 00:59:00")), // EXACTLY 30 min: still same (> not >=)
+      (1L, t("2024-01-01 01:59:01")), // 30 min + 1 s: new session
+      (2L, t("2024-01-01 00:00:00"))) // other key starts at 1 again
+      .toDF("user_id", "ts")
+    val out = Sessions.sessionize(ev, "user_id", "ts", gapSec = 1800)
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+    val stats = Sessions.sessionStats(ev, "user_id", "ts", gapSec = 1800)
+      .orderBy("user_id", "session_seq").collect()
+    assert(stats.length === 3)
+    assert(stats(0).getAs[Long]("n_events") === 3)
+    assert(stats(0).getAs[Long]("duration_sec") === 3540)
+    assert(stats(1).getAs[Long]("n_events") === 1)
+    assert(stats(1).getAs[Long]("duration_sec") === 0)
+  }
+
+  test("substringPairs: longest shared run is exact; maxDf drops boilerplate") {
+    import spark.implicits._
+    // docs 1/2 share exactly the 7-token run "a b c d e f g" (two 6-token
+    // windows, one diagonal); doc 3 shares nothing 6 tokens long
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e f g x3 x4"),
+      (2L, "y1 a b c d e f g y2 y3 y4"),
+      (3L, "a b c z d e f z z z z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairs(docs, "doc_id", "text", k = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("longest_run"), r.getAs[Long]("shared_windows"))))
+      .toMap
+    assert(out === Map((1L, 2L) -> ((7L, 2L))))
+    // boilerplate guard: the shared run appears in BOTH docs -> df 2;
+    // maxDf = 1 drops every matching window, so no pairs survive
+    assert(Dedup.substringPairs(docs, "doc_id", "text", k = 6,
+      maxDf = Some(1)).count() === 0)
+  }
 }

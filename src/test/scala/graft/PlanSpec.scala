@@ -166,6 +166,39 @@ class PlanSpec extends AnyFunSuite {
       s"train-side gram stream must not sort for the join, plan:\n$plan")
   }
 
+  test("as-of join is one window shuffle, never a range join") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L))
+      .toDF("k", "ts", "lv")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 9L))
+      .toDF("k", "ts", "rv")
+    val j = AsofJoin.backward(left, right, Seq("k"), "ts", Seq("rv"))
+    val plan = finalPlan(j)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"as-of must cost exactly the window shuffle, plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"as-of must be union+window, not a join (range joins explode), plan:\n$plan")
+  }
+
+  test("sessionization rollup reuses the window exchange (one shuffle)") {
+    val stats = Sessions.sessionStats(Tables.events(spark, sf),
+      "user_id", "ts", gapSec = 1800)
+    val plan = finalPlan(stats)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"window + per-session agg must share one shuffle, plan:\n$plan")
+  }
+
+  test("substring-dedup run aggregation adds no exchange above the island window") {
+    val pairs = Dedup.substringPairs(Tables.documents(spark, sf),
+      "doc_id", "text", k = 6)
+    val plan = finalPlan(pairs)
+    assert(plan.contains("Window"), s"island detection must be a window, plan:\n$plan")
+    // both groupBys key on supersets of the window partition key — the
+    // operators above the window must introduce no further shuffle
+    assert(!plan.split("Window")(0).contains("Exchange"),
+      s"run/pair aggregation must reuse the island exchange, plan:\n$plan")
+  }
+
   test("brute-force cosine topk plan: broadcast query vector, no shuffle join") {
     val p = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", queryId = 0L, k = 10)
