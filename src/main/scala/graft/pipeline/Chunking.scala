@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Hashing.h60
+
+/** Content-defined chunking (CDC) over token streams + chunk-level exact
+  * dedup — the sub-document dedup primitive (rsync/LBFS-style anchoring,
+  * applied to text): a chunk boundary falls after token `t` whenever the
+  * rolling hash of the `w`-token window ending at `t` is ≡ 0 (mod `div`),
+  * so boundaries are anchored to CONTENT, not position — inserting or
+  * deleting a sentence shifts every fixed-size block but leaves all CDC
+  * chunks outside the edited region identical, which is what lets
+  * chunk-hash dedup find shared boilerplate between documents that are
+  * not whole-document duplicates.
+  *
+  * Scale shape: one window shuffle on doc id builds the rolling windows
+  * AND the running boundary count AND feeds the per-(doc, chunk)
+  * assembly — the groupBy keys extend the window's partition key, so
+  * Catalyst reuses the exchange (PlanSpec pins this). The only other
+  * shuffle is the chunk-hash dedup aggregation, keyed on a 60-bit hash —
+  * uniform by construction, no skew. Mean chunk length is `div` tokens
+  * (geometric), so chunk count ~ corpus tokens / div regardless of
+  * document sizes.
+  */
+object Chunking {
+
+  /** Per-token chunk assignment: (doc_id, pos, tok, chunk_seq).
+    * `chunk_seq` counts boundaries strictly BEFORE `pos` (a boundary at
+    * `pos` closes the chunk that includes `pos`). The rolling window is
+    * a lag-chain (codegen'd, no interpreted HOFs in the hot path);
+    * windows shorter than `w` (doc head) never form a boundary. */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int, div: Int): DataFrame = {
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val winStr = concat_ws(" ",
+      (w - 1 to 0 by -1).map(k => lag(col("tok"), k).over(ord)): _*)
+    val boundary = when(col("pos") >= w - 1 && h60(winStr) % div === 0, 1L)
+      .otherwise(0L)
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("chunk_seq", coalesce(
+        sum(boundary).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+  }
+
+  /** Chunks with their content hash: (doc_id, chunk_seq, n_toks,
+    * chunk_start, chunk_hash). Assembly is a sorted collect per chunk
+    * (small arrays, post-shuffle projection). */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int, div: Int): DataFrame =
+    tokenChunks(df, idCol, textCol, w, div)
+      .groupBy(col("doc_id"), col("chunk_seq"))
+      .agg(count(lit(1)).as("n_toks"), min(col("pos")).as("chunk_start"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("parts"))
+      .withColumn("chunk_hash",
+        h60(concat_ws(" ", transform(col("parts"), p => p("tok")))))
+      .drop("parts")
+
+  /** Per-document chunk-dedup summary: for every chunk hash the keeper
+    * is the first (doc_id, chunk_seq) occurrence; all later occurrences
+    * are duplicates. Emits per doc: chunk counts, token counts, and the
+    * duplicated-token ratio in ppm (floor — integer-exact both engines).
+    */
+  def dedupSummary(df: DataFrame, idCol: String, textCol: String,
+      w: Int, div: Int): DataFrame = {
+    val keep = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_seq"))
+    chunks(df, idCol, textCol, w, div)
+      .withColumn("dup", (row_number().over(keep) > 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup_chunks"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(col("dup") * col("n_toks")).as("dup_toks"))
+      .withColumn("dup_ppm",
+        expr("dup_toks * 1000000 DIV n_toks"))
+  }
+}

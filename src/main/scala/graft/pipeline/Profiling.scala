@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling — the summary statistics a curation run reports per
+  * source/shard before and after each pass (what survived, how the
+  * length distribution moved).
+  *
+  * Quantiles are EXACT rank-selected values (`rank = (n-1)·p div 100 + 1`
+  * over the sorted group), not interpolated: interpolation mixes floats
+  * across engines, while a rank pick returns an actual data value —
+  * bit-identical everywhere, and the form percentile_disc takes in every
+  * SQL engine. Shape: ONE shuffle — the rank window, the group-count
+  * window and the final per-group aggregate all key on the group column,
+  * so Catalyst reuses a single exchange (PlanSpec pins this). Skew bound:
+  * the busiest single group must sort in one task — at 100 TB, profile
+  * per (source, shard) rather than per source if a source dominates.
+  */
+object Profiling {
+
+  /** Per-`groupCol` length/value profile: n rows, min/max, and the exact
+    * `pcts` quantiles of `valueCol` (ties broken by `tieBreak` for a
+    * total order; the selected VALUE is unaffected by tie order). */
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String, pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieBreak))
+    val ranked = df.select(col(groupCol), col(valueCol), col(tieBreak))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def pick(p: Int): Column = max(when(
+      col("rn") === expr(s"(cnt - 1) * $p DIV 100 + 1"), col(valueCol)))
+    val aggs = max(col("cnt")).as("n_rows") +:
+      min(col(valueCol)).as(s"min_$valueCol") +:
+      pcts.map(p => pick(p).as(s"p${p}_$valueCol")) :+
+      max(col(valueCol)).as(s"max_$valueCol")
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

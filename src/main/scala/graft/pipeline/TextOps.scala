@@ -81,6 +81,33 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Adjacent-token pairs — the counting substrate for tokenizer
+    * training (a BPE merge step picks the most frequent adjacent pair
+    * corpus-wide). Pairs come straight off the token array as a
+    * projection + explode: NO window shuffle; the only exchange in a
+    * downstream count is the hash aggregation itself, with map-side
+    * partial aggregation collapsing the (vocab²-bounded, Zipf-skewed)
+    * pair space before the shuffle — the shape that holds at 10^12
+    * tokens. */
+  def tokenPairs(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(element_at(toks, i + 1).as("a"),
+            element_at(toks, i + 2).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>")))
+      .as("pair"))
+      .select(col("pair.a").as("a"), col("pair.b").as("b"))
+  }
+
+  /** Top-k adjacent pairs by count — deterministic total order
+    * (count desc, then pair) so the cut is engine-portable. */
+  def topPairs(df: DataFrame, textCol: String, k: Int): DataFrame =
+    tokenPairs(df, textCol)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k)
+
   /** TF-IDF top-k terms per document, in EXACT RATIONAL FORM:
     * `score = (tf × N × 1e6) div df` — pure integer arithmetic, so both
     * engines agree bit-for-bit (a float `log` idf would diverge across

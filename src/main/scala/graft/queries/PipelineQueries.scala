@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import graft.Tables
 import graft.pipeline._
 import graft.pipeline.Hashing.h60Sql
@@ -356,6 +357,99 @@ object PipelineQueries {
     Dedup.substringPairs(Tables.documents(s, d), "doc_id", "text", k = 6)
       .orderBy(col("i"), col("j"))
 
+  // ---------- structured streaming under the oracle gate ----------
+
+  /** Raw events.parquet schema for the file-stream source (`ts` is
+    * parquet TIMESTAMP(NANOS) → read as long, truncated to micros the
+    * same way Tables.events does for batch). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source requires a DIRECTORY; link the table in
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    s.readStream.schema(eventsRawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private val memSeq = new java.util.concurrent.atomic.AtomicInteger
+  /** Drive a streaming aggregation to completion (AvailableNow trigger)
+    * into a memory sink and return the sink table. `complete` output
+    * mode re-emits the full aggregation state at the last batch, so the
+    * result is deterministic regardless of micro-batch boundaries (no
+    * watermark eviction) — which is what makes a STREAMING operator
+    * comparable to a batch SQL oracle. Production append-mode +
+    * watermark behavior is covered by StreamIngestSpec. */
+  private def runToMemory(s: SparkSession, df: DataFrame): DataFrame = {
+    val name = s"graft_stream_sink_${memSeq.incrementAndGet()}"
+    val q = df.writeStream.outputMode("complete").format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+  }
+
+  // watermarked hourly rollup run AS A STREAM (file source → complete
+  // mode → memory sink); the oracle is the equivalent batch GROUP BY
+  private def p34(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val st = eventsStream(s, d).select(col("ts"), col("event_type"),
+      (col("value").cast(D) * 100).cast("long").as("value"))
+    runToMemory(s, graft.streaming.EventRollup.rollup(
+        st, Seq(col("event_type")), "1 hour", "10 minutes"))
+      .select(col("range_start"), col("range_end"), col("event_type"),
+        col("n"), col("sum_value").as("sum_cents"),
+        col("min_value").as("min_cents"), col("max_value").as("max_cents"))
+      .orderBy(col("range_start"), col("event_type"))
+  }
+
+  // native session_window sessionization run as a stream; the oracle is
+  // gap-sessionization with session_window's boundary-inclusive merge
+  // (events exactly `gap` apart still merge — StreamIngestSpec pins it)
+  private def p35(s: SparkSession, d: String): DataFrame = {
+    val st = eventsStream(s, d)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    runToMemory(s, graft.streaming.StreamSessions.sessionStats(
+        st, col("user_id"), "ts", "30 minutes", "10 minutes",
+        extraAggs = Seq(max(col("ts")).as("session_end"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"), col("n_purchases"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  // ---------- content-defined chunking / corpus profiling ----------
+
+  // CDC chunk dedup: content-anchored chunk boundaries, global
+  // chunk-hash dedup, per-doc duplicated-token ratio
+  private def p36(s: SparkSession, d: String): DataFrame =
+    Chunking.dedupSummary(Tables.documents(s, d), "doc_id", "text",
+        w = 4, div = 8)
+      .orderBy(col("doc_id"))
+
+  // tokenizer corpus stats: adjacent-token pair counts (the BPE
+  // first-merge decision), top 50
+  private def p37(s: SparkSession, d: String): DataFrame =
+    TextOps.topPairs(Tables.documents(s, d), "text", 50)
+
+  // per-source length profile: exact rank-selected quantiles
+  private def p38(s: SparkSession, d: String): DataFrame =
+    Profiling.quantiles(Tables.documents(s, d), "source", "n_chars",
+        tieBreak = "doc_id")
+      .select(col("source"), col("n_rows").as("n_docs"),
+        col("min_n_chars").as("min_chars"), col("p25_n_chars").as("p25_chars"),
+        col("p50_n_chars").as("p50_chars"), col("p75_n_chars").as("p75_chars"),
+        col("p95_n_chars").as("p95_chars"), col("max_n_chars").as("max_chars"))
+      .orderBy(col("source"))
+
   // ---------- oracle SQL ----------
 
   /** Shared fragments: toks / distinct toks / full 3-shingle sets. */
@@ -480,7 +574,12 @@ object PipelineQueries {
     "p30_containment" -> (p30 _),
     "p31_asof_join" -> (p31 _),
     "p32_sessionize" -> (p32 _),
-    "p33_substring_dup" -> (p33 _))
+    "p33_substring_dup" -> (p33 _),
+    "p34_stream_rollup" -> (p34 _),
+    "p35_stream_sessions" -> (p35 _),
+    "p36_cdc_chunks" -> (p36 _),
+    "p37_bpe_pairs" -> (p37 _),
+    "p38_length_quantiles" -> (p38 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1013,5 +1112,95 @@ object PipelineQueries {
          SELECT doc_id, n_bytes, sig, CAST(i AS BIGINT) AS pos,
                 ((n_bytes * (i + 7)) % 256)::DOUBLE AS feat
          FROM a, unnest(range(0, 4)) AS u(i)
-         ORDER BY doc_id, pos""")
+         ORDER BY doc_id, pos""",
+    "p34_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS range_start,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS range_end,
+                event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents,
+                CAST(MIN(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS min_cents,
+                CAST(MAX(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS max_cents
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+    "p35_stream_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+          n AS (SELECT user_id, ts, event_type,
+                 CASE WHEN prev IS NULL OR
+                      date_diff('microsecond', prev, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+               FROM x),
+          ss AS (SELECT user_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+               FROM n)
+          SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+          FROM ss GROUP BY user_id, seq ORDER BY user_id, session_start""",
+    "p36_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                         unnest(toks) AS tok
+                  FROM t),
+          wi AS (SELECT doc_id, pos, tok,
+                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w || ' ' ||
+                   lag(tok, 1) OVER w || ' ' || tok AS win
+                 FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          b AS (SELECT doc_id, pos, tok,
+                  CASE WHEN pos >= 3 AND (${h60Sql("win")} % 8) = 0
+                       THEN 1 ELSE 0 END AS boundary
+                FROM wi),
+          c AS (SELECT doc_id, pos, tok,
+                  COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+                    ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_seq
+                FROM b),
+          ch AS (SELECT doc_id, chunk_seq, COUNT(*) AS n_toks,
+                   ${h60Sql("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+                 FROM c GROUP BY doc_id, chunk_seq),
+          dd AS (SELECT doc_id, chunk_seq, n_toks,
+                   CASE WHEN ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                     ORDER BY doc_id, chunk_seq) > 1 THEN 1 ELSE 0 END AS dup
+                 FROM ch)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                 CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+                 CAST(SUM(dup * n_toks) AS BIGINT) AS dup_toks,
+                 CAST(SUM(dup * n_toks) * 1000000 // SUM(n_toks) AS BIGINT)
+                   AS dup_ppm
+          FROM dd GROUP BY doc_id ORDER BY doc_id""",
+    "p37_bpe_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                    FROM documents),
+         g0 AS (SELECT doc_id,
+                  list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+                    i -> [toks[i+1], toks[i+2]]) AS prs
+                FROM t),
+         p AS (SELECT pr[1] AS a, pr[2] AS b
+               FROM (SELECT unnest(prs) AS pr FROM g0))
+         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+         FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50""",
+    "p38_length_quantiles" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt
+               FROM documents)
+         SELECT source, CAST(MAX(cnt) AS BIGINT) AS n_docs,
+                CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                CAST(MAX(CASE WHEN rn = (cnt - 1) * 25 // 100 + 1
+                         THEN n_chars END) AS BIGINT) AS p25_chars,
+                CAST(MAX(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1
+                         THEN n_chars END) AS BIGINT) AS p50_chars,
+                CAST(MAX(CASE WHEN rn = (cnt - 1) * 75 // 100 + 1
+                         THEN n_chars END) AS BIGINT) AS p75_chars,
+                CAST(MAX(CASE WHEN rn = (cnt - 1) * 95 // 100 + 1
+                         THEN n_chars END) AS BIGINT) AS p95_chars,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM r GROUP BY source ORDER BY source""")
 }

@@ -481,4 +481,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.substringPairs(docs, "doc_id", "text", k = 6,
       maxDf = Some(1)).count() === 0)
   }
+
+  test("cdc chunks: a verbatim copy duplicates every chunk; distinct text none") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"tok${i % 23}w${i % 7}").mkString(" ")
+    val other = (1 to 100).map(i => s"alt${i % 19}x${i % 5}").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, other)).toDF("doc_id", "text")
+    val out = Chunking.dedupSummary(docs, "doc_id", "text", w = 4, div = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("dup_ppm") === 0L)   // keeper
+    assert(out(1).getAs[Long]("dup_ppm") === 1000000L) // full copy
+    assert(out(1).getAs[Long]("n_dup_chunks") === out(1).getAs[Long]("n_chunks"))
+    assert(out(2).getAs[Long]("dup_ppm") === 0L)   // disjoint content
+    assert(out(0).getAs[Long]("n_toks") === 100L)
+  }
+
+  test("cdc chunks: boundaries are content-anchored — a prefix edit only " +
+      "disturbs chunks that contain it") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"tok${i % 23}w${i % 7}").mkString(" ")
+    val edited = "inserted preamble words " + base
+    val docs = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val out = Chunking.dedupSummary(docs, "doc_id", "text", w = 4, div = 8)
+      .orderBy("doc_id").collect()
+    val (n, dup) = (out(1).getAs[Long]("n_chunks"), out(1).getAs[Long]("n_dup_chunks"))
+    // a FIXED-size blocker would re-split everything after the insertion;
+    // CDC must keep every chunk outside the edit neighborhood identical
+    assert(dup >= n - 3, s"expected all but the head chunks to dedup, got $dup/$n")
+    assert(dup < n, "the chunk containing the edit cannot dedup")
+    assert(out(1).getAs[Long]("dup_ppm") > 500000L)
+  }
+
+  test("topPairs: exact adjacent-pair counts, ties broken by pair text") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b c"), (1L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.topPairs(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", "b", 2L), ("b", "c", 2L),
+      ("b", "a", 1L)))
+  }
+
+  test("profiling quantiles: rank formula picks exact sorted-group values") {
+    import spark.implicits._
+    val df = (1L to 10L).map(v => ("s", v, v)).toDF("source", "n_chars", "doc_id")
+    val r = Profiling.quantiles(df, "source", "n_chars", tieBreak = "doc_id")
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("min_n_chars") === 1L)
+    assert(r.getAs[Long]("p25_n_chars") === 3L)  // (9*25) div 100 + 1 = rank 3
+    assert(r.getAs[Long]("p50_n_chars") === 5L)
+    assert(r.getAs[Long]("p75_n_chars") === 7L)  // (9*75) div 100 + 1 = rank 7
+    assert(r.getAs[Long]("p95_n_chars") === 9L)
+    assert(r.getAs[Long]("max_n_chars") === 10L)
+  }
 }

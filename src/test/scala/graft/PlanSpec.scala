@@ -208,4 +208,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrdered, not global sort, plan:\n$plan")
   }
+
+  test("cdc chunking: chunk assembly reuses the token window exchange") {
+    val out = Chunking.dedupSummary(Tables.documents(spark, sf),
+      "doc_id", "text", w = 4, div = 8)
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3,
+      s"token window (+chunk agg) + hash dedup + doc rollup = 3 shuffles, plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"chunk dedup is windows+aggs, never a join, plan:\n$plan")
+  }
+
+  test("pair counting: no window shuffle; top-k is TakeOrdered") {
+    val out = TextOps.topPairs(Tables.documents(spark, sf), "text", 50)
+    val plan = finalPlan(out)
+    assert(!plan.contains("Window"),
+      s"pairs come off the token array, not a window, plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"only the count agg may shuffle, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not global sort, plan:\n$plan")
+  }
+
+  test("profiling quantiles: rank + count windows + rollup share one shuffle") {
+    val out = Profiling.quantiles(Tables.documents(spark, sf),
+      "source", "n_chars", tieBreak = "doc_id")
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"both windows and the aggregate key on the group column, plan:\n$plan")
+  }
 }

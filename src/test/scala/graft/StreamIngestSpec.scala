@@ -114,4 +114,45 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out.toSeq ===
       Seq("a" -> "a1", "b" -> "b1", "c" -> "c1", "z" -> "z1", "a" -> "a3"))
   }
+
+  test("session_window streaming: merges within AND at exactly gap, " +
+      "merges across micro-batches, splits past gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = streaming.StreamSessions.sessionStats(df, col("user_id"), "ts",
+        gap = "30 minutes", watermark = "10 minutes",
+        extraAggs = Seq(max(col("ts")).as("last_ts")))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    def t(x: String) = Timestamp.valueOf(x)
+    // user 1: chained within-gap events; user 3: exactly the gap apart
+    // (boundary-inclusive: still ONE session) then well past the gap
+    mem.addData((t("2024-01-01 00:00:00"), 1L, "view"),
+      (t("2024-01-01 00:29:59"), 1L, "click"),
+      (t("2024-01-01 00:59:58"), 1L, "view"),
+      (t("2024-01-01 00:00:00"), 3L, "view"),
+      (t("2024-01-01 00:30:00"), 3L, "view"),
+      (t("2024-01-01 02:00:01"), 3L, "view"))
+    q.processAllAvailable()
+    // second micro-batch: still within user 1's open session -> must
+    // merge with state from the first batch
+    mem.addData((t("2024-01-01 01:20:00"), 1L, "purchase"))
+    q.processAllAvailable()
+    val out = spark.table("sess_out")
+      .select(col("user_id"), col("session_window.start").as("st"),
+        col("last_ts"), col("n_events"))
+      .orderBy("user_id", "st").collect()
+    q.stop()
+    assert(out.length === 3)
+    assert(out(0).getLong(0) === 1L &&
+      out(0).getTimestamp(1) === t("2024-01-01 00:00:00") &&
+      out(0).getTimestamp(2) === t("2024-01-01 01:20:00") &&
+      out(0).getLong(3) === 4L)
+    assert(out(1).getLong(0) === 3L && out(1).getLong(3) === 2L &&
+      out(1).getTimestamp(2) === t("2024-01-01 00:30:00"))
+    assert(out(2).getLong(0) === 3L && out(2).getLong(3) === 1L &&
+      out(2).getTimestamp(1) === t("2024-01-01 02:00:01"))
+  }
 }
