@@ -306,4 +306,97 @@ object Similarity {
         transform(col(vecCol), x => floor(xd(x) * col("scale")).cast("int"))
           .as("qvec"))
   }
+
+  // ---------- product quantization (PQ) ----------
+
+  private def qvE4(idCol: String, vecCol: String) = Seq(
+    col(idCol).cast("long").as("id"),
+    transform(col(vecCol),
+      x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
+
+  /** Product-quantization codebook: the vector splits into `m`
+    * contiguous subspaces of `dim/m`, each with its own integer-e4
+    * Lloyd codebook (same determinism argument as
+    * [[kmeansCentroidsInt]]: e4 fixed point, integer-DIV means,
+    * assignment tie → lowest centroid id; seeds = the k lowest ids'
+    * subvectors; a centroid losing all members drops out). Returns the
+    * driver-resident codebook `sub → [(cid, subvector)]`.
+    *
+    * Scale shape: each Lloyd pass is ONE projection of the corpus
+    * (m·k literal-codebook subspace distances, zero exchanges) + ONE
+    * hash aggregate keyed (sub, cell, pos); driver traffic is the
+    * k·dim-integer codebook per pass — the standard PQ training
+    * assumption. */
+  def pqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): Map[Int, Seq[(Long, Seq[Long])]] = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val q = embeddings.select(qvE4(idCol, vecCol): _*).localCheckpoint()
+    def sub(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
+    var cents: Map[Int, Seq[(Long, Seq[Long])]] = {
+      val seeds = q.filter(col("id") < k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+      (0 until m).map(s => s -> seeds.map { case (id, v) =>
+        (id, v.slice(s * subDim, (s + 1) * subDim)) }).toMap
+    }
+    def cellCol(s: Int): Column = -array_max(array(cents(s).map {
+      case (cid, cv) =>
+        struct((-dist2Int(sub(s), cv)).as("nd"), lit(-cid).as("nc"))
+    }: _*)).getField("nc")
+    for (_ <- 1 to iters) {
+      val sums = q
+        .select(explode(array((0 until m).map(s => struct(
+          lit(s).as("sub"), cellCol(s).as("cell"), sub(s).as("sv"))): _*))
+          .as("x"))
+        .select(col("x.sub"), col("x.cell"),
+          posexplode(col("x.sv")).as(Seq("pos", "val")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(expr("sum(val) DIV count(1)").as("cval"))
+        .collect()
+      cents = sums.toSeq.groupBy(_.getInt(0)).map { case (s, rs) =>
+        s -> rs.groupBy(_.getLong(1)).toSeq.map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
+        }.sortBy(_._1)
+      }
+    }
+    cents
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: every vector is encoded into
+    * its per-subspace cells as a pure projection against the literal
+    * codebook, the query's (sub, cell) distance table is driver-side
+    * (m·k integers), and the approximate distance is the table lookup
+    * summed over subspaces — the winning struct carries its
+    * query-distance, so encode+lookup fuse into one argmax expression.
+    * Zero exchanges end-to-end; top-k is TakeOrdered (PlanSpec pins
+    * both). At 10^9 vectors this is the textbook single-scan
+    * memory-bandwidth PQ probe (~m·k multiply-adds per row).
+    *
+    * ADC(x) = Σ_s d²(q_s, centroid(cell_s(x))) ≥ Σ_s min_c d²(q_s, c),
+    * with equality for an exact copy of the query — a duplicate always
+    * ranks first (PipelineSpec pins it). All integer arithmetic:
+    * engine-exact. */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, dim: Int, m: Int, k: Int, iters: Int,
+      topK: Int): DataFrame = {
+    val subDim = dim / m
+    val cents = pqCodebook(embeddings, idCol, vecCol, dim, m, k, iters)
+    val q = embeddings.select(qvE4(idCol, vecCol): _*)
+    val qv = q.filter(col("id") === queryId).collect()(0)
+      .getSeq[Long](1).toSeq
+    def sub(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val adc = (0 until m).map { s =>
+      val qs = qv.slice(s * subDim, (s + 1) * subDim)
+      array_max(array(cents(s).map { case (cid, cv) =>
+        struct((-dist2Int(sub(s), cv)).as("nd"), lit(-cid).as("nc"),
+          lit(d2(qs, cv)).as("qd"))
+      }: _*)).getField("qd")
+    }.reduce(_ + _)
+    q.filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
 }

@@ -440,6 +440,12 @@ object PipelineQueries {
   private def p37(s: SparkSession, d: String): DataFrame =
     TextOps.topPairs(Tables.documents(s, d), "text", 50)
 
+  // PQ ANN: per-subspace integer k-means codebook + asymmetric-distance
+  // top-k — the fourth ANN family member (brute / LSH / IVF / PQ)
+  private def p39(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, dim = 64, m = 8, k = 4, iters = 1, topK = 10)
+
   // per-source length profile: exact rank-selected quantiles
   private def p38(s: SparkSession, d: String): DataFrame =
     Profiling.quantiles(Tables.documents(s, d), "source", "n_chars",
@@ -579,7 +585,8 @@ object PipelineQueries {
     "p35_stream_sessions" -> (p35 _),
     "p36_cdc_chunks" -> (p36 _),
     "p37_bpe_pairs" -> (p37 _),
-    "p38_length_quantiles" -> (p38 _))
+    "p38_length_quantiles" -> (p38 _),
+    "p39_pq_ann" -> (p39 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1202,5 +1209,46 @@ object PipelineQueries {
                 CAST(MAX(CASE WHEN rn = (cnt - 1) * 95 // 100 + 1
                          THEN n_chars END) AS BIGINT) AS p95_chars,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
-         FROM r GROUP BY source ORDER BY source""")
+         FROM r GROUP BY source ORDER BY source""",
+    "p39_pq_ann" ->
+      """WITH q AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+          qe AS (SELECT id, i // 8 AS sub, i % 8 AS spos, qv[i+1] AS val
+                 FROM q, range(0, 64) t(i)),
+          c0 AS (SELECT id AS cid, sub, spos, val FROM qe WHERE id < 4),
+          d1 AS (SELECT qe.id, qe.sub, c0.cid,
+                   CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c0 ON qe.sub = c0.sub AND qe.spos = c0.spos
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d1) WHERE rn = 1),
+          c1 AS (SELECT a1.sub, a1.cid, qe.spos,
+                   CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                 FROM a1 JOIN qe ON a1.id = qe.id AND a1.sub = qe.sub
+                 GROUP BY 1, 2, 3),
+          d2 AS (SELECT qe.id, qe.sub, c1.cid,
+                   CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c1 ON qe.sub = c1.sub AND qe.spos = c1.spos
+                 GROUP BY 1, 2, 3),
+          a2 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+          dt AS (SELECT c1.sub, c1.cid,
+                   CAST(SUM((qq.val - c1.val) * (qq.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM (SELECT sub, spos, val FROM qe WHERE id = 0) qq
+                 JOIN c1 ON qq.sub = c1.sub AND qq.spos = c1.spos
+                 GROUP BY 1, 2),
+          adc AS (SELECT a2.id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
+                  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid
+                  GROUP BY a2.id)
+          SELECT id AS vec_id, adc_dist FROM adc
+          WHERE id <> 0 ORDER BY adc_dist, vec_id LIMIT 10""")
 }

@@ -534,4 +534,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("p95_n_chars") === 9L)
     assert(r.getAs[Long]("max_n_chars") === 10L)
   }
+
+  test("pq ADC: an exact copy of the query achieves the subspace-min " +
+      "lower bound; the scan's first row sits on that bound") {
+    val em = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val copy = em.filter(col("vec_id") === 0)
+      .select(lit(10000L).as("vec_id"), col("embedding"))
+    val all = em.unionByName(copy)
+    val out = Similarity.pqTopK(all, "vec_id", "embedding", queryId = 0L,
+      dim = 64, m = 8, k = 4, iters = 1, topK = 600).collect()
+    val cb = Similarity.pqCodebook(all, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1)
+    assert(cb.keySet === (0 until 8).toSet)
+    assert(cb.values.forall(cs => cs.size <= 4 && cs.forall(_._2.size === 8)))
+    // driver recompute of the ADC lower bound Σ_s min_c d²(q_s, c)
+    val qv = em.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 10000).cast("long")))
+      .collect()(0).getSeq[Long](0)
+    val lb = (0 until 8).map { s =>
+      val qs = qv.slice(s * 8, (s + 1) * 8)
+      cb(s).map { case (_, cv) =>
+        qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum }.min
+    }.sum
+    assert(out.head.getLong(1) === lb,
+      "the best ADC distance must be the lower bound (the copy achieves it)")
+    assert(out.exists(r => r.getLong(0) === 10000L && r.getLong(1) === lb),
+      "the verbatim copy must sit on the lower bound")
+  }
 }

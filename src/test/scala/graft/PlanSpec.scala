@@ -237,4 +237,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
       s"both windows and the aggregate key on the group column, plan:\n$plan")
   }
+
+  test("pq scan: encode+ADC is a zero-exchange projection, top-k is TakeOrdered") {
+    val out = Similarity.pqTopK(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", queryId = 0L, dim = 64, m = 4, k = 4,
+      iters = 1, topK = 5)
+    val plan = finalPlan(out)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the PQ probe must be a single scan, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not global sort, plan:\n$plan")
+  }
 }
