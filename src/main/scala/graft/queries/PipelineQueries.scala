@@ -378,16 +378,20 @@ object PipelineQueries {
   }
 
   private val memSeq = new java.util.concurrent.atomic.AtomicInteger
-  /** Drive a streaming aggregation to completion (AvailableNow trigger)
-    * into a memory sink and return the sink table. `complete` output
-    * mode re-emits the full aggregation state at the last batch, so the
+  /** Drive a streaming frame to completion (AvailableNow trigger) into
+    * a memory sink and return the sink table. For aggregations,
+    * `complete` mode re-emits the full state at the last batch, so the
     * result is deterministic regardless of micro-batch boundaries (no
-    * watermark eviction) — which is what makes a STREAMING operator
-    * comparable to a batch SQL oracle. Production append-mode +
-    * watermark behavior is covered by StreamIngestSpec. */
-  private def runToMemory(s: SparkSession, df: DataFrame): DataFrame = {
+    * watermark eviction). For stream-stream INNER joins, `append` is
+    * the only mode — each match is emitted exactly once when found,
+    * so the emitted SET equals the batch join (watermarks only bound
+    * state, they drop nothing when event time never regresses by more
+    * than the allowance). Production append-mode aggregation behavior
+    * is covered by StreamIngestSpec. */
+  private def runToMemory(s: SparkSession, df: DataFrame,
+      mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_sink_${memSeq.incrementAndGet()}"
-    val q = df.writeStream.outputMode("complete").format("memory")
+    val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -439,6 +443,27 @@ object PipelineQueries {
   // first-merge decision), top 50
   private def p37(s: SparkSession, d: String): DataFrame =
     TextOps.topPairs(Tables.documents(s, d), "text", 50)
+
+  // stream-stream interval join (purchases ⋈ prior views within 1 h by
+  // the same user), run as TWO streaming sources: per-side watermarks
+  // bound the join state to the interval horizon — the shape that holds
+  // on an unbounded clickstream; each match emits exactly once (append
+  // mode), so the emitted set equals the batch join oracle
+  private def p40(s: SparkSession, d: String): DataFrame = {
+    def side(tpe: String, prefix: String) = eventsStream(s, d)
+      .filter(col("event_type") === tpe && col("user_id") % 5 === 3)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"), col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "p").join(side("view", "v"),
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+    runToMemory(s, joined.select(col("p_id").as("purchase_id"),
+        col("v_id").as("view_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts")), mode = "append")
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
 
   // PQ ANN: per-subspace integer k-means codebook + asymmetric-distance
   // top-k — the fourth ANN family member (brute / LSH / IVF / PQ)
@@ -586,7 +611,8 @@ object PipelineQueries {
     "p36_cdc_chunks" -> (p36 _),
     "p37_bpe_pairs" -> (p37 _),
     "p38_length_quantiles" -> (p38 _),
-    "p39_pq_ann" -> (p39 _))
+    "p39_pq_ann" -> (p39 _),
+    "p40_stream_join" -> (p40 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1250,5 +1276,13 @@ object PipelineQueries {
                   FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid
                   GROUP BY a2.id)
           SELECT id AS vec_id, adc_dist FROM adc
-          WHERE id <> 0 ORDER BY adc_dist, vec_id LIMIT 10""")
+          WHERE id <> 0 ORDER BY adc_dist, vec_id LIMIT 10""",
+    "p40_stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                p.user_id, p.ts AS p_ts, v.ts AS v_ts
+         FROM events p JOIN events v
+           ON p.event_type = 'purchase' AND v.event_type = 'view'
+          AND p.user_id = v.user_id AND p.user_id % 5 = 3
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+         ORDER BY purchase_id, view_id""")
 }

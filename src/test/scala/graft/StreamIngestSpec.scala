@@ -155,4 +155,37 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out(2).getLong(0) === 3L && out(2).getLong(3) === 1L &&
       out(2).getTimestamp(1) === t("2024-01-01 02:00:01"))
   }
+
+  test("stream-stream interval join: matches emit exactly once, " +
+      "including across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vm = MemoryStream[(Timestamp, Long, Long)]
+    val pm = MemoryStream[(Timestamp, Long, Long)]
+    val views = vm.toDF().toDF("v_ts", "v_user", "view_id")
+      .withWatermark("v_ts", "1 hour")
+    val purchases = pm.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "1 hour")
+    val j = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"))
+    val q = j.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    def t(x: String) = Timestamp.valueOf(x)
+    // batch 1: a view, and a purchase 30 min later -> one match
+    vm.addData((t("2024-01-01 00:00:00"), 1L, 100L))
+    pm.addData((t("2024-01-01 00:30:00"), 1L, 200L))
+    q.processAllAvailable()
+    // batch 2: a later purchase still within 1 h of the SAME view
+    // (cross-batch state) and one past the hour (no match)
+    pm.addData((t("2024-01-01 00:59:00"), 1L, 201L),
+      (t("2024-01-01 01:30:00"), 1L, 202L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").orderBy("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq === Seq(200L -> 100L, 201L -> 100L))
+  }
 }
