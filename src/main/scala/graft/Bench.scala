@@ -56,10 +56,10 @@ object Bench {
     // re-pay multi-second tick orchestration for no extra signal.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
-    // streaming queries (p34/p35) count as round-trips too: each runs a
-    // full StreamingQuery lifecycle (many micro-batch jobs internally)
+    // streaming queries (p34/p35/p40) count as round-trips too: each
+    // runs a full StreamingQuery lifecycle (many micro-batch jobs)
     val roundTrips = Set("q31", "q32", "q33", "q34", "q35", "q36", "q37",
-      "q38", "q40", "p34", "p35")
+      "q38", "q40", "p34", "p35", "p40")
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -122,6 +122,28 @@ object Stress {
           substring(col("source"), 4, 10).cast("long") % 4)
         .filter(col("keep")).count())
 
+    // Sub-document dedup axis (round 4): CDC chunking + chunk-hash dedup.
+    // Chunk count ~ tokens/div regardless of document sizes; the verbatim
+    // copies make every copied chunk a duplicate — the worst case for
+    // the keeper window's per-hash groups.
+    val (chunkSec, chunkDocs) = timed(
+      graft.pipeline.Chunking.dedupSummary(docs, "doc_id", "text",
+        w = 4, div = 8).count())
+
+    // Tokenizer-stats axis: pair counting must track scan speed — the
+    // pair space is vocab²-bounded, so map-side partial aggregation
+    // collapses the shuffle to a constant regardless of corpus size.
+    val (pairsSec, nPairs) = timed(
+      graft.pipeline.TextOps.topPairs(docs, "text", 1000).count())
+
+    // PQ axis: train per-subspace codebooks on the multiplied corpus
+    // (zero-exchange assignment passes + one k·dim agg), then the
+    // zero-exchange fused encode+ADC probe.
+    val (pqSec, pqRows) = timed(
+      graft.pipeline.Similarity.pqTopK(vecs, "vec_id", "embedding",
+        queryId = 0L, dim = 64, m = 8, k = 16, iters = 1,
+        topK = 100).count())
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
@@ -137,6 +159,9 @@ object Stress {
       s""""redact_sec":$redactSec,"redact_docs_per_sec":${(nDocs / redactSec).toLong},""" +
       s""""pack_sec":$packSec,"pack_bins":$packBins,""" +
       s""""mix_sec":$mixSec,"mix_kept":$mixKept,""" +
+      s""""chunk_sec":$chunkSec,"chunk_docs_per_sec":${(chunkDocs / chunkSec).toLong},""" +
+      s""""pairs_sec":$pairsSec,"pairs_docs_per_sec":${(nDocs / pairsSec).toLong},"top_pairs":$nPairs,""" +
+      s""""pq_sec":$pqSec,"pq_rows":$pqRows,""" +
       s""""sf":"$sfDir"}"""
     spark.stop()
     println(json)

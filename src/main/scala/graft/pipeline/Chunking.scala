@@ -45,17 +45,18 @@ object Chunking {
         lit(0L)))
   }
 
-  /** Chunks with their content hash: (doc_id, chunk_seq, n_toks,
-    * chunk_start, chunk_hash). Assembly is a sorted collect per chunk
-    * (small arrays, post-shuffle projection). */
+  /** Chunks with their content: (doc_id, chunk_seq, n_toks,
+    * chunk_start, chunk_text, chunk_hash). Assembly is a sorted collect
+    * per chunk (small arrays, post-shuffle projection). */
   def chunks(df: DataFrame, idCol: String, textCol: String,
       w: Int, div: Int): DataFrame =
     tokenChunks(df, idCol, textCol, w, div)
       .groupBy(col("doc_id"), col("chunk_seq"))
       .agg(count(lit(1)).as("n_toks"), min(col("pos")).as("chunk_start"),
         array_sort(collect_list(struct(col("pos"), col("tok")))).as("parts"))
-      .withColumn("chunk_hash",
-        h60(concat_ws(" ", transform(col("parts"), p => p("tok")))))
+      .withColumn("chunk_text",
+        concat_ws(" ", transform(col("parts"), p => p("tok"))))
+      .withColumn("chunk_hash", h60(col("chunk_text")))
       .drop("parts")
 
   /** Per-document chunk-dedup summary: for every chunk hash the keeper
@@ -75,5 +76,27 @@ object Chunking {
         sum(col("dup") * col("n_toks")).as("dup_toks"))
       .withColumn("dup_ppm",
         expr("dup_toks * 1000000 DIV n_toks"))
+  }
+
+  /** Chunk-dedup REWRITE (the C4/RefinedWeb boilerplate-removal pass):
+    * drop every chunk whose content already appeared at an earlier
+    * (doc_id, chunk_seq) anywhere in the corpus and reassemble each
+    * document from its surviving chunks, in order. A document that was
+    * entirely duplicate content disappears from the output — whole-doc
+    * dedup falls out as the degenerate case. Same shuffle story as
+    * [[dedupSummary]] plus one sorted collect per doc. */
+  def dedupRewrite(df: DataFrame, idCol: String, textCol: String,
+      w: Int, div: Int): DataFrame = {
+    val keep = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_seq"))
+    chunks(df, idCol, textCol, w, div)
+      .withColumn("rn", row_number().over(keep))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        sum(col("n_toks")).as("n_kept_toks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_seq"), col("chunk_text")))),
+          p => p("chunk_text"))).as("text_deduped"))
   }
 }

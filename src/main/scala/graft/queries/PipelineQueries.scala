@@ -465,6 +465,12 @@ object PipelineQueries {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  // chunk-dedup rewrite: reassemble each doc from corpus-unique chunks
+  private def p41(s: SparkSession, d: String): DataFrame =
+    Chunking.dedupRewrite(Tables.documents(s, d), "doc_id", "text",
+        w = 4, div = 8)
+      .orderBy(col("doc_id"))
+
   // PQ ANN: per-subspace integer k-means codebook + asymmetric-distance
   // top-k — the fourth ANN family member (brute / LSH / IVF / PQ)
   private def p39(s: SparkSession, d: String): DataFrame =
@@ -612,7 +618,8 @@ object PipelineQueries {
     "p37_bpe_pairs" -> (p37 _),
     "p38_length_quantiles" -> (p38 _),
     "p39_pq_ann" -> (p39 _),
-    "p40_stream_join" -> (p40 _))
+    "p40_stream_join" -> (p40 _),
+    "p41_chunk_rewrite" -> (p41 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1284,5 +1291,36 @@ object PipelineQueries {
            ON p.event_type = 'purchase' AND v.event_type = 'view'
           AND p.user_id = v.user_id AND p.user_id % 5 = 3
           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
-         ORDER BY purchase_id, view_id""")
+         ORDER BY purchase_id, view_id""",
+    "p41_chunk_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                         unnest(toks) AS tok
+                  FROM t),
+          wi AS (SELECT doc_id, pos, tok,
+                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w || ' ' ||
+                   lag(tok, 1) OVER w || ' ' || tok AS win
+                 FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          b AS (SELECT doc_id, pos, tok,
+                  CASE WHEN pos >= 3 AND (${h60Sql("win")} % 8) = 0
+                       THEN 1 ELSE 0 END AS boundary
+                FROM wi),
+          c AS (SELECT doc_id, pos, tok,
+                  COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+                    ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_seq
+                FROM b),
+          ch AS (SELECT doc_id, chunk_seq, COUNT(*) AS n_toks,
+                   string_agg(tok, ' ' ORDER BY pos) AS ctext
+                 FROM c GROUP BY doc_id, chunk_seq),
+          k AS (SELECT doc_id, chunk_seq, n_toks, ctext,
+                  ROW_NUMBER() OVER (PARTITION BY ${h60Sql("ctext")}
+                    ORDER BY doc_id, chunk_seq) AS rn
+                FROM ch)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_kept_toks,
+                 string_agg(ctext, ' ' ORDER BY chunk_seq) AS text_deduped
+          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")
 }

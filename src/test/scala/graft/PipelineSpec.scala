@@ -563,4 +563,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(0) === 10000L && r.getLong(1) === lb),
       "the verbatim copy must sit on the lower bound")
   }
+
+  test("cdc rewrite: unique docs reassemble verbatim; a full copy vanishes") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => s"tok${i % 23}w${i % 7}").mkString(" ")
+    val other = (1 to 100).map(i => s"alt${i % 19}x${i % 5}").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, other)).toDF("doc_id", "text")
+    val out = Chunking.dedupRewrite(docs, "doc_id", "text", w = 4, div = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 2L),
+      "the verbatim copy must disappear from the rewritten corpus")
+    // chunking splits and reassembly are inverse on unique content
+    assert(out(0).getAs[String]("text_deduped") === base)
+    assert(out(1).getAs[String]("text_deduped") === other)
+    assert(out(0).getAs[Long]("n_kept_toks") === 100L)
+  }
 }
