@@ -465,6 +465,52 @@ object PipelineQueries {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  // chained stateful streaming (minute counts → hourly rollup of them)
+  // in APPEND mode — the production emission semantics: windows emit
+  // when the watermark passes them. Determinism comes from a far-future
+  // sentinel file processed in a LATER micro-batch (maxFilesPerTrigger=1,
+  // mtime order): it advances the watermark past every real window, the
+  // no-data batch flushes them, and the sentinel's own windows can
+  // never flush — append mode drops them for free.
+  private def p42(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_p42")
+    val events = dir.resolve("a_events.parquet")
+    java.nio.file.Files.createSymbolicLink(events,
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    // sentinel: one row far in the future (raw schema, nanos ts)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p42_sent")
+    import s.implicits._
+    Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0d, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sentinel = dir.resolve("b_sentinel.parquet")
+    java.nio.file.Files.copy(part, sentinel)
+    java.nio.file.Files.setLastModifiedTime(events,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val st = s.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "0 seconds")
+    val minutely = st
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hourly = minutely
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), max(col("n")).as("max_minute"),
+        count(lit(1)).as("active_minutes"))
+      .select(col("window.start").as("range_start"), col("event_type"),
+        col("n_events"), col("max_minute"), col("active_minutes"))
+    runToMemory(s, hourly, mode = "append")
+      .filter(col("range_start") < lit(java.sql.Timestamp.valueOf(
+        "2099-01-01 00:00:00"))) // defensive: sentinel windows never flush
+      .orderBy(col("range_start"), col("event_type"))
+  }
+
   // chunk-dedup rewrite: reassemble each doc from corpus-unique chunks
   private def p41(s: SparkSession, d: String): DataFrame =
     Chunking.dedupRewrite(Tables.documents(s, d), "doc_id", "text",
@@ -619,7 +665,8 @@ object PipelineQueries {
     "p38_length_quantiles" -> (p38 _),
     "p39_pq_ann" -> (p39 _),
     "p40_stream_join" -> (p40 _),
-    "p41_chunk_rewrite" -> (p41 _))
+    "p41_chunk_rewrite" -> (p41 _),
+    "p42_stream_chained" -> (p42 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1322,5 +1369,14 @@ object PipelineQueries {
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_chunks,
                  CAST(SUM(n_toks) AS BIGINT) AS n_kept_toks,
                  string_agg(ctext, ' ' ORDER BY chunk_seq) AS text_deduped
-          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""")
+          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "p42_stream_chained" ->
+      """WITH m AS (SELECT date_trunc('minute', ts) AS mstart, event_type,
+                 COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT date_trunc('hour', mstart) AS range_start, event_type,
+                CAST(SUM(n) AS BIGINT) AS n_events,
+                CAST(MAX(n) AS BIGINT) AS max_minute,
+                CAST(COUNT(*) AS BIGINT) AS active_minutes
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""")
 }
