@@ -21,6 +21,23 @@ object Sampling {
       seed: Int = 0): DataFrame =
     df.filter(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L < ppm)
 
+  /** Deterministic train/val/test split: each row's hash bucket
+    * (mod 1e6) picks its split — `[0, trainPpm)` → train,
+    * `[trainPpm, trainPpm+valPpm)` → val, the rest → test. A row's
+    * assignment depends only on its id and the seed, never on other
+    * rows, so splits are stable under corpus growth/shuffling and
+    * identical on every engine and every re-run. Pure projection —
+    * zero shuffles, scan speed at any scale. */
+  def splitAssign(df: DataFrame, idCol: String, trainPpm: Long,
+      valPpm: Long, seed: Int = 0): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L)
+    val bucket = Hashing.h60(seed, col(idCol).cast("string")) % 1000000L
+    df.withColumn("split",
+      when(bucket < trainPpm, lit("train"))
+        .when(bucket < trainPpm + valPpm, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Source-mix reweighting — thin each source toward TARGET mix
     * weights without ever upsampling: given per-source weights w_s, the
     * largest feasible output size is T = min_s floor(n_s·W / w_s)

@@ -511,6 +511,15 @@ object PipelineQueries {
       .orderBy(col("range_start"), col("event_type"))
   }
 
+  // deterministic train/val/test split: per-(source, split) counts
+  private def p43(s: SparkSession, d: String): DataFrame =
+    Sampling.splitAssign(Tables.documents(s, d), "doc_id",
+        trainPpm = 900000L, valPpm = 50000L)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("split"))
+
   // chunk-dedup rewrite: reassemble each doc from corpus-unique chunks
   private def p41(s: SparkSession, d: String): DataFrame =
     Chunking.dedupRewrite(Tables.documents(s, d), "doc_id", "text",
@@ -666,7 +675,8 @@ object PipelineQueries {
     "p39_pq_ann" -> (p39 _),
     "p40_stream_join" -> (p40 _),
     "p41_chunk_rewrite" -> (p41 _),
-    "p42_stream_chained" -> (p42 _))
+    "p42_stream_chained" -> (p42 _),
+    "p43_split_assign" -> (p43 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1378,5 +1388,16 @@ object PipelineQueries {
                 CAST(SUM(n) AS BIGINT) AS n_events,
                 CAST(MAX(n) AS BIGINT) AS max_minute,
                 CAST(COUNT(*) AS BIGINT) AS active_minutes
-         FROM m GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p43_split_assign" -> {
+      val bucket = h60Sql(0, "doc_id::VARCHAR") + " % 1000000"
+      s"""WITH a AS (SELECT source, doc_id,
+                 CASE WHEN $bucket < 900000 THEN 'train'
+                      WHEN $bucket < 950000 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents)
+          SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
 }

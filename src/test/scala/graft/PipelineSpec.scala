@@ -578,4 +578,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("text_deduped") === other)
     assert(out(0).getAs[Long]("n_kept_toks") === 100L)
   }
+
+  test("splitAssign: stable per row, disjoint covering splits, no shuffle") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val full = Sampling.splitAssign(docs, "doc_id", 800000L, 100000L)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // assignment is a pure function of the row id: any subset agrees
+    val subset = Sampling.splitAssign(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", 800000L, 100000L)
+      .select(col("doc_id"), col("split")).collect()
+    subset.foreach(r => assert(full(r.getLong(0)) === r.getString(1)))
+    // rough proportions at 500 docs (hash-uniform: train ~400)
+    val n = full.size.toDouble
+    val train = full.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train share $train")
+    assert(full.values.toSet === Set("train", "val", "test"))
+    // zero-shuffle projection
+    val plan = {
+      val df = Sampling.splitAssign(docs, "doc_id", 800000L, 100000L)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
+  }
 }
