@@ -520,6 +520,14 @@ object PipelineQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"), col("split"))
 
+  // KMV cardinality sketch: per-source distinct-token estimate vs exact
+  private def p44(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    Sketches.kmvCardinality(tok, "source", col("tok"), k = 16)
+      .orderBy(col("source"))
+  }
+
   // chunk-dedup rewrite: reassemble each doc from corpus-unique chunks
   private def p41(s: SparkSession, d: String): DataFrame =
     Chunking.dedupRewrite(Tables.documents(s, d), "doc_id", "text",
@@ -676,7 +684,8 @@ object PipelineQueries {
     "p40_stream_join" -> (p40 _),
     "p41_chunk_rewrite" -> (p41 _),
     "p42_stream_chained" -> (p42 _),
-    "p43_split_assign" -> (p43 _))
+    "p43_split_assign" -> (p43 _),
+    "p44_kmv_cardinality" -> (p44 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1399,5 +1408,22 @@ object PipelineQueries {
           SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
                  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
           FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
-    })
+    },
+    "p44_kmv_cardinality" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          tok AS (SELECT source, unnest(toks) AS tok FROM t),
+          h AS (SELECT DISTINCT source, ${h60Sql("tok")} AS h FROM tok),
+          r AS (SELECT source, h,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS exact_distinct
+                FROM h)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_min,
+                 MAX(h) AS hk,
+                 CAST(MAX(exact_distinct) AS BIGINT) AS exact_distinct,
+                 CAST(CASE WHEN COUNT(*) < 16 THEN COUNT(*)
+                      ELSE 15 * (1152921504606846976 // MAX(h)) +
+                           (15 * (1152921504606846976 % MAX(h))) // MAX(h)
+                      END AS BIGINT) AS est_distinct
+          FROM r WHERE rn <= 16 GROUP BY source ORDER BY source""")
 }

@@ -603,4 +603,18 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
   }
+
+  test("kmv sketch: exact below k, within KMV error bound above k") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => ("a", s"v${i % 10}")).toDF("g", "v")
+    val s1 = Sketches.kmvCardinality(small, "g", col("v"), 16).collect()(0)
+    assert(s1.getAs[Long]("n_min") === 10L)
+    assert(s1.getAs[Long]("est_distinct") === 10L) // below k the sketch IS exact
+    val big = (1 to 5000).map(i => ("b", s"item$i")).toDF("g", "v")
+    val s2 = Sketches.kmvCardinality(big, "g", col("v"), 64).collect()(0)
+    assert(s2.getAs[Long]("exact_distinct") === 5000L)
+    val est = s2.getAs[Long]("est_distinct").toDouble
+    // deterministic hash -> fixed estimate; 3sigma of KMV at k=64 is ~38%
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est vs 5000")
+  }
 }

@@ -248,4 +248,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrdered, not global sort, plan:\n$plan")
   }
+
+  test("kmv sketch: distinct + rank fold, two exchanges, no join") {
+    val tok = Tables.documents(spark, sf).select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val out = Sketches.kmvCardinality(tok, "source", col("tok"), 16)
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"(group, hash) distinct + group rank/fold = 2 shuffles, plan:\n$plan")
+    assert(!plan.contains("Join"), s"no join in the sketch, plan:\n$plan")
+  }
 }
