@@ -53,4 +53,45 @@ object Sketches {
             ELSE ${k - 1} * ($Space DIV hk) +
                  (${k - 1} * ($Space % hk)) DIV hk END"""))
   }
+
+  /** The sketch itself: per-group sorted array of the k minimum
+    * distinct hash values — the form that MERGES. Executors sketch
+    * their shards independently; [[merge]] combines shard sketches into
+    * exactly the sketch of the union (property-tested equality, not an
+    * approximation of an approximation). */
+  def kmvMinima(df: DataFrame, groupCol: String, value: Column,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    df.select(col(groupCol), Hashing.h60(value).as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("minima"))
+  }
+
+  /** Merge two shard sketches: union each group's minima sets, dedup,
+    * keep the k smallest. merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    * exactly — the lossless-combine property that makes the sketch safe
+    * to tree-aggregate across 1000 executors. */
+  def merge(a: DataFrame, b: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    a.unionByName(b)
+      .select(col(groupCol), explode(col("minima")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("minima"))
+  }
+
+  /** Estimate from a minima-array sketch (same integer formula). */
+  def estimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch
+      .withColumn("n_min", size(col("minima")).cast("long"))
+      .withColumn("hk", element_at(col("minima"), k))
+      .withColumn("est_distinct", expr(
+        s"""CASE WHEN n_min < $k THEN n_min
+            ELSE ${k - 1} * ($Space DIV hk) +
+                 (${k - 1} * ($Space % hk)) DIV hk END"""))
 }

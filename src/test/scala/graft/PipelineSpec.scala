@@ -617,4 +617,31 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic hash -> fixed estimate; 3sigma of KMV at k=64 is ~38%
     assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est vs 5000")
   }
+
+  test("kmv merge: merging shard sketches equals sketching the union, exactly") {
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val whole = Sketches.kmvMinima(tok, "source", col("tok"), 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val shardA = tok.filter(Hashing.h60(col("tok")) % 2 === 0)
+    val shardB = tok.filter(Hashing.h60(col("tok")) % 2 =!= 0)
+    val merged = Sketches.merge(
+        Sketches.kmvMinima(shardA, "source", col("tok"), 16),
+        Sketches.kmvMinima(shardB, "source", col("tok"), 16),
+        "source", 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(merged === whole, "lossless combine must reproduce the union sketch")
+    // and the estimate off the merged sketch matches the direct one
+    val est = Sketches.estimate(
+      Sketches.merge(
+        Sketches.kmvMinima(shardA, "source", col("tok"), 16),
+        Sketches.kmvMinima(shardB, "source", col("tok"), 16),
+        "source", 16), 16)
+      .select(col("source"), col("est_distinct")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.kmvCardinality(tok, "source", col("tok"), 16)
+      .select(col("source"), col("est_distinct")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === direct)
+  }
 }
