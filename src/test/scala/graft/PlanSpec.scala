@@ -258,4 +258,28 @@ class PlanSpec extends AnyFunSuite {
       s"(group, hash) distinct + group rank/fold = 2 shuffles, plan:\n$plan")
     assert(!plan.contains("Join"), s"no join in the sketch, plan:\n$plan")
   }
+
+  test("bucketed tables co-locate the entity-key join: zero exchanges") {
+    // SCALE.md's bucketing claim, pinned: two tables bucketed on the
+    // same entity key join WITHOUT a shuffle - the layout a 100 TB
+    // deployment uses for repeated joins (current vs history, dims).
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    ev.filter(col("event_type") === "view").write
+      .bucketBy(4, "user_id").sortBy("user_id")
+      .format("parquet").saveAsTable("graft_bkt_a")
+    ev.filter(col("event_type") === "purchase").write
+      .bucketBy(4, "user_id").sortBy("user_id")
+      .format("parquet").saveAsTable("graft_bkt_b")
+    val j = spark.table("graft_bkt_a").as("a")
+      .join(spark.table("graft_bkt_b").as("b"), "user_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val plan = finalPlan(j)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join + same-key agg must be shuffle-free, plan:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+  }
 }
