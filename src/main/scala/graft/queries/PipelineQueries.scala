@@ -520,6 +520,24 @@ object PipelineQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"), col("split"))
 
+  // salted skew join: purchases ⋈ views per user with the hot users'
+  // rows scattered across 8 salt sub-partitions — result identical to
+  // the plain join (the oracle runs the unsalted SQL)
+  private def p45(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"))
+    val vw = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"))
+    val hot = graft.operators.SkewJoin.hotKeys(pur, "user_id", minCount = 10)
+    graft.operators.SkewJoin.saltedInner(pur, vw, "user_id",
+        saltBy = col("p_id"), salts = 8, hot = hot)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("p_id")).as("min_p"),
+        max(col("v_id")).as("max_v"))
+      .orderBy(col("user_id"))
+  }
+
   // KMV cardinality sketch: per-source distinct-token estimate vs exact
   private def p44(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d).select(col("source"),
@@ -685,7 +703,8 @@ object PipelineQueries {
     "p41_chunk_rewrite" -> (p41 _),
     "p42_stream_chained" -> (p42 _),
     "p43_split_assign" -> (p43 _),
-    "p44_kmv_cardinality" -> (p44 _))
+    "p44_kmv_cardinality" -> (p44 _),
+    "p45_salted_join" -> (p45 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1425,5 +1444,14 @@ object PipelineQueries {
                       ELSE 15 * (1152921504606846976 // MAX(h)) +
                            (15 * (1152921504606846976 % MAX(h))) // MAX(h)
                       END AS BIGINT) AS est_distinct
-          FROM r WHERE rn <= 16 GROUP BY source ORDER BY source""")
+          FROM r WHERE rn <= 16 GROUP BY source ORDER BY source""",
+    "p45_salted_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id FROM events
+               WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, event_id AS v_id FROM events
+               WHERE event_type = 'view')
+         SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                MIN(p.p_id) AS min_p, MAX(v.v_id) AS max_v
+         FROM p JOIN v ON p.user_id = v.user_id
+         GROUP BY p.user_id ORDER BY p.user_id""")
 }

@@ -133,4 +133,26 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("tag") === "l1").collect()
     assert(tolOk.head.getAs[Long]("price") === 50L)
   }
+
+  test("salted join is set-identical to the plain join on skewed data") {
+    import spark.implicits._
+    // one scorching key (4000 rows) among cold ones
+    val left = ((1 to 4000).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, 10000L + i))).toDF("k", "lid")
+    val right = ((1 to 40).map(i => (7L, 500L + i)) ++
+      (1 to 20).map(i => (i.toLong % 5, 900L + i))).toDF("k", "rid")
+    val hot = SkewJoin.hotKeys(left, "k", minCount = 100)
+    assert(hot.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    val salted = SkewJoin.saltedInner(left, right, "k",
+      saltBy = col("lid"), salts = 8, hot = hot)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // hot probe rows actually scatter across several salt values
+    val spread = left.join(hot, Seq("k"))
+      .select(pmod(graft.pipeline.Hashing.h60(col("lid").cast("string")),
+        lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"salts used: $spread of 8")
+  }
 }
