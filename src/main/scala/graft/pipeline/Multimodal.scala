@@ -58,4 +58,46 @@ object Multimodal {
       }
     }
   }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("byte_offset", LongType),
+    StructField("frame_bytes", LongType),
+    StructField("frame_sig", StringType)))
+
+  /** Frame-sampling plumbing for video-shaped payloads: emit every
+    * `stride`-th fixed-size frame window of the payload (up to
+    * `maxFrames` per asset), one OUTPUT ROW PER FRAME — the 1→N explode
+    * a real container demuxer produces. The frame "decode" is the same
+    * honest stub (byte-window signature); the dataflow — partition-wise
+    * iterator, per-asset bounded fan-out, frame index + byte offset
+    * metadata — is exactly the shape a keyframe sampler has at scale,
+    * where the downstream embed/dedup stages key on (doc_id, frame_idx).
+    */
+  def sampleFrames(assets: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, stride: Int, maxFrames: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0)
+    val in = assets.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+    implicit val enc = RowEncoder.encoderFor(frameSchema)
+    in.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val starts = (0 until maxFrames).iterator
+          .map(k => k.toLong * stride * frameBytes)
+          .takeWhile(_ < payload.length)
+        starts.zipWithIndex.map { case (off, idx) =>
+          val end = math.min(off + frameBytes, payload.length.toLong).toInt
+          digest.reset()
+          val sig = digest.digest(
+            java.util.Arrays.copyOfRange(payload, off.toInt, end))
+            .map("%02x".format(_)).mkString
+          Row(id, idx.toLong, off, (end - off).toLong, sig)
+        }
+      }
+    }
+  }
 }

@@ -520,6 +520,16 @@ object PipelineQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"), col("split"))
 
+  // multimodal frame sampling: every 2nd 64-byte frame window, ≤4 per
+  // asset — the 1→N demuxer explode with per-frame offset metadata
+  private def p46(s: SparkSession, d: String): DataFrame = {
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.sampleFrames(assets, "doc_id", "payload",
+        frameBytes = 64, stride = 2, maxFrames = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // salted skew join: purchases ⋈ views per user with the hot users'
   // rows scattered across 8 salt sub-partitions — result identical to
   // the plain join (the oracle runs the unsalted SQL)
@@ -704,7 +714,8 @@ object PipelineQueries {
     "p42_stream_chained" -> (p42 _),
     "p43_split_assign" -> (p43 _),
     "p44_kmv_cardinality" -> (p44 _),
-    "p45_salted_join" -> (p45 _))
+    "p45_salted_join" -> (p45 _),
+    "p46_frame_sample" -> (p46 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1453,5 +1464,15 @@ object PipelineQueries {
          SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                 MIN(p.p_id) AS min_p, MAX(v.v_id) AS max_v
          FROM p JOIN v ON p.user_id = v.user_id
-         GROUP BY p.user_id ORDER BY p.user_id""")
+         GROUP BY p.user_id ORDER BY p.user_id""",
+    "p46_frame_sample" ->
+      """WITH f AS (SELECT doc_id, i AS frame_idx, i * 128 AS off,
+                 octet_length(encode(text)) AS nb, text
+               FROM documents, range(0, 4) r(i)
+               WHERE i * 128 < octet_length(encode(text)))
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(off AS BIGINT) AS byte_offset,
+                CAST(LEAST(nb - off, 64) AS BIGINT) AS frame_bytes,
+                md5(substr(text, CAST(off + 1 AS INTEGER), 64)) AS frame_sig
+         FROM f ORDER BY doc_id, frame_idx""")
 }
