@@ -38,7 +38,8 @@ object Chunking {
       (w - 1 to 0 by -1).map(k => lag(col("tok"), k).over(ord)): _*)
     val boundary = when(col("pos") >= w - 1 && h60(winStr) % div === 0, 1L)
       .otherwise(0L)
-    df.select(col(idCol).as("doc_id"),
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("chunk_seq", coalesce(
         sum(boundary).over(ord.rowsBetween(Window.unboundedPreceding, -1)),

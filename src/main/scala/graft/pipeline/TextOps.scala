@@ -91,7 +91,11 @@ object TextOps {
     * tokens. */
   def tokenPairs(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    df.select(explode(when(size(toks) >= 2,
+    // single-file parquet sources arrive as ONE partition — spread the
+    // explode across cores first (same as substringPairs; the input is
+    // doc-count-sized, the fan-out is token-count-sized)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("a"),
             element_at(toks, i + 2).as("b"))))
@@ -147,7 +151,12 @@ object TextOps {
       .select(col(idCol).as(as),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(col(as), Hashing.h60(col("g")).as("h"))
-    grams(train, "train_" + idCol).join(grams(eval, "eval_" + idCol), "h")
+    // the train side is the 100 TB side — spread its shingle explode
+    // across cores (a single-file source otherwise runs it on one task)
+    grams(train.repartition(
+        train.sparkSession.sparkContext.defaultParallelism),
+        "train_" + idCol)
+      .join(grams(eval, "eval_" + idCol), "h")
       .groupBy(col("train_" + idCol), col("eval_" + idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -185,7 +194,11 @@ object TextOps {
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
-    val pos = docs.select(col(idCol).as("doc_id"),
+    // single-file sources arrive as one partition — spread the
+    // gram explode across cores (the window re-shuffles by doc anyway)
+    val pos = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"),
         posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), Hashing.h60(col("gram")).as("h"))
     val win = org.apache.spark.sql.expressions.Window
