@@ -148,4 +148,42 @@ class IntegrationSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_integ").toString
     new Engine(spark, root)
   }
+
+  test("curation pipeline composes: quality -> chunk-dedup rewrite -> " +
+      "split -> pack, deterministically") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // 1. quality gate (loose bounds: keep most, reject degenerate)
+    val kept = TextOps.gopherQuality(docs, "text",
+        minWords = 5, maxWords = 10000, minMeanWordLenPpm = 1000000L,
+        maxMeanWordLenPpm = 20000000L, minStopwordPpm = 0L)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("text"))
+    assert(kept.count() > 0)
+    // 2. sub-document dedup: rewrite from corpus-unique chunks
+    val rewritten = Chunking.dedupRewrite(kept, "doc_id", "text", 4, 8)
+      .join(kept.select(col("doc_id"), col("source")), "doc_id")
+    val nRewritten = rewritten.count()
+    assert(nRewritten > 0 && nRewritten <= kept.count())
+    // 3. deterministic split
+    val split = Sampling.splitAssign(rewritten, "doc_id", 900000L, 50000L)
+    // 4. pack the train split into fixed token bins per source
+    val packed = TextOps.packSequences(
+      split.filter(col("split") === "train")
+        .withColumnRenamed("text_deduped", "text"),
+      "doc_id", "source", "text", binTokens = 256L)
+    assert(packed.count() > 0)
+    assert(packed.select(col("bin")).distinct().count() > 0)
+    // determinism: the whole composed pipeline re-runs to the same rows
+    val again = TextOps.packSequences(
+      Sampling.splitAssign(
+        Chunking.dedupRewrite(kept, "doc_id", "text", 4, 8)
+          .join(kept.select(col("doc_id"), col("source")), "doc_id"),
+        "doc_id", 900000L, 50000L)
+        .filter(col("split") === "train")
+        .withColumnRenamed("text_deduped", "text"),
+      "doc_id", "source", "text", binTokens = 256L)
+    assert(packed.except(again).isEmpty && again.except(packed).isEmpty)
+  }
 }
