@@ -23,7 +23,14 @@ object SkewJoin {
 
   /** Keys whose `df` row count exceeds `minCount` — the hot set. Tiny
     * output (it is a top-of-distribution cut), broadcast by
-    * [[saltedInner]]. */
+    * [[saltedInner]].
+    *
+    * The hot set is a PERFORMANCE HINT, not a correctness input: the
+    * join result is identical for any set (an extra key only wastes
+    * `salts`× replication of its build rows; a missed key only keeps
+    * its straggler). At 100 TB, run this detector on a deterministic
+    * Bernoulli sample (`Sampling.bernoulliPpm`) with `minCount` scaled
+    * by the sample rate — the skew worth salting survives any sample. */
   def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > minCount).select(col(key))
