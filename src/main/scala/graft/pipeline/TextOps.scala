@@ -220,9 +220,18 @@ object TextOps {
     * integer ppm (engine-exact); pairs survive when either direction's
     * containment reaches `minPpm`. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, dfCap: Int, minPpm: Long): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
-      .localCheckpoint() // sizes + two join sides from one computation
+      k: Int, w: Int, dfCap: Int, minPpm: Long): DataFrame =
+    containmentOver(
+      winnowFingerprints(docs, idCol, textCol, k, w)
+        .localCheckpoint(), // sizes + two join sides from one computation
+      dfCap, minPpm)
+
+  /** Shared containment tail over an (doc_id, fp) postings frame:
+    * df-cap the fingerprints (boilerplate control), count pairwise
+    * intersections via the postings self-join, and score containment
+    * per direction against each side's FULL (pre-cap) set size. */
+  private def containmentOver(fps: DataFrame, dfCap: Int,
+      minPpm: Long): DataFrame = {
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)
       .select(col("fp"))
@@ -242,6 +251,24 @@ object TextOps {
       .filter(greatest(col("containment_i_ppm"),
         col("containment_j_ppm")) >= minPpm)
   }
+
+  /** Cross-source overlap matrix — the corpus-level copying report
+    * (which sources quote/mirror which): each source's DISTINCT
+    * n-shingle hash set feeds the same df-capped containment tail, at
+    * source granularity. #sources² cells, but the work is one distinct
+    * aggregation plus the capped postings self-join — source-level
+    * postings are vocabulary-sized, not corpus-sized, so the matrix is
+    * cheap even when the corpus is not. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int, dfCap: Int, minPpm: Long): DataFrame =
+    containmentOver(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(col(sourceCol).as("doc_id"),
+          explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .select(col("doc_id"), Hashing.h60(col("g")).as("fp"))
+        .distinct()
+        .localCheckpoint(),
+      dfCap, minPpm)
 
   /** PII redaction rules: (name, pattern, replacement), applied in
     * order. The patterns stay inside the Java-regex ∩ RE2 dialect (no

@@ -520,6 +520,14 @@ object PipelineQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"), col("split"))
 
+  // cross-source overlap matrix: which sources copy from each other
+  private def p47(s: SparkSession, d: String): DataFrame =
+    TextOps.sourceOverlap(Tables.documents(s, d), "source", "text",
+        n = 6, dfCap = 10, minPpm = 0L)
+      .select(col("i"), col("j"), col("n_shared"),
+        col("containment_i_ppm"), col("containment_j_ppm"))
+      .orderBy(col("i"), col("j"))
+
   // multimodal frame sampling: every 2nd 64-byte frame window, ≤4 per
   // asset — the 1→N demuxer explode with per-frame offset metadata
   private def p46(s: SparkSession, d: String): DataFrame = {
@@ -715,7 +723,8 @@ object PipelineQueries {
     "p43_split_assign" -> (p43 _),
     "p44_kmv_cardinality" -> (p44 _),
     "p45_salted_join" -> (p45 _),
-    "p46_frame_sample" -> (p46 _))
+    "p46_frame_sample" -> (p46 _),
+    "p47_source_overlap" -> (p47 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1474,5 +1483,30 @@ object PipelineQueries {
                 CAST(off AS BIGINT) AS byte_offset,
                 CAST(LEAST(nb - off, 64) AS BIGINT) AS frame_bytes,
                 md5(substr(text, CAST(off + 1 AS INTEGER), 64)) AS frame_sig
-         FROM f ORDER BY doc_id, frame_idx""")
+         FROM f ORDER BY doc_id, frame_idx""",
+    "p47_source_overlap" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          g0 AS (SELECT source,
+                   CASE WHEN len(toks) >= 6
+                        THEN list_transform(range(0, len(toks) - 5),
+                               i -> array_to_string(toks[i+1:i+6], ' '))
+                        ELSE [] END AS gs
+                 FROM t),
+          hh AS (SELECT DISTINCT source AS id, ${h60Sql("g")} AS fp
+                 FROM (SELECT source, unnest(gs) AS g FROM g0)),
+          rare AS (SELECT fp FROM hh GROUP BY fp HAVING COUNT(*) <= 10),
+          kept AS (SELECT id, fp FROM hh JOIN rare USING (fp)),
+          sizes AS (SELECT id, COUNT(*) AS n_fp FROM hh GROUP BY id),
+          sh AS (SELECT a.id AS i, b.id AS j, COUNT(*) AS n_shared
+                 FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+                 GROUP BY 1, 2)
+          SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared,
+                 CAST((n_shared * 1000000) // si.n_fp AS BIGINT)
+                   AS containment_i_ppm,
+                 CAST((n_shared * 1000000) // sj.n_fp AS BIGINT)
+                   AS containment_j_ppm
+          FROM sh JOIN sizes si ON sh.i = si.id
+          JOIN sizes sj ON sh.j = sj.id
+          ORDER BY i, j""")
 }
