@@ -81,10 +81,14 @@ object Chunking {
 
   /** Chunk-dedup REWRITE (the C4/RefinedWeb boilerplate-removal pass):
     * drop every chunk whose content already appeared at an earlier
-    * (doc_id, chunk_seq) anywhere in the corpus and reassemble each
-    * document from its surviving chunks, in order. A document that was
-    * entirely duplicate content disappears from the output — whole-doc
-    * dedup falls out as the degenerate case. Same shuffle story as
+    * (doc_id, chunk_seq) anywhere in the corpus — INCLUDING earlier in
+    * the same document, matching C4's global first-occurrence-wins span
+    * dedup — and reassemble each document from its surviving chunks, in
+    * order. A document that was entirely duplicate content disappears
+    * from the output — whole-doc dedup falls out as the degenerate
+    * case; intra-doc chunk repetition is trimmed to its first
+    * occurrence (PropertySpec pins that reassembly is the exact
+    * identity when no chunk repeats). Same shuffle story as
     * [[dedupSummary]] plus one sorted collect per doc. */
   def dedupRewrite(df: DataFrame, idCol: String, textCol: String,
       w: Int, div: Int): DataFrame = {

@@ -129,4 +129,68 @@ class PropertySpec extends AnyFunSuite {
     intercept[IllegalStateException](
       r.deactivateDbModule(s, "pg_stat_all_indexes"))
   }
+
+  // ---------- round-4 operator properties ----------
+
+  // distinct tokens per doc → no chunk can repeat inside a document
+  // (the rewrite is first-occurrence-wins GLOBALLY, so only then is
+  // identity the expected outcome; intra-doc repeats trim — C4
+  // semantics, caught by an earlier version of this property)
+  private val tokensGen: Gen[Seq[String]] =
+    Gen.pick(40, 1 to 400).map(_.toList.map(i => s"w$i"))
+
+  test("cdc rewrite is the identity on unique docs with unique chunks") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(5, tokensGen), 4) { docs =>
+      val distinctDocs = docs.map(_.mkString(" ")).distinct
+        .filter(_.nonEmpty)
+      val df = distinctDocs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.pipeline.Chunking
+        .dedupRewrite(df, "doc_id", "text", w = 4, div = 8)
+        .orderBy("doc_id").collect()
+      assert(out.map(_.getAs[String]("text_deduped")).toSeq ===
+        distinctDocs, "chunk split + reassembly must invert on unique docs")
+    }
+  }
+
+  test("salted join == plain join on random skew, any salts, any hot set") {
+    import spark.implicits._
+    val gen = for {
+      hotRows <- Gen.choose(50, 300)
+      salts <- Gen.choose(2, 16)
+      cold <- Gen.listOfN(30, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 999L)))
+      rrows <- Gen.listOfN(25, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 999L)))
+    } yield (hotRows, salts, cold, rrows)
+    forAllSeeded(gen, 4) { case (hotRows, salts, cold, rrows) =>
+      val left = ((1 to hotRows).map(i => (3L, 5000L + i)) ++ cold)
+        .toDF("k", "lid")
+      val right = rrows.toDF("k", "rid")
+      val hot = graft.operators.SkewJoin.hotKeys(left, "k", minCount = 40)
+      val salted = graft.operators.SkewJoin.saltedInner(
+        left, right, "k", saltBy = col("lid"), salts = salts, hot = hot)
+      val plain = left.join(right, Seq("k"))
+      assert(salted.count() === plain.count())
+      assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    }
+  }
+
+  test("kmv merge is associative and order-insensitive across shards") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(200, Gen.choose(0L, 500L)), 3) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => ("g", s"v$v") }
+        .toDF("g", "v")
+      import graft.pipeline.{Sketches, Hashing}
+      def shard(m: Long) = df.filter(Hashing.h60(col("v")) % 3 === m)
+      val parts = (0L to 2L).map(m => Sketches.kmvMinima(shard(m), "g", col("v"), 8))
+      val ab_c = Sketches.merge(Sketches.merge(parts(0), parts(1), "g", 8),
+        parts(2), "g", 8).collect()
+      val c_ab = Sketches.merge(parts(2),
+        Sketches.merge(parts(1), parts(0), "g", 8), "g", 8).collect()
+      val whole = Sketches.kmvMinima(df, "g", col("v"), 8).collect()
+      def m(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(m(ab_c) === m(whole) && m(c_ab) === m(whole))
+    }
+  }
 }
