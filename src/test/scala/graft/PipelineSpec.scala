@@ -644,4 +644,25 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est === direct)
   }
+
+  test("sampleFrames: stride offsets, bounded fan-out, last-frame truncation") {
+    import spark.implicits._
+    val payload = ("x" * 300).getBytes("UTF-8")
+    val df = Seq((1L, payload), (2L, "tiny".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, "doc_id", "payload",
+        frameBytes = 64, stride = 2, maxFrames = 4)
+      .orderBy("doc_id", "frame_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // offsets 0, 128, 256 (384 is past the 300-byte payload)
+    assert(d1.map(_.getLong(2)).toSeq === Seq(0L, 128L, 256L))
+    assert(d1.map(_.getLong(3)).toSeq === Seq(64L, 64L, 44L)) // truncated tail
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2(0).getLong(3) === 4L)
+    // frame signature is the md5 of exactly that byte window
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(java.util.Arrays.copyOfRange(payload, 0, 64))
+      .map("%02x".format(_)).mkString
+    assert(d1(0).getString(4) === want)
+  }
 }
