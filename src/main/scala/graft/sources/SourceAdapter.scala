@@ -34,4 +34,28 @@ object SourceAdapter {
       ladder: TreeMap[Int, Seq[Column]],
       version: Int): DataFrame =
     src.select(pick(ladder, version): _*)
+
+  // ---------- collector wire formats beside parquet ----------
+
+  /** Read a collector staging payload from CSV (header row) into the
+    * datasource's exact `*_src_tmp` shape. The spec's staging schema is
+    * enforced at the source (types cast by the reader) and FAILFAST
+    * surfaces malformed rows as errors instead of silently landing
+    * nulls in the tier — a remote agent's corrupt upload must fail the
+    * ingest, not poison the history. */
+  def readStagingCsv(spark: org.apache.spark.sql.SparkSession,
+      spec: graft.spec.DatasourceSpec, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(spec.stagingSchema)
+      .csv(path)
+
+  /** Same for JSON-lines payloads. */
+  def readStagingJson(spark: org.apache.spark.sql.SparkSession,
+      spec: graft.spec.DatasourceSpec, path: String): DataFrame =
+    spark.read
+      .option("mode", "FAILFAST")
+      .schema(spec.stagingSchema)
+      .json(path)
 }

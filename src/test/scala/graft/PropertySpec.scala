@@ -193,4 +193,35 @@ class PropertySpec extends AnyFunSuite {
       assert(m(ab_c) === m(whole) && m(c_ab) === m(whole))
     }
   }
+
+  test("as-of join equals the naive per-row backward match on random frames") {
+    import spark.implicits._
+    val gen = for {
+      lrows <- Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L)))
+      rrows <- Gen.listOfN(25, for {
+        k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 100L)
+        v <- Gen.choose(1L, 999L)
+      } yield (k, t, v))
+    } yield (lrows.distinct, rrows)
+    forAllSeeded(gen, 5) { case (lrows, rrows0) =>
+      // unique (k, ts) on the right: keep the max value (p31's tie rule)
+      val rrows = rrows0.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toList
+      def ts(off: Long) = new Timestamp(1700000000000L + off * 1000L)
+      val left = lrows.map { case (k, t) => (k, ts(t)) }.toDF("k", "ts")
+      val right = rrows.map { case (k, t, v) => (k, ts(t), v) }
+        .toDF("k", "ts", "v")
+      val got = graft.operators.AsofJoin
+        .backward(left, right, Seq("k"), "ts", Seq("v"))
+        .select(col("k"), col("ts"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+      val want = lrows.map { case (k, t) =>
+        val cand = rrows.filter(r => r._1 == k && r._2 <= t)
+        val v = if (cand.isEmpty) -1L else cand.maxBy(_._2)._3
+        (k, ts(t), v)
+      }.sorted
+      assert(got.toSeq === want.toSeq)
+    }
+  }
 }

@@ -164,4 +164,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(m.staleDbids(1, Seq(100L), 0, new Timestamp(now.getTime + 1000))
       === Seq(100L))
   }
+
+  test("csv/json staging wire formats round-trip into the snapshot tick") {
+    import spark.implicits._
+    val spec = graft.spec.Specs.byName("powa_stat_bgwriter")
+    val rows = Seq(
+      (1, Timestamp.valueOf("2024-01-01 00:05:00"), 100L, 10L, 5L, 2L, 1L),
+      (1, Timestamp.valueOf("2024-01-01 00:10:00"), 200L, 20L, 9L, 4L, 2L))
+      .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+        "buffers_backend", "buffers_backend_fsync", "buffers_alloc")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire").toString
+    rows.write.option("header", "true").csv(s"$dir/csv")
+    rows.write.json(s"$dir/json")
+    val fromCsv = SourceAdapter.readStagingCsv(spark, spec, s"$dir/csv")
+    val fromJson = SourceAdapter.readStagingJson(spark, spec, s"$dir/json")
+    // both wire formats decode to the exact staging frame
+    assert(fromCsv.schema === spec.stagingSchema)
+    assert(fromCsv.except(rows).isEmpty && rows.except(fromCsv).isEmpty)
+    assert(fromJson.except(rows).isEmpty && rows.except(fromJson).isEmpty)
+    // and drive the engine exactly like a parquet ingest
+    val root = java.nio.file.Files.createTempDirectory("graft_wire_e").toString
+    val e = new graft.core.Engine(spark, root)
+    val srvid = e.registry.registerServer(graft.core.ServerConfig(
+      id = 31, hostname = "h"))
+    val stamped = fromCsv.withColumn("srvid", lit(srvid))
+    e.ingest("powa_stat_bgwriter", stamped)
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:15:00"))
+    val cur = e.store.read("powa_stat_bgwriter",
+      graft.core.GenericDatasource.Current,
+      graft.core.GenericDatasource.currentNoSrvid(spec))
+    assert(cur.count() === 2)
+  }
 }
