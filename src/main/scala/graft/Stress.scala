@@ -144,6 +144,22 @@ object Stress {
         queryId = 0L, dim = 64, m = 8, k = 16, iters = 1,
         topK = 100).count())
 
+    // Connected-components axis (round 5): an adversarial CHAIN graph —
+    // the worst case for min-label propagation (diameter-many rounds).
+    // The large/small-star escalation must keep the ROUND count
+    // logarithmic in the chain length (rounds ~ log2 n, not n).
+    val chainLen = 1000L * mult
+    val chainEdges = spark.range(chainLen - 1)
+      .select(col("id").as("i"), (col("id") + 1L).as("j"))
+      .repartition(cpus.toInt).localCheckpoint()
+    val chainNodes = spark.range(chainLen).select(col("id").as("doc_id"))
+      .localCheckpoint()
+    val t0cc = System.nanoTime()
+    val (ccLabels, ccRounds) = graft.pipeline.Dedup.ccStarsWithRounds(
+      chainEdges, chainNodes, "doc_id")
+    val ccOk = ccLabels.filter(col("lbl") =!= 0L).isEmpty
+    val ccSec = (System.nanoTime() - t0cc) / 1e9
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
@@ -162,6 +178,8 @@ object Stress {
       s""""chunk_sec":$chunkSec,"chunk_docs_per_sec":${(chunkDocs / chunkSec).toLong},""" +
       s""""pairs_sec":$pairsSec,"pairs_docs_per_sec":${(nDocs / pairsSec).toLong},"top_pairs":$nPairs,""" +
       s""""pq_sec":$pqSec,"pq_rows":$pqRows,""" +
+      s""""cc_chain_len":$chainLen,"cc_rounds":$ccRounds,""" +
+      s""""cc_sec":$ccSec,"cc_correct":$ccOk,""" +
       s""""sf":"$sfDir"}"""
     spark.stop()
     println(json)

@@ -38,7 +38,7 @@ object Chunking {
       (w - 1 to 0 by -1).map(k => lag(col("tok"), k).over(ord)): _*)
     val boundary = when(col("pos") >= w - 1 && h60(winStr) % div === 0, 1L)
       .otherwise(0L)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(df)
       .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("chunk_seq", coalesce(

@@ -48,8 +48,7 @@ object Dedup {
     // materialize the shingle sets once (spread across cores first — the
     // source is often a single parquet partition): both sides of the
     // self-join and the pair-count aggregation reuse them
-    val withSh = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val withSh = Partitioning.spread(df)
       .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .localCheckpoint()
@@ -93,7 +92,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // spread docs across cores first: a single-file parquet source would
     // otherwise run the whole shingle+hash stage as one task
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(df)
       .select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
       .select(col("doc"), (h60(col("s")) % MinhashMod).as("h"))
       .groupBy(col("doc")).agg(collect_set(col("h")).as("sh"))
@@ -196,8 +195,7 @@ object Dedup {
   def substringPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       maxDf: Option[Int] = None): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val wins = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val wins = Partitioning.spread(df)
       .select(col(idCol).as("doc"),
         posexplode(when(size(toks) >= k,
           transform(sequence(lit(0), size(toks) - k),
@@ -237,24 +235,37 @@ object Dedup {
 
   /** Resolve near-dup PAIRS into dedup DECISIONS: connected components
     * over the pair graph, labeling every document with the minimum doc
-    * id of its component (the canonical keeper). Min-label propagation:
-    * each round every node takes the smallest label among itself and
-    * its neighbors; converges in graph-diameter rounds. Near-dup
-    * components are dense and shallow (diameter ~2-3), so the round
-    * count stays tiny even at 10^9 docs — for adversarially deep chain
-    * graphs the large-star/small-star variant (O(log n) rounds) slots
-    * into the same loop. Each round is one broadcast-or-shuffle join on
-    * the edge list + a min-aggregation; driver only sees the converged
-    * flag, never the data. */
+    * id of its component (the canonical keeper).
+    *
+    * Two regimes, auto-selected in one loop:
+    *   - FAST PATH (min-label propagation): each round every node takes
+    *     the smallest label among itself and its neighbors; converges in
+    *     graph-diameter rounds, each round one join + one min-aggregate.
+    *     Near-dup components are dense and shallow (diameter ~2-3), so
+    *     this usually finishes in `fastRounds`.
+    *   - DEEP-GRAPH PATH (large-star / small-star alternation, Kiveris
+    *     et al. 2014 "Connected Components in MapReduce and Beyond"):
+    *     if min-label has not converged after `fastRounds`, the loop
+    *     escalates to the O(log n)-round star algorithm — the shape that
+    *     survives adversarial containment/template CHAINS, where
+    *     diameter ≈ component size and min-label would take linearly
+    *     many rounds. The star phase is seeded with the label links the
+    *     fast path already learned (lbl(v) is always in v's component,
+    *     so adding (v, lbl(v)) edges preserves components and banks the
+    *     progress).
+    * Driver only ever sees converged flags and round counts, never data.
+    */
   def connectedComponents(
-      edges: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
+      edges: DataFrame, nodes: DataFrame, idCol: String,
+      fastRounds: Int = 3): DataFrame = {
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .union(edges.select(col("j").as("a"), col("i").as("b")))
       .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
     var changed = 1L
-    while (changed > 0) {
+    var round = 0
+    while (changed > 0 && round < fastRounds) {
       val prop = sym
         .join(labels.select(col("id").as("a"), col("lbl").as("albl")), Seq("a"))
         .groupBy(col("b").as("id")).agg(min(col("albl")).as("nlbl"))
@@ -266,9 +277,76 @@ object Dedup {
         .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
         .filter(col("lbl") =!= col("old")).count()
       labels = next
+      round += 1
     }
-    labels.select(col("id").as(idCol), col("lbl").as("cluster"),
+    val resolved = if (changed == 0) labels else {
+      // deep graph: escalate to star alternation over the original edges
+      // plus the shortcut links min-label already established
+      val seed = edges.select(col("i"), col("j")).union(
+        labels.filter(col("id") =!= col("lbl"))
+          .select(col("id").as("i"), col("lbl").as("j")))
+      ccStarsWithRounds(seed, nodes, idCol)._1
+    }
+    resolved.select(col("id").as(idCol), col("lbl").as("cluster"),
       (col("id") === col("lbl")).as("is_keeper"))
+  }
+
+  /** One large-star round: every node connects its strictly LARGER
+    * neighbors to the minimum of its closed neighborhood. Shrinks long
+    * tails toward minima; preserves connectivity (Kiveris et al.,
+    * Lemma 1). One symmetrize-union, one min-aggregate, one join. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node connects itself and its SMALLER
+    * neighbors to the minimum among them. Flattens the two-level trees
+    * large-star leaves behind into stars. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(mins, Seq("u"))
+      .select(explode(array(
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Large-star/small-star alternation to convergence: returns every
+    * node's component-minimum label plus the number of alternation
+    * rounds taken — O(log n) rounds even on a path graph of length n,
+    * vs the diameter-many rounds of min-label propagation (PropertySpec
+    * drives a 1024-node chain through it and counts the rounds). At
+    * convergence the edge set is a star forest rooted at each
+    * component's minimum id. */
+  private[graft] def ccStarsWithRounds(edges: DataFrame, nodes: DataFrame,
+      idCol: String): (DataFrame, Int) = {
+    var e = edges.select(col("i").as("u"), col("j").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
+      rounds += 1
+      // set equality of two distinct edge sets = empty symmetric diff
+      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+    }
+    val labels = nodes.select(col(idCol).as("id"))
+      .join(e.groupBy(col("u").as("id")).agg(min(col("v")).as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+    (labels, rounds)
   }
 
   /** Near-dup removal end-to-end — the operation a training pipeline

@@ -169,7 +169,9 @@ object Similarity {
         transform(col(vecCol),
           x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
       .localCheckpoint() // scanned every iteration — pin it once
-    var cents: Seq[(Long, Seq[Long])] = q.filter(col("id") < k)
+    // seeds = the k LOWEST ids (orderBy + limit, not `id < k`, so the
+    // rule holds for non-contiguous / non-zero-based id spaces too)
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy(col("id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
@@ -241,8 +243,7 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, thresholdPpm: Long, tables: Int): DataFrame = {
     NativeFunctions.register(embeddings.sparkSession)
-    val e = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val e = Partitioning.spread(embeddings)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("buckets", array((0 until tables).map(t =>
         struct(lit(t).as("t"),
@@ -275,8 +276,7 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, thresholdPpm: Long): DataFrame = {
     NativeFunctions.register(embeddings.sparkSession)
-    val e = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    val e = Partitioning.spread(embeddings)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, planes))
       .localCheckpoint()
@@ -334,7 +334,9 @@ object Similarity {
     val q = embeddings.select(qvE4(idCol, vecCol): _*).localCheckpoint()
     def sub(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
     var cents: Map[Int, Seq[(Long, Seq[Long])]] = {
-      val seeds = q.filter(col("id") < k).collect()
+      // k lowest ids by ORDER — valid for arbitrary id spaces (an empty
+      // or sparse low range would otherwise under-seed the codebook)
+      val seeds = q.orderBy(col("id")).limit(k).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
       (0 until m).map(s => s -> seeds.map { case (id, v) =>
         (id, v.slice(s * subDim, (s + 1) * subDim)) }).toMap

@@ -33,21 +33,28 @@ object Sketches {
   /** Per-`groupCol` KMV sketch of `value`'s cardinality, k minima.
     * Emits `n_min` (minima kept — the exact count when < k), `hk`
     * (k-th minimum hash), `est_distinct` (the KMV estimate; exact
-    * count when n_min < k) and `exact_distinct` for comparison —
-    * drop the exact column at true scale. */
+    * count when n_min < k) and — only when `withExact` — an
+    * `exact_distinct` comparison column. `withExact = false` is the
+    * scale setting: the exact count needs an unbounded per-group count
+    * window over the full distinct set, which is exactly the work the
+    * sketch exists to avoid; without it only the k-minima rank window
+    * runs. */
   def kmvCardinality(df: DataFrame, groupCol: String, value: Column,
-      k: Int): DataFrame = {
+      k: Int, withExact: Boolean = true): DataFrame = {
     require(k >= 2 && k <= 10000)
     val hashes = df.select(col(groupCol), Hashing.h60(value).as("h"))
       .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    val ranked = hashes.withColumn("rn", row_number().over(w))
-      .withColumn("exact_distinct",
-        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val ranked0 = hashes.withColumn("rn", row_number().over(w))
+    val ranked = if (withExact) ranked0.withColumn("exact_distinct",
+      count(lit(1)).over(Window.partitionBy(col(groupCol)))) else ranked0
+    val baseAggs = Seq(count(lit(1)).as("n_min"), max(col("h")).as("hk"))
+    val aggs = if (withExact)
+      baseAggs :+ max(col("exact_distinct")).as("exact_distinct")
+    else baseAggs
     ranked.filter(col("rn") <= k)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_min"), max(col("h")).as("hk"),
-        max(col("exact_distinct")).as("exact_distinct"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("est_distinct", expr(
         s"""CASE WHEN n_min < $k THEN n_min
             ELSE ${k - 1} * ($Space DIV hk) +
@@ -85,11 +92,17 @@ object Sketches {
       .agg(sort_array(collect_list(col("h"))).as("minima"))
   }
 
-  /** Estimate from a minima-array sketch (same integer formula). */
+  /** Estimate from a minima-array sketch (same integer formula).
+    * The k-th minimum is guarded by the size check: a group holding
+    * fewer than k minima takes the exact-count branch, and under
+    * Spark 4's default ANSI mode an unconditional `element_at(minima,
+    * k)` would throw INVALID_ARRAY_INDEX before that branch could be
+    * reached. */
   def estimate(sketch: DataFrame, k: Int): DataFrame =
     sketch
       .withColumn("n_min", size(col("minima")).cast("long"))
-      .withColumn("hk", element_at(col("minima"), k))
+      .withColumn("hk",
+        when(size(col("minima")) >= k, element_at(col("minima"), k)))
       .withColumn("est_distinct", expr(
         s"""CASE WHEN n_min < $k THEN n_min
             ELSE ${k - 1} * ($Space DIV hk) +

@@ -94,7 +94,7 @@ object TextOps {
     // single-file parquet sources arrive as ONE partition — spread the
     // explode across cores first (same as substringPairs; the input is
     // doc-count-sized, the fan-out is token-count-sized)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(df)
       .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(0), size(toks) - 2),
           i => struct(element_at(toks, i + 1).as("a"),
@@ -153,9 +153,7 @@ object TextOps {
       .select(col(as), Hashing.h60(col("g")).as("h"))
     // the train side is the 100 TB side — spread its shingle explode
     // across cores (a single-file source otherwise runs it on one task)
-    grams(train.repartition(
-        train.sparkSession.sparkContext.defaultParallelism),
-        "train_" + idCol)
+    grams(Partitioning.spread(train), "train_" + idCol)
       .join(grams(eval, "eval_" + idCol), "h")
       .groupBy(col("train_" + idCol), col("eval_" + idCol))
       .agg(count(lit(1)).as("n_shared"))
@@ -196,8 +194,7 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
     // single-file sources arrive as one partition — spread the
     // gram explode across cores (the window re-shuffles by doc anyway)
-    val pos = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val pos = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"),
         posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), Hashing.h60(col("gram")).as("h"))
@@ -262,7 +259,7 @@ object TextOps {
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
       n: Int, dfCap: Int, minPpm: Long): DataFrame =
     containmentOver(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      Partitioning.spread(docs)
         .select(col(sourceCol).as("doc_id"),
           explode(Dedup.shingles(col(textCol), n)).as("g"))
         .select(col("doc_id"), Hashing.h60(col("g")).as("fp"))

@@ -224,4 +224,121 @@ class PropertySpec extends AnyFunSuite {
       assert(got.toSeq === want.toSeq)
     }
   }
+
+  test("connected components: star alternation is O(log n) rounds on a 1024-chain") {
+    import spark.implicits._
+    val n = 1024
+    // path graph 0-1-2-…-1023: diameter n-1 — min-label propagation
+    // would need ~n rounds; the star algorithm must stay logarithmic
+    val edges = (0L until n - 1L).map(i => (i, i + 1)).toDF("i", "j")
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val (labels, rounds) = graft.pipeline.Dedup
+      .ccStarsWithRounds(edges, nodes, "doc_id")
+    assert(labels.filter(col("lbl") =!= 0L).isEmpty,
+      "every chain node must label to the component minimum 0")
+    assert(labels.count() === n.toLong)
+    assert(rounds <= 16,
+      s"chain of $n needs O(log n) star rounds, got $rounds (diameter ${n - 1})")
+    // the public operator escalates from the min-label fast path to the
+    // same star loop and must produce identical clusters
+    val cc = graft.pipeline.Dedup
+      .connectedComponents(edges, nodes, "doc_id", fastRounds = 2)
+    assert(cc.filter(col("cluster") =!= 0L).isEmpty)
+    assert(cc.filter(col("is_keeper")).count() === 1L)
+  }
+
+  test("connected components: random graphs match a driver-side union-find") {
+    import spark.implicits._
+    val gen = for {
+      nNodes <- Gen.choose(5, 60)
+      edges <- Gen.listOfN(40,
+        Gen.zip(Gen.choose(0L, 59L), Gen.choose(0L, 59L)))
+    } yield (nNodes.toLong,
+      edges.filter { case (a, b) => a != b && a < nNodes && b < nNodes })
+    forAllSeeded(gen, 5) { case (nNodes, edgeList) =>
+      val nodes = (0L until nNodes).toDF("doc_id")
+      val edges =
+        if (edgeList.isEmpty) Seq.empty[(Long, Long)].toDF("i", "j")
+        else edgeList.toDF("i", "j")
+      // driver-side union-find oracle
+      val parent = Array.tabulate(nNodes.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until nNodes.toInt)
+        .map(i => i.toLong -> {
+          // component minimum = root under min-union
+          var r = find(i); (0 until nNodes.toInt)
+            .filter(j => find(j) == r).min.toLong
+        }).toMap
+      // both regimes must agree with the oracle
+      for (fastRounds <- Seq(0, 50)) {
+        val got = graft.pipeline.Dedup
+          .connectedComponents(edges, nodes, "doc_id", fastRounds = fastRounds)
+          .select(col("doc_id"), col("cluster")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"fastRounds=$fastRounds")
+      }
+    }
+  }
+
+  test("salted LEFT join == plain left join (unmatched probes survive once)") {
+    import spark.implicits._
+    val gen = for {
+      hotRows <- Gen.choose(50, 300)
+      salts <- Gen.choose(2, 16)
+      cold <- Gen.listOfN(30, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 999L)))
+      // right side misses keys 5+ → genuine null-extension cases
+      rrows <- Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 999L)))
+    } yield (hotRows, salts, cold, rrows)
+    forAllSeeded(gen, 4) { case (hotRows, salts, cold, rrows) =>
+      val left = ((1 to hotRows).map(i => (3L, 5000L + i)) ++
+        cold ++ Seq((8L, 1L), (9L, 2L))) // guaranteed unmatched keys
+        .toDF("k", "lid")
+      val right = rrows.toDF("k", "rid")
+      val hot = graft.operators.SkewJoin.hotKeys(left, "k", minCount = 40)
+      val salted = graft.operators.SkewJoin.saltedLeft(
+        left, right, "k", saltBy = col("lid"), salts = salts, hot = hot)
+      val plain = left.join(right, Seq("k"), "left")
+      assert(salted.count() === plain.count())
+      assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    }
+  }
+
+  test("sampled hot-key detection: scaled threshold finds true hot keys; join stays exact") {
+    import spark.implicits._
+    val gen = for {
+      hotRows <- Gen.choose(200, 400)
+      cold <- Gen.listOfN(40, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 999L)))
+      rrows <- Gen.listOfN(25, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 999L)))
+    } yield (hotRows, cold, rrows)
+    forAllSeeded(gen, 4) { case (hotRows, cold, rrows) =>
+      val left = ((1 to hotRows).map(i => (3L, 5000L + i)) ++ cold)
+        .toDF("k", "lid").localCheckpoint()
+      val right = rrows.toDF("k", "rid")
+      // the in-code prescription (SkewJoin.hotKeys doc): detect on a
+      // deterministic Bernoulli sample with minCount scaled by the rate
+      val ppm = 500000L
+      val sample = graft.pipeline.Sampling
+        .bernoulliPpm(left, "lid", ppm)
+      val scaledMin = 40L * ppm / 1000000L
+      val sampledHot = graft.operators.SkewJoin
+        .hotKeys(sample, "k", minCount = scaledMin)
+      val hotSet = sampledHot.collect().map(_.getLong(0)).toSet
+      // a 200+-row key sampled at 50% concentrates far above 20: the
+      // true hot key survives any of the seeded draws
+      assert(hotSet.contains(3L),
+        s"true hot key (count >= $hotRows) missing from sampled set $hotSet")
+      // and whatever set the sample produced, the join stays exact —
+      // the hot set is a performance hint, never a correctness input
+      val salted = graft.operators.SkewJoin.saltedInner(
+        left, right, "k", saltBy = col("lid"), salts = 8, hot = sampledHot)
+      val plain = left.join(right, Seq("k"))
+      assert(salted.count() === plain.count())
+      assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    }
+  }
 }
