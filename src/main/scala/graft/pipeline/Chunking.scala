@@ -79,6 +79,29 @@ object Chunking {
         expr("dup_toks * 1000000 DIV n_toks"))
   }
 
+  /** Chunk-store containment — partial-copy detection at SUB-DOCUMENT
+    * granularity: each document's distinct CDC chunk hashes are its
+    * fingerprint set, scored through the same df-capped postings tail
+    * as [[TextOps.containmentPairs]] (`containment(i⊂j) =
+    * |chunks_i ∩ chunks_j| / |chunks_i|`, integer ppm). Because chunk
+    * boundaries are content-anchored, a page quoting half of another
+    * page shares those chunks VERBATIM regardless of position — the
+    * winnowing detector's robustness with the chunk store as the index,
+    * so a pipeline that already ran CDC dedup gets containment nearly
+    * for free. Scale shape: the chunk computation's one doc-window
+    * shuffle (exchange reused by the assembly groupBy, PlanSpec-pinned)
+    * plus the postings self-join, subquadratic under the df cap;
+    * chunk-hash postings are (corpus tokens / div)-sized, far below the
+    * per-k-gram postings of the winnowing path. */
+  def chunkContainment(df: DataFrame, idCol: String, textCol: String,
+      w: Int, div: Int, dfCap: Int, minPpm: Long): DataFrame =
+    TextOps.containmentOver(
+      chunks(df, idCol, textCol, w, div)
+        .select(col("doc_id"), col("chunk_hash").as("fp"))
+        .distinct()
+        .localCheckpoint(), // sizes + both join sides from one computation
+      dfCap, minPpm)
+
   /** Chunk-dedup REWRITE (the C4/RefinedWeb boilerplate-removal pass):
     * drop every chunk whose content already appeared at an earlier
     * (doc_id, chunk_seq) anywhere in the corpus — INCLUDING earlier in

@@ -100,4 +100,61 @@ object Multimodal {
       }
     }
   }
+
+  val keyframeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("byte_offset", LongType),
+    StructField("frame_bytes", LongType),
+    StructField("level", LongType),
+    StructField("keep_rank", LongType)))
+
+  /** KEYFRAME selection — the real demuxer behavior ([[sampleFrames]]'
+    * fixed stride is the fallback): scan every consecutive
+    * `frameBytes`-sized frame of the payload and EMIT ONLY FRAMES WHOSE
+    * SIGNATURE CHANGED from the previously kept frame, up to `maxKeep`
+    * kept frames per asset. The signature is the honest stub's coarse
+    * level — `sum(unsigned bytes) DIV levelDiv`, the "scene luma" a real
+    * decoder would derive from pixel data — deterministic and
+    * reproducible by the oracle from the same bytes. Because a frame is
+    * skipped only when it EQUALS the last kept signature, comparing to
+    * the previous kept frame and comparing to the previous frame are
+    * provably the same rule (the last kept signature always equals the
+    * previous frame's — a skipped frame matched it), which is what lets
+    * the SQL oracle express the scan as a lag. Same partition-wise
+    * iterator shape as [[sampleFrames]]; per-asset output is bounded by
+    * `maxKeep`, per-asset work by the payload scan a demuxer does
+    * anyway. */
+  def sampleKeyframes(assets: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, maxKeep: Int, levelDiv: Long = 1024L): DataFrame = {
+    require(frameBytes > 0 && maxKeep > 0 && levelDiv > 0)
+    val in = assets.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).cast("binary").as("payload"))
+    implicit val enc = RowEncoder.encoderFor(keyframeSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var idx = 0L
+        var off = 0L
+        var lastKept = Long.MinValue
+        while (off < payload.length && out.length < maxKeep) {
+          val end = math.min(off + frameBytes, payload.length.toLong).toInt
+          var sum = 0L
+          var i = off.toInt
+          while (i < end) { sum += payload(i) & 0xff; i += 1 }
+          val level = sum / levelDiv
+          if (level != lastKept) {
+            lastKept = level
+            out += Row(id, idx, off, (end - off).toLong, level,
+              out.length + 1L)
+          }
+          idx += 1L
+          off += frameBytes
+        }
+        out
+      }
+    }
+  }
 }

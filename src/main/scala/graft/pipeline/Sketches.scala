@@ -92,6 +92,57 @@ object Sketches {
       .agg(sort_array(collect_list(col("h"))).as("minima"))
   }
 
+  /** Fixed-bin integer histogram sketch of a NON-NEGATIVE value column:
+    * per-(group, bin) counts with `bin = value DIV binWidth`. This is
+    * the mergeable complement to [[graft.pipeline.Profiling.quantiles]]'
+    * exact rank pick: the exact form sorts each group's busiest shard in
+    * one task, while the histogram is ONE hash aggregate whose key space
+    * is (groups × value-range/binWidth) — executors histogram their
+    * shards independently and [[histMerge]] sums them losslessly
+    * (merge(hist(A), hist(B)) == hist(A ⊎ B) exactly, the
+    * tree-aggregation property; property-tested). All integer math,
+    * engine-exact. */
+  def histogram(df: DataFrame, groupCol: String, value: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1)
+    df.groupBy(col(groupCol),
+        call_function("div", value.cast("long"), lit(binWidth)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lossless histogram merge: bin-wise count sum. Associative and
+    * commutative by construction — safe to fold shard histograms in any
+    * tree shape across 1000 executors. */
+  def histMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantiles from a histogram sketch, same rank rule as the exact
+    * operator (`rank_p = (n−1)·p DIV 100 + 1` over the sorted group):
+    * the reported value is the LOWER BOUND of the first bin whose
+    * cumulative count reaches the rank. The exact rank-selected value
+    * lives inside that bin, so the estimate's error is proven
+    * `0 ≤ exact − pNN ≤ binWidth − 1` — a deterministic bound, not a
+    * probabilistic one (PipelineSpec pins it against the exact
+    * operator). Shape: the rank scan, the group-total window and the
+    * final fold all key on the group column — bins-per-group-sized
+    * data, one exchange. */
+  def histQuantiles(hist: DataFrame, groupCol: String, binWidth: Long,
+      pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    def pick(p: Int): Column =
+      (min(when(col("cum") >= expr(s"(n - 1) * $p DIV 100 + 1"), col("bin")))
+        * binWidth).as(s"p${p}_lo")
+    val aggs = max(col("n")).as("n_rows") +:
+      (min(col("bin")) * binWidth).as("min_lo") +:
+      pcts.map(pick) :+
+      (max(col("bin")) * binWidth).as("max_lo")
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Estimate from a minima-array sketch (same integer formula).
     * The k-th minimum is guarded by the size check: a group holding
     * fewer than k minima takes the exact-count branch, and under

@@ -226,8 +226,10 @@ object TextOps {
   /** Shared containment tail over an (doc_id, fp) postings frame:
     * df-cap the fingerprints (boilerplate control), count pairwise
     * intersections via the postings self-join, and score containment
-    * per direction against each side's FULL (pre-cap) set size. */
-  private def containmentOver(fps: DataFrame, dfCap: Int,
+    * per direction against each side's FULL (pre-cap) set size.
+    * Package-visible: [[Chunking.chunkContainment]] feeds it CDC chunk
+    * hashes as the fingerprint space. */
+  private[pipeline] def containmentOver(fps: DataFrame, dfCap: Int,
       minPpm: Long): DataFrame = {
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= dfCap)

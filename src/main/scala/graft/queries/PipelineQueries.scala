@@ -576,6 +576,55 @@ object PipelineQueries {
     Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, dim = 64, m = 8, k = 4, iters = 1, topK = 10)
 
+  // chunk-store containment: partial-copy relations at sub-document
+  // granularity — CDC chunk hashes as the fingerprint index, the same
+  // df-capped postings tail as p30/p47
+  private def p48(s: SparkSession, d: String): DataFrame =
+    Chunking.chunkContainment(Tables.documents(s, d), "doc_id", "text",
+        w = 4, div = 8, dfCap = 10, minPpm = 100000L)
+      .select(col("i"), col("j"), col("n_shared"),
+        col("containment_i_ppm"), col("containment_j_ppm"))
+      .orderBy(col("i"), col("j"))
+
+  // mergeable histogram quantile sketch: per-source length quantiles
+  // from fixed 50-char bins — each within 50 of p38's exact values
+  private def p49(s: SparkSession, d: String): DataFrame = {
+    val hist = Sketches.histogram(Tables.documents(s, d), "source",
+      col("n_chars"), binWidth = 50L)
+    Sketches.histQuantiles(hist, "source", binWidth = 50L)
+      .select(col("source"), col("n_rows").as("n_docs"), col("min_lo"),
+        col("p25_lo"), col("p50_lo"), col("p75_lo"), col("p95_lo"),
+        col("max_lo"))
+      .orderBy(col("source"))
+  }
+
+  // salted LEFT join: purchases enriched with views; users ≡1 (mod 4)
+  // have no view rows → genuine null-extension through the salt
+  private def p50(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"))
+    val vw = ev.filter(col("event_type") === "view" && col("user_id") % 4 =!= 1)
+      .select(col("user_id"), col("event_id").as("v_id"))
+    val hot = graft.operators.SkewJoin.hotKeys(pur, "user_id", minCount = 10)
+    graft.operators.SkewJoin.saltedLeft(pur, vw, "user_id",
+        saltBy = col("p_id"), salts = 8, hot = hot)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("v_id")).as("n_matched"),
+        min(col("p_id")).as("min_p"), max(col("v_id")).as("max_v"))
+      .orderBy(col("user_id"))
+  }
+
+  // keyframe selection: emit a frame only when its coarse signature
+  // level changed from the previously kept frame, ≤8 keyframes/asset
+  private def p51(s: SparkSession, d: String): DataFrame = {
+    val assets = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.sampleKeyframes(assets, "doc_id", "payload",
+        frameBytes = 64, maxKeep = 8, levelDiv = 1024L)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // per-source length profile: exact rank-selected quantiles
   private def p38(s: SparkSession, d: String): DataFrame =
     Profiling.quantiles(Tables.documents(s, d), "source", "n_chars",
@@ -724,7 +773,11 @@ object PipelineQueries {
     "p44_kmv_cardinality" -> (p44 _),
     "p45_salted_join" -> (p45 _),
     "p46_frame_sample" -> (p46 _),
-    "p47_source_overlap" -> (p47 _))
+    "p47_source_overlap" -> (p47 _),
+    "p48_chunk_containment" -> (p48 _),
+    "p49_hist_quantiles" -> (p49 _),
+    "p50_salted_left" -> (p50 _),
+    "p51_keyframes" -> (p51 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1508,5 +1561,101 @@ object PipelineQueries {
                    AS containment_j_ppm
           FROM sh JOIN sizes si ON sh.i = si.id
           JOIN sizes sj ON sh.j = sj.id
-          ORDER BY i, j""")
+          ORDER BY i, j""",
+    "p48_chunk_containment" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                         unnest(toks) AS tok
+                  FROM t),
+          wi AS (SELECT doc_id, pos, tok,
+                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w || ' ' ||
+                   lag(tok, 1) OVER w || ' ' || tok AS win
+                 FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          b AS (SELECT doc_id, pos, tok,
+                  CASE WHEN pos >= 3 AND (${h60Sql("win")} % 8) = 0
+                       THEN 1 ELSE 0 END AS boundary
+                FROM wi),
+          c AS (SELECT doc_id, pos, tok,
+                  COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+                    ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_seq
+                FROM b),
+          ch AS (SELECT doc_id, chunk_seq,
+                   string_agg(tok, ' ' ORDER BY pos) AS ctext
+                 FROM c GROUP BY doc_id, chunk_seq),
+          hh AS (SELECT DISTINCT doc_id AS id, ${h60Sql("ctext")} AS fp
+                 FROM ch),
+          rare AS (SELECT fp FROM hh GROUP BY fp HAVING COUNT(*) <= 10),
+          kept AS (SELECT id, fp FROM hh JOIN rare USING (fp)),
+          sizes AS (SELECT id, COUNT(*) AS n_fp FROM hh GROUP BY id),
+          sh AS (SELECT a.id AS i, b.id AS j, COUNT(*) AS n_shared
+                 FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+                 GROUP BY 1, 2)
+          SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared,
+                 CAST((n_shared * 1000000) // si.n_fp AS BIGINT)
+                   AS containment_i_ppm,
+                 CAST((n_shared * 1000000) // sj.n_fp AS BIGINT)
+                   AS containment_j_ppm
+          FROM sh JOIN sizes si ON sh.i = si.id
+          JOIN sizes sj ON sh.j = sj.id
+          WHERE GREATEST((n_shared * 1000000) // si.n_fp,
+                         (n_shared * 1000000) // sj.n_fp) >= 100000
+          ORDER BY i, j""",
+    "p49_hist_quantiles" ->
+      """WITH h AS (SELECT source, n_chars // 50 AS bin, COUNT(*) AS cnt
+                    FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, bin, cnt,
+                  SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                  SUM(cnt) OVER (PARTITION BY source) AS n
+                FROM h)
+         SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                CAST(MIN(bin) * 50 AS BIGINT) AS min_lo,
+                CAST(MIN(CASE WHEN cum >= (n - 1) * 25 // 100 + 1
+                         THEN bin END) * 50 AS BIGINT) AS p25_lo,
+                CAST(MIN(CASE WHEN cum >= (n - 1) * 50 // 100 + 1
+                         THEN bin END) * 50 AS BIGINT) AS p50_lo,
+                CAST(MIN(CASE WHEN cum >= (n - 1) * 75 // 100 + 1
+                         THEN bin END) * 50 AS BIGINT) AS p75_lo,
+                CAST(MIN(CASE WHEN cum >= (n - 1) * 95 // 100 + 1
+                         THEN bin END) * 50 AS BIGINT) AS p95_lo,
+                CAST(MAX(bin) * 50 AS BIGINT) AS max_lo
+         FROM c GROUP BY source ORDER BY source""",
+    "p50_salted_left" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id FROM events
+               WHERE event_type = 'purchase'),
+          v AS (SELECT user_id, event_id AS v_id FROM events
+               WHERE event_type = 'view' AND user_id % 4 != 1)
+         SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(COUNT(v.v_id) AS BIGINT) AS n_matched,
+                MIN(p.p_id) AS min_p, MAX(v.v_id) AS max_v
+         FROM p LEFT JOIN v ON p.user_id = v.user_id
+         GROUP BY p.user_id ORDER BY p.user_id""",
+    "p51_keyframes" ->
+      """WITH f AS (SELECT doc_id, i AS frame_idx, i * 64 AS off,
+                 octet_length(encode(text)) AS nb, text
+               FROM documents, range(0, 64) r(i)
+               WHERE i * 64 < octet_length(encode(text))),
+          s AS (SELECT doc_id, frame_idx, off,
+                  LEAST(nb - off, 64) AS fb,
+                  list_aggregate(list_transform(
+                    range(0, CAST(LEAST(nb - off, 64) AS INTEGER)),
+                    k -> ord(substr(text, CAST(off + k + 1 AS INTEGER), 1))),
+                    'sum') AS bsum
+                FROM f),
+          l AS (SELECT doc_id, frame_idx, off, fb, bsum // 1024 AS lvl,
+                  lag(bsum // 1024) OVER (PARTITION BY doc_id
+                    ORDER BY frame_idx) AS prev
+                FROM s),
+          k AS (SELECT doc_id, frame_idx, off, fb, lvl,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY frame_idx) AS krank
+                FROM l WHERE prev IS NULL OR lvl != prev)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(off AS BIGINT) AS byte_offset,
+                CAST(fb AS BIGINT) AS frame_bytes,
+                CAST(lvl AS BIGINT) AS level,
+                CAST(krank AS BIGINT) AS keep_rank
+         FROM k WHERE krank <= 8 ORDER BY doc_id, frame_idx""")
 }

@@ -665,4 +665,54 @@ class PipelineSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(d1(0).getString(4) === want)
   }
+
+  test("sampleKeyframes: change detection keeps only level transitions, capped") {
+    import spark.implicits._
+    // levels per 64-byte frame: 'a'×64 → 6208/1024 = 6; ' '×64 → 2048/1024 = 2
+    val payload = ("a" * 128 + " " * 128 + "a" * 64).getBytes("UTF-8")
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleKeyframes(df, "doc_id", "payload",
+        frameBytes = 64, maxKeep = 8)
+      .orderBy("frame_idx").collect()
+    // frames: a(6) a(6) sp(2) sp(2) a(6) → kept at idx 0, 2, 4
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 2L, 4L))
+    assert(out.map(_.getLong(4)).toSeq === Seq(6L, 2L, 6L))
+    assert(out.map(_.getLong(5)).toSeq === Seq(1L, 2L, 3L)) // dense keep_rank
+    // consecutive kept frames always change level (the selection invariant)
+    assert(out.sliding(2).forall(p => p(0).getLong(4) != p(1).getLong(4)))
+    // the cap truncates the kept sequence, not the scan semantics
+    val capped = Multimodal.sampleKeyframes(df, "doc_id", "payload",
+        frameBytes = 64, maxKeep = 2)
+      .orderBy("frame_idx").collect()
+    assert(capped.map(_.getLong(1)).toSeq === Seq(0L, 2L))
+  }
+
+  test("histogram quantiles bound the exact rank-selected values within a bin") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Profiling.quantiles(docs, "source", "n_chars",
+        tieBreak = "doc_id").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val hist = Sketches.histogram(docs, "source", col("n_chars"), 50L)
+    val sketch = Sketches.histQuantiles(hist, "source", 50L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === sketch.keySet)
+    for ((src, e) <- exact) {
+      val s = sketch(src)
+      assert(s.getAs[Long]("n_rows") === e.getAs[Long]("n_rows"))
+      // the exact quantile value lives in the selected bin:
+      // 0 ≤ exact − lower_bound ≤ binWidth − 1, deterministically
+      for (p <- Seq(25, 50, 75, 95)) {
+        val ev = e.getAs[Long](s"p${p}_n_chars")
+        val lo = s.getAs[Long](s"p${p}_lo")
+        assert(lo <= ev && ev < lo + 50,
+          s"$src p$p: exact $ev outside sketch bin [$lo, ${lo + 50})")
+      }
+      val emin = e.getAs[Long]("min_n_chars")
+      val emax = e.getAs[Long]("max_n_chars")
+      assert(s.getAs[Long]("min_lo") <= emin &&
+        emin < s.getAs[Long]("min_lo") + 50)
+      assert(s.getAs[Long]("max_lo") <= emax &&
+        emax < s.getAs[Long]("max_lo") + 50)
+    }
+  }
 }

@@ -282,4 +282,32 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
   }
+
+  test("chunk-store postings: assembly reuses the token window exchange") {
+    // the p48 fingerprint index: CDC chunks → (doc, chunk_hash) postings.
+    // The token window's doc exchange is reused by the chunk assembly
+    // groupBy (keys ⊇ doc_id); only the postings distinct re-shuffles.
+    val postings = Chunking.chunks(Tables.documents(spark, sf),
+        "doc_id", "text", w = 4, div = 8)
+      .select(col("doc_id"), col("chunk_hash").as("fp")).distinct()
+    val plan = finalPlan(postings)
+    // ONE hash exchange end to end: the token window's doc partitioning
+    // satisfies the chunk assembly AND the (doc, hash) distinct (both
+    // key sets ⊇ doc_id), so neither aggregation re-shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"token window exchange must be the only hash shuffle, plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"chunk postings are windows+aggs, never a join, plan:\n$plan")
+  }
+
+  test("histogram quantiles: one data-volume shuffle, bins-only windows, no join") {
+    val hist = Sketches.histogram(Tables.documents(spark, sf), "source",
+      col("n_chars"), binWidth = 50L)
+    val out = Sketches.histQuantiles(hist, "source", binWidth = 50L)
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"(group, bin) hash agg + group-keyed windows/fold = 2 shuffles, plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"histogram quantiles never join, plan:\n$plan")
+  }
 }

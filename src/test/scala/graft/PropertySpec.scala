@@ -225,6 +225,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("histogram merge is lossless and associative across shards") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 400L)))
+    forAllSeeded(gen, 3) { rows =>
+      val df = rows.toDF("g", "v").localCheckpoint()
+      def shard(m: Long) = df.filter(col("v") % 3 === m)
+      def hist(d: org.apache.spark.sql.DataFrame) =
+        Sketches.histogram(d, "g", col("v"), binWidth = 25L)
+      val whole = hist(df)
+      val left = Sketches.histMerge(
+        Sketches.histMerge(hist(shard(0)), hist(shard(1)), "g"),
+        hist(shard(2)), "g")
+      val right = Sketches.histMerge(hist(shard(0)),
+        Sketches.histMerge(hist(shard(1)), hist(shard(2)), "g"), "g")
+      for (m <- Seq(left, right)) {
+        assert(m.except(whole).isEmpty && whole.except(m).isEmpty,
+          "merged shard histograms must equal the whole-data histogram")
+      }
+      // and the quantiles drawn from merged sketches match the whole's
+      val qa = Sketches.histQuantiles(left, "g", 25L).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val qb = Sketches.histQuantiles(whole, "g", 25L).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(qa === qb)
+    }
+  }
+
   test("connected components: star alternation is O(log n) rounds on a 1024-chain") {
     import spark.implicits._
     val n = 1024
