@@ -15,26 +15,76 @@ import scala.jdk.CollectionConverters._
   * names are invisible to Spark's file listing — then flips the symlink
   * with a single atomic rename.
   *
-  * Reader guarantee (and its honest limit): every read observes exactly
-  * one complete version — never an absent, empty, or mixed partition,
-  * which were all silent-wrong-answer windows of the previous
-  * delete-then-move swap (a recursive delete is arbitrarily long). The
-  * residual window is LOUD, not silent: a query that listed files
-  * before a flip and opens them after it fails with
-  * FileNotFoundException and succeeds on retry — the same
-  * plan-vs-execute race every non-transactional table format has. The
-  * immediate predecessor version is retained until the next swap so
-  * in-flight readers holding open file handles (POSIX keeps unlinked
-  * inodes readable) finish undisturbed. On a cluster object store this
-  * whole object is replaced by a Delta/Iceberg manifest commit, which
-  * also closes the list-vs-open race; the mutation protocol is
-  * identical, only the pointer medium changes.
+  * Reader guarantee: every read observes exactly one complete version —
+  * never an absent, empty, or mixed partition, which were all
+  * silent-wrong-answer windows of the previous delete-then-move swap (a
+  * recursive delete is arbitrarily long).
+  *
+  * TWO read paths, by how the listing happens:
+  *   - Directory listing through the symlink (Spark's default partition
+  *     discovery). Residual window, LOUD not silent: a query that
+  *     listed files before a flip and opens them after it fails with
+  *     FileNotFoundException and succeeds on retry — the
+  *     plan-vs-execute race every non-transactional table format has.
+  *   - MANIFEST read ([[manifestFiles]] / Store.readPartitionManifest):
+  *     each flip also publishes `.m_<linkName>` — one atomically
+  *     replaced file naming the live version and its full file list —
+  *     so "listing" is a single atomic read of version-pinned immutable
+  *     paths and the list-vs-open race does not exist (SwapSpec drives
+  *     a tight-loop reader across 100 concurrent swaps with zero
+  *     FileNotFound). The remaining caveat is retention, not atomicity:
+  *     a read must finish within one full swap cycle (the predecessor
+  *     version outlives exactly one more swap) — the same vacuum-
+  *     retention contract Delta/Iceberg document, at a 300 s production
+  *     cadence effectively unbounded.
+  * The immediate predecessor version is retained until the next swap so
+  * in-flight readers (either path) finish undisturbed. On a cluster
+  * object store this whole object is replaced by a Delta/Iceberg
+  * manifest commit — the mutation protocol is identical, the pointer
+  * medium changes.
   */
 object AtomicSwap {
 
   private def versionName(ver: Long, linkName: String): String =
     f".v$ver%06d_$linkName"
   private def suffix(linkName: String) = s"_$linkName"
+  private def manifestName(linkName: String): String = s".m_$linkName"
+
+  /** Publish the manifest for the freshly flipped version: header line =
+    * version dir name, then every regular file as a parent-relative
+    * path. Written to a temp name and atomically renamed over the old
+    * manifest — readers see the old complete list or the new one, never
+    * a partial write. */
+  private def writeManifest(parent: Path, linkName: String,
+      vdir: Path): Unit = {
+    val files = {
+      val s = Files.walk(vdir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => parent.relativize(p).toString).toList.sorted
+      finally s.close()
+    }
+    val tmp = parent.resolve(s".mtmp_$linkName")
+    Files.write(tmp,
+      (vdir.getFileName.toString +: files).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, parent.resolve(manifestName(linkName)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The manifest read path: absolute paths of the live version's files,
+    * from one atomic read — no directory listing, no list-vs-open
+    * window. None when the partition has never been swap-written (or
+    * was dropped); callers fall back to the directory path. */
+  def manifestFiles(parent: Path, linkName: String): Option[Seq[Path]] = {
+    val m = parent.resolve(manifestName(linkName))
+    if (!Files.isRegularFile(m)) None
+    else {
+      val lines = new String(Files.readAllBytes(m),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      Some(lines.drop(1).filter(_.nonEmpty).map(parent.resolve(_)))
+    }
+  }
 
   /** Highest existing version for this link, plus one. */
   private def nextVersion(parent: Path, linkName: String): Long = {
@@ -66,6 +116,7 @@ object AtomicSwap {
       Files.createSymbolicLink(tmpLink, vdir.getFileName)
       Files.move(tmpLink, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writeManifest(parent, linkName, vdir)
       gc(parent, linkName, keep = Set(vdir.getFileName.toString, prev),
         flipped = ver)
     } else if (Files.isDirectory(dst)) {
@@ -76,12 +127,14 @@ object AtomicSwap {
       Files.move(dst, aside)
       Files.createSymbolicLink(dst, vdir.getFileName)
       deleteRecursively(aside)
+      writeManifest(parent, linkName, vdir)
       gc(parent, linkName, keep = Set(vdir.getFileName.toString),
         flipped = ver)
     } else {
       Files.createDirectories(parent)
       Files.deleteIfExists(dst) // dangling link from a partial crash
       Files.createSymbolicLink(dst, vdir.getFileName)
+      writeManifest(parent, linkName, vdir)
       gc(parent, linkName, keep = Set(vdir.getFileName.toString),
         flipped = ver)
     }
@@ -93,6 +146,10 @@ object AtomicSwap {
     * lock / registry lock provide that). */
   def drop(parent: Path, linkName: String): Unit = {
     val dst = parent.resolve(linkName)
+    // manifest goes first: manifest readers stop resolving the partition
+    // before the version dirs under it disappear
+    Files.deleteIfExists(parent.resolve(manifestName(linkName)))
+    Files.deleteIfExists(parent.resolve(s".mtmp_$linkName"))
     if (Files.isSymbolicLink(dst)) Files.delete(dst)
     else deleteRecursively(dst) // legacy real directory
     gc(parent, linkName, keep = Set.empty, flipped = Long.MaxValue)

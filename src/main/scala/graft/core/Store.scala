@@ -66,6 +66,29 @@ final class Store(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Manifest-pinned read of ONE server's partition — the read path with
+    * no list-vs-open window: the file list comes from one atomic
+    * manifest read (AtomicSwap.manifestFiles), and the listed paths are
+    * version-pinned immutable files, so a concurrent overwritePartition
+    * cannot invalidate a query between planning and execution (the
+    * directory path can, loudly — AtomicSwap's scaladoc). None when the
+    * partition was never swap-written or was dropped. The srvid column
+    * is re-attached as a literal, mirroring partition-column readback. */
+  def readPartitionManifest(ds: String, tier: String, srvid: Int,
+      schema: StructType): Option[DataFrame] =
+    AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid").map { files =>
+      val dataFields = schema.fields.filterNot(_.name == "srvid")
+      val parquets = files.map(_.toString).filter(_.endsWith(".parquet"))
+      val df =
+        if (parquets.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(dataFields))
+        else spark.read.schema(StructType(dataFields)).parquet(parquets: _*)
+      df.select(org.apache.spark.sql.functions.lit(srvid).as("srvid") +:
+        dataFields.toSeq.map(f => col(f.name)): _*)
+    }
+
   /** Does this server have any data in the tier? A pure directory probe
     * — the orchestrator's fast path for skipping idle datasources
     * without launching a Spark job (the metadata-only partition-pruning

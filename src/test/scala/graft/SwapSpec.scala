@@ -140,6 +140,77 @@ class SwapSpec extends AnyFunSuite {
       Seq((8L, 50L)))
   }
 
+  test("manifest read path: tight-loop reader across 100 swaps, zero FileNotFound") {
+    // the VERDICT-4 list-vs-open residual: a directory reader that
+    // listed before a flip and opened after it fails loudly. The
+    // manifest path removes the window: listing IS one atomic manifest
+    // read, and the listed paths are version-pinned immutable files
+    // retained for a full swap cycle.
+    val parent = Files.createTempDirectory("graft_manifest")
+    val link = "srvid=7"
+    val fnf = new java.util.concurrent.atomic.AtomicInteger
+    val mixed = new java.util.concurrent.atomic.AtomicInteger
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        AtomicSwap.manifestFiles(parent, link).foreach { files =>
+          try {
+            // every file of a manifest read must carry ONE version tag:
+            // a complete, unmixed version per read — no retries anywhere
+            val tags = files.map(f => new String(Files.readAllBytes(f),
+              java.nio.charset.StandardCharsets.UTF_8)).distinct
+            if (tags.size != 1) mixed.incrementAndGet()
+            reads.incrementAndGet()
+          } catch {
+            case _: java.nio.file.NoSuchFileException |
+                 _: java.io.FileNotFoundException => fnf.incrementAndGet()
+          }
+        }
+      }
+    })
+    reader.start()
+    (1 to 100).foreach { v =>
+      AtomicSwap.replace(parent, link) { vdir =>
+        Files.createDirectories(vdir)
+        (0 until 3).foreach(i =>
+          Files.write(vdir.resolve(s"part-$i.parquet"), s"v$v".getBytes))
+      }
+      Thread.sleep(1) // the swap-cycle floor the retention contract assumes
+    }
+    stop = true
+    reader.join()
+    assert(fnf.get === 0, s"${fnf.get} FileNotFound reads — window not closed")
+    assert(mixed.get === 0, s"${mixed.get} mixed-version reads")
+    assert(reads.get > 0, "reader loop never completed a read")
+    AtomicSwap.deleteRecursively(parent)
+  }
+
+  test("manifest-pinned Spark read survives a concurrent swap mid-query") {
+    val (store, _) = mkStore()
+    store.overwritePartition("mds", "dim", 3, batch(3, 1L, 40))
+    // plan against the manifest: paths are pinned to version 1
+    val pinned = store.readPartitionManifest("mds", "dim", 3, schema).get
+    // a swap lands between planning and execution — the exact straddle
+    // that makes a directory-listed query throw FileNotFoundException
+    store.overwritePartition("mds", "dim", 3, batch(3, 2L, 40))
+    val rows = pinned.groupBy(col("tag")).agg(count(lit(1)).as("n")).collect()
+    assert(rows.toSeq.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((1L, 40L)), "pinned read must return the complete planned version")
+    // a fresh manifest read resolves the new version
+    val fresh = store.readPartitionManifest("mds", "dim", 3, schema).get
+      .groupBy(col("tag")).agg(count(lit(1)).as("n")).collect()
+    assert(fresh.toSeq.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((2L, 40L)))
+    // srvid rides along like a partition column
+    assert(store.readPartitionManifest("mds", "dim", 3, schema).get
+      .select(col("srvid")).distinct().collect().map(_.getInt(0)).toSeq ===
+      Seq(3))
+    // dropped partition → manifest gone → None (no phantom reads)
+    store.dropPartition("mds", "dim", 3)
+    assert(store.readPartitionManifest("mds", "dim", 3, schema).isEmpty)
+  }
+
   test("deleteRecursively never follows a symlink out of the tree") {
     val root = Files.createTempDirectory("graft_links")
     val outside = Files.createTempDirectory("graft_outside")
