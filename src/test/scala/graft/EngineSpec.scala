@@ -83,6 +83,41 @@ class EngineSpec extends AnyFunSuite {
     assert(e.registry.meta(srvid).coalesceSeq === 0)
   }
 
+  test("multi-batch staging: one tick drains N landed batches, values equal per-batch ticks") {
+    // the reference's staging drain reads ALL staged rows regardless of
+    // how many collector landings produced them (powa--5.2.0.sql:
+    // 3980-4001 has no ts filter) — one tick over N batches must yield
+    // the same records as N single-batch ticks, for both the per-entity
+    // and the per-db rollup tier
+    val ds = "powa_stat_bgwriter"
+    val multi = mkEngine()
+    val one = multi.registry.registerServer(ServerConfig(
+      id = 20, hostname = "h", powaCoalesce = 50, retentionSec = 3650L * 86400))
+    // three collector landings, then ONE tick
+    (1 to 3).foreach(t => multi.ingest(ds, bgwriterBatch(one, t)))
+    assert(multi.takeSnapshot(one, Timestamp.valueOf("2024-01-01 01:00:00")) === 0)
+    // staging fully drained in that single tick
+    assert(!multi.store.hasPartition(ds, GenericDatasource.Staging, one))
+
+    val single = mkEngine()
+    val two = single.registry.registerServer(ServerConfig(
+      id = 20, hostname = "h", powaCoalesce = 50, retentionSec = 3650L * 86400))
+    (1 to 3).foreach { t =>
+      single.ingest(ds, bgwriterBatch(two, t))
+      single.takeSnapshot(two, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+
+    val from = Timestamp.valueOf("2023-01-01 00:00:00")
+    val to = Timestamp.valueOf("2025-01-01 00:00:00")
+    def series(e: Engine, id: Int) =
+      e.datasource(ds).readSeries(e.store, id, from, to)
+        .select(col("record")) // ts rides inside the record struct
+    val (a, b) = (series(multi, one), series(single, two))
+    assert(a.count() === 3L)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "multi-batch drain must preserve every record the per-batch ticks produce")
+  }
+
   test("purge drops whole stale month buckets, rewrites only the boundary month") {
     val e = mkEngine()
     val srvid = e.registry.registerServer(ServerConfig(
