@@ -134,9 +134,23 @@ final class CatalogMirror(spark: SparkSession, root: String) {
       else None
     })
 
+  /** Mirror readback, manifest-first: the file list comes from the
+    * atomic manifest AtomicSwap.replace published at the last import,
+    * so a dashboard query planned against the mirror survives a
+    * concurrent re-import mid-execution (version-pinned paths — no
+    * list-vs-open window). Directory listing remains as the fallback
+    * for pre-manifest layouts. */
   def read(cat: String, srvid: Int, dbid: Long): Option[DataFrame] = {
     val d = dir(cat, srvid, dbid)
-    if (Files.isDirectory(d)) Some(spark.read.parquet(d.toString)) else None
+    AtomicSwap.manifestFiles(d.getParent, s"dbid=$dbid") match {
+      case Some(files) =>
+        val parquets = files.map(_.toString).filter(_.endsWith(".parquet"))
+        if (parquets.isEmpty) None
+        else Some(spark.read.parquet(parquets: _*))
+      case None =>
+        if (Files.isDirectory(d)) Some(spark.read.parquet(d.toString))
+        else None
+    }
   }
 
   def lastRefresh(srvid: Int, dbid: Long): Option[java.sql.Timestamp] =

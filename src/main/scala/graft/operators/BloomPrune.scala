@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Hashing
+
+/** Explicit Bloom-filter join pruning — the runtime-filter pattern as a
+  * first-class, deterministic operator: build an m-bit filter from the
+  * small side's join keys, drop large-side rows whose key cannot match
+  * BEFORE the join's shuffle, then run the exact join on the survivors.
+  *
+  * The final result is EXACTLY the plain join (the filter admits no
+  * false negatives by construction — every build key sets its bits —
+  * and false positives are removed by the join itself), which is what
+  * lets the p52 oracle verify the operator against the plain SQL join.
+  *
+  * Why this exists when AQE has runtime bloom filters: Spark's
+  * injected filter fires only for shuffle joins under size/stat
+  * heuristics the optimizer controls; the explicit form covers the
+  * shapes the heuristics miss (pre-filtered dimensions whose stats the
+  * optimizer doesn't see, broadcast-ineligible builds, reuse of one
+  * filter across several scans) and is reproducible: the bit positions
+  * come from the portable 60-bit hash, so the same inputs build the
+  * same filter on every run and every engine.
+  *
+  * Scale shape: the BUILD is one distinct aggregation of bit positions
+  * — the driver collects at most m/64 longs (8 KiB at m = 2¹⁶)
+  * REGARDLESS of build-side cardinality, the same bounded-driver
+  * contract as the IVF/PQ codebooks. The PROBE is a pure projection
+  * against the literal word array (codegen'd shifts/masks, zero
+  * exchanges — PlanSpec pins that pruning adds no shuffle), applied at
+  * scan time, before the join exchange: at 100 TB the fact table
+  * shuffles only candidate rows instead of every row. False-positive
+  * rate ~ (1 − e^(−k·n/m))^k; size m for the expected build
+  * cardinality, k ≈ (m/n)·ln 2.
+  */
+object BloomPrune {
+
+  /** Build the m-bit filter from `df`'s `key` column: the driver
+    * receives the DISTINCT bit positions (≤ m ints, bounded by the
+    * filter size, never by the build cardinality) and packs them into
+    * m/64 words. */
+  def bloomWords(df: DataFrame, key: Column, mBits: Int,
+      kHashes: Int): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0 && kHashes >= 1)
+    val posCols = (0 until kHashes).map(i =>
+      pmod(Hashing.h60(i, key.cast("string")), lit(mBits.toLong)))
+    val positions = df.select(explode(array(posCols: _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    words
+  }
+
+  /** Membership test against a literal word array — one codegen'd
+    * shift/mask per hash, no shuffle, no join. May return true for a
+    * key not in the build set (false positive, removed by the real
+    * join); never false for one that is. */
+  def mightContain(key: Column, words: Array[Long], mBits: Int,
+      kHashes: Int): Column =
+    (0 until kHashes).map { i =>
+      val pos = pmod(Hashing.h60(i, key.cast("string")), lit(mBits.toLong))
+      val word = element_at(typedLit(words.toSeq),
+        call_function("div", pos, lit(64L)).cast("int") + 1)
+      call_function("shiftright", word, (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+  /** Inner equi-join with the large side Bloom-pruned before the join
+    * exchange. Result is set-identical to `large.join(small, keys)`. */
+  def prunedJoin(large: DataFrame, small: DataFrame, key: String,
+      mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+    val words = bloomWords(small, col(key), mBits, kHashes)
+    large.filter(mightContain(col(key), words, mBits, kHashes))
+      .join(small, Seq(key))
+  }
+
+  /** Left-semi variant — "keep large rows whose key exists in small",
+    * the decontamination/allowlist shape: prune at scan speed, verify
+    * with the exact semi join. */
+  def prunedSemiJoin(large: DataFrame, small: DataFrame, key: String,
+      mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+    val words = bloomWords(small, col(key), mBits, kHashes)
+    large.filter(mightContain(col(key), words, mBits, kHashes))
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+}

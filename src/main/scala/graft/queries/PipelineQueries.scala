@@ -625,6 +625,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // Bloom-prune join: the fact side is pruned at scan speed by an
+  // 8 KiB literal bit filter built from the (pre-filtered) dimension —
+  // result EXACTLY equals the plain join, which is what the oracle runs
+  private def p52(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val pt = Tables.table(s, d, "part").filter(col("p_size") < 3)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.operators.BloomPrune.prunedJoin(li, pt, "partkey")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+          .as("qty_cents"))
+      .orderBy(col("p_brand"))
+  }
+
   // per-source length profile: exact rank-selected quantiles
   private def p38(s: SparkSession, d: String): DataFrame =
     Profiling.quantiles(Tables.documents(s, d), "source", "n_chars",
@@ -777,7 +793,8 @@ object PipelineQueries {
     "p48_chunk_containment" -> (p48 _),
     "p49_hist_quantiles" -> (p49 _),
     "p50_salted_left" -> (p50 _),
-    "p51_keyframes" -> (p51 _))
+    "p51_keyframes" -> (p51 _),
+    "p52_bloom_join" -> (p52 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1657,5 +1674,13 @@ object PipelineQueries {
                 CAST(fb AS BIGINT) AS frame_bytes,
                 CAST(lvl AS BIGINT) AS level,
                 CAST(krank AS BIGINT) AS keep_rank
-         FROM k WHERE krank <= 8 ORDER BY doc_id, frame_idx""")
+         FROM k WHERE krank <= 8 ORDER BY doc_id, frame_idx""",
+    "p52_bloom_join" ->
+      """SELECT p.p_brand,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS qty_cents
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_size < 3
+         GROUP BY p.p_brand ORDER BY p.p_brand""")
 }

@@ -618,6 +618,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est vs 5000")
   }
 
+  test("kmv estimate: a group with fewer than k minima takes the exact branch") {
+    import spark.implicits._
+    // the round-4 ADVICE crash path: element_at(minima, k) on a short
+    // array throws under Spark 4 default ANSI mode unless guarded —
+    // this group holds 5 < k=16 minima and must return its exact count
+    val small = (1 to 30).map(i => ("a", s"v${i % 5}")).toDF("g", "v")
+    val est = Sketches.estimate(
+        Sketches.kmvMinima(small, "g", col("v"), 16), 16)
+      .collect()(0)
+    assert(est.getAs[Long]("n_min") === 5L)
+    assert(est.getAs[Long]("est_distinct") === 5L)
+    // and the scale setting skips the exact-count window entirely
+    val lean = Sketches.kmvCardinality(small, "g", col("v"), 16,
+      withExact = false)
+    assert(!lean.columns.contains("exact_distinct"))
+    assert(lean.collect()(0).getAs[Long]("est_distinct") === 5L)
+  }
+
   test("kmv merge: merging shard sketches equals sketching the union, exactly") {
     val docs = Tables.documents(spark, sf)
     val tok = docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))

@@ -283,6 +283,23 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
   }
 
+  test("bloom prune adds a scan-side filter and no exchange") {
+    import graft.operators.BloomPrune
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val pt = Tables.table(spark, sf, "part").filter(col("p_size") < 3)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    val plain = finalPlan(li.join(pt, Seq("partkey")))
+    val pruned = finalPlan(BloomPrune.prunedJoin(li, pt, "partkey"))
+    // the probe-side bloom test is a literal-array projection: pruning
+    // must not add a single shuffle over the plain join's plan
+    def ex(p: String) = "Exchange".r.findAllIn(p).size
+    assert(ex(pruned) <= ex(plain),
+      s"bloom pruning added shuffles:\nPRUNED:\n$pruned\nPLAIN:\n$plain")
+    assert(pruned.contains("shiftright"),
+      s"probe-side bloom bit test missing from the scan stage, plan:\n$pruned")
+  }
+
   test("chunk-store postings: assembly reuses the token window exchange") {
     // the p48 fingerprint index: CDC chunks → (doc, chunk_hash) postings.
     // The token window's doc exchange is reused by the chunk assembly

@@ -225,6 +225,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom prune: no false negatives, pruned join == plain join") {
+    import spark.implicits._
+    import graft.operators.BloomPrune
+    val gen = for {
+      nLarge <- Gen.choose(100, 400)
+      smallKeys <- Gen.listOfN(12, Gen.choose(0L, 500L))
+      mExp <- Gen.oneOf(64, 256, 1024) // deliberately tiny → real FPs
+      k <- Gen.choose(1, 4)
+    } yield (nLarge, smallKeys.distinct, mExp, k)
+    forAllSeeded(gen, 5) { case (nLarge, smallKeys, m, k) =>
+      val large = (1 to nLarge).map(i => (i.toLong % 500L, i.toLong))
+        .toDF("key", "payload").localCheckpoint()
+      val small = smallKeys.map(kk => (kk, s"dim$kk")).toDF("key", "attr")
+      val words = BloomPrune.bloomWords(small, col("key"), m, k)
+      // NO FALSE NEGATIVES: every build key passes its own filter
+      val misses = small.filter(
+        !BloomPrune.mightContain(col("key"), words, m, k)).count()
+      assert(misses === 0L, "a build key failed its own bloom filter")
+      // and the pruned joins are SET-IDENTICAL to the plain ones —
+      // false positives (guaranteed at m=64) die in the real join
+      val pj = BloomPrune.prunedJoin(large, small, "key", m, k)
+      val plain = large.join(small, Seq("key"))
+      assert(pj.count() === plain.count())
+      assert(pj.except(plain).isEmpty && plain.except(pj).isEmpty)
+      val ps = BloomPrune.prunedSemiJoin(large, small, "key", m, k)
+      val semi = large.join(small.select(col("key")).distinct(),
+        Seq("key"), "left_semi")
+      assert(ps.except(semi).isEmpty && semi.except(ps).isEmpty)
+    }
+  }
+
   test("histogram merge is lossless and associative across shards") {
     import spark.implicits._
     import graft.pipeline.Sketches
