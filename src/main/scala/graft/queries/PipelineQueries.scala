@@ -625,6 +625,51 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // STREAMING as-of enrichment: purchases (probes) pick up the latest
+  // prior view's cents (quotes) per user, watermark-finalized — the
+  // same sentinel-batch technique as p42 flushes the tail; the oracle
+  // is DuckDB's native ASOF LEFT JOIN (p31's shape)
+  private def p53(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_p53")
+    val events = dir.resolve("a_events.parquet")
+    java.nio.file.Files.createSymbolicLink(events,
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    // far-future sentinel processed as a LATER micro-batch: advances the
+    // watermark past every real probe so the final no-data batch fires
+    // the remaining event-time timeouts; it enters the operator as a
+    // quote for the unused key -1, so it can never affect output
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p53_sent")
+    import s.implicits._
+    Seq((-1L, 4102444800000000000L, -1L, "view", 0.0d, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sentinel = dir.resolve("b_sentinel.parquet")
+    java.nio.file.Files.copy(part, sentinel)
+    java.nio.file.Files.setLastModifiedTime(events,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val st = s.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .filter(col("user_id") % 5 === 2 || col("user_id") === -1L)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id").as("k"), col("ts"),
+        when(col("event_type") === "purchase", lit("p")).otherwise(lit("q"))
+          .as("side"),
+        col("event_id").as("id"),
+        (col("value").cast(D) * 100).cast("long").as("v"))
+    runToMemory(s, graft.streaming.StreamAsof.backwardEnrich(
+        st, "k", "ts", "side", "id", "v"), mode = "append")
+      .select(col("id").as("event_id"), col("k").as("user_id"),
+        col("ts"), col("asof_value").as("view_cents"))
+      .orderBy(col("event_id"))
+  }
+
   // Bloom-prune join: the fact side is pruned at scan speed by an
   // 8 KiB literal bit filter built from the (pre-filtered) dimension —
   // result EXACTLY equals the plain join, which is what the oracle runs
@@ -794,7 +839,8 @@ object PipelineQueries {
     "p49_hist_quantiles" -> (p49 _),
     "p50_salted_left" -> (p50 _),
     "p51_keyframes" -> (p51 _),
-    "p52_bloom_join" -> (p52 _))
+    "p52_bloom_join" -> (p52 _),
+    "p53_stream_asof" -> (p53 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1682,5 +1728,19 @@ object PipelineQueries {
                   AS BIGINT) AS qty_cents
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          WHERE p.p_size < 3
-         GROUP BY p.p_brand ORDER BY p.p_brand""")
+         GROUP BY p.p_brand ORDER BY p.p_brand""",
+    "p53_stream_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts
+               FROM events
+               WHERE event_type = 'purchase' AND user_id % 5 = 2),
+          v0 AS (SELECT user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+               FROM events
+               WHERE event_type = 'view' AND user_id % 5 = 2),
+          v AS (SELECT user_id, ts, MAX(vc) AS view_cents
+               FROM v0 GROUP BY 1, 2)
+          SELECT p.event_id, p.user_id, p.ts, v.view_cents
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND v.ts <= p.ts
+          ORDER BY p.event_id""")
 }

@@ -188,4 +188,53 @@ class StreamIngestSpec extends AnyFunSuite {
     q.stop()
     assert(out.toSeq === Seq(200L -> 100L, 201L -> 100L))
   }
+
+  test("streaming as-of: watermark-finalized backward match, however-old " +
+      "quotes, left nulls, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one tagged stream: (k, ts, side, id, v)
+    val mem = MemoryStream[(Long, Timestamp, String, Long, Long)]
+    val df = mem.toDF().toDF("k", "ts", "side", "id", "v")
+    val q = streaming.StreamAsof.backwardEnrich(df, "k", "ts", "side", "id", "v")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    def t(x: String) = Timestamp.valueOf(x)
+    // batch 1: key 1 gets a quote then probes around it; key 2 a probe
+    // with NO quote ever (left-null case). Nothing can emit yet — the
+    // watermark is still at zero during this batch.
+    mem.addData(
+      (1L, t("2024-01-01 00:00:00"), "q", 0L, 10L),
+      (1L, t("2024-01-01 00:10:00"), "p", 101L, 0L),
+      (1L, t("2024-01-01 00:00:00"), "p", 100L, 0L), // == quote ts: matches
+      (2L, t("2024-01-01 00:05:00"), "p", 200L, 0L))
+    q.processAllAvailable()
+    // batch 2: a fresher quote for key 1, then a probe AFTER it, plus a
+    // far probe that advances the watermark past everything earlier.
+    // The batch-1 probes finalize here (watermark = 00:10 after batch 1).
+    mem.addData(
+      (1L, t("2024-01-01 02:00:00"), "q", 0L, 20L),
+      (1L, t("2024-01-01 05:00:00"), "p", 102L, 0L), // hours-old quote: 20
+      (3L, t("2024-01-02 00:00:00"), "p", 300L, 0L))
+    q.processAllAvailable()
+    // batch 3: watermark sweep (a quote on the unused key 9) flushes the
+    // stragglers via event-time timeouts — including keys with no new data
+    mem.addData((9L, t("2024-01-03 00:00:00"), "q", 0L, 0L))
+    q.processAllAvailable()
+    mem.addData((9L, t("2024-01-04 00:00:00"), "q", 0L, 0L))
+    q.processAllAvailable()
+    val out = spark.table("asof_out").orderBy("id")
+      .collect().map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    q.stop()
+    assert(out.toSeq === Seq(
+      100L -> 10L,  // probe at the quote's exact ts: inclusive match
+      101L -> 10L,  // probe after the quote
+      102L -> 20L,  // fresher quote wins, however old it is by then
+      200L -> -1L,  // key with no quotes: left-null emission
+      300L -> -1L), // key born after all quotes of other keys: null
+      s"got ${out.toSeq}")
+    // exactly once: no duplicates across the flush batches
+    assert(out.map(_._1).distinct.length === out.length)
+  }
 }
