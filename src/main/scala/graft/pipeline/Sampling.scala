@@ -21,6 +21,18 @@ object Sampling {
       seed: Int = 0): DataFrame =
     df.filter(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L < ppm)
 
+  /** Importance (weighted) sampling: keep a row iff its hash bucket
+    * falls below the row's OWN keep-probability `weightPpm` (clamped to
+    * [0, 1e6]) — the quality-weighted downsampling pass (keep all
+    * high-quality documents, a sliver of boilerplate), reproducible
+    * because the coin is the id hash, not an RNG. Expected kept
+    * fraction per stratum = mean(weightPpm)/1e6; still a pure narrow
+    * filter, zero shuffles, scan speed at any scale. */
+  def weightedPpm(df: DataFrame, idCol: String, weightPpm: Column,
+      seed: Int = 0): DataFrame =
+    df.filter(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
+      greatest(lit(0L), least(lit(1000000L), weightPpm.cast("long"))))
+
   /** Deterministic train/val/test split: each row's hash bucket
     * (mod 1e6) picks its split — `[0, trainPpm)` → train,
     * `[trainPpm, trainPpm+valPpm)` → val, the rest → test. A row's

@@ -670,6 +670,54 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  // FORWARD as-of join: each purchase picks the EARLIEST view at or
+  // after it (next-event attribution) — same union+window shape as p31,
+  // scanned from the other end; oracle is DuckDB ASOF with >=
+  private def p54(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        (col("value").cast(D) * 100).cast("long").as("view_cents"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("view_cents")).as("view_cents"))
+    graft.operators.AsofJoin.forward(purchases, views, Seq("user_id"),
+        "ts", Seq("view_cents"))
+      .select(col("event_id"), col("user_id"), col("view_cents"),
+        expr("(unix_micros(asof_ts) - unix_micros(ts)) DIV 1000000")
+          .as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  // importance sampling: per-row keep probability (longer docs keep
+  // more) decided by the id hash — reproducible weighted downsampling
+  private def p55(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedPpm(Tables.documents(s, d), "doc_id",
+        col("n_chars") * 3000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+
+  // trailing event-time window: each event's count/sum/max over the
+  // preceding hour of the same user — RANGE frame over epoch micros,
+  // never a self-join
+  private def p56(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = Tables.events(s, d).filter(col("user_id") % 7 === 4)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(D) * 100).cast("long").as("cents"))
+    graft.operators.Rolling.trailing(ev, Seq("user_id"), "ts", 3600L,
+        Seq("roll_n" -> count(lit(1)),
+          "roll_cents" -> sum(col("cents")),
+          "roll_max" -> max(col("cents"))))
+      .select(col("event_id"), col("user_id"), col("ts"), col("cents"),
+        col("roll_n"), col("roll_cents"), col("roll_max"))
+      .orderBy(col("event_id"))
+  }
+
   // Bloom-prune join: the fact side is pruned at scan speed by an
   // 8 KiB literal bit filter built from the (pre-filtered) dimension —
   // result EXACTLY equals the plain join, which is what the oracle runs
@@ -840,7 +888,10 @@ object PipelineQueries {
     "p50_salted_left" -> (p50 _),
     "p51_keyframes" -> (p51 _),
     "p52_bloom_join" -> (p52 _),
-    "p53_stream_asof" -> (p53 _))
+    "p53_stream_asof" -> (p53 _),
+    "p54_asof_forward" -> (p54 _),
+    "p55_weighted_sample" -> (p55 _),
+    "p56_rolling_window" -> (p56 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1742,5 +1793,41 @@ object PipelineQueries {
           SELECT p.event_id, p.user_id, p.ts, v.view_cents
           FROM p ASOF LEFT JOIN v
             ON p.user_id = v.user_id AND v.ts <= p.ts
-          ORDER BY p.event_id""")
+          ORDER BY p.event_id""",
+    "p54_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+          v0 AS (SELECT user_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+               FROM events WHERE event_type = 'view'),
+          v AS (SELECT user_id, ts, MAX(vc) AS view_cents
+               FROM v0 GROUP BY 1, 2)
+          SELECT p.event_id, p.user_id, v.view_cents,
+                 CAST(date_diff('microsecond', p.ts, v.ts) // 1000000
+                   AS BIGINT) AS gap_sec
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND v.ts >= p.ts
+          ORDER BY p.event_id""",
+    "p55_weighted_sample" -> {
+      val bucket = h60Sql(0, "doc_id::VARCHAR") + " % 1000000"
+      s"""WITH a AS (SELECT source, doc_id FROM documents
+               WHERE $bucket <
+                     GREATEST(0, LEAST(1000000, n_chars * 3000)))
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM a GROUP BY source ORDER BY source"""
+    },
+    "p56_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+               FROM events WHERE user_id % 7 = 4)
+         SELECT event_id, user_id, ts, cents,
+                CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+                CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents,
+                CAST(MAX(cents) OVER w AS BIGINT) AS roll_max
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""")
 }

@@ -283,6 +283,34 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
   }
 
+  test("spread: repartitions a single-file source, no-op on pre-spread input") {
+    import graft.pipeline.Partitioning
+    // single parquet file → one partition → the fan-out spread fires
+    val single = Tables.documents(spark, sf)
+    assert(finalPlan(Partitioning.spread(single).select(col("doc_id")))
+      .contains("RoundRobinPartitioning"))
+    // already at/above parallelism → NO round-robin exchange is added
+    // (the round-4 ADVICE: production multi-file inputs must not be
+    // reshuffled before the explode)
+    val wide = single.repartition(
+      spark.sparkContext.defaultParallelism * 2).localCheckpoint()
+    assert(!finalPlan(Partitioning.spread(wide).select(col("doc_id")))
+      .contains("RoundRobinPartitioning"),
+      "spread must pass an already-spread frame through untouched")
+  }
+
+  test("rolling trailing window: one shuffle, range frame, no join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val out = graft.operators.Rolling.trailing(ev, Seq("user_id"), "ts",
+      3600L, Seq("roll_n" -> count(lit(1))))
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"trailing window must shuffle once on the key, plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"trailing window must never become a self-join, plan:\n$plan")
+  }
+
   test("bloom prune adds a scan-side filter and no exchange") {
     import graft.operators.BloomPrune
     val li = Tables.lineitem(spark, sf)

@@ -222,6 +222,18 @@ class PropertySpec extends AnyFunSuite {
         (k, ts(t), v)
       }.sorted
       assert(got.toSeq === want.toSeq)
+      // FORWARD: earliest right row at or after, same frames
+      val gotF = graft.operators.AsofJoin
+        .forward(left, right, Seq("k"), "ts", Seq("v"))
+        .select(col("k"), col("ts"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted
+      val wantF = lrows.map { case (k, t) =>
+        val cand = rrows.filter(r => r._1 == k && r._2 >= t)
+        val v = if (cand.isEmpty) -1L else cand.minBy(_._2)._3
+        (k, ts(t), v)
+      }.sorted
+      assert(gotF.toSeq === wantF.toSeq)
     }
   }
 
