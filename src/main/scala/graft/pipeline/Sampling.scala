@@ -33,6 +33,35 @@ object Sampling {
     df.filter(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
       greatest(lit(0L), least(lit(1000000L), weightPpm.cast("long"))))
 
+  /** Deterministic negative-pair mining — the contrastive-training
+    * sampler ("give every document k random non-matching partners")
+    * WITHOUT the cross join: the corpus is hashed into `buckets`
+    * representative docs (min id per hash bucket — one hash aggregate,
+    * B rows, broadcastable), and each document draws its k partners by
+    * hashing (id, draw) into the bucket space. Fully reproducible (hash
+    * coins, no RNG), self-pairs dropped, duplicate draws collapsed.
+    *
+    * Scale shape: one B-row aggregate + one broadcast join against it —
+    * the corpus streams through at scan speed; B grows to taste
+    * (2¹⁶-2²⁰ at 10⁹ docs) and bounds both the representative table and
+    * the diversity of the negative pool, the standard corpus-level-
+    * negatives trade-off (in-batch negatives cover the rest). */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+      buckets: Int, seed: Int = 0): DataFrame = {
+    require(k >= 1 && buckets >= 2)
+    val idStr = col(idCol).cast("string")
+    val reps = df
+      .select(pmod(Hashing.h60(seed, idStr), lit(buckets.toLong)).as("b"),
+        col(idCol).as("neg_id"))
+      .groupBy(col("b")).agg(min(col("neg_id")).as("neg_id"))
+    val draws = df.select(col(idCol),
+      explode(array((1 to k).map(j =>
+        pmod(Hashing.h60(seed + j, idStr), lit(buckets.toLong))): _*)).as("b"))
+    draws.join(broadcast(reps), Seq("b"))
+      .filter(col(idCol) =!= col("neg_id"))
+      .select(col(idCol), col("neg_id")).distinct()
+  }
+
   /** Deterministic train/val/test split: each row's hash bucket
     * (mod 1e6) picks its split — `[0, trainPpm)` → train,
     * `[trainPpm, trainPpm+valPpm)` → val, the rest → test. A row's

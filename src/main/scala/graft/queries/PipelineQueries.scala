@@ -718,6 +718,13 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  // deterministic negative-pair mining: 3 hash-drawn bucket-
+  // representative partners per doc, no cross join, no RNG
+  private def p57(s: SparkSession, d: String): DataFrame =
+    Sampling.negativePairs(Tables.documents(s, d), "doc_id",
+        k = 3, buckets = 64)
+      .orderBy(col("doc_id"), col("neg_id"))
+
   // Bloom-prune join: the fact side is pruned at scan speed by an
   // 8 KiB literal bit filter built from the (pre-filtered) dimension —
   // result EXACTLY equals the plain join, which is what the oracle runs
@@ -891,7 +898,8 @@ object PipelineQueries {
     "p53_stream_asof" -> (p53 _),
     "p54_asof_forward" -> (p54 _),
     "p55_weighted_sample" -> (p55 _),
-    "p56_rolling_window" -> (p56 _))
+    "p56_rolling_window" -> (p56 _),
+    "p57_negative_pairs" -> (p57 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1829,5 +1837,17 @@ object PipelineQueries {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "p57_negative_pairs" -> {
+      def b(seed: Int) = h60Sql(seed, "doc_id::VARCHAR") + " % 64"
+      s"""WITH reps AS (SELECT ${b(0)} AS b, MIN(doc_id) AS neg_id
+               FROM documents GROUP BY 1),
+          draws AS (SELECT doc_id, ${b(1)} AS b FROM documents
+               UNION ALL SELECT doc_id, ${b(2)} FROM documents
+               UNION ALL SELECT doc_id, ${b(3)} FROM documents)
+          SELECT DISTINCT d.doc_id, r.neg_id
+          FROM draws d JOIN reps r USING (b)
+          WHERE d.doc_id != r.neg_id
+          ORDER BY d.doc_id, r.neg_id"""
+    })
 }

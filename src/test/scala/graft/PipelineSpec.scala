@@ -705,6 +705,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.map(_.getLong(1)).toSeq === Seq(0L, 2L))
   }
 
+  test("negativePairs: no self pairs, ≤ k partners, reproducible, from reps") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Sampling.negativePairs(docs, "doc_id", k = 3, buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a != b }, "self pair leaked")
+    val perDoc = pairs.groupBy(_._1).view.mapValues(_.length)
+    assert(perDoc.values.forall(_ <= 3), "more than k partners")
+    // partners come from the representative set only
+    val reps = pairs.map(_._2).toSet
+    assert(reps.size <= 32)
+    // hash coins, not RNG: a second run is identical
+    val again = Sampling.negativePairs(docs, "doc_id", k = 3, buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("histogram quantiles bound the exact rank-selected values within a bin") {
     val docs = Tables.documents(spark, sf)
     val exact = Profiling.quantiles(docs, "source", "n_chars",
