@@ -38,8 +38,7 @@ final class DatabasesDatasource extends GenericDatasource(DatasourceSpec(
     StructField("dropped", TimestampType)))
 
   def readDim(store: Store, srvid: Int): DataFrame =
-    store.read(name, Dim, dimSchema)
-      .filter(col("srvid") === srvid).drop("srvid")
+    store.readPartition(name, Dim, srvid, dimSchema).drop("srvid")
 
   /** Diff-sync missing/renamed/dropped (:3746-3786) then drain the
     * staging partition (:3792-3794). A tick with no staged scan is a

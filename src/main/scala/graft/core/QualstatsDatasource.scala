@@ -43,8 +43,7 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
     StructField("quals", qualStruct)))
 
   def readDim(store: Store, srvid: Int): DataFrame =
-    store.read(name, Dim, dimSchema)
-      .filter(col("srvid") === srvid).drop("srvid")
+    store.readPartition(name, Dim, srvid, dimSchema).drop("srvid")
 
   override protected def recoverPending(store: Store, srvid: Int): Unit = {
     super.recoverPending(store, srvid)

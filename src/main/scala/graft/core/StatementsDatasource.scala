@@ -26,8 +26,7 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
     StructField("last_present_ts", TimestampType)))
 
   def readDim(store: Store, srvid: Int): DataFrame =
-    store.read(name, Dim, dimSchema)
-      .filter(col("srvid") === srvid).drop("srvid")
+    store.readPartition(name, Dim, srvid, dimSchema).drop("srvid")
 
   override def snapshot(store: Store, srvid: Int,
       now: java.sql.Timestamp): Long = {

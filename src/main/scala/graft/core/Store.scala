@@ -89,6 +89,18 @@ final class Store(val spark: SparkSession, root: String) {
         dataFields.toSeq.map(f => col(f.name)): _*)
     }
 
+  /** Single-partition read, manifest-first: a swap-written partition
+    * (dimension tables, purge rewrites) resolves through its atomic
+    * manifest — version-pinned paths, no list-vs-open window — and any
+    * other layout (append tiers, pre-manifest dirs) falls back to the
+    * directory scan + srvid filter. The engine's dimension readbacks go
+    * through here, so the manifest path is exercised by every dim
+    * lifecycle oracle query. */
+  def readPartition(ds: String, tier: String, srvid: Int,
+      schema: StructType): DataFrame =
+    readPartitionManifest(ds, tier, srvid, schema).getOrElse(
+      read(ds, tier, schema).filter(col("srvid") === srvid))
+
   /** Does this server have any data in the tier? A pure directory probe
     * — the orchestrator's fast path for skipping idle datasources
     * without launching a Spark job (the metadata-only partition-pruning

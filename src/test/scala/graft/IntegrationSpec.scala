@@ -186,4 +186,38 @@ class IntegrationSpec extends AnyFunSuite {
       "doc_id", "source", "text", binTokens = 256L)
     assert(packed.except(again).isEmpty && again.except(packed).isEmpty)
   }
+
+  test("round-5 ops compose into the curation pipeline: containment " +
+      "removal -> weighted sample -> histogram profile -> negatives") {
+    import graft.pipeline._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // 1. drop the contained (partial-copy) side of every chunk-level
+    //    containment pair above 50% — keep the larger doc (min id ties)
+    val pairs = Chunking.chunkContainment(docs, "doc_id", "text",
+      w = 4, div = 8, dfCap = 10, minPpm = 500000L)
+    val losers = pairs.select(
+      when(col("containment_i_ppm") >= col("containment_j_ppm"), col("i"))
+        .otherwise(col("j")).as("doc_id")).distinct()
+    val surviving = docs.join(losers, Seq("doc_id"), "left_anti")
+    assert(surviving.count() > 0 && surviving.count() <= docs.count())
+    // 2. quality-weighted downsample of the survivors
+    val sampled = Sampling.weightedPpm(surviving, "doc_id",
+      col("n_chars") * 5000L)
+    assert(sampled.count() > 0 && sampled.count() <= surviving.count())
+    // 3. histogram profile of what survived (mergeable, per source)
+    val prof = Sketches.histQuantiles(
+      Sketches.histogram(sampled, "source", col("n_chars"), 50L),
+      "source", 50L)
+    assert(prof.count() > 0)
+    // 4. contrastive negatives over the final corpus
+    val negs = Sampling.negativePairs(sampled, "doc_id", k = 2, buckets = 16)
+    assert(negs.count() > 0)
+    // the whole composition is hash-deterministic end to end
+    val again = Sampling.negativePairs(
+      Sampling.weightedPpm(
+        docs.join(losers, Seq("doc_id"), "left_anti"), "doc_id",
+        col("n_chars") * 5000L),
+      "doc_id", k = 2, buckets = 16)
+    assert(negs.except(again).isEmpty && again.except(negs).isEmpty)
+  }
 }
