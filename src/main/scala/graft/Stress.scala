@@ -144,6 +144,27 @@ object Stress {
         queryId = 0L, dim = 64, m = 8, k = 16, iters = 1,
         topK = 100).count())
 
+    // Bloom-prune axis (round 5), measured in the regime the operator
+    // exists for: the build side too big to BROADCAST (threshold off —
+    // at 100 TB a 10^8-key dimension exceeds any broadcast budget), so
+    // the plain join is a sort-merge that shuffles EVERY fact row,
+    // while the bloom-pruned join drops non-candidates at scan time and
+    // shuffles only the 0.1% that can match. (With a broadcastable dim
+    // the plain broadcast join wins and pruning is pure overhead — the
+    // operator doc says exactly when to reach for it.)
+    val factRows = big.select(col("user_id"), col("record"))
+    val dim = big.select(col("user_id")).distinct()
+      .filter(col("user_id") % 1000 === 7)
+      .withColumn("attr", col("user_id") * 2)
+      .localCheckpoint()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (plainJoinSec, plainJoinRows) =
+      timed(factRows.join(dim, Seq("user_id")).count())
+    val (bloomSec, bloomRows) = timed(graft.operators.BloomPrune
+      .prunedJoin(factRows, dim, "user_id").count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
     // Connected-components axis (round 5): an adversarial CHAIN graph —
     // the worst case for min-label propagation (diameter-many rounds).
     // The large/small-star escalation must keep the ROUND count
@@ -180,6 +201,8 @@ object Stress {
       s""""pq_sec":$pqSec,"pq_rows":$pqRows,""" +
       s""""cc_chain_len":$chainLen,"cc_rounds":$ccRounds,""" +
       s""""cc_sec":$ccSec,"cc_correct":$ccOk,""" +
+      s""""plain_join_sec":$plainJoinSec,"bloom_join_sec":$bloomSec,""" +
+      s""""join_rows":$plainJoinRows,"bloom_rows_match":${plainJoinRows == bloomRows},""" +
       s""""sf":"$sfDir"}"""
     spark.stop()
     println(json)

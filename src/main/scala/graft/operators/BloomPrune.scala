@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.pipeline.Hashing
 
 /** Explicit Bloom-filter join pruning — the runtime-filter pattern as a
   * first-class, deterministic operator: build an m-bit filter from the
@@ -20,8 +19,11 @@ import graft.pipeline.Hashing
   * shapes the heuristics miss (pre-filtered dimensions whose stats the
   * optimizer doesn't see, broadcast-ineligible builds, reuse of one
   * filter across several scans) and is reproducible: the bit positions
-  * come from the portable 60-bit hash, so the same inputs build the
-  * same filter on every run and every engine.
+  * come from seeded xxhash64 — Spark's codegen'd native hash, chosen
+  * over the portable md5-based h60 because the filter is a PURE
+  * PERFORMANCE HINT (the exact join removes false positives, so no
+  * oracle ever recomputes the bits; what matters is that the probe
+  * runs at scan speed, and a per-row md5 does not).
   *
   * Scale shape: the BUILD is one distinct aggregation of bit positions
   * — the driver collects at most m/64 longs (8 KiB at m = 2¹⁶)
@@ -44,7 +46,7 @@ object BloomPrune {
       kHashes: Int): Array[Long] = {
     require(mBits >= 64 && mBits % 64 == 0 && kHashes >= 1)
     val posCols = (0 until kHashes).map(i =>
-      pmod(Hashing.h60(i, key.cast("string")), lit(mBits.toLong)))
+      pmod(xxhash64(lit(i), key), lit(mBits.toLong)))
     val positions = df.select(explode(array(posCols: _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](mBits / 64)
@@ -59,7 +61,7 @@ object BloomPrune {
   def mightContain(key: Column, words: Array[Long], mBits: Int,
       kHashes: Int): Column =
     (0 until kHashes).map { i =>
-      val pos = pmod(Hashing.h60(i, key.cast("string")), lit(mBits.toLong))
+      val pos = pmod(xxhash64(lit(i), key), lit(mBits.toLong))
       val word = element_at(typedLit(words.toSeq),
         call_function("div", pos, lit(64L)).cast("int") + 1)
       call_function("shiftright", word, (pos % 64).cast("int"))
