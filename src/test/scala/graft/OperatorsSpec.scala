@@ -132,6 +132,25 @@ class OperatorsSpec extends AnyFunSuite {
         toleranceMs = Some(10 * 60 * 1000L))
       .filter(col("tag") === "l1").collect()
     assert(tolOk.head.getAs[Long]("price") === 50L)
+
+    // FORWARD: earliest right at or after; inclusive; tolerance ahead
+    val fwd = AsofJoin.forward(left, right, Seq("k"), "ts", Seq("price"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getAs[String]("tag"),
+        if (r.isNullAt(r.fieldIndex("price"))) -1L else r.getAs[Long]("price")))
+    assert(fwd.toSeq === Seq(
+      ("l3", 20L),   // next right after 00:01 is 00:02
+      ("l2", 50L),   // EQUAL ts -> inclusive forward match
+      ("l1", -1L),   // nothing at or after 00:10 for key 1
+      ("l4", -1L)))  // key 2's only right is before 00:30
+    // forward tolerance: l3's match is 1 min ahead -> survives a 5-min
+    // budget, dies under a 30-second one
+    def fwdTol(ms: Long) = AsofJoin.forward(left, right, Seq("k"), "ts",
+        Seq("price"), toleranceMs = Some(ms))
+      .filter(col("tag") === "l3").collect().head
+    assert(fwdTol(5 * 60 * 1000L).getAs[Long]("price") === 20L)
+    assert(fwdTol(30 * 1000L).isNullAt(
+      fwdTol(30 * 1000L).fieldIndex("price")))
   }
 
   test("salted join is set-identical to the plain join on skewed data") {
