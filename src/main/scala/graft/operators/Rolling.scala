@@ -28,12 +28,16 @@ object Rolling {
     * microseconds. */
   def trailing(df: DataFrame, keyCols: Seq[String], tsCol: String,
       rangeSec: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    // collision-free working column (same rule as SkewJoin): a user
+    // column named __epoch_us must not be silently replaced and dropped
+    val epochCol = Iterator.iterate("__epoch_us")(_ + "_")
+      .dropWhile(df.columns.contains).next()
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__epoch_us"))
+      .orderBy(col(epochCol))
       .rangeBetween(-rangeSec * 1000000L, 0L)
-    val withEpoch = df.withColumn("__epoch_us", unix_micros(col(tsCol)))
+    val withEpoch = df.withColumn(epochCol, unix_micros(col(tsCol)))
     aggs.foldLeft(withEpoch) { case (acc, (name, aggExpr)) =>
       acc.withColumn(name, aggExpr.over(w))
-    }.drop("__epoch_us")
+    }.drop(epochCol)
   }
 }

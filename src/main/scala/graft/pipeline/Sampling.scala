@@ -29,9 +29,18 @@ object Sampling {
     * fraction per stratum = mean(weightPpm)/1e6; still a pure narrow
     * filter, zero shuffles, scan speed at any scale. */
   def weightedPpm(df: DataFrame, idCol: String, weightPpm: Column,
-      seed: Int = 0): DataFrame =
-    df.filter(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
-      greatest(lit(0L), least(lit(1000000L), weightPpm.cast("long"))))
+      seed: Int = 0): DataFrame = {
+    // a null weight would evaluate the comparison to null and SILENTLY
+    // drop the row — fail loudly instead (same rule as sourceMix's
+    // weight guard); the guard rides the threshold expression itself so
+    // no pruning can optimize the validation away
+    val threshold = when(weightPpm.isNull,
+        raise_error(lit("weightedPpm: null weight")))
+      .otherwise(
+        greatest(lit(0L), least(lit(1000000L), weightPpm.cast("long"))))
+    df.filter(
+      Hashing.h60(seed, col(idCol).cast("string")) % 1000000L < threshold)
+  }
 
   /** Deterministic negative-pair mining — the contrastive-training
     * sampler ("give every document k random non-matching partners")

@@ -105,6 +105,8 @@ object Sketches {
   def histogram(df: DataFrame, groupCol: String, value: Column,
       binWidth: Long): DataFrame = {
     require(binWidth >= 1)
+    require(groupCol != "bin" && groupCol != "cnt",
+      "group column must not shadow the sketch's bin/cnt columns")
     df.groupBy(col(groupCol),
         call_function("div", value.cast("long"), lit(binWidth)).as("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -129,6 +131,8 @@ object Sketches {
     * data, one exchange. */
   def histQuantiles(hist: DataFrame, groupCol: String, binWidth: Long,
       pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    require(!Seq("bin", "cnt", "cum", "n").contains(groupCol),
+      "group column must not shadow the sketch's working columns")
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
     val cum = hist
       .withColumn("cum", sum(col("cnt")).over(wOrd))

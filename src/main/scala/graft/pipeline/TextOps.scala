@@ -305,22 +305,28 @@ object TextOps {
       minStopwordPpm: Long): DataFrame = {
     val toks = tokens(col(textCol))
     val en = array(stopwords.head._2.map(lit): _*)
+    // collision-free working names (SkewJoin's rule): a user column
+    // must never be silently replaced and then dropped
+    def free(base: String) = Iterator.iterate(base)(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val chars = free("__chars")
+    val stop = free("__stop")
     df.withColumn("n_words", size(toks).cast("long"))
-      .withColumn("__chars", aggregate(
+      .withColumn(chars, aggregate(
         transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x))
-      .withColumn("__stop",
+      .withColumn(stop,
         size(filter(toks, t => array_contains(en, t))).cast("long"))
       // exact rational ppm via integer division (matches DuckDB `//`)
       .withColumn("mean_word_len_ppm", expr(
-        "CASE WHEN n_words = 0 THEN 0L ELSE __chars * 1000000L DIV n_words END"))
+        s"CASE WHEN n_words = 0 THEN 0L ELSE $chars * 1000000L DIV n_words END"))
       .withColumn("stopword_ppm", expr(
-        "CASE WHEN n_words = 0 THEN 0L ELSE __stop * 1000000L DIV n_words END"))
+        s"CASE WHEN n_words = 0 THEN 0L ELSE $stop * 1000000L DIV n_words END"))
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
         col("mean_word_len_ppm")
           .between(minMeanWordLenPpm, maxMeanWordLenPpm) &&
         col("stopword_ppm") >= minStopwordPpm)
-      .drop("__chars", "__stop")
+      .drop(chars, stop)
   }
 
   /** Sequence packing: lay the corpus out as one deterministic token

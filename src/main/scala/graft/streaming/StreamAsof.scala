@@ -83,11 +83,18 @@ object StreamAsof {
               if (r.isNullAt(3)) None else Some(r.getLong(3)),
               if (r.isNullAt(4)) None else Some(r.getLong(4)))
           }
-          // merge arrivals; keep both buffers sorted ((ts, v)/(ts, id))
+          // merge arrivals; keep both buffers sorted ((ts, v)/(ts, id)).
+          // Null payloads fail LOUDLY with a diagnosable message — a
+          // bare .get would NPE deep inside the state store
           var quotes = (st.quotes ++ arrivals.collect {
-            case a if a.side == "q" => (a.us, a.v.get) }).distinct.sorted
+            case a if a.side == "q" => (a.us, a.v.getOrElse(
+              throw new IllegalArgumentException(
+                s"StreamAsof: quote with null value (key $k)"))) })
+            .distinct.sorted
           val probes = (st.probes ++ arrivals.collect {
-            case a if a.side == "p" => (a.us, a.id.get) }).sorted
+            case a if a.side == "p" => (a.us, a.id.getOrElse(
+              throw new IllegalArgumentException(
+                s"StreamAsof: probe with null id (key $k)"))) }).sorted
           val wMs = state.getCurrentWatermarkMs()
           // FINALIZE probes strictly below the watermark millisecond: no
           // on-time quote at or before them can still arrive
