@@ -14,7 +14,10 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
 
   /** `df` spread across at least `defaultParallelism` partitions —
-    * a no-op (no round-robin exchange) when it already is. */
+    * a no-op (no round-robin exchange) when it already is. The
+    * partition-count probe (`df.rdd.getNumPartitions`) is PLANNING-time
+    * work only — it builds the physical plan but launches no job and
+    * reads no data. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
