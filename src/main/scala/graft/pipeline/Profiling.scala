@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * window and the final per-group aggregate all key on the group column,
   * so Catalyst reuses a single exchange (PlanSpec pins this). Skew bound:
   * the busiest single group must sort in one task — at 100 TB, profile
-  * per (source, shard) rather than per source if a source dominates.
+  * per (source, shard) rather than per source if a source dominates, or
+  * switch to [[Sketches.histQuantiles]]: the mergeable fixed-bin form
+  * whose per-group work is bins-sized, with a proven ≤ binWidth−1 error
+  * against this operator's exact rank pick.
   */
 object Profiling {
 

@@ -138,6 +138,37 @@ object TextOps {
       k = k)
   }
 
+  /** Unigram surprisal quality score — the engine-exact stand-in for
+    * LM-perplexity filtering (CCNet scores documents with a 5-gram
+    * KenLM; the unigram form ranks the same extremes): each token's
+    * surprisal is `bitlen(N) − bitlen(tf)` ≈ log₂(N/tf) in INTEGER
+    * bit-length arithmetic (`length(bin(x))` — identical in Spark and
+    * DuckDB, no float log anywhere), and a document scores the floor-ppm
+    * mean over its tokens. High mean surprisal = rare-token-heavy
+    * (OCR noise, gibberish, exotic boilerplate); low = common-token
+    * sludge — both tails are the filter targets, exactly how
+    * perplexity is used.
+    *
+    * Shape: one token explode + one vocabulary-sized frequency
+    * aggregate + the token→frequency join (vocabulary-sized build side
+    * — AQE broadcasts it) + one per-doc aggregate; the corpus total is
+    * a single count action (the same scalar [[tfidfTopTerms]] takes).
+    * Output: (idCol, n_toks, sum_bits, mean_surprisal_ppm). */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = toks.count()
+    toks.join(freq, "token")
+      .withColumn("bits",
+        (length(bin(lit(total))) - length(bin(col("tf")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_surprisal_ppm",
+        expr("sum_bits * 1000000L DIV n_toks"))
+  }
+
   /** Eval-set decontamination: flag training documents sharing any word
     * n-gram with an evaluation document, with the shared-distinct-gram
     * count as evidence. The join is an inverted index keyed by the

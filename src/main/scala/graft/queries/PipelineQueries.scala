@@ -718,6 +718,12 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  // unigram surprisal quality score: integer bit-length ≈ log2(N/tf),
+  // the engine-exact perplexity-filter stand-in
+  private def p58(s: SparkSession, d: String): DataFrame =
+    TextOps.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // deterministic negative-pair mining: 3 hash-drawn bucket-
   // representative partners per doc, no cross join, no RNG
   private def p57(s: SparkSession, d: String): DataFrame =
@@ -899,7 +905,8 @@ object PipelineQueries {
     "p54_asof_forward" -> (p54 _),
     "p55_weighted_sample" -> (p55 _),
     "p56_rolling_window" -> (p56 _),
-    "p57_negative_pairs" -> (p57 _))
+    "p57_negative_pairs" -> (p57 _),
+    "p58_surprisal" -> (p58 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1849,5 +1856,20 @@ object PipelineQueries {
           FROM draws d JOIN reps r USING (b)
           WHERE d.doc_id != r.neg_id
           ORDER BY d.doc_id, r.neg_id"""
-    })
+    },
+    "p58_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(text, ' +')) AS token
+               FROM documents),
+          f AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY 1),
+          n AS (SELECT COUNT(*) AS total FROM t),
+          s AS (SELECT t.doc_id,
+                  length(bin((SELECT total FROM n))) -
+                  length(bin(f.tf)) AS bits
+                FROM t JOIN f USING (token))
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 CAST(SUM(bits) AS BIGINT) AS sum_bits,
+                 CAST((SUM(bits) * 1000000) // COUNT(*) AS BIGINT)
+                   AS mean_surprisal_ppm
+          FROM s GROUP BY doc_id ORDER BY doc_id""")
 }

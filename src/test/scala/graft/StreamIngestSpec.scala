@@ -189,6 +189,62 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(200L -> 100L, 201L -> 100L))
   }
 
+  test("streaming as-of equals the batch as-of join under random batch cuts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      // random tagged events with UNIQUE timestamps (the batch operator
+      // is tie-ambiguous on duplicate quote ts by documented contract),
+      // delivered in EVENT-TIME order across RANDOM micro-batch cuts —
+      // in-order delivery is the 0 ms-watermark contract; the cuts
+      // exercise cross-batch state and finalization timing
+      val offs = rnd.shuffle((1 to 5000).toList).take(150)
+      val events = offs.zipWithIndex.map { case (off, i) =>
+        (rnd.nextInt(4).toLong,
+          new Timestamp(1700000000000L + off * 1000L),
+          if (rnd.nextBoolean()) "p" else "q",
+          1000L + i, rnd.nextInt(100).toLong)
+      }.sortBy(_._2.getTime)
+      val mem = MemoryStream[(Long, Timestamp, String, Long, Long)]
+      val df = mem.toDF().toDF("k", "ts", "side", "id", "v")
+      val sink = s"asof_prop_$trial"
+      val q = streaming.StreamAsof
+        .backwardEnrich(df, "k", "ts", "side", "id", "v")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      // random batch boundaries over the ordered stream
+      var rest = events
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(40)
+        mem.addData(rest.take(n))
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      // two watermark sweeps on an unused key flush every pending probe
+      val far = new Timestamp(4102444800000L)
+      mem.addData((9L, far, "q", 0L, 0L)); q.processAllAvailable()
+      mem.addData((9L, new Timestamp(far.getTime + 1000L), "q", 0L, 0L))
+      q.processAllAvailable()
+      val got = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).sorted
+      q.stop()
+      val probes = events.filter(_._3 == "p")
+        .map(e => (e._1, e._2, e._4)).toDF("k", "ts", "id")
+      val quotes = events.filter(_._3 == "q")
+        .map(e => (e._1, e._2, e._5)).toDF("k", "ts", "v")
+      val want = graft.operators.AsofJoin
+        .backward(probes, quotes, Seq("k"), "ts", Seq("v"))
+        .collect().map(r => (r.getLong(r.fieldIndex("k")),
+          r.getTimestamp(r.fieldIndex("ts")), r.getLong(r.fieldIndex("id")),
+          if (r.isNullAt(r.fieldIndex("v"))) -1L
+          else r.getLong(r.fieldIndex("v")))).sorted
+      assert(got.toSeq === want.toSeq,
+        s"trial $trial: stream != batch as-of")
+    }
+  }
+
   test("streaming as-of: watermark-finalized backward match, however-old " +
       "quotes, left nulls, exactly once") {
     import spark.implicits._
