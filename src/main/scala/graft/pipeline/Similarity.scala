@@ -48,6 +48,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched kNN join — the PRODUCTION shape of similarity search
+    * ("top-k corpus neighbors for EACH of Q query vectors"): the query
+    * block broadcasts (the standard batched-query assumption — Q·dim
+    * doubles), the corpus streams through ONCE scoring all Q queries
+    * per row (vs Q separate scans), and the per-query top-k is one rank
+    * window keyed on the query id. Self-matches (same id) are excluded,
+    * ties break on corpus id — identical ranking to
+    * [[bruteForceTopK]] per query (PipelineSpec pins the equivalence).
+    *
+    * Scale shape: one broadcast + one scan + ONE shuffle (the per-query
+    * rank window; its key space is Q, and each group is corpus-sized
+    * only logically — map-side the window input is already scored
+    * rows, k·Q of which survive per partition under AQE's window
+    * group-limit pushdown). For corpus-scale Q, swap the broadcast for
+    * the LSH/IVF cell-join forms above; this operator is the exact
+    * baseline they are measured against. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val scored = e.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("v"), col("qv")).as("cos"))
+    graft.operators.TopK.topKPerGroup(scored,
+      groupKeys = Seq(col("query_id")),
+      orderBy = Seq(col("cos").desc, col(idCol).asc), k = k)
+  }
+
   /** Pseudo-random hyperplane weights for one plane: uniform in [-1, 1]
     * with 1/1000 resolution, derived from the portable 60-bit hash. The
     * weights are row-independent, so they're computed driver-side and

@@ -718,6 +718,17 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  // batched kNN join: top-5 corpus neighbors for each of 5 query
+  // vectors in ONE corpus scan — the production similarity-search shape
+  private def p59(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id").isin(0L, 100L, 200L, 300L, 400L))
+    Similarity.knnJoin(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // unigram surprisal quality score: integer bit-length ≈ log2(N/tf),
   // the engine-exact perplexity-filter stand-in
   private def p58(s: SparkSession, d: String): DataFrame =
@@ -906,7 +917,8 @@ object PipelineQueries {
     "p55_weighted_sample" -> (p55 _),
     "p56_rolling_window" -> (p56 _),
     "p57_negative_pairs" -> (p57 _),
-    "p58_surprisal" -> (p58 _))
+    "p58_surprisal" -> (p58 _),
+    "p59_knn_join" -> (p59 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1871,5 +1883,26 @@ object PipelineQueries {
                  CAST(SUM(bits) AS BIGINT) AS sum_bits,
                  CAST((SUM(bits) * 1000000) // COUNT(*) AS BIGINT)
                    AS mean_surprisal_ppm
-          FROM s GROUP BY doc_id ORDER BY doc_id""")
+          FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "p59_knn_join" ->
+      """WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id IN (0, 100, 200, 300, 400)),
+          sc AS (SELECT q.query_id, e.vec_id,
+                  list_aggregate(list_transform(range(0, 64),
+                    i -> e.v[i+1] * q.qv[i+1]), 'sum') /
+                  (sqrt(list_aggregate(list_transform(e.v, x -> x * x),
+                     'sum')) *
+                   sqrt(list_aggregate(list_transform(q.qv, x -> x * x),
+                     'sum'))) AS cos
+                FROM e, q WHERE e.vec_id != q.query_id),
+          r AS (SELECT query_id, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS rank
+                FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                 CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
 }

@@ -705,6 +705,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.map(_.getLong(1)).toSeq === Seq(0L, 2L))
   }
 
+  test("knnJoin: per-query rows equal the single-query brute force, exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 111L, 333L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    // schema: (query_id, vec_id, cos, rank)
+    val joined = Similarity.knnJoin(emb, queries, "vec_id", "embedding", 7)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for (qid <- qids) {
+      val single = Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", qid, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(qid) === single,
+        s"knnJoin disagrees with bruteForceTopK for query $qid")
+    }
+  }
+
   test("negativePairs: no self pairs, ≤ k partners, reproducible, from reps") {
     val docs = Tables.documents(spark, sf)
     val pairs = Sampling.negativePairs(docs, "doc_id", k = 3, buckets = 32)
