@@ -89,17 +89,29 @@ final class Store(val spark: SparkSession, root: String) {
         dataFields.toSeq.map(f => col(f.name)): _*)
     }
 
-  /** Single-partition read, manifest-first: a swap-written partition
-    * (dimension tables, purge rewrites) resolves through its atomic
-    * manifest — version-pinned paths, no list-vs-open window — and any
-    * other layout (append tiers, pre-manifest dirs) falls back to the
-    * directory scan + srvid filter. The engine's dimension readbacks go
-    * through here, so the manifest path is exercised by every dim
-    * lifecycle oracle query. */
+  /** Single-partition read, manifest-first: a swap-written FLAT
+    * partition (dimension tables) resolves through its atomic manifest
+    * — version-pinned paths, no list-vs-open window — and anything else
+    * falls back to the directory scan + srvid filter. BUCKETED
+    * partitions always take the fallback, detected from the manifest
+    * itself (nested `bucket=`-style paths): a bare-path read would
+    * return the directory-encoded column as null, and later
+    * dropBucket/appendBucketed mutate inside the live version without
+    * republishing the manifest, so the directory is the only truthful
+    * listing there. The engine's dimension readbacks go through here,
+    * so the manifest path is exercised by every dim lifecycle oracle
+    * query. */
   def readPartition(ds: String, tier: String, srvid: Int,
-      schema: StructType): DataFrame =
-    readPartitionManifest(ds, tier, srvid, schema).getOrElse(
+      schema: StructType): DataFrame = {
+    val viaManifest = AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid")
+      .filter(_.forall(p =>
+        // flat version layout only: version-dir/part-file, no
+        // partition subdirectories between them
+        dir(ds, tier).relativize(p).getNameCount == 2))
+      .flatMap(_ => readPartitionManifest(ds, tier, srvid, schema))
+    viaManifest.getOrElse(
       read(ds, tier, schema).filter(col("srvid") === srvid))
+  }
 
   /** Does this server have any data in the tier? A pure directory probe
     * — the orchestrator's fast path for skipping idle datasources

@@ -28,6 +28,12 @@ object Rolling {
     * microseconds. */
   def trailing(df: DataFrame, keyCols: Seq[String], tsCol: String,
       rangeSec: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    // an agg OUTPUT name colliding with an input column would silently
+    // replace it — and a later agg in the fold reading that column
+    // would then aggregate the rolling result, not the data. Loud > wrong.
+    val clash = aggs.map(_._1).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"trailing agg name(s) ${clash.mkString(", ")} collide with input columns")
     // collision-free working column (same rule as SkewJoin): a user
     // column named __epoch_us must not be silently replaced and dropped
     val epochCol = Iterator.iterate("__epoch_us")(_ + "_")

@@ -107,8 +107,15 @@ object Sketches {
     require(binWidth >= 1)
     require(groupCol != "bin" && groupCol != "cnt",
       "group column must not shadow the sketch's bin/cnt columns")
-    df.groupBy(col(groupCol),
-        call_function("div", value.cast("long"), lit(binWidth)).as("bin"))
+    // the documented precondition made LOUD: a null value would put a
+    // null bin into every cumulative rank, and a negative one truncates
+    // toward zero into bin 0 — both silently break the quantile bound.
+    // The guard rides the grouping key, so no pruning can remove it.
+    val v = value.cast("long")
+    val bin = when(v.isNull || v < 0, raise_error(
+        lit("histogram: value must be non-negative and non-null")))
+      .otherwise(call_function("div", v, lit(binWidth)))
+    df.groupBy(col(groupCol), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
 

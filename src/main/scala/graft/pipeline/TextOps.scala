@@ -158,8 +158,12 @@ object TextOps {
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(tokens(col(textCol))).as("token"))
+    // vocabulary-sized; pinned once so the corpus total comes from a
+    // sum over THIS aggregate, not a third full corpus explode, and the
+    // join build side is not recomputed
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val total = toks.count()
+      .localCheckpoint()
+    val total = freq.agg(sum(col("tf"))).collect()(0).getLong(0)
     toks.join(freq, "token")
       .withColumn("bits",
         (length(bin(lit(total))) - length(bin(col("tf")))).cast("long"))

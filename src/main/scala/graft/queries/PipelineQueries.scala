@@ -488,10 +488,14 @@ object PipelineQueries {
       p.getFileName.toString.startsWith("part-")).findFirst().get()
     val sentinel = dir.resolve("b_sentinel.parquet")
     java.nio.file.Files.copy(part, sentinel)
-    java.nio.file.Files.setLastModifiedTime(events,
-      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    // order the two micro-batches by mtime WITHOUT touching the shared
+    // events file: setLastModifiedTime on the symlink would FOLLOW it
+    // and stamp the read-only testdata itself. The events parquet's
+    // own mtime predates this run, so pushing only the sentinel COPY
+    // (a file this query owns) into the future guarantees the order.
     java.nio.file.Files.setLastModifiedTime(sentinel,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
     val st = s.readStream.schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -648,10 +652,14 @@ object PipelineQueries {
       p.getFileName.toString.startsWith("part-")).findFirst().get()
     val sentinel = dir.resolve("b_sentinel.parquet")
     java.nio.file.Files.copy(part, sentinel)
-    java.nio.file.Files.setLastModifiedTime(events,
-      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    // order the two micro-batches by mtime WITHOUT touching the shared
+    // events file: setLastModifiedTime on the symlink would FOLLOW it
+    // and stamp the read-only testdata itself. The events parquet's
+    // own mtime predates this run, so pushing only the sentinel COPY
+    // (a file this query owns) into the future guarantees the order.
     java.nio.file.Files.setLastModifiedTime(sentinel,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
     val D = org.apache.spark.sql.types.DecimalType(18, 2)
     val st = s.readStream.schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
@@ -1776,7 +1784,10 @@ object PipelineQueries {
     "p51_keyframes" ->
       """WITH f AS (SELECT doc_id, i AS frame_idx, i * 64 AS off,
                  octet_length(encode(text)) AS nb, text
-               FROM documents, range(0, 64) r(i)
+               -- frame-scan bound: 1024 frames = 64 KiB docs, >100x the
+               -- testdata's max n_chars (553); the Spark side scans the
+               -- whole payload, so the bound must dominate doc size
+               FROM documents, range(0, 1024) r(i)
                WHERE i * 64 < octet_length(encode(text))),
           s AS (SELECT doc_id, frame_idx, off,
                   LEAST(nb - off, 64) AS fb,

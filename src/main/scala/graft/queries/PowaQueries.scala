@@ -693,7 +693,8 @@ object PowaQueries {
   //      pipeline (powa--5.2.0.sql:4006-4108) through the full engine:
   //      daily staged batches with query text drive the MRU dimension
   //      (touch + missing-insert), the per-entity current tier, and the
-  //      per-db rollup tier; tick 5 coalesces both tiers into history.
+  //      per-db rollup tier; tick 2 coalesces both tiers into history
+  //      (3 multi-batch ticks at coalesce 2 — tick 3 stays current).
   //      Output joins the dimension with per-key readback sums and the
   //      per-db rollup readback — one frame proving dim, record, and
   //      rollup sinks all preserve values through snapshot→aggregate→
@@ -702,8 +703,13 @@ object PowaQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_q34")
     try {
       val e = new graft.core.Engine(s, root.toString)
+      // srvid 23 de-phases the coalesce-5 cadence (phase = (seq + 23%20)
+      // % 5 = 4, 0, 1) so the 3-tick multi-batch run still AGGREGATES
+      // mid-stream: tick 2 coalesces groups 1-2 into history, tick 3's
+      // group stays current → the readback spans a genuine
+      // current/history mix, which is the point of the query
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
-        id = 80, hostname = "h", powaCoalesce = 5,
+        id = 23, hostname = "h", powaCoalesce = 5,
         retentionSec = 3650L * 86400))
       val spec = graft.spec.Specs.statements
       val filled = Set("calls", "total_exec_time", "rows")
@@ -838,7 +844,14 @@ object PowaQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_q36")
     try {
       val e = new graft.core.Engine(s, root.toString)
-      val servers = Seq((41, 0, 5), (62, 1, 6), (83, 2, 7))
+      // srvid%20 de-phasing chosen so the 3 multi-batch ticks leave
+      // each server in a DIFFERENT current/history mix (the query's
+      // point), with every coalesce legal (>= 5): srvid 42 (%20=2,
+      // c=5) → phases 3,4,0: aggregates at the FINAL tick → pure
+      // history; srvid 63 (%20=3, c=5) → phases 4,0,1: aggregates at
+      // tick 2 → mixed; srvid 25 (%20=5, c=9) → phases 6,7,8: never
+      // hits 0 → pure current
+      val servers = Seq((42, 0, 5), (63, 1, 5), (25, 2, 9))
       servers.foreach { case (id, _, coal) =>
         e.registry.registerServer(graft.core.ServerConfig(
           id = id, hostname = s"h$id", powaCoalesce = coal,
@@ -1699,7 +1712,7 @@ object PowaQueries {
          FROM region
          ORDER BY cat, dbid, oid""",
     "q36_fleet_isolation" ->
-      """SELECT CASE user_id % 3 WHEN 0 THEN 41 WHEN 1 THEN 62 ELSE 83 END
+      """SELECT CASE user_id % 3 WHEN 0 THEN 42 WHEN 1 THEN 63 ELSE 25 END
                   AS srvid,
                 CAST(COUNT(*) AS BIGINT) AS n_records,
                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -118,6 +118,28 @@ class EngineSpec extends AnyFunSuite {
       "multi-batch drain must preserve every record the per-batch ticks produce")
   }
 
+  test("de-phased 3-tick cadence (the q34/q36 shape) leaves a real current/history mix") {
+    // srvid 23 with coalesce 5 → phases (seq + 3) % 5 = 4, 0, 1: the
+    // aggregate fires MID-STREAM (tick 2), so after tick 3 history holds
+    // the coalesced early batches AND current holds the late one — the
+    // multi-batch round-trip queries depend on this mix being real
+    // (review finding: a cadence that never reaches phase 0 silently
+    // reduces them to current-only reads)
+    val ds = "powa_stat_bgwriter"
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 23, hostname = "h", powaCoalesce = 5,
+      retentionSec = 3650L * 86400))
+    (1 to 3).foreach { t =>
+      e.ingest(ds, bgwriterBatch(srvid, t))
+      e.takeSnapshot(srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    assert(tierCount(e, ds, GenericDatasource.History) > 0,
+      "the tick-2 aggregate must have coalesced into history")
+    assert(tierCount(e, ds, GenericDatasource.Current) > 0,
+      "the tick-3 batch must still sit in current")
+  }
+
   test("purge drops whole stale month buckets, rewrites only the boundary month") {
     val e = mkEngine()
     val srvid = e.registry.registerServer(ServerConfig(
