@@ -143,11 +143,17 @@ final class CatalogMirror(spark: SparkSession, root: String) {
   def read(cat: String, srvid: Int, dbid: Long): Option[DataFrame] = {
     val d = dir(cat, srvid, dbid)
     AtomicSwap.manifestFiles(d.getParent, s"dbid=$dbid") match {
-      case Some(files) =>
-        val parquets = files.map(_.toString).filter(_.endsWith(".parquet"))
-        if (parquets.isEmpty) None
-        else Some(spark.read.parquet(parquets: _*))
-      case None =>
+      case Some(files)
+          if files.exists(_.toString.endsWith(".parquet")) =>
+        Some(spark.read.parquet(
+          files.map(_.toString).filter(_.endsWith(".parquet")): _*))
+      case _ =>
+        // no manifest (pre-manifest layout) OR a manifest with no
+        // parquet files (an imported-but-EMPTY catalog, which an
+        // AQE-planned empty write can produce): fall through to the
+        // directory path so an imported empty catalog keeps the
+        // pre-manifest contract (present, surfaced loudly by schema
+        // inference) instead of masquerading as never-imported
         if (Files.isDirectory(d)) Some(spark.read.parquet(d.toString))
         else None
     }

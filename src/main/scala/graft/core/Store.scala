@@ -66,52 +66,62 @@ final class Store(val spark: SparkSession, root: String) {
     }
   }
 
+  /** Build the manifest-pinned frame from an already-read file list
+    * (ONE atomic manifest read decides both the layout check and the
+    * files actually opened — re-reading here would be a TOCTOU against
+    * a concurrent republish). The srvid column is re-attached as a
+    * literal, mirroring partition-column readback. */
+  private def fromManifestFiles(files: Seq[Path], srvid: Int,
+      schema: StructType): DataFrame = {
+    val dataFields = schema.fields.filterNot(_.name == "srvid")
+    val parquets = files.map(_.toString).filter(_.endsWith(".parquet"))
+    val df =
+      if (parquets.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(dataFields))
+      else spark.read.schema(StructType(dataFields)).parquet(parquets: _*)
+    df.select(org.apache.spark.sql.functions.lit(srvid).as("srvid") +:
+      dataFields.toSeq.map(f => col(f.name)): _*)
+  }
+
   /** Manifest-pinned read of ONE server's partition — the read path with
     * no list-vs-open window: the file list comes from one atomic
     * manifest read (AtomicSwap.manifestFiles), and the listed paths are
     * version-pinned immutable files, so a concurrent overwritePartition
     * cannot invalidate a query between planning and execution (the
     * directory path can, loudly — AtomicSwap's scaladoc). None when the
-    * partition was never swap-written or was dropped. The srvid column
-    * is re-attached as a literal, mirroring partition-column readback. */
+    * partition was never swap-written or was dropped. */
   def readPartitionManifest(ds: String, tier: String, srvid: Int,
       schema: StructType): Option[DataFrame] =
-    AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid").map { files =>
-      val dataFields = schema.fields.filterNot(_.name == "srvid")
-      val parquets = files.map(_.toString).filter(_.endsWith(".parquet"))
-      val df =
-        if (parquets.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(dataFields))
-        else spark.read.schema(StructType(dataFields)).parquet(parquets: _*)
-      df.select(org.apache.spark.sql.functions.lit(srvid).as("srvid") +:
-        dataFields.toSeq.map(f => col(f.name)): _*)
-    }
+    AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid")
+      .map(fromManifestFiles(_, srvid, schema))
 
   /** Single-partition read, manifest-first: a swap-written FLAT
     * partition (dimension tables) resolves through its atomic manifest
     * — version-pinned paths, no list-vs-open window — and anything else
     * falls back to the directory scan + srvid filter. BUCKETED
-    * partitions always take the fallback, detected from the manifest
-    * itself (nested `bucket=`-style paths): a bare-path read would
-    * return the directory-encoded column as null, and later
-    * dropBucket/appendBucketed mutate inside the live version without
-    * republishing the manifest, so the directory is the only truthful
-    * listing there. The engine's dimension readbacks go through here,
-    * so the manifest path is exercised by every dim lifecycle oracle
-    * query. */
+    * partitions always take the fallback, detected from the SAME
+    * manifest snapshot the files come from (nested `bucket=`-style
+    * paths): a bare-path read would return the directory-encoded column
+    * as null, and later dropBucket/appendBucketed mutate inside the
+    * live version without republishing the manifest, so the directory
+    * is the only truthful listing there. (append() on a flat
+    * swap-written partition INVALIDATES the manifest for the same
+    * reason — see append.) The engine's dimension readbacks go through
+    * here, so the manifest path is exercised by every dim lifecycle
+    * oracle query. */
   def readPartition(ds: String, tier: String, srvid: Int,
-      schema: StructType): DataFrame = {
-    val viaManifest = AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid")
-      .filter(_.forall(p =>
-        // flat version layout only: version-dir/part-file, no
-        // partition subdirectories between them
-        dir(ds, tier).relativize(p).getNameCount == 2))
-      .flatMap(_ => readPartitionManifest(ds, tier, srvid, schema))
-    viaManifest.getOrElse(
-      read(ds, tier, schema).filter(col("srvid") === srvid))
-  }
+      schema: StructType): DataFrame =
+    AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid") match {
+      case Some(files) if files.forall(p =>
+          // flat version layout only: version-dir/part-file, no
+          // partition subdirectories between them
+          dir(ds, tier).relativize(p).getNameCount == 2) =>
+        fromManifestFiles(files, srvid, schema)
+      case _ =>
+        read(ds, tier, schema).filter(col("srvid") === srvid)
+    }
 
   /** Does this server have any data in the tier? A pure directory probe
     * — the orchestrator's fast path for skipping idle datasources
@@ -120,19 +130,43 @@ final class Store(val spark: SparkSession, root: String) {
   def hasPartition(ds: String, tier: String, srvid: Int): Boolean =
     Files.isDirectory(partDir(ds, tier, srvid))
 
-  /** Append rows (must carry srvid) into the tier, one partition per srvid. */
-  def append(ds: String, tier: String, df: DataFrame): Unit =
+  /** Append rows (must carry srvid) into the tier, one partition per srvid.
+    * Any manifests on this tier are INVALIDATED afterwards (cheap
+    * directory scan, no Spark job): appended part files land inside the
+    * live version directory through the symlink, so a published
+    * manifest would keep listing only the pre-append files — a silent
+    * missing-rows read. With the manifest gone, readPartition falls
+    * back to the (complete) directory listing; swap-only tiers (the
+    * dimensions) are never appended, so their manifests persist. */
+  def append(ds: String, tier: String, df: DataFrame): Unit = {
     df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
+    invalidateManifests(ds, tier)
+  }
+
+  /** Drop every published manifest on a tier whose live versions were
+    * just mutated in place (appends). Pure filesystem ops. */
+  private def invalidateManifests(ds: String, tier: String): Unit = {
+    val d = dir(ds, tier)
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".m_"))
+        .toList.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
 
   /** History-tier append with a second physical partition level: a month
     * bucket of `range_start` (srvid=N/bucket=YYYY-MM/). This is the
     * cluster layout — retention purges become whole-directory drops and
     * readback prunes entire months before Parquet stats are even
     * consulted (SCALE.md). */
-  def appendBucketed(ds: String, tier: String, df: DataFrame): Unit =
+  def appendBucketed(ds: String, tier: String, df: DataFrame): Unit = {
     df.withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
       .write.mode("append").partitionBy("srvid", "bucket")
       .parquet(dir(ds, tier).toString)
+    invalidateManifests(ds, tier) // same in-place-mutation hazard as append
+  }
 
   /** Read a bucketed tier, hiding the bucket column again. */
   def readBucketed(ds: String, tier: String, schema: StructType): DataFrame = {

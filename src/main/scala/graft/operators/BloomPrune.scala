@@ -41,12 +41,20 @@ object BloomPrune {
   /** Build the m-bit filter from `df`'s `key` column: the driver
     * receives the DISTINCT bit positions (≤ m ints, bounded by the
     * filter size, never by the build cardinality) and packs them into
-    * m/64 words. */
+    * m/64 words.
+    *
+    * Keys hash through a CANONICAL string form: xxhash64 is
+    * type-sensitive (int 5 and long 5 hash differently), so hashing the
+    * raw columns would turn an int-vs-long key-type mismatch between
+    * the two join sides into silent FALSE NEGATIVES — dropped matching
+    * rows — where the plain join would coerce and match. The string
+    * cast makes build and probe agree for any numeric/string widths at
+    * a small per-row conversion cost. */
   def bloomWords(df: DataFrame, key: Column, mBits: Int,
       kHashes: Int): Array[Long] = {
     require(mBits >= 64 && mBits % 64 == 0 && kHashes >= 1)
     val posCols = (0 until kHashes).map(i =>
-      pmod(xxhash64(lit(i), key), lit(mBits.toLong)))
+      pmod(xxhash64(lit(i), key.cast("string")), lit(mBits.toLong)))
     val positions = df.select(explode(array(posCols: _*)).as("p"))
       .distinct().collect().map(_.getLong(0))
     val words = new Array[Long](mBits / 64)
@@ -57,11 +65,13 @@ object BloomPrune {
   /** Membership test against a literal word array — one codegen'd
     * shift/mask per hash, no shuffle, no join. May return true for a
     * key not in the build set (false positive, removed by the real
-    * join); never false for one that is. */
+    * join); never false for one that is (the canonical string form —
+    * see [[bloomWords]] — holds that guarantee across key-type
+    * mismatches between the sides). */
   def mightContain(key: Column, words: Array[Long], mBits: Int,
       kHashes: Int): Column =
     (0 until kHashes).map { i =>
-      val pos = pmod(xxhash64(lit(i), key), lit(mBits.toLong))
+      val pos = pmod(xxhash64(lit(i), key.cast("string")), lit(mBits.toLong))
       val word = element_at(typedLit(words.toSeq),
         call_function("div", pos, lit(64L)).cast("int") + 1)
       call_function("shiftright", word, (pos % 64).cast("int"))

@@ -34,10 +34,13 @@ object Rolling {
     val clash = aggs.map(_._1).filter(df.columns.contains)
     require(clash.isEmpty,
       s"trailing agg name(s) ${clash.mkString(", ")} collide with input columns")
-    // collision-free working column (same rule as SkewJoin): a user
-    // column named __epoch_us must not be silently replaced and dropped
+    // collision-free working column (same rule as SkewJoin): taken
+    // names include the AGG OUTPUTS too — an agg named __epoch_us
+    // would otherwise clobber the ordering column mid-fold and the
+    // final drop would delete the user's result
+    val taken = df.columns.toSet ++ aggs.map(_._1)
     val epochCol = Iterator.iterate("__epoch_us")(_ + "_")
-      .dropWhile(df.columns.contains).next()
+      .dropWhile(taken.contains).next()
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(epochCol))
       .rangeBetween(-rangeSec * 1000000L, 0L)

@@ -14,12 +14,27 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
 
   /** `df` spread across at least `defaultParallelism` partitions —
-    * a no-op (no round-robin exchange) when it already is. The
-    * partition-count probe (`df.rdd.getNumPartitions`) is PLANNING-time
-    * work only — it builds the physical plan but launches no job and
-    * reads no data. */
+    * a no-op (no round-robin exchange) when it already is.
+    *
+    * The partition probe is gated on the PLAN SHAPE first: under AQE,
+    * materializing `df.rdd` on a plan that contains exchanges EXECUTES
+    * the upstream shuffle stages (AdaptiveSparkPlanExec resolves the
+    * final plan eagerly) — a real double-execution hazard, not a
+    * planning-time peek. So a frame whose plan already shuffles
+    * (join/aggregate/window/sort/explicit repartition) passes through
+    * untouched — its output is `spark.sql.shuffle.partitions`-wide by
+    * construction, i.e. already spread. Only shuffle-free scan-shaped
+    * plans (where `.rdd` is genuinely planning-only) are probed for
+    * their file-partition count. */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val hasShuffle = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: Distinct | _: Deduplicate | _: RepartitionOperation) => p
+    }.isDefined
+    if (hasShuffle) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 }

@@ -176,7 +176,11 @@ class SwapSpec extends AnyFunSuite {
         (0 until 3).foreach(i =>
           Files.write(vdir.resolve(s"part-$i.parquet"), s"v$v".getBytes))
       }
-      Thread.sleep(1) // the swap-cycle floor the retention contract assumes
+      // the swap-cycle floor the retention contract assumes: a reader's
+      // three tiny file reads must fit inside one cycle even when the
+      // thread is briefly descheduled on a loaded box (1 ms was a
+      // flake-width margin; production cycles are 300 s)
+      Thread.sleep(5)
     }
     stop = true
     reader.join()
