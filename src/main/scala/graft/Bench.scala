@@ -88,15 +88,24 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(!_._3)
     val total = results.map(_._2).sum
-    // stdout line stays COMPACT (3-decimal secs, failure count only, no
-    // per-query ok map): the driver captures a bounded log tail, and the
-    // r3 full-detail line overflowed it — "parsed": null, a lost round
-    // of bench numbers. Full detail still lands in the file sink.
+    // The stdout line must survive the driver's BOUNDED log tail: the
+    // r5 line carried all 101 queries (~2.6 KB) and overflowed it —
+    // "parsed": null, a lost round of committed bench numbers (r6
+    // VERDICT item 1). Inline only the round-trip/streaming headline
+    // queries (the ones that dominate the total); the FULL per-query
+    // map + ok flags land in the file sink, which defaults into the
+    // repo root so every driver bench run leaves a committable
+    // artifact.
+    val qsHead = results
+      .filter { case (k, _, _) => roundTrips.exists(k.startsWith) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
     val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"failed":$nFailed,"detail":"$outPath","sf":"$sfDir"}"""
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFailed,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (jsonFull + "\n").getBytes("UTF-8"))

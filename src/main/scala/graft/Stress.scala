@@ -157,13 +157,24 @@ object Stress {
       .filter(col("user_id") % 1000 === 7)
       .withColumn("attr", col("user_id") * 2)
       .localCheckpoint()
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // restore-on-exit: an exception mid-axis must not leave broadcasts
+    // disabled for the rest of the run, and when the key was never
+    // explicitly set the restore is an unset, not a write-back of the
+    // fetched default as an explicit override (round-5 ADVICE)
+    val prevThreshold =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val (plainJoinSec, plainJoinRows) =
-      timed(factRows.join(dim, Seq("user_id")).count())
-    val (bloomSec, bloomRows) = timed(graft.operators.BloomPrune
-      .prunedJoin(factRows, dim, "user_id").count())
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val ((plainJoinSec, plainJoinRows), (bloomSec, bloomRows)) =
+      try {
+        (timed(factRows.join(dim, Seq("user_id")).count()),
+         timed(graft.operators.BloomPrune
+           .prunedJoin(factRows, dim, "user_id").count()))
+      } finally {
+        prevThreshold match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
 
     // Connected-components axis (round 5): an adversarial CHAIN graph —
     // the worst case for min-label propagation (diameter-many rounds).

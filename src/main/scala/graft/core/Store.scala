@@ -114,9 +114,14 @@ final class Store(val spark: SparkSession, root: String) {
   def readPartition(ds: String, tier: String, srvid: Int,
       schema: StructType): DataFrame =
     AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid") match {
-      case Some(files) if files.forall(p =>
+      case Some(files) if files.exists(_.toString.endsWith(".parquet")) &&
+          files.forall(p =>
           // flat version layout only: version-dir/part-file, no
-          // partition subdirectories between them
+          // partition subdirectories between them. A manifest with NO
+          // .parquet entries is ambiguous (a zero-row bucketed rewrite
+          // lists only depth-2 marker files and would pass the forall)
+          // — fall back to the directory scan, which is always
+          // truthful for bucketed layouts (round-5 ADVICE)
           dir(ds, tier).relativize(p).getNameCount == 2) =>
         fromManifestFiles(files, srvid, schema)
       case _ =>
@@ -131,16 +136,20 @@ final class Store(val spark: SparkSession, root: String) {
     Files.isDirectory(partDir(ds, tier, srvid))
 
   /** Append rows (must carry srvid) into the tier, one partition per srvid.
-    * Any manifests on this tier are INVALIDATED afterwards (cheap
-    * directory scan, no Spark job): appended part files land inside the
-    * live version directory through the symlink, so a published
-    * manifest would keep listing only the pre-append files — a silent
-    * missing-rows read. With the manifest gone, readPartition falls
-    * back to the (complete) directory listing; swap-only tiers (the
-    * dimensions) are never appended, so their manifests persist. */
+    * Any manifests on this tier are INVALIDATED first (cheap directory
+    * scan, no Spark job): appended part files land inside the live
+    * version directory through the symlink, so a published manifest
+    * would keep listing only the pre-append files — a silent
+    * missing-rows read. The delete runs BEFORE the parquet write so a
+    * crash mid-append can never leave a stale manifest behind (the
+    * failure mode is then a manifest-less directory fallback, which is
+    * always complete — round-5 ADVICE); with the manifest gone,
+    * readPartition falls back to the directory listing. Swap-only
+    * tiers (the dimensions) are never appended, so their manifests
+    * persist. */
   def append(ds: String, tier: String, df: DataFrame): Unit = {
-    df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
     invalidateManifests(ds, tier)
+    df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
   }
 
   /** Drop every published manifest on a tier whose live versions were
@@ -162,10 +171,10 @@ final class Store(val spark: SparkSession, root: String) {
     * readback prunes entire months before Parquet stats are even
     * consulted (SCALE.md). */
   def appendBucketed(ds: String, tier: String, df: DataFrame): Unit = {
+    invalidateManifests(ds, tier) // before the write — same hazard as append
     df.withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
       .write.mode("append").partitionBy("srvid", "bucket")
       .parquet(dir(ds, tier).toString)
-    invalidateManifests(ds, tier) // same in-place-mutation hazard as append
   }
 
   /** Read a bucketed tier, hiding the bucket column again. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Explicit Bloom-filter join pruning — the runtime-filter pattern as a
   * first-class, deterministic operator: build an m-bit filter from the
@@ -38,6 +39,36 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** Canonical hash type for a pair of key types: BOTH sides cast to
+    * this before hashing, so build and probe hash equal bits exactly
+    * where the join's own coercion would make the values equal.
+    * Integral × integral widens to long; any numeric mix involving a
+    * fractional or decimal goes through double — a double collapse can
+    * only MERGE distinct values (a false positive, removed by the
+    * exact join), never split equal ones, so the no-false-negative
+    * guarantee holds. Type pairs with no safe family (string vs
+    * numeric, date vs timestamp, …) are rejected loudly instead of
+    * risking silently dropped rows (round-5 ADVICE: int 5 hashed "5"
+    * while a decimal build key hashed "5.00"). */
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def numeric(t: DataType): Boolean = integral(t) || (t match {
+    case FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  })
+
+  private[operators] def hashType(a: DataType, b: DataType): DataType =
+    (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if integral(x) && integral(y) => LongType
+      case (x, y) if numeric(x) && numeric(y) => DoubleType
+      case _ => throw new IllegalArgumentException(
+        s"BloomPrune: join key types $a vs $b share no hash-safe " +
+        "family; cast the sides to a common type before pruning")
+    }
+
   /** Build the m-bit filter from `df`'s `key` column: the driver
     * receives the DISTINCT bit positions (≤ m ints, bounded by the
     * filter size, never by the build cardinality) and packs them into
@@ -45,11 +76,14 @@ object BloomPrune {
     *
     * Keys hash through a CANONICAL string form: xxhash64 is
     * type-sensitive (int 5 and long 5 hash differently), so hashing the
-    * raw columns would turn an int-vs-long key-type mismatch between
-    * the two join sides into silent FALSE NEGATIVES — dropped matching
-    * rows — where the plain join would coerce and match. The string
-    * cast makes build and probe agree for any numeric/string widths at
-    * a small per-row conversion cost. */
+    * raw columns would turn a key-type mismatch between the two join
+    * sides into silent FALSE NEGATIVES — dropped matching rows — where
+    * the plain join would coerce and match. `prunedJoin` additionally
+    * pre-casts both sides to [[hashType]]'s resolved common type, so
+    * the string form agrees across the numeric families too (int 5 and
+    * decimal 5.00 both hash as double "5.0"). Callers using
+    * bloomWords/mightContain directly must apply the same cast to both
+    * sides themselves. */
   def bloomWords(df: DataFrame, key: Column, mBits: Int,
       kHashes: Int): Array[Long] = {
     require(mBits >= 64 && mBits % 64 == 0 && kHashes >= 1)
@@ -65,9 +99,9 @@ object BloomPrune {
   /** Membership test against a literal word array — one codegen'd
     * shift/mask per hash, no shuffle, no join. May return true for a
     * key not in the build set (false positive, removed by the real
-    * join); never false for one that is (the canonical string form —
-    * see [[bloomWords]] — holds that guarantee across key-type
-    * mismatches between the sides). */
+    * join); never false for one that is, PROVIDED build and probe keys
+    * were cast to the same resolved common type (see [[hashType]] —
+    * prunedJoin/prunedSemiJoin do this; direct callers must). */
   def mightContain(key: Column, words: Array[Long], mBits: Int,
       kHashes: Int): Column =
     (0 until kHashes).map { i =>
@@ -79,11 +113,15 @@ object BloomPrune {
     }.reduce(_ && _)
 
   /** Inner equi-join with the large side Bloom-pruned before the join
-    * exchange. Result is set-identical to `large.join(small, keys)`. */
+    * exchange. Result is set-identical to `large.join(small, keys)`:
+    * both sides' keys are pre-cast to the resolved common hash type
+    * (see [[hashType]]) so no type-family mismatch can produce a false
+    * negative. */
   def prunedJoin(large: DataFrame, small: DataFrame, key: String,
       mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
-    val words = bloomWords(small, col(key), mBits, kHashes)
-    large.filter(mightContain(col(key), words, mBits, kHashes))
+    val ht = hashType(large.schema(key).dataType, small.schema(key).dataType)
+    val words = bloomWords(small, col(key).cast(ht), mBits, kHashes)
+    large.filter(mightContain(col(key).cast(ht), words, mBits, kHashes))
       .join(small, Seq(key))
   }
 
@@ -92,8 +130,9 @@ object BloomPrune {
     * with the exact semi join. */
   def prunedSemiJoin(large: DataFrame, small: DataFrame, key: String,
       mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
-    val words = bloomWords(small, col(key), mBits, kHashes)
-    large.filter(mightContain(col(key), words, mBits, kHashes))
+    val ht = hashType(large.schema(key).dataType, small.schema(key).dataType)
+    val words = bloomWords(small, col(key).cast(ht), mBits, kHashes)
+    large.filter(mightContain(col(key).cast(ht), words, mBits, kHashes))
       .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 }

@@ -1783,7 +1783,7 @@ object PipelineQueries {
          GROUP BY p.user_id ORDER BY p.user_id""",
     "p51_keyframes" ->
       """WITH f AS (SELECT doc_id, i AS frame_idx, i * 64 AS off,
-                 octet_length(encode(text)) AS nb, text
+                 octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
                -- frame-scan bound: 1024 frames = 64 KiB docs, >100x the
                -- testdata's max n_chars (553); the Spark side scans the
                -- whole payload, so the bound must dominate doc size
@@ -1791,9 +1791,16 @@ object PipelineQueries {
                WHERE i * 64 < octet_length(encode(text))),
           s AS (SELECT doc_id, frame_idx, off,
                   LEAST(nb - off, 64) AS fb,
+                  -- byte-indexed over the BLOB's hex dump: byte k is
+                  -- hex digits [2k+1, 2k+2], so the sum is unsigned
+                  -- UTF-8 BYTES — matching the Spark side's semantics
+                  -- for ANY content, not just ASCII (round-5 ADVICE:
+                  -- ord(substr(text,..)) was char-based and agreed only
+                  -- because the testdata is pure ASCII)
                   list_aggregate(list_transform(
                     range(0, CAST(LEAST(nb - off, 64) AS INTEGER)),
-                    k -> ord(substr(text, CAST(off + k + 1 AS INTEGER), 1))),
+                    k -> ('0x' || substr(hx,
+                      CAST(2 * (off + k) + 1 AS INTEGER), 2))::INT),
                     'sum') AS bsum
                 FROM f),
           l AS (SELECT doc_id, frame_idx, off, fb, bsum // 1024 AS lvl,

@@ -268,6 +268,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom prune: cross-family keys (int vs decimal) stay set-identical") {
+    import spark.implicits._
+    import graft.operators.BloomPrune
+    // round-5 ADVICE: int 5 hashed "5" while a decimal build key hashed
+    // "5.00" — a silent false negative. The common-hash-type cast must
+    // make the mixed-family join equal the plain (coercing) join.
+    val large = (1 to 300).map(i => (i % 50, i.toLong)).toDF("key", "payload")
+    val small = Seq(7, 13, 42).map(k => (BigDecimal(k).setScale(2), s"d$k"))
+      .toDF("key", "attr")
+    val plain = large.join(small, Seq("key"))
+    assert(plain.count() > 0, "fixture must produce matches")
+    val pj = BloomPrune.prunedJoin(large, small, "key", 256, 3)
+    assert(pj.count() === plain.count())
+    assert(pj.except(plain).isEmpty && plain.except(pj).isEmpty)
+    // no hash-safe family (int vs string) → loud refusal, never a
+    // silently-dropped row
+    val strSmall = Seq(("7", "x")).toDF("key", "attr")
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin(large, strSmall, "key")
+    }
+  }
+
   test("histogram merge is lossless and associative across shards") {
     import spark.implicits._
     import graft.pipeline.Sketches
