@@ -52,15 +52,17 @@ object AtomicSwap {
 
   /** Publish the manifest for the freshly flipped version: header line =
     * version dir name, then every regular file as a parent-relative
-    * path. Written to a temp name and atomically renamed over the old
-    * manifest — readers see the old complete list or the new one, never
-    * a partial write. */
+    * path (minus any `exclude`d paths — the logical-delete hook for
+    * deferred bucket drops). Written to a temp name and atomically
+    * renamed over the old manifest — readers see the old complete list
+    * or the new one, never a partial write. */
   private def writeManifest(parent: Path, linkName: String,
-      vdir: Path): Unit = {
+      vdir: Path, exclude: String => Boolean = _ => false): Unit = {
     val files = {
       val s = Files.walk(vdir)
       try s.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(p => parent.relativize(p).toString).toList.sorted
+        .map(p => parent.relativize(p).toString).filterNot(exclude)
+        .toList.sorted
       finally s.close()
     }
     val tmp = parent.resolve(s".mtmp_$linkName")
@@ -71,6 +73,65 @@ object AtomicSwap {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** The live target of `parent/linkName`: the version dir behind the
+    * symlink, the directory itself for a legacy real dir, None when the
+    * partition does not exist. */
+  def liveTarget(parent: Path, linkName: String): Option[Path] = {
+    val dst = parent.resolve(linkName)
+    if (Files.isSymbolicLink(dst))
+      Some(parent.resolve(Files.readSymbolicLink(dst).getFileName.toString))
+    else if (Files.isDirectory(dst)) Some(dst)
+    else None
+  }
+
+  /** Re-walk the live version and atomically replace the manifest —
+    * the commit step after any IN-PLACE mutation of the live version
+    * (batch append, committed-aggregate promotion, logical bucket
+    * drop). `exclude` filters parent-relative paths out of the listing
+    * (deferred bucket drops publish their absence here while the files
+    * stay on disk one more cycle for pinned readers). Deletes the
+    * manifest when the partition is gone. */
+  def republish(parent: Path, linkName: String,
+      exclude: String => Boolean = _ => false): Unit =
+    liveTarget(parent, linkName) match {
+      case Some(v) => writeManifest(parent, linkName, v, exclude)
+      case None =>
+        Files.deleteIfExists(parent.resolve(manifestName(linkName)))
+    }
+
+  /** Append a batch into the live version with the same commit shape as
+    * a swap: `write` produces the batch in an invisible temp dir, ONE
+    * atomic rename moves it into the live version as a dot-prefixed
+    * batch subdirectory (the commit point — readers never observe a
+    * partial batch, matching the job-commit atomicity of a direct
+    * Spark append), then the manifest is republished so pinned readers
+    * pick the batch up. Dot-prefixed batch dirs are invisible to
+    * directory-discovery scans, which is fine: a partition that has
+    * ever been batch-appended always carries a manifest, and manifest
+    * reads open the listed files directly (the same way dim reads
+    * already open files inside dot-prefixed version dirs). Creates the
+    * symlink layout via a full swap when the partition does not exist
+    * yet. Single mutator per link (the per-srvid snapshot lock). */
+  def appendInto(parent: Path, linkName: String)(write: Path => Unit): Unit =
+    liveTarget(parent, linkName) match {
+      case None => replace(parent, linkName)(write)
+      case Some(vdir) =>
+        val tmp = parent.resolve(s".app_$linkName")
+        deleteRecursively(tmp) // leftover from a crash before the rename
+        write(tmp)
+        val batch = vdir.resolve(s".batch_${java.util.UUID.randomUUID}")
+        Files.move(tmp, batch) // commit point
+        republish(parent, linkName)
+    }
+
+  /** Create the symlink layout with an empty live version when the
+    * partition does not exist — used before in-place file promotion
+    * into a partition that may be new. No-op when a live target
+    * already exists. */
+  def ensureLayout(parent: Path, linkName: String): Unit =
+    if (liveTarget(parent, linkName).isEmpty)
+      replace(parent, linkName)(v => Files.createDirectories(v))
 
   /** The manifest read path: absolute paths of the live version's files,
     * from one atomic read — no directory listing, no list-vs-open
@@ -135,24 +196,52 @@ object AtomicSwap {
       Files.deleteIfExists(dst) // dangling link from a partial crash
       Files.createSymbolicLink(dst, vdir.getFileName)
       writeManifest(parent, linkName, vdir)
-      gc(parent, linkName, keep = Set(vdir.getFileName.toString),
-        flipped = ver)
+      // a retained-drop (drop(retainNewest = true)) may have left the
+      // previously live version on disk for its pinned readers — keep
+      // the newest leftover one more cycle, exactly like a swap keeps
+      // its predecessor
+      val leftover = {
+        val sfx = suffix(linkName)
+        if (!Files.isDirectory(parent)) None
+        else {
+          val s = Files.list(parent)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith(".v") && n.endsWith(sfx) &&
+              n != vdir.getFileName.toString)
+            .toList.sortBy(n => scala.util.Try(
+              n.stripPrefix(".v").stripSuffix(sfx).toLong).getOrElse(0L))
+            .lastOption
+          finally s.close()
+        }
+      }
+      gc(parent, linkName,
+        keep = Set(vdir.getFileName.toString) ++ leftover, flipped = ver)
     }
   }
 
   /** Drop the link and every version directory. The pointer goes first,
-    * so readers stop seeing the partition atomically. Like replace(),
-    * drop() assumes a single mutator per link (the per-srvid snapshot
-    * lock / registry lock provide that). */
-  def drop(parent: Path, linkName: String): Unit = {
+    * so readers stop seeing the partition atomically. With
+    * `retainNewest` the version the link pointed at survives on disk
+    * (invisible — dot-prefixed, manifest gone) until the next
+    * replace/drop GC's it, so a reader that pinned the manifest just
+    * before the drop finishes undisturbed — the same one-cycle
+    * retention the swap path gives. Like replace(), drop() assumes a
+    * single mutator per link (the per-srvid snapshot lock / registry
+    * lock provide that). */
+  def drop(parent: Path, linkName: String,
+      retainNewest: Boolean = false): Unit = {
     val dst = parent.resolve(linkName)
+    val retained: Set[String] =
+      if (retainNewest && Files.isSymbolicLink(dst))
+        Set(Files.readSymbolicLink(dst).getFileName.toString)
+      else Set.empty
     // manifest goes first: manifest readers stop resolving the partition
     // before the version dirs under it disappear
     Files.deleteIfExists(parent.resolve(manifestName(linkName)))
     Files.deleteIfExists(parent.resolve(s".mtmp_$linkName"))
     if (Files.isSymbolicLink(dst)) Files.delete(dst)
     else deleteRecursively(dst) // legacy real directory
-    gc(parent, linkName, keep = Set.empty, flipped = Long.MaxValue)
+    gc(parent, linkName, keep = retained, flipped = Long.MaxValue)
   }
 
   /** Delete version dirs not in `keep` plus crash leftovers. Dirs with

@@ -49,14 +49,14 @@ class GenericDatasource(val spec: DatasourceSpec) {
       if (n != 0) {
         val keyCols = spec.keyNames.map(col)
         val recordCol = struct((col("ts") +: spec.counterCols.map(c => col(c.name))): _*)
-        store.append(name, Current,
+        store.appendPartition(name, Current, srvid,
           staged.select(col("srvid") +: keyCols :+ recordCol.as("record"): _*))
         dbSpec.foreach { dbs =>
           val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
           val rolled = staged
             .groupBy(col("srvid"), col("dbid"), col("ts"))
             .agg(aggCols.head, aggCols.tail: _*)
-          store.append(name, CurrentDb, rolled.select(
+          store.appendPartition(name, CurrentDb, srvid, rolled.select(
             col("srvid"), col("dbid"),
             struct((col("ts") +: spec.aggFields.map(f => col(f.name))): _*)
               .as("record")))
@@ -77,8 +77,7 @@ class GenericDatasource(val spec: DatasourceSpec) {
     // create it), so no isEmpty action — the directory probe is the gate
     def one(tierCur: String, tierHist: String, s: DatasourceSpec): Unit =
       if (store.hasPartition(name, tierCur, srvid)) { // no job when idle
-        val cur = store.read(name, tierCur, currentNoSrvid(s))
-          .filter(col("srvid") === srvid)
+        val cur = store.readPartition(name, tierCur, srvid, currentNoSrvid(s))
         store.aggregateCommit(name, tierCur, tierHist,
           srvid, Coalesce.aggregate(cur, s))
       }
@@ -129,12 +128,14 @@ class GenericDatasource(val spec: DatasourceSpec) {
       cutoff: java.sql.Timestamp, tier: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val cutoffMonth = new java.text.SimpleDateFormat("yyyy-MM").format(cutoff)
+    // buckets logically dropped LAST purge have had their one-cycle
+    // retention: physically delete them before this tick's drops
+    store.processDoomedBuckets(name, tier, srvid)
     val (stale, boundary) = store.listBuckets(name, tier, srvid)
       .partition(_ < cutoffMonth)
     stale.foreach(b => store.dropBucket(name, tier, srvid, b))
     if (boundary.contains(cutoffMonth)) { // bucket present => rows present
-      val hist = store.readBucketed(name, tier, schema)
-        .filter(col("srvid") === srvid)
+      val hist = store.readPartition(name, tier, srvid, schema)
       store.overwritePartition(name, tier, srvid,
         Coalesce.purge(hist, cutoff)
           .withColumn("bucket", date_format(col("range_start"), "yyyy-MM")),
@@ -160,10 +161,8 @@ class GenericDatasource(val spec: DatasourceSpec) {
   /** Readback (powa_stat_get_activity shape, :7765-7792). */
   def readSeries(store: Store, srvid: Int, from: java.sql.Timestamp,
       to: java.sql.Timestamp): DataFrame = {
-    val cur = store.read(name, Current, currentNoSrvid(spec))
-      .filter(col("srvid") === srvid)
-    val hist = store.readBucketed(name, History, historyNoSrvid(spec))
-      .filter(col("srvid") === srvid)
+    val cur = store.readPartition(name, Current, srvid, currentNoSrvid(spec))
+    val hist = store.readPartition(name, History, srvid, historyNoSrvid(spec))
     Readback.series(cur, hist, spec, lit(from), lit(to))
   }
 
@@ -175,10 +174,8 @@ class GenericDatasource(val spec: DatasourceSpec) {
       to: java.sql.Timestamp): DataFrame = {
     val dbs = dbSpec.getOrElse(throw new IllegalStateException(
       s"$name has no per-db rollup tier"))
-    val cur = store.read(name, CurrentDb, currentNoSrvid(dbs))
-      .filter(col("srvid") === srvid)
-    val hist = store.readBucketed(name, HistoryDb, historyNoSrvid(dbs))
-      .filter(col("srvid") === srvid)
+    val cur = store.readPartition(name, CurrentDb, srvid, currentNoSrvid(dbs))
+    val hist = store.readPartition(name, HistoryDb, srvid, historyNoSrvid(dbs))
     Readback.series(cur, hist, dbs, lit(from), lit(to))
   }
 

@@ -74,13 +74,13 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
             dim.unionByName(missing).withColumn("srvid", lit(srvid)))
 
         // per-qual metric records → generic current tier (:7144-7153)
-        store.append(name, Current, staged.select(
+        store.appendPartition(name, Current, srvid, staged.select(
           col("srvid") +: spec.keyNames.map(col) :+
             struct(col("ts") +: spec.counterCols.map(c => col(c.name)): _*)
               .as("record"): _*))
 
         // constvalues rows → their own tier, input of the top-K operator
-        store.append(name, Constvalues, staged.select(
+        store.appendPartition(name, Constvalues, srvid, staged.select(
           col("srvid"), col("qualid"), col("queryid"), col("dbid"),
           col("userid"), col("ts"), col("constvalues"),
           col("occurences"), col("execution_count"), col("nbfiltered"),
@@ -177,8 +177,8 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
   override def aggregate(store: Store, srvid: Int): Unit = {
     super.aggregate(store, srvid)
     if (store.hasPartition(name, Constvalues, srvid)) { // dir => rows
-      val cv = store.read(name, Constvalues, constvaluesSchema)
-        .filter(col("srvid") === srvid)
+      val cv = store.readPartition(name, Constvalues, srvid,
+        constvaluesSchema)
       store.aggregateCommit(name, Constvalues, ConstvaluesHistory,
         srvid, aggregateConstvalues(cv))
     }
@@ -201,8 +201,8 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
   }
 
   def readConstvaluesHistory(store: Store, srvid: Int): DataFrame =
-    store.readBucketed(name, ConstvaluesHistory, constvaluesHistorySchema)
-      .filter(col("srvid") === srvid)
+    store.readPartition(name, ConstvaluesHistory, srvid,
+      constvaluesHistorySchema)
 
   override def reset(store: Store, srvid: Int): Unit = {
     super.reset(store, srvid)

@@ -64,7 +64,7 @@ object StatementsPipeline {
 
       // by_query: per-entity records into current (:4046-4068)
       val keyCols = spec.keyNames.map(col)
-      store.append(spec.name, GenericDatasource.Current,
+      store.appendPartition(spec.name, GenericDatasource.Current, srvid,
         cached.select(
           lit(srvid).as("srvid") +: keyCols :+
             struct(col("ts") +: spec.counterCols.map(c => col(c.name)): _*)
@@ -72,7 +72,7 @@ object StatementsPipeline {
 
       // by_database: rollup into current_db (:4070-4094)
       val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
-      store.append(spec.name, GenericDatasource.CurrentDb,
+      store.appendPartition(spec.name, GenericDatasource.CurrentDb, srvid,
         cached.groupBy(col("dbid"), col("ts"))
           .agg(aggCols.head, aggCols.tail: _*)
           .select(

@@ -40,30 +40,61 @@ final class Store(val spark: SparkSession, root: String) {
   private def partDir(ds: String, tier: String, srvid: Int): Path =
     dir(ds, tier).resolve(s"srvid=$srvid")
 
-  /** Read one tier; empty-but-correctly-shaped frame when absent. `schema`
-    * excludes srvid (partition column re-added by the reader). */
+  /** Read one tier across every server; empty-but-correctly-shaped frame
+    * when absent. `schema` excludes srvid (re-added by the reader).
+    *
+    * The scan is assembled per partition, manifest-first (see
+    * [[readPartition]]): each server resolves through its atomic
+    * manifest when one exists, so multi-partition scans carry the same
+    * no-list-vs-open guarantee as single-partition ones, and batch
+    * appends (dot-prefixed subdirs a directory listing would hide) are
+    * visible. The per-partition union costs nothing at execution: the
+    * srvid column is a literal per branch, so a `WHERE srvid = ?`
+    * filter constant-folds every other branch to an empty relation at
+    * optimize time — planning-time partition pruning, the same work
+    * the directory scan's PartitionFilters did. */
   def read(ds: String, tier: String, schema: StructType): DataFrame = {
-    val d = dir(ds, tier)
-    val hasData = Files.isDirectory(d) && {
-      val s = Files.list(d)
-      try s.filter(p => p.getFileName.toString.startsWith("srvid="))
-        .findFirst.isPresent
-      finally s.close()
-    }
-    val srvidField = org.apache.spark.sql.types.StructField(
-      "srvid", org.apache.spark.sql.types.IntegerType)
-    val dataFields = schema.fields.filterNot(_.name == "srvid")
-    if (hasData) {
-      val df = spark.read
-        .schema(StructType(dataFields :+ srvidField))
-        .parquet(d.toString)
-      // normalize column order: srvid first (partition cols read back last)
-      df.select((col("srvid") +: dataFields.toSeq.map(f => col(f.name))): _*)
-    } else {
+    val srvids = listSrvids(ds, tier)
+    if (srvids.isEmpty) {
+      val dataFields = schema.fields.filterNot(_.name == "srvid")
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(srvidField +: dataFields))
+        StructType(org.apache.spark.sql.types.StructField("srvid",
+          org.apache.spark.sql.types.IntegerType) +: dataFields))
+    } else
+      srvids.map(n => readPartition(ds, tier, n, schema)).reduce(_.union(_))
+  }
+
+  /** Visible srvid partitions of a tier (links or real dirs). */
+  private def listSrvids(ds: String, tier: String): Seq[Int] = {
+    val d = dir(ds, tier)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("srvid="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("srvid=").toInt).toOption)
+        .toList.sorted
+      finally s.close()
     }
+  }
+
+  /** Directory-listing read of ONE server's partition — the fallback
+    * when no manifest exists (staging's hive-style appends, legacy
+    * layouts). Sub-partition directories (`bucket=`) surface as extra
+    * discovered columns and are projected away by the schema select. */
+  private def readPartitionDir(ds: String, tier: String, srvid: Int,
+      schema: StructType): DataFrame = {
+    val dataFields = schema.fields.filterNot(_.name == "srvid")
+    val p = partDir(ds, tier, srvid)
+    val df =
+      if (!Files.isDirectory(p))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(dataFields))
+      else spark.read.schema(StructType(dataFields)).parquet(p.toString)
+    df.select(org.apache.spark.sql.functions.lit(srvid).as("srvid") +:
+      dataFields.toSeq.map(f => col(f.name)): _*)
   }
 
   /** Build the manifest-pinned frame from an already-read file list
@@ -97,35 +128,26 @@ final class Store(val spark: SparkSession, root: String) {
     AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid")
       .map(fromManifestFiles(_, srvid, schema))
 
-  /** Single-partition read, manifest-first: a swap-written FLAT
-    * partition (dimension tables) resolves through its atomic manifest
-    * — version-pinned paths, no list-vs-open window — and anything else
-    * falls back to the directory scan + srvid filter. BUCKETED
-    * partitions always take the fallback, detected from the SAME
-    * manifest snapshot the files come from (nested `bucket=`-style
-    * paths): a bare-path read would return the directory-encoded column
-    * as null, and later dropBucket/appendBucketed mutate inside the
-    * live version without republishing the manifest, so the directory
-    * is the only truthful listing there. (append() on a flat
-    * swap-written partition INVALIDATES the manifest for the same
-    * reason — see append.) The engine's dimension readbacks go through
-    * here, so the manifest path is exercised by every dim lifecycle
-    * oracle query. */
+  /** Single-partition read, manifest-first — THE default read path for
+    * every per-server tier scan (dims, current tiers, bucketed history
+    * tiers alike): the file list comes from one atomic manifest read of
+    * version-pinned immutable paths, so there is no list-vs-open window
+    * against any concurrent mutation. Every mutation path now keeps the
+    * manifest truthful — swaps publish at the flip, batch appends and
+    * committed-aggregate promotions republish after their commit
+    * rename, bucket drops republish-excluding before deferring the
+    * physical delete — so a manifest, when present, IS the partition
+    * (including an empty list for a legitimately empty partition).
+    * Bucket directory columns are never needed on read (every history
+    * schema carries range_start; the bucket is derived, not stored), so
+    * nested bucket paths read fine against the plain schema. Only a
+    * partition with no manifest at all (staging, a never-swapped legacy
+    * layout) falls back to the directory scan + srvid filter. */
   def readPartition(ds: String, tier: String, srvid: Int,
       schema: StructType): DataFrame =
     AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid") match {
-      case Some(files) if files.exists(_.toString.endsWith(".parquet")) &&
-          files.forall(p =>
-          // flat version layout only: version-dir/part-file, no
-          // partition subdirectories between them. A manifest with NO
-          // .parquet entries is ambiguous (a zero-row bucketed rewrite
-          // lists only depth-2 marker files and would pass the forall)
-          // — fall back to the directory scan, which is always
-          // truthful for bucketed layouts (round-5 ADVICE)
-          dir(ds, tier).relativize(p).getNameCount == 2) =>
-        fromManifestFiles(files, srvid, schema)
-      case _ =>
-        read(ds, tier, schema).filter(col("srvid") === srvid)
+      case Some(files) => fromManifestFiles(files, srvid, schema)
+      case None => readPartitionDir(ds, tier, srvid, schema)
     }
 
   /** Does this server have any data in the tier? A pure directory probe
@@ -152,6 +174,23 @@ final class Store(val spark: SparkSession, root: String) {
     df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
   }
 
+  /** Single-server append with manifest-pinned visibility — the default
+    * for the current tiers: the batch is written invisibly, committed
+    * into the live version with ONE atomic rename, and the republished
+    * manifest is what makes it readable (AtomicSwap.appendInto). `df`
+    * must belong entirely to `srvid` and the caller must hold that
+    * server's snapshot lock (every engine append site does). Unlike
+    * [[append]], the partition's manifest stays valid throughout, so
+    * concurrent readPartition readers see the complete pre-batch or
+    * complete post-batch state — never a torn append, and never a
+    * FileNotFound from a racing aggregate's partition drop (dropped
+    * versions are retained one cycle — AtomicSwap.drop). */
+  def appendPartition(ds: String, tier: String, srvid: Int,
+      df: DataFrame): Unit =
+    AtomicSwap.appendInto(dir(ds, tier), s"srvid=$srvid") { tmp =>
+      df.drop("srvid").write.parquet(tmp.toString)
+    }
+
   /** Drop every published manifest on a tier whose live versions were
     * just mutated in place (appends). Pure filesystem ops. */
   private def invalidateManifests(ds: String, tier: String): Unit = {
@@ -177,29 +216,122 @@ final class Store(val spark: SparkSession, root: String) {
       .parquet(dir(ds, tier).toString)
   }
 
-  /** Read a bucketed tier, hiding the bucket column again. */
-  def readBucketed(ds: String, tier: String, schema: StructType): DataFrame = {
-    val withBucket = StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField(
-        "bucket", org.apache.spark.sql.types.StringType))
-    read(ds, tier, withBucket).drop("bucket")
-  }
+  /** Read a bucketed tier. The bucket is a derived physical column
+    * (date_format of range_start), never part of the logical schema, so
+    * this is a plain tier read: manifest-pinned paths ignore the bucket
+    * directory level entirely and the directory fallback projects the
+    * discovered column away. */
+  def readBucketed(ds: String, tier: String, schema: StructType): DataFrame =
+    read(ds, tier, schema)
 
-  /** Month buckets currently present for one server. */
+  /** Month buckets LOGICALLY present for one server: the physical
+    * directory listing minus buckets doomed by a deferred drop (their
+    * files are retained one cycle for pinned readers but they are
+    * deleted data — re-listing them would make retention purge re-drop
+    * forever). */
   def listBuckets(ds: String, tier: String, srvid: Int): Seq[String] = {
     val p = partDir(ds, tier, srvid)
     if (!Files.isDirectory(p)) Seq.empty
     else {
+      val doomed = doomMarkers(ds, tier, srvid)
+        .map { case (_, b) => b.stripPrefix("bucket=") }.toSet
       val s = Files.list(p)
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=")).toList.sorted
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket="))
+        .filterNot(doomed).toList.sorted
       finally s.close()
     }
   }
 
-  /** Drop one month bucket — the O(1) arm of retention purge. */
-  def dropBucket(ds: String, tier: String, srvid: Int, bucket: String): Unit =
-    deleteRecursively(partDir(ds, tier, srvid).resolve(s"bucket=$bucket"))
+  /** Public face of [[processDooms]] — the purge pass calls it at the
+    * top of each tick so a bucket doomed last purge is physically
+    * deleted this purge (one full cycle of retention, the same
+    * contract as swap predecessor GC). */
+  def processDoomedBuckets(ds: String, tier: String, srvid: Int): Unit =
+    processDooms(ds, tier, srvid)
+
+  // ---- deferred bucket drops (logical delete + one-cycle retention) --
+  //
+  // A physical bucket delete under a concurrent manifest-pinned reader
+  // is a FileNotFound; the reference's MVCC keeps dropped rows visible
+  // to in-flight snapshots. The bucket drop therefore happens in two
+  // stages: (1) LOGICAL — republish the manifest without the bucket's
+  // files (readers planning from now on never see them) and write a
+  // doom marker naming (version dir, bucket); (2) PHYSICAL — the next
+  // dropBucket on the same partition processes previous markers and
+  // deletes the files, one purge cycle later. Markers name the exact
+  // version directory they doomed, so a swap rewrite in between (which
+  // may legitimately re-create the bucket in a new version) can never
+  // be damaged — stale markers point into retained-or-GC'd old versions
+  // and resolve to no-ops. Crash between republish and marker write
+  // leaks the bucket's files until the version dies at the next swap —
+  // a bounded storage leak, never a wrong or failed read.
+
+  private def doomPrefix(srvid: Int) = s".doom_srvid=${srvid}__"
+
+  private def doomMarkers(ds: String, tier: String,
+      srvid: Int): Seq[(String, String)] = {
+    val d = dir(ds, tier)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(doomPrefix(srvid)))
+        .map(_.stripPrefix(doomPrefix(srvid)).split("__", 2))
+        .collect { case Array(ver, bucket) => (ver, bucket) }.toList
+      finally s.close()
+    }
+  }
+
+  /** Physically delete previously-doomed buckets (their one-cycle
+    * retention is over) and clear the markers. */
+  private def processDooms(ds: String, tier: String, srvid: Int): Unit =
+    doomMarkers(ds, tier, srvid).foreach { case (ver, bucket) =>
+      deleteRecursively(dir(ds, tier).resolve(ver).resolve(bucket))
+      Files.deleteIfExists(
+        dir(ds, tier).resolve(doomPrefix(srvid) + ver + "__" + bucket))
+    }
+
+  /** Clear markers WITHOUT deleting data — after a swap or partition
+    * drop the doomed files live only in a retained old version, which
+    * dies wholesale at the next swap's GC. */
+  private def clearDooms(ds: String, tier: String, srvid: Int): Unit =
+    doomMarkers(ds, tier, srvid).foreach { case (ver, bucket) =>
+      Files.deleteIfExists(
+        dir(ds, tier).resolve(doomPrefix(srvid) + ver + "__" + bucket))
+    }
+
+  /** Exclusion filter for manifest republish: every doomed
+    * (version, bucket) prefix, plus optionally one more being doomed
+    * right now. */
+  private def doomExclusion(ds: String, tier: String, srvid: Int,
+      extra: Option[(String, String)] = None): String => Boolean = {
+    val doomed = doomMarkers(ds, tier, srvid).toSet ++ extra
+    rel => doomed.exists { case (ver, b) => rel.startsWith(s"$ver/$b/") }
+  }
+
+  /** Drop one month bucket — the O(1) arm of retention purge. On the
+    * symlink layout this is the two-stage logical drop above; on a
+    * legacy real-directory partition it is the plain recursive delete
+    * (no manifest exists there, so no reader can be pinned to it). */
+  def dropBucket(ds: String, tier: String, srvid: Int, bucket: String): Unit = {
+    val link = s"srvid=$srvid"
+    val d = dir(ds, tier)
+    if (Files.isSymbolicLink(d.resolve(link))) {
+      processDooms(ds, tier, srvid)
+      val bucketDir = partDir(ds, tier, srvid).resolve(s"bucket=$bucket")
+      if (Files.isDirectory(bucketDir)) {
+        val ver = Files.readSymbolicLink(d.resolve(link))
+          .getFileName.toString
+        AtomicSwap.republish(d, link,
+          doomExclusion(ds, tier, srvid, Some((ver, s"bucket=$bucket"))))
+        Files.write(
+          d.resolve(doomPrefix(srvid) + ver + "__" + s"bucket=$bucket"),
+          Array.emptyByteArray)
+      }
+    } else
+      deleteRecursively(partDir(ds, tier, srvid).resolve(s"bucket=$bucket"))
+  }
 
   /** Replace a single server's partition with `df` (rows must all belong
     * to that srvid). Equivalent of `DELETE … WHERE srvid = ?; INSERT …`.
@@ -218,19 +350,30 @@ final class Store(val spark: SparkSession, root: String) {
     * is the one-time conversion of a legacy real directory into the
     * symlink layout (two renames apart). */
   def overwritePartition(ds: String, tier: String, srvid: Int, df: DataFrame,
-      partitionCols: Seq[String] = Nil): Unit =
+      partitionCols: Seq[String] = Nil): Unit = {
     AtomicSwap.replace(dir(ds, tier), s"srvid=$srvid") { vdir =>
       val w = df.drop("srvid").write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(vdir.toString)
     }
+    // doomed buckets lived in the now-predecessor version: the marker's
+    // job (keep them out of the manifest) is done — the old version
+    // dies wholesale at the next swap's GC, files included
+    clearDooms(ds, tier, srvid)
+  }
 
   /** Drop one server's partition — `DELETE FROM … WHERE srvid = ?`
     * (e.g. staging drain powa--5.2.0.sql:4102-4104, reset :6359-6429).
     * Removes the live pointer first (readers stop seeing the partition
-    * atomically), then any version directories. */
-  def dropPartition(ds: String, tier: String, srvid: Int): Unit =
-    AtomicSwap.drop(dir(ds, tier), s"srvid=$srvid")
+    * atomically); on the symlink layout the dropped version is RETAINED
+    * one cycle for manifest-pinned in-flight readers (GC'd at the next
+    * replace/drop — AtomicSwap.drop), while legacy real directories
+    * (staging, whose only reader is the lock-holding snapshot) delete
+    * immediately. */
+  def dropPartition(ds: String, tier: String, srvid: Int): Unit = {
+    AtomicSwap.drop(dir(ds, tier), s"srvid=$srvid", retainNewest = true)
+    clearDooms(ds, tier, srvid)
+  }
 
   // ---- atomic aggregate commit --------------------------------------
   //
@@ -289,10 +432,21 @@ final class Store(val spark: SparkSession, root: String) {
 
   /** Steps 4–5: move committed buckets into the visible partition. File
     * moves are idempotent by name (Spark part files carry a UUID), so a
-    * crashed promotion can simply be re-run. */
+    * crashed promotion can simply be re-run. The partition is given the
+    * symlink layout first (moves resolve through the link into the live
+    * version), and the manifest is republished at the end so pinned
+    * readers pick the promoted rows up — until then they read the
+    * complete pre-promotion state. */
   private def promoteCommitted(ds: String, histTier: String, srvid: Int): Unit = {
     val inflight = committedDir(ds, histTier, srvid)
     if (!Files.isDirectory(inflight)) return
+    // resolve pending bucket dooms FIRST: promoting new files into a
+    // still-doomed bucket directory would put them under the doom
+    // exclusion (silently invisible) and the deferred delete would
+    // destroy them. Cutting the doomed bucket's retention short here is
+    // within contract — the doom and this promote are two mutations.
+    processDooms(ds, histTier, srvid)
+    AtomicSwap.ensureLayout(dir(ds, histTier), s"srvid=$srvid")
     val dst = partDir(ds, histTier, srvid)
     val children = Files.list(inflight)
     try children.iterator().asScala.toList.foreach { b =>
@@ -315,6 +469,8 @@ final class Store(val spark: SparkSession, root: String) {
       }
     } finally children.close()
     deleteRecursively(inflight)
+    AtomicSwap.republish(dir(ds, histTier), s"srvid=$srvid",
+      doomExclusion(ds, histTier, srvid))
   }
 
   /** Resolve one (possibly crashed) aggregate: roll back if the commit

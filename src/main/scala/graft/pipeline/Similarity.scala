@@ -431,4 +431,80 @@ object Similarity {
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
   }
+
+  /** IVF-PQ composed index — the production ANN layout at corpus scale
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): a coarse IVF cell prunes the corpus to the query's cell,
+    * the in-cell candidates are scored by the PQ asymmetric-distance
+    * table, and the ADC top `candidates` get an EXACT cosine re-rank —
+    * which is what makes the final ranking oracle-verifiable (the
+    * approximate stages only select a deterministic candidate set; the
+    * scores that order the output are exact).
+    *
+    * All three stages keep the established scale shapes: the IVF
+    * codebook and the PQ codebooks are driver-resident literals
+    * (bounded by index parameters, never by corpus size), cell
+    * assignment and ADC fuse into pure projections on ONE corpus scan,
+    * and the two rank stages are TakeOrdered over `candidates` ≪
+    * corpus rows. At 10^9 vectors the cell id doubles as the physical
+    * partition key, so the probe reads one partition, scores it at
+    * memory bandwidth, and exactly re-ranks a constant-size tail —
+    * nothing in the plan grows with corpus size except the pruned
+    * scan. Determinism: integer-e4 PQ distances and `(adc, id)` /
+    * `(cos desc, id)` tie-breaks at both rank stages.
+    *
+    * `candidates` trades recall for re-rank cost exactly like nprobe
+    * in a production IVF-PQ; PropertySpec pins that a full-cell budget
+    * recovers brute-force top-k whenever the true neighbors share the
+    * query's cell. */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, dim: Int, nCentroids: Int, m: Int, k: Int,
+      iters: Int, candidates: Int, topK: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val subDim = dim / m
+    // coarse stage: sampled IVF codebook (ids < nCentroids), max-cosine
+    // cell as a zero-exchange projection — same form as ivfTopKWith
+    val e = embeddings.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val coarse: Seq[(Long, Seq[Double])] = e
+      .filter(col("id") < nCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val cellOf = -array_max(array(coarse.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("ccos"), lit(-cid).as("ncid"))
+    }: _*)).getField("ncid")
+    // PQ stage: corpus-trained integer codebooks, ADC against the
+    // query's distance table — same form as pqTopK, over the cell only
+    val cents = pqCodebook(embeddings, idCol, vecCol, dim, m, k, iters)
+    val qRow = e.filter(col("id") === queryId)
+      .withColumn("cell", cellOf)
+      .select(col("v"), col("cell")).collect()(0)
+    val qv = qRow.getSeq[Double](0).toSeq
+    val qcell = qRow.getLong(1)
+    val qvE4v: Seq[Long] = qv.map(x => math.floor(x * 10000).toLong)
+    def subCol(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val adc = (0 until m).map { s =>
+      val qs = qvE4v.slice(s * subDim, (s + 1) * subDim)
+      array_max(array(cents(s).map { case (cid, cv) =>
+        struct((-dist2Int(subCol(s), cv)).as("nd"), lit(-cid).as("nc"),
+          lit(d2(qs, cv)).as("qd"))
+      }: _*)).getField("qd")
+    }.reduce(_ + _)
+    val inCell = e.filter(col("id") =!= queryId)
+      .withColumn("cell", cellOf).filter(col("cell") === qcell)
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * 10000).cast("long")))
+    val shortlist = inCell
+      .select(col("id"), col("v"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(candidates)
+    // exact stage: cosine against the literal query vector, re-ranked
+    shortlist
+      .select(col("id").as("vec_id"), col("adc_dist"),
+        cosine(col("v"), typedLit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
+  }
 }
