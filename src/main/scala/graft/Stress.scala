@@ -144,6 +144,15 @@ object Stress {
         queryId = 0L, dim = 64, m = 8, k = 16, iters = 1,
         topK = 100).count())
 
+    // IVF-PQ composed axis (round 6): coarse prune + in-cell ADC +
+    // exact re-rank — train+probe wall-clock must track the PQ axis
+    // (the composition adds one cell projection and a 100-row re-rank,
+    // not a new data-volume stage).
+    val (ivfpqSec, ivfpqRows) = timed(
+      graft.pipeline.Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        queryId = 0L, dim = 64, nCentroids = 16, m = 8, k = 16, iters = 1,
+        candidates = 100, topK = 10).count())
+
     // Bloom-prune axis (round 5), measured in the regime the operator
     // exists for: the build side too big to BROADCAST (threshold off —
     // at 100 TB a 10^8-key dimension exceeds any broadcast budget), so
@@ -210,6 +219,7 @@ object Stress {
       s""""chunk_sec":$chunkSec,"chunk_docs_per_sec":${(chunkDocs / chunkSec).toLong},""" +
       s""""pairs_sec":$pairsSec,"pairs_docs_per_sec":${(nDocs / pairsSec).toLong},"top_pairs":$nPairs,""" +
       s""""pq_sec":$pqSec,"pq_rows":$pqRows,""" +
+      s""""ivfpq_sec":$ivfpqSec,"ivfpq_rows":$ivfpqRows,""" +
       s""""cc_chain_len":$chainLen,"cc_rounds":$ccRounds,""" +
       s""""cc_sec":$ccSec,"cc_correct":$ccOk,""" +
       s""""plain_join_sec":$plainJoinSec,"bloom_join_sec":$bloomSec,""" +

@@ -737,6 +737,16 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // IVF-PQ composed ANN: coarse cell prune → in-cell PQ ADC shortlist
+  // → exact cosine re-rank — the production index layout; the exact
+  // final ranking is what makes it oracle-verifiable
+  private def p60(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 100L, dim = 64, nCentroids = 8, m = 8, k = 4, iters = 1,
+        candidates = 20, topK = 5)
+      .select(col("vec_id"), col("adc_dist"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+
   // unigram surprisal quality score: integer bit-length ≈ log2(N/tf),
   // the engine-exact perplexity-filter stand-in
   private def p58(s: SparkSession, d: String): DataFrame =
@@ -926,7 +936,8 @@ object PipelineQueries {
     "p56_rolling_window" -> (p56 _),
     "p57_negative_pairs" -> (p57 _),
     "p58_surprisal" -> (p58 _),
-    "p59_knn_join" -> (p59 _))
+    "p59_knn_join" -> (p59 _),
+    "p60_ivfpq_ann" -> (p60 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1922,5 +1933,70 @@ object PipelineQueries {
                 FROM sc)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
                  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
-          FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "p60_ivfpq_ann" -> {
+      // IVF-PQ composed: p14's sampled-IVF cell assignment (8 cells,
+      // max-cosine, tie → lowest cid) + p39's integer-e4 PQ training
+      // (m=8 subspaces, k=4, one Lloyd iteration) restricted to the
+      // query's cell, ADC top-20 shortlist, exact cosine re-rank top-5
+      def cosSql(a: String, b: String): String =
+        s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+            (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+             sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                   FROM e CROSS JOIN c),
+          cell AS (SELECT vec_id, v, cid AS cell FROM (
+                     SELECT vec_id, v, cid, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                     FROM asg0) WHERE rn = 1),
+          q AS (SELECT v AS qv, cell AS qcell FROM cell WHERE vec_id = 100),
+          qe AS (SELECT vec_id AS id, i // 8 AS sub, i % 8 AS spos,
+                   CAST(floor(v[i+1] * 10000) AS BIGINT) AS val
+                 FROM e, range(0, 64) t(i)),
+          c0 AS (SELECT id AS cid, sub, spos, val FROM qe WHERE id < 4),
+          d1 AS (SELECT qe.id, qe.sub, c0.cid,
+                   CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c0 ON qe.sub = c0.sub AND qe.spos = c0.spos
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d1) WHERE rn = 1),
+          c1 AS (SELECT a1.sub, a1.cid, qe.spos,
+                   CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                 FROM a1 JOIN qe ON a1.id = qe.id AND a1.sub = qe.sub
+                 GROUP BY 1, 2, 3),
+          d2 AS (SELECT qe.id, qe.sub, c1.cid,
+                   CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c1 ON qe.sub = c1.sub AND qe.spos = c1.spos
+                 GROUP BY 1, 2, 3),
+          a2 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+          dt AS (SELECT c1.sub, c1.cid,
+                   CAST(SUM((qq.val - c1.val) * (qq.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM (SELECT sub, spos, val FROM qe WHERE id = 100) qq
+                 JOIN c1 ON qq.sub = c1.sub AND qq.spos = c1.spos
+                 GROUP BY 1, 2),
+          adc AS (SELECT a2.id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
+                  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid
+                  GROUP BY a2.id),
+          short AS (SELECT cm.vec_id, cm.v, adc.adc_dist,
+                      ROW_NUMBER() OVER (ORDER BY adc.adc_dist, cm.vec_id)
+                        AS rn
+                    FROM cell cm JOIN adc ON adc.id = cm.vec_id
+                    JOIN q ON cm.cell = q.qcell
+                    WHERE cm.vec_id != 100),
+          rr AS (SELECT s.vec_id, s.adc_dist, ${cosSql("s.v", "q.qv")} AS cos
+                 FROM short s, q WHERE s.rn <= 20)
+          SELECT vec_id, adc_dist,
+                 CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 5"""
+    })
 }

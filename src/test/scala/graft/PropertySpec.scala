@@ -435,4 +435,50 @@ class PropertySpec extends AnyFunSuite {
       assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
     }
   }
+
+  test("ivf-pq recall: full-cell budget recovers brute-force top-k " +
+      "when true neighbors share the query's cell") {
+    import spark.implicits._
+    // clustered corpus by construction: ids 0-7 are the cluster centers
+    // AND the sampled IVF codebook (ivfPqTopK samples ids < nCentroids),
+    // members are tiny jitters of their center, so every vector's true
+    // nearest neighbors live in its own cluster = its own IVF cell.
+    // With candidates >= cell size the ADC shortlist cannot drop an
+    // in-cell candidate, and the exact re-rank makes the composed
+    // result EQUAL brute force — recall 1.0, scores included. This pins
+    // the composition plumbing (cell restriction, shortlist, re-rank);
+    // the lossy-budget regime is the Stress axis's job.
+    val dim = 16
+    val nClusters = 8
+    def center(c: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == 2 * c) 1.0f else 0.05f)
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until nClusters).map(c => (c.toLong, center(c))) ++
+        (8 until 104).map { id =>
+          val c = id % nClusters
+          val v = center(c).clone()
+          // deterministic member jitter on the cluster's odd position
+          v(2 * c + 1) = v(2 * c + 1) + ((id * 37) % 11).toFloat / 1000f
+          (id.toLong, v)
+        }
+    val emb = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val queryId = 50L // cluster 2
+    val k = 5
+    val brute = graft.pipeline.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queryId, k)
+      .select(col("vec_id"), graft.pipeline.TextOps.ppm(col("cos")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val composed = graft.pipeline.Similarity
+      .ivfPqTopK(emb, "vec_id", "embedding", queryId, dim = dim,
+        nCentroids = nClusters, m = 4, k = 4, iters = 1,
+        candidates = 1000, topK = k)
+      .select(col("vec_id"), graft.pipeline.TextOps.ppm(col("cos")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sanity: the true neighbors really are in-cluster (else the test
+    // would vacuously pass on a degenerate construction)
+    assert(brute.forall { case (id, _) => id % nClusters == 2 || id == 2 },
+      s"construction broken: brute top-k left the cluster: $brute")
+    assert(composed === brute,
+      s"composed $composed != brute $brute")
+  }
 }
