@@ -201,6 +201,26 @@ object Stress {
     val ccOk = ccLabels.filter(col("lbl") =!= 0L).isEmpty
     val ccSec = (System.nanoTime() - t0cc) / 1e9
 
+    // Incremental-CC axis (round 6): fold a SECOND resolved chain into
+    // the existing forest through one bridge edge — the append-batch
+    // regime. Both priors are depth-1 star forests, so the merge is
+    // shallow-tree flattening: rounds must stay small and independent
+    // of the chain length (the batch run above needed O(log n) rounds
+    // on the raw chain; the incremental run re-converges in a handful
+    // regardless of mult).
+    val chain2Nodes = spark.range(chainLen, 2 * chainLen)
+      .select(col("id").as("doc_id")).localCheckpoint()
+    val prior = ccLabels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .union(chain2Nodes.select(col("doc_id"), lit(chainLen).as("cluster")))
+      .localCheckpoint()
+    val bridge = spark.range(1).select(lit(chainLen - 1).as("i"),
+      lit(chainLen).as("j"))
+    val t0incr = System.nanoTime()
+    val (incrLabels, incrRounds) = graft.pipeline.Dedup
+      .ccIncrementalWithRounds(prior, bridge, "doc_id")
+    val incrOk = incrLabels.filter(col("cluster") =!= 0L).isEmpty
+    val incrSec = (System.nanoTime() - t0incr) / 1e9
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
@@ -222,6 +242,8 @@ object Stress {
       s""""ivfpq_sec":$ivfpqSec,"ivfpq_rows":$ivfpqRows,""" +
       s""""cc_chain_len":$chainLen,"cc_rounds":$ccRounds,""" +
       s""""cc_sec":$ccSec,"cc_correct":$ccOk,""" +
+      s""""cc_incr_rounds":$incrRounds,"cc_incr_sec":$incrSec,""" +
+      s""""cc_incr_correct":$incrOk,""" +
       s""""plain_join_sec":$plainJoinSec,"bloom_join_sec":$bloomSec,""" +
       s""""join_rows":$plainJoinRows,"bloom_rows_match":${plainJoinRows == bloomRows},""" +
       s""""sf":"$sfDir"}"""

@@ -329,17 +329,41 @@ object Dedup {
     * drives a 1024-node chain through it and counts the rounds). At
     * convergence the edge set is a star forest rooted at each
     * component's minimum id. */
+  /** (edge count, order-independent edge checksum) in ONE cheap job
+    * over a materialized edge set — the convergence fast path's
+    * fingerprint. Inequality PROVES the sets differ; equality only
+    * licenses running the authoritative set compare. */
+  private def edgeFingerprint(e: DataFrame): (Long, Long) = {
+    // XOR-fold, not SUM: order-independent like sum but cannot hit the
+    // ANSI long-overflow error; duplicate-pair cancellation is moot on
+    // a distinct()'d edge set
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))),
+        lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   private[graft] def ccStarsWithRounds(edges: DataFrame, nodes: DataFrame,
       idCol: String): (DataFrame, Int) = {
     var e = edges.select(col("i").as("u"), col("j").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var rounds = 0
     var done = e.isEmpty
+    var fp = if (done) (0L, 0L) else edgeFingerprint(e)
     while (!done) {
       val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
       rounds += 1
-      // set equality of two distinct edge sets = empty symmetric diff
-      done = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // convergence fast path (r6 VERDICT item 7): in the common
+      // shrinking case the (count, checksum) fingerprint differs and
+      // the round costs ONE tiny aggregate on the already-materialized
+      // set instead of two full exceptAll compares. Only a fingerprint
+      // MATCH — typically the single final round — pays for the
+      // authoritative set-equality check, so a hash collision can
+      // never declare a false convergence.
+      val nfp = edgeFingerprint(next)
+      done = fp == nfp &&
+        next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      fp = nfp
       e = next
     }
     val labels = nodes.select(col(idCol).as("id"))
@@ -347,6 +371,40 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
     (labels, rounds)
+  }
+
+  /** Incremental connected components — the batch-append/streaming
+    * regime (r6 VERDICT item 6): a pipeline that already resolved its
+    * corpus into components gets NEW near-dup edges (a fresh ingest
+    * batch) and must not re-run CC from the raw pair list. The existing
+    * labeling IS a star forest (every node links its component
+    * minimum), so seeding the alternation with those label links plus
+    * the new edges banks all prior convergence work: merging stars is
+    * depth-≤2 tree flattening, and the round count is O(log merged
+    * component size) — independent of how many rounds the original
+    * corpus took (Stress `cc_incr` axis measures it; PropertySpec pins
+    * incremental == batch on random edge splits).
+    *
+    * `labels` is [[connectedComponents]] output (idCol, cluster, …);
+    * `newEdges` is an (i, j) pair list that may introduce unseen ids.
+    * Returns the same (idCol, cluster, is_keeper) shape over the union
+    * of labeled nodes and new endpoints. */
+  def ccIncremental(labels: DataFrame, newEdges: DataFrame,
+      idCol: String): DataFrame = ccIncrementalWithRounds(labels, newEdges, idCol)._1
+
+  private[graft] def ccIncrementalWithRounds(labels: DataFrame,
+      newEdges: DataFrame, idCol: String): (DataFrame, Int) = {
+    val prior = labels.select(col(idCol).as("id"), col("cluster").as("lbl"))
+    val seed = prior.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("i"), col("lbl").as("j"))
+      .union(newEdges.select(col("i"), col("j")))
+    val nodes = prior.select(col("id"))
+      .union(newEdges.select(col("i").as("id")))
+      .union(newEdges.select(col("j").as("id")))
+      .distinct()
+    val (resolved, rounds) = ccStarsWithRounds(seed, nodes, "id")
+    (resolved.select(col("id").as(idCol), col("lbl").as("cluster"),
+      (col("id") === col("lbl")).as("is_keeper")), rounds)
   }
 
   /** Near-dup removal end-to-end — the operation a training pipeline

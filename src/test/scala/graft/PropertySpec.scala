@@ -379,6 +379,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental connected components == batch on random edge splits") {
+    import spark.implicits._
+    val gen = for {
+      nNodes <- Gen.choose(8, 60)
+      edges <- Gen.listOfN(40,
+        Gen.zip(Gen.choose(0L, 59L), Gen.choose(0L, 59L)))
+      splitAt <- Gen.choose(0, 40)
+    } yield (nNodes.toLong,
+      edges.filter { case (a, b) => a != b && a < nNodes && b < nNodes },
+      splitAt)
+    forAllSeeded(gen, 5) { case (nNodes, edgeList, splitAt) =>
+      val nodes = (0L until nNodes).toDF("doc_id")
+      def df(es: Seq[(Long, Long)]) =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("i", "j")
+        else es.toDF("i", "j")
+      val (first, second) = edgeList.splitAt(math.min(splitAt, edgeList.size))
+      // batch truth over ALL edges vs: resolve the first batch, then
+      // fold the second batch in incrementally
+      val batch = graft.pipeline.Dedup
+        .connectedComponents(df(edgeList), nodes, "doc_id")
+        .select(col("doc_id"), col("cluster"), col("is_keeper")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val prior = graft.pipeline.Dedup
+        .connectedComponents(df(first), nodes, "doc_id")
+      val incr = graft.pipeline.Dedup
+        .ccIncremental(prior, df(second), "doc_id")
+        .select(col("doc_id"), col("cluster"), col("is_keeper")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(incr === batch)
+    }
+  }
+
   test("salted LEFT join == plain left join (unmatched probes survive once)") {
     import spark.implicits._
     val gen = for {
