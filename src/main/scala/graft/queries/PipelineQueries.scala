@@ -737,6 +737,56 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // STREAMING left-outer interval join: the enrichment shape pipelines
+  // actually run — every purchase emits exactly once, matched rows as
+  // found, unmatched rows NULL-EXTENDED when the watermark passes
+  // their join-window expiry. Spark only evicts-and-emits outer state
+  // when a LATER batch advances the watermark, so the far-future
+  // sentinel batch (one row per side, key -1, p53's mtime-ordered
+  // pattern) is what flushes the tail; without it the last window of
+  // unmatched purchases would never surface. Emitted set == batch
+  // LEFT JOIN with the same interval predicate (the oracle).
+  private def p61(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_p61")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p61_sent")
+    Seq((-1L, 4102444800000000000L, -1L, "view", 0.0d, ""),
+        (-2L, 4102444800000000000L, -1L, "purchase", 0.0d, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sentinel = dir.resolve("b_sentinel.parquet")
+    java.nio.file.Files.copy(part, sentinel)
+    // mtime-order the sentinel AFTER the events batch without touching
+    // the shared testdata through the symlink (p42/p53 lesson)
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+    def side(tpe: String, prefix: String) = s.readStream
+      .schema(eventsRawSchema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .filter(col("event_type") === tpe &&
+        (col("user_id") % 5 === 3 || col("user_id") === -1L))
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"), col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("purchase", "p").join(side("view", "v"),
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"),
+      "left_outer")
+    runToMemory(s, joined, mode = "append")
+      .filter(col("p_user") =!= -1L) // the sentinel pair never escapes
+      .select(col("p_id").as("purchase_id"), col("v_id").as("view_id"),
+        col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
+      .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+  }
+
   // IVF-PQ composed ANN: coarse cell prune → in-cell PQ ADC shortlist
   // → exact cosine re-rank — the production index layout; the exact
   // final ranking is what makes it oracle-verifiable
@@ -937,7 +987,8 @@ object PipelineQueries {
     "p57_negative_pairs" -> (p57 _),
     "p58_surprisal" -> (p58 _),
     "p59_knn_join" -> (p59 _),
-    "p60_ivfpq_ann" -> (p60 _))
+    "p60_ivfpq_ann" -> (p60 _),
+    "p61_stream_left_join" -> (p61 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1998,5 +2049,16 @@ object PipelineQueries {
           SELECT vec_id, adc_dist,
                  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
           FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 5"""
-    })
+    },
+    "p61_stream_left_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id % 5 = 3),
+          v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view' AND user_id % 5 = 3)
+         SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                p.user_id, p.ts AS p_ts, v.ts AS v_ts
+         FROM p LEFT JOIN v
+           ON p.user_id = v.user_id
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+         ORDER BY purchase_id, view_id NULLS FIRST""")
 }
