@@ -221,6 +221,43 @@ object Stress {
     val incrOk = incrLabels.filter(col("cluster") =!= 0L).isEmpty
     val incrSec = (System.nanoTime() - t0incr) / 1e9
 
+    // Fleet-scheduler axis (round 6): 100 registered servers, staged
+    // data on a 5-server subset — tick cost must be O(datasources with
+    // staged partitions), NOT O(fleet size): the directory-probe fast
+    // path (Engine tick loop) skips every idle (server, datasource)
+    // pair without planning a Spark job, so an idle fleet tick is pure
+    // filesystem probes + per-server meta writes.
+    val fleetSec = {
+      import spark.implicits._
+      val fleetRoot = java.nio.file.Files.createTempDirectory("graft_fleet")
+      val fleet = new graft.core.Engine(spark, fleetRoot.toString)
+      val nFleet = 100
+      (1 to nFleet).foreach(i => fleet.registry.registerServer(
+        graft.core.ServerConfig(id = i, hostname = s"h$i",
+          powaCoalesce = 1000, retentionSec = 3650L * 86400)))
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      var tick = 0
+      def oneTick(staged: Seq[Int]): Double = {
+        tick += 1
+        if (staged.nonEmpty)
+          fleet.ingest("powa_stat_bgwriter",
+            staged.map(sv => (sv,
+              new java.sql.Timestamp(base + tick * 300000L),
+              100L * tick, 10L * tick, 5L * tick, 2L * tick, 1L * tick))
+              .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+                "buffers_backend", "buffers_backend_fsync", "buffers_alloc"))
+        val now = new java.sql.Timestamp(base + tick * 300000L)
+        val t0 = System.nanoTime()
+        fleet.tickDue(now)
+        (System.nanoTime() - t0) / 1e9
+      }
+      oneTick(1 to 5) // warm (first-touch layout + codegen)
+      val stagedSec = (oneTick(1 to 5) + oneTick(1 to 5)) / 2
+      val idleSec = (oneTick(Nil) + oneTick(Nil)) / 2
+      graft.core.AtomicSwap.deleteRecursively(fleetRoot)
+      (stagedSec, idleSec)
+    }
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
@@ -244,6 +281,8 @@ object Stress {
       s""""cc_sec":$ccSec,"cc_correct":$ccOk,""" +
       s""""cc_incr_rounds":$incrRounds,"cc_incr_sec":$incrSec,""" +
       s""""cc_incr_correct":$incrOk,""" +
+      s""""fleet_servers":100,"fleet_staged_tick_sec":${fleetSec._1},""" +
+      s""""fleet_idle_tick_sec":${fleetSec._2},""" +
       s""""plain_join_sec":$plainJoinSec,"bloom_join_sec":$bloomSec,""" +
       s""""join_rows":$plainJoinRows,"bloom_rows_match":${plainJoinRows == bloomRows},""" +
       s""""sf":"$sfDir"}"""

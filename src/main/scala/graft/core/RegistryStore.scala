@@ -56,18 +56,71 @@ final class RegistryStore(root: String) {
     RegistryIo.read(dir.resolve("servers"), RegistryIo.serversSchema)
       .map(RegistryIo.serverRowOf)
 
-  def saveMetas(scope: Set[Int], rows: Seq[MetaRow]): Unit = withLock {
-    val merged = (loadMetas().filterNot(r => scope(r.srvid)) ++ rows)
-      .sortBy(_.srvid)
-    AtomicSwap.replace(dir, "snapshot_metas")(v =>
+  // Snapshot metas are the per-tick hot row: EVERY server tick is a
+  // read-modify-write of its own meta (coalesce_seq bump). Storing the
+  // fleet in one file made each tick re-read and REWRITE the whole
+  // table — O(fleet²) bytes per scheduler pass, and the dominant cost
+  // of an otherwise idle 100-server tick (measured 26 ms/server in the
+  // Stress fleet axis). Metas are therefore PHYSICALLY row-scoped: one
+  // single-row file per server (`meta_srvid=N`), so a tick writes O(1)
+  // bytes and two engines sharing a root touch disjoint files. A
+  // legacy single-file table from an older root is migrated to the
+  // per-server layout on the first scoped save.
+
+  private def metaLink(srvid: Int) = s"meta_srvid=$srvid"
+
+  private def writeMetaRow(r: MetaRow): Unit =
+    AtomicSwap.replace(dir, metaLink(r.srvid))(v =>
       RegistryIo.write(v, RegistryIo.metasSchema)(
-        f => merged.map(RegistryIo.metaGroup(f, _))))
-  }
-  def loadMetas(): Seq[MetaRow] =
+        f => Seq(RegistryIo.metaGroup(f, r))))
+
+  private def legacyMetas(): Seq[MetaRow] =
     RegistryIo.read(dir.resolve("snapshot_metas"), RegistryIo.metasSchema)
       .map(RegistryIo.metaRowOf)
-  def loadMeta(srvid: Int): Option[MetaRow] =
-    loadMetas().find(_.srvid == srvid)
+
+  private def perServerMetaIds(): Seq[Int] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("meta_srvid=") && !n.startsWith("."))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("meta_srvid=").toInt).toOption)
+          .toList.sorted
+      } finally s.close()
+    }
+
+  def saveMetas(scope: Set[Int], rows: Seq[MetaRow]): Unit = withLock {
+    // one-time migration: spill legacy single-file rows into the
+    // per-server layout, then retire the legacy table
+    val legacy = legacyMetas()
+    if (legacy.nonEmpty) {
+      val owned = perServerMetaIds().toSet
+      legacy.filterNot(r => owned(r.srvid) || scope(r.srvid))
+        .foreach(writeMetaRow)
+      AtomicSwap.drop(dir, "snapshot_metas")
+    }
+    val byId = rows.map(r => r.srvid -> r).toMap
+    scope.toSeq.sorted.foreach { id =>
+      byId.get(id) match {
+        case Some(r) => writeMetaRow(r)
+        case None => AtomicSwap.drop(dir, metaLink(id)) // scoped delete
+      }
+    }
+  }
+  def loadMetas(): Seq[MetaRow] = {
+    val perServer = perServerMetaIds().flatMap(loadMeta)
+    val owned = perServer.map(_.srvid).toSet
+    (legacyMetas().filterNot(r => owned(r.srvid)) ++ perServer)
+      .sortBy(_.srvid)
+  }
+  def loadMeta(srvid: Int): Option[MetaRow] = {
+    val own = RegistryIo.read(dir.resolve(metaLink(srvid)),
+      RegistryIo.metasSchema).map(RegistryIo.metaRowOf)
+    own.headOption.orElse(legacyMetas().find(_.srvid == srvid))
+  }
 
   def saveModules(scope: Set[Int], rows: Seq[ModuleRow]): Unit = withLock {
     val merged = (loadModules().filterNot(r => scope(r.srvid)) ++ rows)

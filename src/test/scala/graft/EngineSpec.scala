@@ -779,4 +779,29 @@ class EngineSpec extends AnyFunSuite {
     assert(tierCount(e, ds, GenericDatasource.Current) === 0)
     assert(tierCount(e, ds, GenericDatasource.History) === 3)
   }
+
+  test("an idle tick launches zero Spark jobs (directory probes only)") {
+    // the fleet-scale claim behind the directory-probe fast path: a
+    // tick where nothing is staged costs filesystem probes + one meta
+    // write — NO Spark job — so 100 idle servers cost ~100 probes, not
+    // 100 query plans (Stress fleet axis measures the wall-clock side)
+    val e = mkEngine()
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 45, hostname = "h", powaCoalesce = 1000, retentionSec = 86400))
+    // phase (1 + 45%20) % 1000 = 6: no aggregate, no purge this tick
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(e.takeSnapshot(srvid,
+        Timestamp.valueOf("2024-01-01 00:01:00")) === 0)
+      Thread.sleep(1500) // listener bus delivery is async
+      assert(jobs.get() === 0, s"idle tick launched ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
