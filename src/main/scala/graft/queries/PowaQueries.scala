@@ -732,18 +732,22 @@ object PowaQueries {
         .withColumn("query",
           concat(lit("SELECT "), col("queryid").cast("string")))
         .localCheckpoint()
-      val days = rows.select(col("batch")).distinct().orderBy(col("batch"))
-        .collect().map(_.getTimestamp(0))
       // MULTI-BATCH collector semantics (round-4 VERDICT item 5): two
       // daily landings per tick — the drain consumes every staged ts,
       // and the MRU dimension stamps tick time exactly like the
-      // reference's now() at snapshot (the oracle derives the same
-      // day → tick-of-its-group mapping from the data)
-      days.grouped(2).foreach { group =>
+      // reference's now() at snapshot (powa--5.2.0.sql:4025-4031).
+      // Group boundaries are LITERAL (the filtered events span exactly
+      // 2024-01-01..05 at every sf — TESTDATA.md) so the oracle can
+      // carry the same literal tick timestamps and check the stamped
+      // values independently, instead of both sides deriving the
+      // day → tick mapping from the data with the same logic.
+      Seq(("2024-01-01", "2024-01-02"),
+          ("2024-01-03", "2024-01-04"),
+          ("2024-01-05", "2024-01-05")).foreach { case (d0, d1) =>
         e.ingest("powa_statements",
-          rows.filter(col("batch").isin(group.toSeq: _*)).drop("batch"))
-        e.takeSnapshot(srvid,
-          new java.sql.Timestamp(group.last.getTime + 23L * 3600 * 1000))
+          rows.filter(col("batch").between(
+            ts(s"$d0 00:00:00"), ts(s"$d1 00:00:00"))).drop("batch"))
+        e.takeSnapshot(srvid, java.sql.Timestamp.valueOf(s"$d1 23:00:00"))
       }
       val ds = e.datasource("powa_statements")
         .asInstanceOf[graft.core.StatementsDatasource]
@@ -1672,22 +1676,24 @@ object PowaQueries {
                   COALESCE(CAST(props->>'$.k' AS BIGINT), 0) AS k
            FROM events
            WHERE user_id % 4 = 3 AND ts < TIMESTAMP '2024-01-06 00:00:00'),
-         days AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS d FROM ev),
-         gd AS (SELECT d, (ROW_NUMBER() OVER (ORDER BY d) - 1) // 2 AS g
-                FROM days),
-         tick AS (SELECT gd.d, ge.tick FROM gd JOIN
-                  (SELECT g, MAX(d) + INTERVAL 23 HOUR AS tick
-                   FROM gd GROUP BY g) ge USING (g)),
          per_key AS (
            SELECT queryid, dbid, userid,
                   CAST(COUNT(*) AS BIGINT) AS calls,
                   SUM(CAST(cents AS DOUBLE)) AS runtime,
                   CAST(SUM(k) AS BIGINT) AS rows_sum,
-                  MAX(DATE_TRUNC('day', ts)) AS last_day
+                  MAX(ts) AS last_ts
            FROM ev GROUP BY 1, 2, 3),
+         -- LITERAL group-tick boundaries (same constants as the Spark
+         -- harness): a key last seen in a group is MRU-stamped at that
+         -- group's snapshot tick time, per reference now() semantics
          per_key_t AS (
-           SELECT k.*, t.tick AS last_present_ts
-           FROM per_key k JOIN tick t ON k.last_day = t.d),
+           SELECT k.*, CASE
+             WHEN last_ts < TIMESTAMP '2024-01-03 00:00:00'
+               THEN TIMESTAMP '2024-01-02 23:00:00'
+             WHEN last_ts < TIMESTAMP '2024-01-05 00:00:00'
+               THEN TIMESTAMP '2024-01-04 23:00:00'
+             ELSE TIMESTAMP '2024-01-05 23:00:00' END AS last_present_ts
+           FROM per_key k),
          per_db AS (
            SELECT dbid, CAST(COUNT(*) AS BIGINT) AS db_calls,
                   SUM(CAST(cents AS DOUBLE)) AS db_runtime
