@@ -132,6 +132,56 @@ object Sampling {
           col("keep_ppm"))
   }
 
+  /** Token-budget greedy selection — the "fill each source's quota"
+    * curation step: per group, rows are taken in a deterministic
+    * hash-shuffled order (optionally behind caller-supplied priority
+    * columns, e.g. quality DESC) while the running token total stays
+    * within `budget`. The kept set is exactly the maximal prefix of the
+    * group's order whose cumulative token count fits — reproducible on
+    * any engine and any partitioning because the order is (priority,
+    * id-hash, id), never an RNG or arrival order.
+    *
+    * Cost is one window shuffle keyed on the group column (same
+    * exchange profile as [[stratifiedCap]]); the cumulative sum is a
+    * running frame, not a self-join. Adds `cum_tokens`. */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+      tokens: Column, budget: Long, priority: Seq[Column] = Nil,
+      seed: Int = 0): DataFrame = {
+    require(budget >= 0)
+    // a null/negative count would null the running sum from its row
+    // onward (or grow the budget) and silently mis-select — fail loudly;
+    // the guard rides the summed expression so pruning cannot drop it
+    val t = when(tokens.isNull || tokens < 0,
+        raise_error(lit("tokenBudgetSelect: token count must be " +
+          "non-negative and non-null")))
+      .otherwise(tokens.cast("long"))
+    val h = Hashing.h60(seed, col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(priority :+ h.asc :+ col(idCol).asc: _*)
+    df.withColumn("cum_tokens", sum(t).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic shuffle-and-shard — the training-export layout step:
+    * every row lands in `shard = h(id) % shards` at position
+    * `shard_pos` = its rank in the shard's hash order. This is a
+    * GLOBAL reproducible shuffle (reader order = hash order, unrelated
+    * to source order) expressed as the exact plan the export write path
+    * runs anyway: one hash exchange on the shard id + a per-shard sort
+    * (`repartition(shard).sortWithinPartitions`), so proving the
+    * positions here prices the real thing. At 100 TB the shard count
+    * scales with target file size (e.g. ~1 GB/shard), keeping every
+    * sort task bounded; no driver state, no RNG, stable under re-runs
+    * and retries. */
+  def shuffleShard(df: DataFrame, idCol: String, shards: Int,
+      seed: Int = 0): DataFrame = {
+    require(shards >= 1)
+    val h = Hashing.h60(seed, col(idCol).cast("string"))
+    df.withColumn("shard", pmod(h, lit(shards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)))
+  }
+
   /** Stratified cap: at most `n` rows per group, picked by hash rank —
     * the "balance languages / cap domains" operator. Cost is one window
     * shuffle keyed on the group column; group count is normally large

@@ -154,6 +154,63 @@ object Sketches {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Count-min sketch: a depth×width counter matrix — the mergeable
+    * frequency sketch that answers "how often does item x occur?" in
+    * O(d·w) space when the item space (tokens, URLs, queryids at
+    * 100 TB) is too large to count exactly. Each of the `depth` seeded
+    * hash rows buckets every occurrence into `width` counters; an
+    * item's estimate is the MINIMUM of its `depth` counters, which can
+    * only OVER-estimate (collisions add, never subtract) — the
+    * classic one-sided bound, and with h60 hashing the whole structure
+    * is deterministic: same input → bit-identical counters in any
+    * engine, any partitioning, which is what lets the DuckDB oracle
+    * verify it value-exactly (vs the probabilistic-only guarantees of
+    * library CMS impls).
+    *
+    * Shape: one explode (×depth) + one hash aggregate whose key space
+    * is depth×width regardless of input volume — executors sketch
+    * shards independently and [[cmMerge]] sums counter-wise
+    * (merge(cm(A), cm(B)) == cm(A ⊎ B) exactly, property-tested). The
+    * sketch is always ≤ d·w rows: broadcastable by construction. */
+  def countMin(df: DataFrame, value: Column, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2)
+    df.select(value.as("__v"),
+        explode(array((0 until depth).map(s => lit(s)): _*)).as("seed"))
+      .groupBy(col("seed"), cmBucket(col("seed"), col("__v"), width))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The (seed, item) → bucket rule, shared by sketch build and probe:
+    * h60 over "<seed>:<item>" mod width (same hash-family construction
+    * as MinHash/LSH — seed-prefixed md5). */
+  private def cmBucket(seed: Column, v: Column, width: Int): Column =
+    pmod(Hashing.h60(concat(seed.cast("string"), lit(":"), v)),
+      lit(width.toLong)).as("bucket")
+
+  /** Lossless count-min merge: counter-wise sum. Associative and
+    * commutative — safe to fold shard sketches in any tree shape. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("seed"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates from a count-min sketch for the items in
+    * `items(itemCol)`: min over the item's `depth` counters, 0 for an
+    * item whose buckets were never touched. The sketch side is ≤ d·w
+    * rows and is broadcast, so probing N items is one scan-speed
+    * broadcast join — no shuffle touches the probe volume. `depth` and
+    * `width` must match the build call (the bucket rule is shared). */
+  def cmEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2)
+    items.select(col(itemCol),
+        explode(array((0 until depth).map(s => lit(s)): _*)).as("seed"))
+      .withColumn("bucket", cmBucket(col("seed"), col(itemCol), width))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Estimate from a minima-array sketch (same integer formula).
     * The k-th minimum is guarded by the size check: a group holding
     * fewer than k minima takes the exact-count branch, and under

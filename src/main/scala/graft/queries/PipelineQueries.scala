@@ -787,6 +787,45 @@ object PipelineQueries {
       .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
   }
 
+  // count-min sketch heavy hitters: token frequency estimates from the
+  // d×w counter matrix (min over rows — only ever OVER-estimates);
+  // exact counts ride along to exhibit the one-sided bound, the same
+  // verifiability pattern as p44's KMV withExact
+  private def p62(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " +")).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = Sketches.countMin(toks, col("token"), depth = 3, width = 32)
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    Sketches.cmEstimate(sketch, exact.select(col("token")), "token",
+        depth = 3, width = 32)
+      .join(exact, Seq("token"))
+      .filter(col("est_cnt") >= 1500)
+      .select(col("token"), col("exact_cnt"), col("est_cnt"))
+      .orderBy(col("token"))
+  }
+
+  // token-budget greedy selection: each source fills a 600-token quota
+  // in deterministic hash-shuffled order — the maximal prefix that fits
+  private def p63(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("n_tokens",
+      size(split(col("text"), " +")).cast("long"))
+    Sampling.tokenBudgetSelect(docs, "source", "doc_id", col("n_tokens"),
+        budget = 600L, seed = 11)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  // deterministic shuffle-and-shard: the training-export layout —
+  // 8 hash shards, reader order = in-shard hash order
+  private def p64(s: SparkSession, d: String): DataFrame =
+    Sampling.shuffleShard(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", shards = 8, seed = 7)
+      .select(col("shard"), col("shard_pos"), col("doc_id"))
+      .orderBy(col("shard"), col("shard_pos"))
+
   // IVF-PQ composed ANN: coarse cell prune → in-cell PQ ADC shortlist
   // → exact cosine re-rank — the production index layout; the exact
   // final ranking is what makes it oracle-verifiable
@@ -988,7 +1027,10 @@ object PipelineQueries {
     "p58_surprisal" -> (p58 _),
     "p59_knn_join" -> (p59 _),
     "p60_ivfpq_ann" -> (p60 _),
-    "p61_stream_left_join" -> (p61 _))
+    "p61_stream_left_join" -> (p61 _),
+    "p62_cms_heavy_hitters" -> (p62 _),
+    "p63_token_budget" -> (p63 _),
+    "p64_shuffle_shard" -> (p64 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2060,5 +2102,44 @@ object PipelineQueries {
          FROM p LEFT JOIN v
            ON p.user_id = v.user_id
           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
-         ORDER BY purchase_id, view_id NULLS FIRST""")
+         ORDER BY purchase_id, view_id NULLS FIRST""",
+    "p62_cms_heavy_hitters" ->
+      s"""WITH $toksCte,
+          tok AS (SELECT unnest(toks) AS token FROM t),
+          occ AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                  FROM tok WHERE token <> '' GROUP BY token),
+          sb AS (SELECT o.token, o.exact_cnt, s.seed,
+                   ${Hashing.h60Sql(
+                     "CAST(s.seed AS VARCHAR)||':'||o.token")} % 32 AS bucket
+                 FROM occ o CROSS JOIN range(0, 3) s(seed)),
+          counters AS (SELECT seed, bucket,
+                         CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+                       FROM sb GROUP BY 1, 2),
+          est AS (SELECT token, CAST(MIN(cnt) AS BIGINT) AS est_cnt
+                  FROM sb JOIN counters USING (seed, bucket)
+                  GROUP BY token)
+          SELECT o.token, o.exact_cnt, e.est_cnt
+          FROM occ o JOIN est e USING (token)
+          WHERE e.est_cnt >= 1500 ORDER BY o.token""",
+    "p63_token_budget" ->
+      s"""WITH d0 AS (SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+                   AS n_tokens,
+                 ${Hashing.h60Sql(11, "CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+                FROM d0)
+          SELECT source, doc_id, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= 600 ORDER BY source, cum_tokens""",
+    "p64_shuffle_shard" ->
+      s"""WITH d0 AS (SELECT doc_id,
+                 ${Hashing.h60Sql(7, "CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents)
+          SELECT CAST(h % 8 AS INT) AS shard,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+                   ORDER BY h, doc_id) AS INT) AS shard_pos,
+                 doc_id
+          FROM d0 ORDER BY shard, shard_pos""")
 }

@@ -768,4 +768,98 @@ class PipelineSpec extends AnyFunSuite {
         emax < s.getAs[Long]("max_lo") + 50)
     }
   }
+
+  test("count-min: estimates only over-estimate; exact when width clears " +
+      "the item space; shard merge is lossless") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val items = toks.select(col("tok")).distinct()
+    // narrow sketch: collisions guaranteed (vocab > width) — the
+    // one-sided bound must hold for EVERY item
+    val narrow = Sketches.cmEstimate(
+      Sketches.countMin(toks, col("tok"), depth = 3, width = 8),
+      items, "tok", depth = 3, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(narrow.keySet === exact.keySet)
+    for ((t, est) <- narrow)
+      assert(est >= exact(t), s"count-min under-estimated '$t'")
+    assert(narrow.exists { case (t, est) => est > exact(t) },
+      "width 8 over a larger vocab must collide somewhere")
+    // wide sketch: 4096 buckets over a tiny vocab — in the no-collision
+    // regime every estimate is EXACT (each of an item's 3 rows can
+    // still collide, but min() needs only one clean row)
+    val wide = Sketches.cmEstimate(
+      Sketches.countMin(toks, col("tok"), depth = 3, width = 4096),
+      items, "tok", depth = 3, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide === exact, "wide sketch should be collision-free here")
+    // merge: counter-wise sum of shard sketches == whole-input sketch
+    val shardA = toks.filter(Hashing.h60(col("tok")) % 2 === 0)
+    val shardB = toks.filter(Hashing.h60(col("tok")) % 2 =!= 0)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = m(Sketches.cmMerge(
+      Sketches.countMin(shardA, col("tok"), depth = 3, width = 8),
+      Sketches.countMin(shardB, col("tok"), depth = 3, width = 8)))
+    val whole = m(Sketches.countMin(toks, col("tok"), depth = 3, width = 8))
+    assert(merged === whole)
+    // an unseen probe is NOT dropped (left join + coalesce): with the
+    // wide sketch its buckets are empty, so it estimates exactly 0 —
+    // under a saturated narrow sketch it would over-estimate instead,
+    // which is still the one-sided contract
+    val unseen = Sketches.cmEstimate(
+      Sketches.countMin(toks, col("tok"), depth = 3, width = 4096),
+      spark.range(1).select(lit("graft-nonexistent-token").as("tok")),
+      "tok", depth = 3, width = 4096).collect()
+    assert(unseen.length === 1 && unseen(0).getLong(1) === 0L)
+  }
+
+  test("tokenBudgetSelect: kept set is exactly the maximal fitting prefix " +
+      "of each group's deterministic order") {
+    val docs = Tables.documents(spark, sf).withColumn("n_tokens",
+      size(TextOps.tokens(col("text"))).cast("long"))
+    val budget = 600L
+    val kept = Sampling.tokenBudgetSelect(docs, "source", "doc_id",
+        col("n_tokens"), budget, seed = 11)
+      .select(col("source"), col("doc_id"), col("cum_tokens")).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(r => r.getLong(1) -> r.getLong(2)) }
+    // driver-side replay of the order: hash asc, id asc
+    val order = docs.select(col("source"), col("doc_id"), col("n_tokens"),
+        Hashing.h60(11, col("doc_id").cast("string")).as("h")).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+      }
+    for ((src, seq) <- order) {
+      val cums = seq.scanLeft(0L)(_ + _._3).tail
+      val expect = seq.zip(cums).takeWhile(_._2 <= budget)
+        .map { case (t, c) => t._2 -> c }
+      assert(kept.getOrElse(src, Array.empty[(Long, Long)]).sortBy(_._2)
+        .toSeq === expect.toSeq, s"source $src prefix mismatch")
+      // maximality: the next doc in order (if any) would not have fit
+      if (expect.length < seq.length)
+        assert(cums(expect.length) > budget)
+    }
+  }
+
+  test("shuffleShard: hash-assigned shards, contiguous 1..n positions, " +
+      "reproducible") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val out = Sampling.shuffleShard(docs, "doc_id", shards = 8, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length === docs.count())
+    for ((id, shard, _) <- out)
+      assert(shard === (Hashing.h60Scala(s"7:$id") % 8).toInt)
+    for ((_, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq,
+        "positions must be a contiguous 1..n per shard")
+    val again = Sampling.shuffleShard(docs, "doc_id", shards = 8, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again === out.toSet)
+  }
 }
