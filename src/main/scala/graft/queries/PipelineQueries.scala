@@ -787,6 +787,22 @@ object PipelineQueries {
       .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
   }
 
+  // STREAMING KMV cardinality: distinct-user estimate per event_type
+  // maintained incrementally by the typed mergeable aggregator — O(k)
+  // state per group in the state store where exact COUNT(DISTINCT) is
+  // unbounded; complete mode re-emits the final state, which equals
+  // the batch sketch exactly (the oracle recomputes it in SQL)
+  private def p65(s: SparkSession, d: String): DataFrame = {
+    val st = eventsStream(s, d).select(col("event_type"),
+      Hashing.h60(col("user_id").cast("string")).as("h"))
+    val kmv = graft.functions.KmvAgg.kmvMinimaAgg(16)
+    val agg = st.groupBy(col("event_type")).agg(kmv(col("h")).as("minima"))
+    Sketches.estimate(runToMemory(s, agg), k = 16)
+      .select(col("event_type"), col("n_min"), col("hk"),
+        col("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   // count-min sketch heavy hitters: token frequency estimates from the
   // d×w counter matrix (min over rows — only ever OVER-estimates);
   // exact counts ride along to exhibit the one-sided bound, the same
@@ -1030,7 +1046,8 @@ object PipelineQueries {
     "p61_stream_left_join" -> (p61 _),
     "p62_cms_heavy_hitters" -> (p62 _),
     "p63_token_budget" -> (p63 _),
-    "p64_shuffle_shard" -> (p64 _))
+    "p64_shuffle_shard" -> (p64 _),
+    "p65_stream_kmv" -> (p65 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2141,5 +2158,20 @@ object PipelineQueries {
                  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
                    ORDER BY h, doc_id) AS INT) AS shard_pos,
                  doc_id
-          FROM d0 ORDER BY shard, shard_pos""")
+          FROM d0 ORDER BY shard, shard_pos""",
+    "p65_stream_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+                       ${h60Sql("CAST(user_id AS VARCHAR)")} AS h
+                     FROM events),
+          r AS (SELECT event_type, h,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY h) AS rn
+                FROM h)
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_min,
+                 MAX(h) AS hk,
+                 CAST(CASE WHEN COUNT(*) < 16 THEN COUNT(*)
+                      ELSE 15 * (1152921504606846976 // MAX(h)) +
+                           (15 * (1152921504606846976 % MAX(h))) // MAX(h)
+                      END AS BIGINT) AS est_distinct
+          FROM r WHERE rn <= 16 GROUP BY event_type ORDER BY event_type""")
 }

@@ -817,6 +817,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(unseen.length === 1 && unseen(0).getLong(1) === 0L)
   }
 
+  test("KmvAgg: the mergeable-aggregate form equals the window-form " +
+      "sketch, group for group") {
+    val tok = Tables.documents(spark, sf).select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val h = tok.select(col("source"), Hashing.h60(col("tok")).as("h"))
+      .repartition(7) // force multi-partition partial-agg merge paths
+    val agg = h.groupBy(col("source"))
+      .agg(graft.functions.KmvAgg.kmvMinimaAgg(16)(col("h")).as("minima"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val win = Sketches.kmvMinima(tok, "source", col("tok"), 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(agg === win)
+  }
+
   test("tokenBudgetSelect: kept set is exactly the maximal fitting prefix " +
       "of each group's deterministic order") {
     val docs = Tables.documents(spark, sf).withColumn("n_tokens",
