@@ -49,4 +49,48 @@ object Rolling {
       acc.withColumn(name, aggExpr.over(w))
     }.drop(epochCol)
   }
+
+  /** Engine-exact exponential recency decay: per key, the sum of each
+    * row's NON-NEGATIVE integer `value` arithmetically right-shifted by
+    * its age in half-lives relative to the key's LATEST event —
+    * `Σ value >> min((t_max − ts) / halfLifeSec, 63)`. Each elapsed
+    * half-life halves a contribution (truncating), so this is the
+    * EWMA-style popularity/recency feature in pure integer math:
+    * bit-identical in any engine (DuckDB `>>`), no float pow/exp
+    * (cross-engine float decay is exactly the class of nondeterminism
+    * the FP rules here ban). The shift is capped at 63 because both
+    * Java and DuckDB mod the shift amount otherwise — an event 64
+    * half-lives old would wrap around to full weight.
+    *
+    * Shape: the per-key max-ts window and the final sum share one hash
+    * exchange on the key — a two-pass aggregate, no join, no self-join.
+    * Emits one row per key: `decayed_<n>` per value plus `t_ref`. */
+  def decayedSum(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      halfLifeSec: Long, values: Seq[(String, Column)]): DataFrame = {
+    require(halfLifeSec >= 1)
+    val clash = (values.map(_._1) :+ "t_ref").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"decayedSum output name(s) ${clash.mkString(", ")} collide with input columns")
+    val taken = df.columns.toSet ++ values.map(_._1) + "t_ref"
+    val ageCol = Iterator.iterate("__age_hl")(_ + "_")
+      .dropWhile(taken.contains).next()
+    val tMax = max(unix_seconds(col(tsCol)))
+      .over(Window.partitionBy(keyCols.map(col): _*))
+    val age = least(
+      call_function("div", tMax - unix_seconds(col(tsCol)), lit(halfLifeSec)),
+      lit(63L))
+    val decayed = values.map { case (name, v) =>
+      // a negative value's arithmetic shift rounds toward -inf, which
+      // silently diverges from DuckDB's — and from any sane reading of
+      // "halve it"; nulls would vanish from the sum. Loud > wrong.
+      val guarded = when(v.isNull || v < 0, raise_error(
+          lit(s"decayedSum: $name must be non-negative and non-null")))
+        .otherwise(v.cast("long"))
+      sum(call_function("shiftright", guarded, col(ageCol))).as(name)
+    }
+    val aggs = max(col(tsCol)).as("t_ref") +: decayed
+    df.withColumn(ageCol, age) // window pass; the agg below reuses its exchange
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -75,6 +75,33 @@ object TextOps {
       .otherwise(firstMatch))
   }
 
+  /** Hashed bag-of-words linear scorer — the deterministic stand-in for
+    * a TRAINED fasttext-style quality classifier: each token hashes
+    * into a `width`-bucket weight table and the document's margin is
+    * the integer sum of its tokens' bucket weights. The weight table
+    * here is synthesized from the bucket id's hash (centered in
+    * [-500000, 500000]) — the honest stub for learned weights, same
+    * rule as Multimodal.fakeDecode: the PLUMBING is the production
+    * shape (hashing-trick projection, no vocabulary join, no shuffle,
+    * scan speed at 100 TB) and a real model swaps the synthesized
+    * weight for a broadcast lookup without touching the dataflow.
+    * Thresholding the integer margin ≡ thresholding the sigmoid
+    * (monotone), so no float math ever enters. Adds `margin` and
+    * `keep` (margin ≥ 0). */
+  def hashedLinearScore(df: DataFrame, textCol: String, width: Int,
+      seed: Int = 0): DataFrame = {
+    require(width >= 2)
+    def bucket(t: Column): Column =
+      pmod(Hashing.h60(concat(lit(s"$seed:"), t)), lit(width.toLong))
+    def weightOf(b: Column): Column =
+      Hashing.h60(concat(lit("wt:"), b.cast("string"))) % 1000001L - 500000L
+    val margin = aggregate(
+      transform(tokens(col(textCol)), t => weightOf(bucket(t))),
+      lit(0L), (acc, x) => acc + x)
+    df.withColumn("margin", margin)
+      .withColumn("keep", col("margin") >= 0L)
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * stable under token reordering, the cheap "document identity" used
     * before the heavier near-dup stages. */

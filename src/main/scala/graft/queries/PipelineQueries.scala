@@ -803,6 +803,27 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  // hashed bag-of-words linear scorer: the quality-classifier-filter
+  // stand-in — hashing-trick projection, integer margin, scan speed
+  private def p66(s: SparkSession, d: String): DataFrame =
+    TextOps.hashedLinearScore(Tables.documents(s, d), "text", width = 64,
+        seed = 3)
+      .select(col("doc_id"), col("margin"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  // engine-exact exponential recency decay: per-user EWMA-style
+  // popularity in pure integer half-life shifts — no float pow/exp
+  private def p67(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = Tables.events(s, d).filter(col("user_id") % 9 === 2)
+      .select(col("user_id"), col("ts"),
+        (col("value").cast(D) * 100).cast("long").as("cents"))
+    graft.operators.Rolling.decayedSum(ev, Seq("user_id"), "ts",
+        halfLifeSec = 86400L,
+        Seq("decayed_cents" -> col("cents"), "decayed_n" -> lit(1L)))
+      .orderBy(col("user_id"))
+  }
+
   // count-min sketch heavy hitters: token frequency estimates from the
   // d×w counter matrix (min over rows — only ever OVER-estimates);
   // exact counts ride along to exhibit the one-sided bound, the same
@@ -1047,7 +1068,9 @@ object PipelineQueries {
     "p62_cms_heavy_hitters" -> (p62 _),
     "p63_token_budget" -> (p63 _),
     "p64_shuffle_shard" -> (p64 _),
-    "p65_stream_kmv" -> (p65 _))
+    "p65_stream_kmv" -> (p65 _),
+    "p66_hashed_classifier" -> (p66 _),
+    "p67_decayed_sum" -> (p67 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2173,5 +2196,34 @@ object PipelineQueries {
                       ELSE 15 * (1152921504606846976 // MAX(h)) +
                            (15 * (1152921504606846976 % MAX(h))) // MAX(h)
                       END AS BIGINT) AS est_distinct
-          FROM r WHERE rn <= 16 GROUP BY event_type ORDER BY event_type""")
+          FROM r WHERE rn <= 16 GROUP BY event_type ORDER BY event_type""",
+    "p66_hashed_classifier" -> {
+      val bucket = h60Sql("'3:'||tk") + " % 64"
+      val weight =
+        h60Sql(s"'wt:'||CAST($bucket AS VARCHAR)") + " % 1000001 - 500000"
+      s"""WITH $toksCte,
+          m AS (SELECT doc_id,
+                  CAST(COALESCE(list_aggregate(
+                    list_transform(toks, tk -> $weight), 'sum'), 0)
+                    AS BIGINT) AS margin
+                FROM t)
+          SELECT doc_id, margin, margin >= 0 AS keep
+          FROM m ORDER BY doc_id"""
+    },
+    "p67_decayed_sum" ->
+      """WITH e AS (SELECT user_id, ts,
+                 epoch_us(ts) // 1000000 AS sec,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+               FROM events WHERE user_id % 9 = 2),
+          m AS (SELECT user_id, MAX(ts) AS t_ref, MAX(sec) AS smax
+                FROM e GROUP BY 1)
+          SELECT e.user_id, m.t_ref,
+                 CAST(SUM(e.cents >>
+                   LEAST((m.smax - e.sec) // 86400, 63)) AS BIGINT)
+                   AS decayed_cents,
+                 CAST(SUM(CAST(1 AS BIGINT) >>
+                   LEAST((m.smax - e.sec) // 86400, 63)) AS BIGINT)
+                   AS decayed_n
+          FROM e JOIN m USING (user_id)
+          GROUP BY e.user_id, m.t_ref ORDER BY user_id""")
 }

@@ -174,4 +174,38 @@ class OperatorsSpec extends AnyFunSuite {
       .distinct().count()
     assert(spread >= 6, s"salts used: $spread of 8")
   }
+
+  test("decayedSum: per-half-life halving, shift cap, loud guards") {
+    import spark.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    // key 1: ages 0, 1, 2 half-lives → 100 + 100>>1 + 100>>2 = 175;
+    // count decays too: 1 + 0 + 0 = 1 (1>>1 truncates to 0)
+    // key 2: one event 100 half-lives old + the anchor — the shift must
+    // cap at 63 (Java AND DuckDB mod shift amounts past that), so the
+    // stale event contributes 0, not a wrapped-around full weight
+    val ev = Seq(
+      (1L, t("2024-03-10 00:00:00"), 100L),
+      (1L, t("2024-03-09 00:00:00"), 100L),
+      (1L, t("2024-03-08 00:00:00"), 100L),
+      (2L, t("2024-03-10 00:00:00"), 7L),
+      (2L, t("2023-11-21 00:00:00"), 1000000L)
+    ).toDF("k", "ts", "v")
+    val out = graft.operators.Rolling.decayedSum(ev, Seq("k"), "ts",
+        86400L, Seq("dv" -> col("v"), "dn" -> lit(1L)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((175L, 1L)))
+    assert(out(2L) === ((7L, 1L)))
+    // output-name collision with an input column fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Rolling.decayedSum(ev, Seq("k"), "ts", 86400L,
+        Seq("v" -> col("v")))
+    }
+    // a negative value raises instead of silently diverging
+    intercept[Exception] {
+      graft.operators.Rolling.decayedSum(
+        Seq((1L, t("2024-03-10 00:00:00"), -5L)).toDF("k", "ts", "v"),
+        Seq("k"), "ts", 86400L, Seq("dv" -> col("v"))).collect()
+    }
+  }
 }

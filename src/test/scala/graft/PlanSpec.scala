@@ -299,6 +299,18 @@ class PlanSpec extends AnyFunSuite {
       "spread must pass an already-spread frame through untouched")
   }
 
+  test("decayedSum: max-ts window and final sum share one exchange, no join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id").as("v"))
+    val out = graft.operators.Rolling.decayedSum(ev, Seq("user_id"), "ts",
+      86400L, Seq("dv" -> col("v")))
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"decayedSum must shuffle once on the key, plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"decayedSum must never become a self-join, plan:\n$plan")
+  }
+
   test("rolling trailing window: one shuffle, range frame, no join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts"))
