@@ -136,6 +136,27 @@ object Stress {
     val (pairsSec, nPairs) = timed(
       graft.pipeline.TextOps.topPairs(docs, "text", 1000).count())
 
+    // Sketch + scoring axes (round 6): count-min build is one explode +
+    // a d×w-keyed hash aggregate (shuffle constant-sized regardless of
+    // corpus); the hashed classifier is a pure projection; decayedSum
+    // is one key exchange shared by its window and its final aggregate.
+    // All three must track scan speed as the corpus multiplies.
+    val (cmsSec, cmsRows) = timed(
+      graft.pipeline.Sketches.countMin(
+        docs.select(explode(graft.pipeline.TextOps.tokens(col("text")))
+          .as("tok")),
+        col("tok"), depth = 3, width = 1024).count())
+    val (scoreSec, scoreKept) = timed(
+      graft.pipeline.TextOps.hashedLinearScore(docs, "text", width = 1024)
+        .filter(col("keep")).count())
+    val (decaySec, decayRows) = timed(
+      graft.operators.Rolling.decayedSum(
+        big.select(col("user_id"), col("record.ts").as("ts"),
+          (col("record.value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        Seq("user_id"), "ts", 86400L,
+        Seq("decayed_cents" -> col("cents"))).count())
+
     // PQ axis: train per-subspace codebooks on the multiplied corpus
     // (zero-exchange assignment passes + one k·dim agg), then the
     // zero-exchange fused encode+ADC probe.
@@ -275,6 +296,9 @@ object Stress {
       s""""mix_sec":$mixSec,"mix_kept":$mixKept,""" +
       s""""chunk_sec":$chunkSec,"chunk_docs_per_sec":${(chunkDocs / chunkSec).toLong},""" +
       s""""pairs_sec":$pairsSec,"pairs_docs_per_sec":${(nDocs / pairsSec).toLong},"top_pairs":$nPairs,""" +
+      s""""cms_sec":$cmsSec,"cms_docs_per_sec":${(nDocs / cmsSec).toLong},"cms_counters":$cmsRows,""" +
+      s""""score_sec":$scoreSec,"score_docs_per_sec":${(nDocs / scoreSec).toLong},"score_kept":$scoreKept,""" +
+      s""""decay_sec":$decaySec,"decay_rows_per_sec":${(n / decaySec).toLong},"decay_keys":$decayRows,""" +
       s""""pq_sec":$pqSec,"pq_rows":$pqRows,""" +
       s""""ivfpq_sec":$ivfpqSec,"ivfpq_rows":$ivfpqRows,""" +
       s""""cc_chain_len":$chainLen,"cc_rounds":$ccRounds,""" +
