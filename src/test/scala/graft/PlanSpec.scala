@@ -299,6 +299,32 @@ class PlanSpec extends AnyFunSuite {
       "spread must pass an already-spread frame through untouched")
   }
 
+  test("count-min build: one hash-agg exchange keyed on (seed, bucket) — " +
+      "constant shuffle volume regardless of corpus size") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val plan = finalPlan(
+      Sketches.countMin(toks, col("tok"), depth = 3, width = 64))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"cms build must be one agg exchange, plan:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"cms build must not join or window, plan:\n$plan")
+  }
+
+  test("tokenBudgetSelect and shuffleShard are single window shuffles") {
+    val docs = Tables.documents(spark, sf).withColumn("n_tokens",
+      size(TextOps.tokens(col("text"))).cast("long"))
+    val budget = finalPlan(Sampling.tokenBudgetSelect(
+      docs, "source", "doc_id", col("n_tokens"), 600L))
+    assert("Exchange hashpartitioning".r.findAllIn(budget).size === 1,
+      s"tokenBudgetSelect must shuffle once on the group, plan:\n$budget")
+    assert(!budget.contains("Join"), "cumsum must never become a self-join")
+    val shard = finalPlan(Sampling.shuffleShard(
+      docs.select(col("doc_id")), "doc_id", shards = 8))
+    assert("Exchange hashpartitioning".r.findAllIn(shard).size === 1,
+      s"shuffleShard must be one shard exchange + in-shard sort, plan:\n$shard")
+  }
+
   test("decayedSum: max-ts window and final sum share one exchange, no join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id").as("v"))
