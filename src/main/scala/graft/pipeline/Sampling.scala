@@ -99,9 +99,11 @@ object Sampling {
     * hash filter after it. At 100 TB the corpus side stays at scan
     * speed; only #sources rows move.
     *
-    * `weight` must be an expression over `sourceCol` alone (it is
-    * evaluated on the per-source counts frame). Adds `weight`,
-    * `n_source`, `keep_ppm`, `keep` to every row. */
+    * `weight` must be an expression over `sourceCol` and/or `n_source`
+    * (it is evaluated on the per-source counts frame — size-derived
+    * weights like temperature flattening `floor(sqrt(n_source))` are
+    * in scope). Adds `weight`, `n_source`, `keep_ppm`, `keep` to every
+    * row. */
   def sourceMix(df: DataFrame, idCol: String, sourceCol: String,
       weight: Column, seed: Int = 0): DataFrame = {
     val counts = df.groupBy(col(sourceCol))

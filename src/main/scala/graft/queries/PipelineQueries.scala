@@ -824,6 +824,25 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // temperature-flattened source mixing (T=2): target weights ∝
+  // sqrt(n_s), engine-exact because IEEE sqrt is correctly rounded in
+  // both engines and the counts are < 2^52. src0-9 merge into one
+  // 10x-sized head source, which the sqrt temperature flattens to ~3x
+  // (the standard "don't let CommonCrawl drown the long tail" move);
+  // the never-upsample quota algebra is sourceMix's (p28)
+  private def p68(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("src_t",
+      when(substring(col("source"), 4, 10).cast("int") < 10, lit("head"))
+        .otherwise(col("source")))
+    Sampling.sourceMix(docs, "doc_id", "src_t",
+        weight = greatest(lit(1L),
+          floor(sqrt(col("n_source"))).cast("long")))
+      .groupBy(col("src_t"), col("n_source"), col("weight"),
+        col("keep_ppm"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("src_t"))
+  }
+
   // count-min sketch heavy hitters: token frequency estimates from the
   // d×w counter matrix (min over rows — only ever OVER-estimates);
   // exact counts ride along to exhibit the one-sided bound, the same
@@ -1070,7 +1089,8 @@ object PipelineQueries {
     "p64_shuffle_shard" -> (p64 _),
     "p65_stream_kmv" -> (p65 _),
     "p66_hashed_classifier" -> (p66 _),
-    "p67_decayed_sum" -> (p67 _))
+    "p67_decayed_sum" -> (p67 _),
+    "p68_temperature_mix" -> (p68 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2225,5 +2245,31 @@ object PipelineQueries {
                    LEAST((m.smax - e.sec) // 86400, 63)) AS BIGINT)
                    AS decayed_n
           FROM e JOIN m USING (user_id)
-          GROUP BY e.user_id, m.t_ref ORDER BY user_id""")
+          GROUP BY e.user_id, m.t_ref ORDER BY user_id""",
+    "p68_temperature_mix" ->
+      s"""WITH d0 AS (SELECT doc_id,
+                  CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                       THEN 'head' ELSE source END AS src_t
+               FROM documents),
+          c AS (SELECT src_t, COUNT(*) AS n_source,
+                  GREATEST(1, CAST(FLOOR(sqrt(COUNT(*))) AS BIGINT))
+                    AS weight
+               FROM d0 GROUP BY src_t),
+          c2 AS (SELECT *, CAST((SELECT SUM(weight) FROM c) AS BIGINT)
+                   AS W FROM c),
+          c3 AS (SELECT *,
+                   MIN((n_source * W) // weight) OVER () AS T FROM c2),
+          q AS (SELECT src_t, n_source, weight,
+                   (((weight * T) // W) * 1000000) // n_source AS keep_ppm
+                FROM c3),
+          k AS (SELECT d.src_t,
+                   SUM(CASE WHEN ${h60Sql(0, "CAST(d.doc_id AS VARCHAR)")}
+                     % 1000000 < q.keep_ppm THEN 1 ELSE 0 END) AS n_kept
+                FROM d0 d JOIN q ON d.src_t = q.src_t
+                GROUP BY d.src_t)
+          SELECT q.src_t, q.n_source, q.weight,
+                 CAST(q.keep_ppm AS BIGINT) AS keep_ppm,
+                 CAST(k.n_kept AS BIGINT) AS n_kept
+          FROM q JOIN k ON q.src_t = k.src_t
+          ORDER BY q.src_t""")
 }
