@@ -824,6 +824,42 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // STREAMING incremental connected components: user↔event-bucket
+  // co-membership edges land in 4 file-batches; each batch folds into
+  // the running star forest via ccIncremental (foreachBatch — CC is
+  // global, so the label frame is the state). Final labels are
+  // batching-independent == the batch CC over all edges, which is what
+  // the recursive-closure oracle checks.
+  private def p69(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p69")
+    val edges = Tables.events(s, d).filter(col("user_id") % 4 === 1)
+      .select(col("user_id").as("i"),
+        (lit(1000000L) + col("event_id") % 100).as("j"),
+        (col("event_id") % 4).as("b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p69_parts")
+    (0 to 3).foreach { b =>
+      val part = tmp.resolve(s"b$b")
+      edges.filter(col("b") === b).select(col("i"), col("j"))
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = dir.resolve(s"batch$b.parquet")
+      java.nio.file.Files.copy(f, dst)
+      // mtime-order the batches so the file source folds them in a
+      // stable sequence (the final labels don't depend on it — the
+      // fold is batching-independent — but stable runs debug better)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("j", LongType)))
+    val st = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    graft.streaming.StreamCc.run(s, st)
+      .select(col("id").as("node"), col("cluster"), col("is_keeper"))
+      .orderBy(col("node"))
+  }
+
   // temperature-flattened source mixing (T=2): target weights ∝
   // sqrt(n_s), engine-exact because IEEE sqrt is correctly rounded in
   // both engines and the counts are < 2^52. src0-9 merge into one
@@ -1090,7 +1126,8 @@ object PipelineQueries {
     "p65_stream_kmv" -> (p65 _),
     "p66_hashed_classifier" -> (p66 _),
     "p67_decayed_sum" -> (p67 _),
-    "p68_temperature_mix" -> (p68 _))
+    "p68_temperature_mix" -> (p68 _),
+    "p69_stream_cc" -> (p69 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2271,5 +2308,20 @@ object PipelineQueries {
                  CAST(q.keep_ppm AS BIGINT) AS keep_ppm,
                  CAST(k.n_kept AS BIGINT) AS n_kept
           FROM q JOIN k ON q.src_t = k.src_t
-          ORDER BY q.src_t""")
+          ORDER BY q.src_t""",
+    "p69_stream_cc" ->
+      """WITH RECURSIVE
+          e AS (SELECT user_id AS i, 1000000 + event_id % 100 AS j
+                FROM events WHERE user_id % 4 = 1),
+          nodes AS (SELECT DISTINCT i AS node FROM e
+                    UNION SELECT DISTINCT j FROM e),
+          sym AS (SELECT i AS a, j AS b FROM e
+                  UNION SELECT j, i FROM e),
+          reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
+          SELECT node, MIN(lbl) AS cluster,
+                 MIN(lbl) = node AS is_keeper
+          FROM reach GROUP BY node ORDER BY node""")
 }
