@@ -293,4 +293,41 @@ class StreamIngestSpec extends AnyFunSuite {
     // exactly once: no duplicates across the flush batches
     assert(out.map(_._1).distinct.length === out.length)
   }
+
+  test("streaming CC: foreachBatch fold over file batches equals the " +
+      "batch run over the union") {
+    import spark.implicits._
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    // two chains that MERGE only when the second batch lands (4-5 joins
+    // 3-4 and 5-6), plus an isolated pair — the cross-batch case the
+    // incremental fold must get right
+    val batch1 = Seq((1L, 2L), (3L, 4L), (10L, 11L))
+    val batch2 = Seq((2L, 3L), (4L, 5L), (5L, 6L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scc")
+    Seq(batch1, batch2).zipWithIndex.foreach { case (edges, i) =>
+      val part = java.nio.file.Files.createTempDirectory(s"graft_scc_p$i")
+      edges.toDF("i", "j").coalesce(1).write.mode("overwrite")
+        .parquet(part.toString)
+      val f = java.nio.file.Files.list(part).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      java.nio.file.Files.copy(f, dir.resolve(s"b$i.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType)))
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val streamed = graft.streaming.StreamCc.run(spark, st)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = (batch1 ++ batch2).toDF("i", "j")
+    val nodes = all.select(col("i").as("id"))
+      .union(all.select(col("j"))).distinct()
+    val batch = graft.pipeline.Dedup.connectedComponents(all, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed(6L) === 1L && streamed(11L) === 10L,
+      s"chains must merge across batches: $streamed")
+  }
 }
