@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,5 +157,53 @@ object Multimodal {
         out
       }
     }
+  }
+
+  /** Modality-mixed batch assembly — "every training batch holds
+    * exactly q_m samples of each modality" (3 text : 1 image is the
+    * classic VLM mix): per modality, rows take a deterministic
+    * hash-shuffled rank; batch `rk DIV q_m`, slot `offset_m + rk MOD
+    * q_m` (modalities own disjoint slot ranges, so a batch reads as
+    * one ordered record). Only COMPLETE global batches survive:
+    * `B = min_m (n_m DIV q_m)` — the scarcest modality bounds the
+    * epoch, the same never-upsample stance as [[Sampling.sourceMix]].
+    *
+    * Shape: one rank window per modality (they share the modality
+    * exchange) + a #modalities-row quota frame broadcast back — the
+    * corpus streams through once; nothing global. Deterministic: hash
+    * coins, no RNG — the same batch layout on every engine, every
+    * re-run, any partitioning. An unknown modality value fails loudly
+    * (a silent otherwise-null would drop its rows from every batch).
+    * Emits `batch`, `slot`; read order is (batch, slot). */
+  def batchMix(df: DataFrame, modalityCol: String, idCol: String,
+      quotas: Seq[(String, Int)], seed: Int = 0): DataFrame = {
+    require(quotas.nonEmpty && quotas.forall(_._2 >= 1),
+      "every modality quota must be >= 1")
+    require(quotas.map(_._1).distinct.length == quotas.length,
+      "duplicate modality in quotas")
+    val offsets = quotas.scanLeft(0) { case (acc, (_, q)) => acc + q }.init
+    def pick(vals: Seq[(String, Long)]): Column =
+      vals.foldRight(raise_error(concat(
+          lit(s"batchMix: unknown $modalityCol "), col(modalityCol)))
+            .cast("long")) { case ((m, v), els) =>
+        when(col(modalityCol) === m, lit(v)).otherwise(els)
+      }
+    val quota = pick(quotas.map { case (m, q) => m -> q.toLong })
+    val offset = pick(quotas.map(_._1).zip(offsets.map(_.toLong)))
+    val counts = df.groupBy(col(modalityCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__q", quota)
+      .withColumn("__B",
+        min(expr("__n DIV __q")).over(Window.partitionBy()))
+      .select(col(modalityCol), col("__B"))
+    val h = Hashing.h60(seed, col(idCol).cast("string"))
+    val rk = row_number().over(Window.partitionBy(col(modalityCol))
+      .orderBy(h.asc, col(idCol).asc)) - 1
+    df.join(broadcast(counts), modalityCol)
+      .withColumn("__rk", rk)
+      .withColumn("batch", call_function("div", col("__rk"), quota))
+      .filter(col("batch") < col("__B"))
+      .withColumn("slot", offset + pmod(col("__rk"), quota))
+      .drop("__rk", "__B")
   }
 }

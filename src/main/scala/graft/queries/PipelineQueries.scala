@@ -824,6 +824,21 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // modality-mixed batch assembly: every training batch = 3 text + 1
+  // embedding sample, deterministic hash-shuffled layout, only
+  // complete batches survive (the scarcest modality bounds the epoch)
+  private def p70(s: SparkSession, d: String): DataFrame = {
+    val mixed = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), lit("text").as("modality"))
+      .unionByName(Tables.embeddings(s, d)
+        .select((col("vec_id") + 10000000L).as("id"),
+          lit("embed").as("modality")))
+    Multimodal.batchMix(mixed, "modality", "id",
+        quotas = Seq("text" -> 3, "embed" -> 1), seed = 5)
+      .select(col("batch"), col("slot"), col("modality"), col("id"))
+      .orderBy(col("batch"), col("slot"))
+  }
+
   // STREAMING incremental connected components: user↔event-bucket
   // co-membership edges land in 4 file-batches; each batch folds into
   // the running star forest via ccIncremental (foreachBatch — CC is
@@ -1127,7 +1142,8 @@ object PipelineQueries {
     "p66_hashed_classifier" -> (p66 _),
     "p67_decayed_sum" -> (p67 _),
     "p68_temperature_mix" -> (p68 _),
-    "p69_stream_cc" -> (p69 _))
+    "p69_stream_cc" -> (p69 _),
+    "p70_batch_mix" -> (p70 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2323,5 +2339,28 @@ object PipelineQueries {
             SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node)
           SELECT node, MIN(lbl) AS cluster,
                  MIN(lbl) = node AS is_keeper
-          FROM reach GROUP BY node ORDER BY node""")
+          FROM reach GROUP BY node ORDER BY node""",
+    "p70_batch_mix" ->
+      s"""WITH m AS (SELECT doc_id AS id, 'text' AS modality
+                     FROM documents
+                     UNION ALL
+                     SELECT vec_id + 10000000, 'embed' FROM embeddings),
+          r AS (SELECT id, modality,
+                  CASE modality WHEN 'text' THEN 3 ELSE 1 END AS q,
+                  CASE modality WHEN 'text' THEN 0 ELSE 3 END AS off,
+                  ROW_NUMBER() OVER (PARTITION BY modality
+                    ORDER BY ${h60Sql(5, "CAST(id AS VARCHAR)")}, id) - 1
+                    AS rk
+                FROM m),
+          lim AS (SELECT MIN(cnt // q) AS B FROM
+                    (SELECT modality, COUNT(*) AS cnt,
+                       CASE modality WHEN 'text' THEN 3 ELSE 1 END AS q
+                     FROM m GROUP BY modality)),
+          b AS (SELECT id, modality, rk // q AS batch,
+                       off + rk % q AS slot
+                FROM r)
+          SELECT CAST(batch AS BIGINT) AS batch,
+                 CAST(slot AS BIGINT) AS slot, modality, id
+          FROM b WHERE batch < (SELECT B FROM lim)
+          ORDER BY batch, slot""")
 }
