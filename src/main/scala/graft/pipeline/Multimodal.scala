@@ -188,22 +188,34 @@ object Multimodal {
             .cast("long")) { case ((m, v), els) =>
         when(col(modalityCol) === m, lit(v)).otherwise(els)
       }
-    val quota = pick(quotas.map { case (m, q) => m -> q.toLong })
-    val offset = pick(quotas.map(_._1).zip(offsets.map(_.toLong)))
-    val counts = df.groupBy(col(modalityCol))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__q", quota)
+    // quota/offset evaluate BEFORE the quota join: an input modality
+    // outside the quota list raises at scan time — after an inner join
+    // it would be silently dropped instead, the exact silent-wrong the
+    // guard exists for
+    val guarded = df
+      .withColumn("__q", pick(quotas.map { case (m, q) => m -> q.toLong }))
+      .withColumn("__off", pick(quotas.map(_._1).zip(offsets.map(_.toLong))))
+    // anchor the batch bound on the QUOTA list, not the present
+    // modalities: a modality with a quota but no rows must yield ZERO
+    // complete batches (batches with silently missing slots would
+    // violate "every batch holds q_m of each"), so absent → count 0
+    val quotaRows = df.sparkSession
+      .createDataFrame(quotas.map { case (m, q) => (m, q.toLong) })
+      .toDF(modalityCol, "__qq")
+    val counts = quotaRows
+      .join(df.groupBy(col(modalityCol)).agg(count(lit(1)).as("__n")),
+        Seq(modalityCol), "left")
       .withColumn("__B",
-        min(expr("__n DIV __q")).over(Window.partitionBy()))
+        min(expr("coalesce(__n, 0) DIV __qq")).over(Window.partitionBy()))
       .select(col(modalityCol), col("__B"))
     val h = Hashing.h60(seed, col(idCol).cast("string"))
     val rk = row_number().over(Window.partitionBy(col(modalityCol))
       .orderBy(h.asc, col(idCol).asc)) - 1
-    df.join(broadcast(counts), modalityCol)
+    guarded.join(broadcast(counts), modalityCol)
       .withColumn("__rk", rk)
-      .withColumn("batch", call_function("div", col("__rk"), quota))
+      .withColumn("batch", call_function("div", col("__rk"), col("__q")))
       .filter(col("batch") < col("__B"))
-      .withColumn("slot", offset + pmod(col("__rk"), quota))
-      .drop("__rk", "__B")
+      .withColumn("slot", col("__off") + pmod(col("__rk"), col("__q")))
+      .drop("__rk", "__B", "__q", "__off")
   }
 }

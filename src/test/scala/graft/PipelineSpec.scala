@@ -861,6 +861,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batchMix: every surviving batch holds exactly its quota of each " +
+      "modality in its slot range; an absent modality yields zero batches") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "text")) ++
+      (1 to 10).map(i => (1000L + i, "img"))).toDF("id", "m")
+    val out = Multimodal.batchMix(df, "m", "id",
+        quotas = Seq("text" -> 3, "img" -> 1))
+      .select(col("batch"), col("slot"), col("m"), col("id")).collect()
+    // B = min(100 DIV 3, 10 DIV 1) = 10 complete batches of 4 slots
+    assert(out.length === 40)
+    for ((_, rows) <- out.groupBy(_.getLong(0))) {
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+      assert(rows.count(_.getString(2) == "text") === 3)
+      assert(rows.filter(_.getString(2) == "img").map(_.getLong(1)).toSeq
+        === Seq(3L), "img owns exactly slot 3")
+    }
+    // deterministic: same layout on a re-run
+    val again = Multimodal.batchMix(df, "m", "id",
+        quotas = Seq("text" -> 3, "img" -> 1))
+      .select(col("batch"), col("slot"), col("m"), col("id")).collect()
+    assert(again.map(_.toSeq).toSet === out.map(_.toSeq).toSet)
+    // a quota modality with NO rows bounds the epoch at zero —
+    // never a batch with silently missing slots
+    val textOnly = (1 to 9).map(i => (i.toLong, "text")).toDF("id", "m")
+    assert(Multimodal.batchMix(textOnly, "m", "id",
+      quotas = Seq("text" -> 3, "img" -> 1)).isEmpty)
+    // an input modality OUTSIDE the quota list fails loudly
+    intercept[Exception] {
+      Multimodal.batchMix(df, "m", "id", quotas = Seq("text" -> 3))
+        .collect()
+    }
+  }
+
   test("shuffleShard: hash-assigned shards, contiguous 1..n positions, " +
       "reproducible") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"))
