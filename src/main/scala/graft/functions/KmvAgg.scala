@@ -64,7 +64,15 @@ final class KmvAgg(k: Int)
 }
 
 object KmvAgg {
-  /** Column form over a LONG hash column: `kmvMinimaAgg(16)(h)`. */
+  import org.apache.spark.sql.functions.{lit, raise_error, when}
+
+  /** Column form over a LONG hash column: `kmvMinimaAgg(16)(h)`.
+    * Nulls fail loudly: the primitive-Long encoder would otherwise
+    * coerce a null hash to 0 — the SMALLEST possible value — silently
+    * entering it as a minimum and skewing the k-th-minimum estimate
+    * (measured, not hypothetical). */
   def kmvMinimaAgg(k: Int): Column => Column =
-    h => udaf(new KmvAgg(k), Encoders.scalaLong).apply(h)
+    h => udaf(new KmvAgg(k), Encoders.scalaLong).apply(
+      when(h.isNull, raise_error(
+          lit("kmvMinimaAgg: null hash input"))).otherwise(h))
 }

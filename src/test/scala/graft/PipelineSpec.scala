@@ -829,6 +829,14 @@ class PipelineSpec extends AnyFunSuite {
     val win = Sketches.kmvMinima(tok, "source", col("tok"), 16)
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
     assert(agg === win)
+    // a null hash raises instead of silently entering the minima as 0
+    // (the primitive-Long encoder's null coercion — measured)
+    import spark.implicits._
+    intercept[Exception] {
+      Seq(Some(5L), None).toDF("h")
+        .select(graft.functions.KmvAgg.kmvMinimaAgg(4)(col("h")))
+        .collect()
+    }
   }
 
   test("tokenBudgetSelect: kept set is exactly the maximal fitting prefix " +
