@@ -49,19 +49,22 @@ class GenericDatasource(val spec: DatasourceSpec) {
       if (n != 0) {
         val keyCols = spec.keyNames.map(col)
         val recordCol = struct((col("ts") +: spec.counterCols.map(c => col(c.name))): _*)
-        store.appendPartition(name, Current, srvid,
-          staged.select(col("srvid") +: keyCols :+ recordCol.as("record"): _*))
-        dbSpec.foreach { dbs =>
+        val sinks = Seq(Current ->
+          staged.select(col("srvid") +: keyCols :+ recordCol.as("record"): _*)
+        ) ++ dbSpec.map { dbs =>
           val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
-          val rolled = staged
+          CurrentDb -> staged
             .groupBy(col("srvid"), col("dbid"), col("ts"))
             .agg(aggCols.head, aggCols.tail: _*)
-          store.appendPartition(name, CurrentDb, srvid, rolled.select(
-            col("srvid"), col("dbid"),
-            struct((col("ts") +: spec.aggFields.map(f => col(f.name))): _*)
-              .as("record")))
+            .select(col("srvid"), col("dbid"),
+              struct((col("ts") +: spec.aggFields.map(f => col(f.name))): _*)
+                .as("record"))
         }
-        store.dropPartition(name, Staging, srvid) // drain (:4102-4104)
+        // sink appends + staging drain commit ATOMICALLY — the crash
+        // window between them would double-append on retry (Store's
+        // snapshot commit protocol; reference :4102-4104 drains inside
+        // the same transaction)
+        store.snapshotCommit(name, Staging, srvid, sinks)
       }
       n
     } finally staged.unpersist()
@@ -93,6 +96,7 @@ class GenericDatasource(val spec: DatasourceSpec) {
     * store is clean. Subclasses with extra current/history tier pairs
     * (qualstats constvalues) extend it. */
   protected def recoverPending(store: Store, srvid: Int): Unit = {
+    store.recoverSnapshot(name, Staging, srvid)
     store.recoverAggregate(name, Current, History, srvid)
     dbSpec.foreach(_ =>
       store.recoverAggregate(name, CurrentDb, HistoryDb, srvid))
@@ -103,6 +107,8 @@ class GenericDatasource(val spec: DatasourceSpec) {
     * single-transaction guarantee of the reference's aggregate,
     * powa--5.2.0.sql:6047-6055, restored over plain files). */
   def recover(store: Store): Unit = {
+    store.snapshotPendingSrvids(name)
+      .foreach(id => store.recoverSnapshot(name, Staging, id))
     store.inflightSrvids(name, History)
       .foreach(id => store.recoverAggregate(name, Current, History, id))
     dbSpec.foreach { _ =>

@@ -73,20 +73,19 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
           store.overwritePartition(name, Dim, srvid,
             dim.unionByName(missing).withColumn("srvid", lit(srvid)))
 
-        // per-qual metric records → generic current tier (:7144-7153)
-        store.appendPartition(name, Current, srvid, staged.select(
-          col("srvid") +: spec.keyNames.map(col) :+
-            struct(col("ts") +: spec.counterCols.map(c => col(c.name)): _*)
-              .as("record"): _*))
-
-        // constvalues rows → their own tier, input of the top-K operator
-        store.appendPartition(name, Constvalues, srvid, staged.select(
-          col("srvid"), col("qualid"), col("queryid"), col("dbid"),
-          col("userid"), col("ts"), col("constvalues"),
-          col("occurences"), col("execution_count"), col("nbfiltered"),
-          col("mean_err_estimate_ratio"), col("mean_err_estimate_num")))
-
-        store.dropPartition(name, Staging, srvid)
+        // per-qual metric records + constvalues rows land atomically
+        // with the staging drain (Store snapshot commit protocol; the
+        // dim insert above stays outside — re-derived on retry)
+        store.snapshotCommit(name, Staging, srvid, Seq(
+          Current -> staged.select(
+            col("srvid") +: spec.keyNames.map(col) :+
+              struct(col("ts") +: spec.counterCols.map(c => col(c.name)): _*)
+                .as("record"): _*),
+          Constvalues -> staged.select(
+            col("srvid"), col("qualid"), col("queryid"), col("dbid"),
+            col("userid"), col("ts"), col("constvalues"),
+            col("occurences"), col("execution_count"), col("nbfiltered"),
+            col("mean_err_estimate_ratio"), col("mean_err_estimate_num"))))
       }
       n
     } finally staged.unpersist()

@@ -32,16 +32,22 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
       now: java.sql.Timestamp): Long = {
     recoverPending(store, srvid)
     val staged = store.read(name, Staging, stagingWithQuery)
-      .filter(col("srvid") === srvid)
-    val n = if (store.traceRowcounts) staged.count() else -1L
-    if (n != 0) {
-      val newDim = StatementsPipeline.snapshot(
-        store, readDim(store, srvid), staged, srvid, lit(now))
-      store.overwritePartition(name, Dim, srvid,
-        newDim.withColumn("srvid", lit(srvid)))
-      store.dropPartition(name, Staging, srvid)
-    }
-    n
+      .filter(col("srvid") === srvid).cache()
+    try {
+      val n = if (store.traceRowcounts) staged.count() else -1L
+      if (n != 0) {
+        val (newDim, sinks) = StatementsPipeline.snapshot(
+          readDim(store, srvid), staged, srvid, lit(now))
+        // dim overwrite stays OUTSIDE the commit marker (Store's
+        // snapshot-commit scaladoc: re-derived on a rolled-back retry,
+        // reference-equivalent); it must run BEFORE the drain — its
+        // plan reads the staging partition
+        store.overwritePartition(name, Dim, srvid,
+          newDim.withColumn("srvid", lit(srvid)))
+        store.snapshotCommit(name, Staging, srvid, sinks)
+      }
+      n
+    } finally staged.unpersist()
   }
 
   /** `powa_statements_purge` (powa--5.2.0.sql:5850-5905): the generic

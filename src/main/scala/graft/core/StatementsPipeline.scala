@@ -43,43 +43,41 @@ object StatementsPipeline {
     touched.unionByName(missing)
   }
 
-  /** Run the full chain against the store for one server. Returns the
-    * updated dimension (caller persists it — dimension storage is a
-    * read-modify-overwrite of a small table, SURVEY.md §7.4 item 1).
-    */
+  /** Build the full chain's outputs for one server: the updated
+    * dimension (caller persists it — dimension storage is a
+    * read-modify-overwrite of a small table, SURVEY.md §7.4 item 1) and
+    * the two sink frames, which the caller lands atomically with
+    * `Store.snapshotCommit` (appends + staging drain under one commit
+    * point). `capture` should be cached by the caller — every returned
+    * frame reads it. */
   def snapshot(
-      store: Store,
       dim: DataFrame,
       capture: DataFrame,
       srvid: Int,
-      ts: Column): DataFrame = {
+      ts: Column): (DataFrame, Seq[(String, DataFrame)]) = {
     val spec = Specs.statements
-    val cached = capture.cache()
-    try {
-      // no materialization needed before the dim rewrite: the store's
-      // overwrite writes a NEW version directory and only then flips the
-      // pointer (AtomicSwap), so this plan reads the still-live old
-      // version during its own write action
-      val newDim = syncDimension(dim, cached, ts)
+    // no materialization needed before the dim rewrite: the store's
+    // overwrite writes a NEW version directory and only then flips the
+    // pointer (AtomicSwap), so this plan reads the still-live old
+    // version during its own write action
+    val newDim = syncDimension(dim, capture, ts)
 
-      // by_query: per-entity records into current (:4046-4068)
-      val keyCols = spec.keyNames.map(col)
-      store.appendPartition(spec.name, GenericDatasource.Current, srvid,
-        cached.select(
-          lit(srvid).as("srvid") +: keyCols :+
-            struct(col("ts") +: spec.counterCols.map(c => col(c.name)): _*)
-              .as("record"): _*))
+    // by_query: per-entity records into current (:4046-4068)
+    val keyCols = spec.keyNames.map(col)
+    val cur = capture.select(
+      lit(srvid).as("srvid") +: keyCols :+
+        struct(col("ts") +: spec.counterCols.map(c => col(c.name)): _*)
+          .as("record"): _*)
 
-      // by_database: rollup into current_db (:4070-4094)
-      val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
-      store.appendPartition(spec.name, GenericDatasource.CurrentDb, srvid,
-        cached.groupBy(col("dbid"), col("ts"))
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(
-            lit(srvid).as("srvid"), col("dbid"),
-            struct(col("ts") +: spec.aggFields.map(f => col(f.name)): _*)
-              .as("record")))
-      newDim
-    } finally cached.unpersist()
+    // by_database: rollup into current_db (:4070-4094)
+    val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
+    val curDb = capture.groupBy(col("dbid"), col("ts"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        lit(srvid).as("srvid"), col("dbid"),
+        struct(col("ts") +: spec.aggFields.map(f => col(f.name)): _*)
+          .as("record"))
+    (newDim, Seq(GenericDatasource.Current -> cur,
+      GenericDatasource.CurrentDb -> curDb))
   }
 }

@@ -508,6 +508,127 @@ final class Store(val spark: SparkSession, root: String) {
     }
   }
 
+  // ---- atomic snapshot commit ---------------------------------------
+  //
+  // The reference's snapshot runs `INSERT INTO current …; DELETE FROM
+  // staging` inside powa_take_snapshot's single transaction
+  // (powa--5.2.0.sql:1406-1488, :4102-4104). A bare appendPartition +
+  // dropPartition(staging) pair leaves a crash window in which current
+  // already holds the appended records while staging still holds the
+  // rows that produced them — the tick RETRY would append them again
+  // (duplicated records, doubled sums after the next aggregate). Same
+  // discipline as the aggregate commit protocol:
+  //
+  //   1. write every sink's batch into a dot-prefixed STAGE directory
+  //      inside its tier (invisible to every read path);
+  //   2. create the COMMIT marker directory — one atomic
+  //      createDirectory is the commit point;
+  //   3. drop the staging partition (the inputs are now represented by
+  //      the staged batches);
+  //   4. promote each staged batch into its tier's live version with
+  //      ONE rename and republish the manifest; 5. delete the marker.
+  //
+  // Recovery is unambiguous from the marker alone: ABSENT → roll back
+  // (delete stage dirs; staging is intact and the retry re-derives
+  // everything — the reference-equivalent "transaction rolled back,
+  // rerun at a later now()"); PRESENT → roll forward (drop staging,
+  // promote what remains, delete the marker). Promotion is idempotent:
+  // each stage dir moves at most once and republish is a pure re-walk.
+  // Dimension overwrites (statements MRU, qualstats quals) stay OUTSIDE
+  // the marker: they are swap-replaces re-derived from dim ∪ staged on
+  // retry, so a rolled-back tick merely re-stamps them at the retry's
+  // now() — exactly what rerunning the reference's transaction does. A
+  // dim updated by a tick that then rolled back is visible early; a
+  // dimension row without matching records is harmless (readback joins
+  // dim TO records, never the reverse).
+
+  private def snapStageDir(ds: String, tier: String, srvid: Int): Path =
+    dir(ds, tier).resolve(s".snapstage_srvid=$srvid")
+  private def snapMarker(ds: String, srvid: Int): Path =
+    Paths.get(root, ds, s".snapcommit_srvid=$srvid")
+
+  /** Atomically land a snapshot's sink batches and drain its staging
+    * partition — the tick's second transaction boundary. Each (tier,
+    * df) in `sinks` is appended to that tier's `srvid` partition;
+    * either ALL of them land and staging drains, or none do. The
+    * caller holds the server's snapshot lock. */
+  def snapshotCommit(ds: String, stagingTier: String, srvid: Int,
+      sinks: Seq[(String, DataFrame)]): Unit = {
+    recoverSnapshot(ds, stagingTier, srvid) // resolve any stale run
+    sinks.foreach { case (tier, df) =>
+      df.drop("srvid").write.mode("overwrite")
+        .parquet(snapStageDir(ds, tier, srvid).toString)
+    }
+    Files.createDirectory(snapMarker(ds, srvid)) // commit point
+    dropPartition(ds, stagingTier, srvid)
+    promoteSnapshot(ds, srvid)
+    Files.deleteIfExists(snapMarker(ds, srvid))
+  }
+
+  /** Tiers holding an unpromoted snapshot stage dir for this server. */
+  private def snapStageTiers(ds: String, srvid: Int): Seq[String] = {
+    val base = Paths.get(root, ds)
+    if (!Files.isDirectory(base)) Seq.empty
+    else {
+      val s = Files.list(base)
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filterNot(_.startsWith("."))
+        .filter(t => Files.isDirectory(snapStageDir(ds, t, srvid)))
+        .toList.sorted
+      finally s.close()
+    }
+  }
+
+  /** Steps 4-5: one rename moves each staged batch into its tier's live
+    * version (same commit shape as AtomicSwap.appendInto), then the
+    * republished manifest makes it readable. */
+  private def promoteSnapshot(ds: String, srvid: Int): Unit =
+    snapStageTiers(ds, srvid).foreach { tier =>
+      val parent = dir(ds, tier)
+      AtomicSwap.ensureLayout(parent, s"srvid=$srvid")
+      val v = AtomicSwap.liveTarget(parent, s"srvid=$srvid").get
+      Files.move(snapStageDir(ds, tier, srvid),
+        v.resolve(s".batch_${java.util.UUID.randomUUID}"))
+      AtomicSwap.republish(parent, s"srvid=$srvid")
+    }
+
+  /** Resolve a (possibly crashed) snapshot commit — safe to call every
+    * tick; pure directory probes when nothing is pending. */
+  def recoverSnapshot(ds: String, stagingTier: String, srvid: Int): Unit =
+    if (Files.isDirectory(snapMarker(ds, srvid))) {
+      dropPartition(ds, stagingTier, srvid)
+      promoteSnapshot(ds, srvid)
+      Files.deleteIfExists(snapMarker(ds, srvid))
+    } else snapStageTiers(ds, srvid)
+      .foreach(t => deleteRecursively(snapStageDir(ds, t, srvid)))
+
+  /** All srvids with an unresolved snapshot commit (marker or orphan
+    * stage dir) in this datasource — the engine-start recovery scan. */
+  def snapshotPendingSrvids(ds: String): Seq[Int] = {
+    val base = Paths.get(root, ds)
+    if (!Files.isDirectory(base)) Seq.empty
+    else {
+      def ids(d: Path, prefix: String): Seq[Int] =
+        if (!Files.isDirectory(d)) Seq.empty
+        else {
+          val s = Files.list(d)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(prefix))
+            .flatMap(n => scala.util.Try(
+              n.stripPrefix(prefix).toInt).toOption).toList
+          finally s.close()
+        }
+      val markers = ids(base, ".snapcommit_srvid=")
+      val s = Files.list(base)
+      val staged =
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .filterNot(_.getFileName.toString.startsWith("."))
+          .flatMap(t => ids(t, ".snapstage_srvid=")).toList
+        finally s.close()
+      (markers ++ staged).distinct
+    }
+  }
+
   /** Drop a whole tier (global reset). */
   def dropTier(ds: String, tier: String): Unit = deleteRecursively(dir(ds, tier))
 

@@ -780,6 +780,60 @@ class EngineSpec extends AnyFunSuite {
     assert(tierCount(e, ds, GenericDatasource.History) === 3)
   }
 
+  test("snapshot commit protocol: sink appends + staging drain are atomic " +
+      "under crashes on either side of the marker") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapc").toString
+    val e = new Engine(spark, root)
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 46, hostname = "h", powaCoalesce = 100, retentionSec = 86400))
+    val ds = "powa_stat_bgwriter"
+    val d = e.datasource(ds)
+    e.ingest(ds, bgwriterBatch(srvid, 1))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:01:30"))
+    assert(tierCount(e, ds, GenericDatasource.Current) === 1)
+
+    // crash BEFORE the commit point: an orphan stage dir, NO marker →
+    // recovery rolls it back; staging is intact, so the retried tick
+    // lands its batch EXACTLY once (the junk never promotes)
+    e.ingest(ds, bgwriterBatch(srvid, 2))
+    val stage = java.nio.file.Paths.get(
+      root, ds, GenericDatasource.Current, s".snapstage_srvid=$srvid")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.writeString(stage.resolve("junk"), "partial")
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:02:30"))
+    assert(!java.nio.file.Files.exists(stage))
+    assert(tierCount(e, ds, GenericDatasource.Current) === 2)
+
+    // crash AFTER the commit point but BEFORE drain + promote: stage
+    // content + marker exist, staging still holds the rows. Recovery
+    // must roll FORWARD — drain staging, promote the batch once.
+    // Without the protocol this is the double-append window: the retry
+    // would re-append rows that current already holds.
+    e.ingest(ds, bgwriterBatch(srvid, 3))
+    val staged3 = e.store.read(ds, GenericDatasource.Staging,
+        d.spec.stagingSchema).filter(col("srvid") === srvid)
+    val recordCol = struct(
+      col("ts") +: d.spec.counterCols.map(c => col(c.name)): _*)
+    staged3.select(col("srvid") +: d.spec.keyNames.map(col) :+
+        recordCol.as("record"): _*)
+      .drop("srvid").write.parquet(stage.toString)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
+      root, ds, s".snapcommit_srvid=$srvid"))
+    e.recover()
+    assert(!e.store.hasPartition(ds, GenericDatasource.Staging, srvid),
+      "roll-forward must drain staging")
+    assert(tierCount(e, ds, GenericDatasource.Current) === 3,
+      "the committed batch promotes exactly once")
+    // a fresh tick on the recovered store finds nothing staged (drained)
+    assert(e.takeSnapshot(srvid,
+      Timestamp.valueOf("2024-01-01 00:03:30")) === 0)
+    assert(tierCount(e, ds, GenericDatasource.Current) === 3)
+    // and the next real landing appends exactly once more
+    e.ingest(ds, bgwriterBatch(srvid, 4))
+    e.takeSnapshot(srvid, Timestamp.valueOf("2024-01-01 00:04:30"))
+    assert(tierCount(e, ds, GenericDatasource.Current) === 4)
+  }
+
   test("an idle tick launches zero Spark jobs (directory probes only)") {
     // the fleet-scale claim behind the directory-probe fast path: a
     // tick where nothing is staged costs filesystem probes + one meta

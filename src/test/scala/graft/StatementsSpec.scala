@@ -108,8 +108,10 @@ class StatementsSpec extends AnyFunSuite {
         StructField("userid", LongType), StructField("query", StringType),
         StructField("last_present_ts", TimestampType))))
 
+    val name = Specs.statements.name
     val cap1 = StatementsSource.capture(raw111(), 111, Seq("ignored_bot"), t0)
-    val dim1 = StatementsPipeline.snapshot(store, emptyDim, cap1, 1, t0)
+    val (dim1, sinks1) = StatementsPipeline.snapshot(emptyDim, cap1, 1, t0)
+    store.snapshotCommit(name, GenericDatasource.Staging, 1, sinks1)
     assert(dim1.count() === 1) // one new statement inserted
     assert(dim1.head().getAs[Timestamp]("last_present_ts") ===
       Timestamp.valueOf("2024-01-01 00:00:00"))
@@ -117,7 +119,8 @@ class StatementsSpec extends AnyFunSuite {
     // second tick: same statement seen again at t1 → MRU touch, no dup
     val t1 = lit(Timestamp.valueOf("2024-01-01 00:05:00"))
     val cap2 = StatementsSource.capture(raw111(), 111, Seq("ignored_bot"), t1)
-    val dim2 = StatementsPipeline.snapshot(store, dim1, cap2, 1, t1)
+    val (dim2, sinks2) = StatementsPipeline.snapshot(dim1, cap2, 1, t1)
+    store.snapshotCommit(name, GenericDatasource.Staging, 1, sinks2)
     assert(dim2.count() === 1)
     assert(dim2.head().getAs[Timestamp]("last_present_ts") ===
       Timestamp.valueOf("2024-01-01 00:05:00"))
