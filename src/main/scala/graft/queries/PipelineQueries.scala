@@ -824,6 +824,24 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // binned point-in-interval join: every event joined to the 2-hour
+  // windows opened by purchases — no equi key exists, so the bare
+  // range predicate would plan as a nested loop; hour bins manufacture
+  // the equi join (the oracle runs the plain range join)
+  private def p71(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") % 7 === 0)
+    val ivals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("ts")), "ts",
+        ivals, "start_ts", "end_ts",
+        binSec = 3600L, maxSpanSec = 7200L)
+      .select(col("interval_id"), col("event_id"), col("ts"))
+      .orderBy(col("interval_id"), col("event_id"))
+  }
+
   // modality-mixed batch assembly: every training batch = 3 text + 1
   // embedding sample, deterministic hash-shuffled layout, only
   // complete batches survive (the scarcest modality bounds the epoch)
@@ -1143,7 +1161,8 @@ object PipelineQueries {
     "p67_decayed_sum" -> (p67 _),
     "p68_temperature_mix" -> (p68 _),
     "p69_stream_cc" -> (p69 _),
-    "p70_batch_mix" -> (p70 _))
+    "p70_batch_mix" -> (p70 _),
+    "p71_interval_join" -> (p71 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2362,5 +2381,15 @@ object PipelineQueries {
           SELECT CAST(batch AS BIGINT) AS batch,
                  CAST(slot AS BIGINT) AS slot, modality, id
           FROM b WHERE batch < (SELECT B FROM lim)
-          ORDER BY batch, slot""")
+          ORDER BY batch, slot""",
+    "p71_interval_join" ->
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+                    WHERE user_id % 7 = 0),
+          i AS (SELECT event_id AS interval_id, ts AS start_ts,
+                       ts + INTERVAL 2 HOUR AS end_ts
+                FROM e WHERE event_type = 'purchase')
+          SELECT i.interval_id, e.event_id, e.ts
+          FROM e JOIN i
+            ON e.ts >= i.start_ts AND e.ts < i.end_ts
+          ORDER BY interval_id, event_id""")
 }

@@ -325,6 +325,20 @@ class PlanSpec extends AnyFunSuite {
       s"shuffleShard must be one shard exchange + in-shard sort, plan:\n$shard")
   }
 
+  test("binned interval join: equi-join on the bin, never a nested loop") {
+    val ev = Tables.events(spark, sf)
+    val ivals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val out = graft.operators.RangeJoin.pointInInterval(
+      ev.select(col("event_id"), col("ts")), "ts",
+      ivals, "start_ts", "end_ts", binSec = 3600L, maxSpanSec = 7200L)
+    val plan = finalPlan(out)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"binned interval join must never nested-loop, plan:\n$plan")
+    assert(plan.contains("Join"), "it is still a join")
+  }
+
   test("decayedSum: max-ts window and final sum share one exchange, no join") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id").as("v"))
