@@ -842,6 +842,23 @@ object PipelineQueries {
       .orderBy(col("interval_id"), col("event_id"))
   }
 
+  // binned interval-OVERLAP join: view hours x purchase 90-minute
+  // windows, dedup-free via the owner-bin rule (pair emitted only in
+  // the first bin of its overlap — both sides provably cover it)
+  private def p72(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") % 11 === 3)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("v_end"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("p_end"))
+    graft.operators.RangeJoin.intervalOverlap(views, "v_start", "v_end",
+        purch, "p_start", "p_end", binSec = 3600L, maxSpanSec = 5400L)
+      .select(col("view_id"), col("p_id"))
+      .orderBy(col("view_id"), col("p_id"))
+  }
+
   // modality-mixed batch assembly: every training batch = 3 text + 1
   // embedding sample, deterministic hash-shuffled layout, only
   // complete batches survive (the scarcest modality bounds the epoch)
@@ -1162,7 +1179,8 @@ object PipelineQueries {
     "p68_temperature_mix" -> (p68 _),
     "p69_stream_cc" -> (p69 _),
     "p70_batch_mix" -> (p70 _),
-    "p71_interval_join" -> (p71 _))
+    "p71_interval_join" -> (p71 _),
+    "p72_interval_overlap" -> (p72 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2391,5 +2409,18 @@ object PipelineQueries {
           SELECT i.interval_id, e.event_id, e.ts
           FROM e JOIN i
             ON e.ts >= i.start_ts AND e.ts < i.end_ts
-          ORDER BY interval_id, event_id""")
+          ORDER BY interval_id, event_id""",
+    "p72_interval_overlap" ->
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+                    WHERE user_id % 11 = 3),
+          v AS (SELECT event_id AS view_id, ts AS v_start,
+                       ts + INTERVAL 1 HOUR AS v_end
+                FROM e WHERE event_type = 'view'),
+          p AS (SELECT event_id AS p_id, ts AS p_start,
+                       ts + INTERVAL 90 MINUTE AS p_end
+                FROM e WHERE event_type = 'purchase')
+          SELECT v.view_id, p.p_id
+          FROM v JOIN p
+            ON v.v_start < p.p_end AND p.p_start < v.v_end
+          ORDER BY view_id, p_id""")
 }

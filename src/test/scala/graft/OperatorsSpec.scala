@@ -175,6 +175,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spread >= 6, s"salts used: $spread of 8")
   }
 
+  test("range joins: µs-exact bin math catches the sub-second boundary " +
+      "miss; overlap owner-bin emits each pair exactly once") {
+    import spark.implicits._
+    def t(sec: Long, micro: Long = 0L): java.sql.Timestamp = {
+      val x = new java.sql.Timestamp(sec * 1000L)
+      x.setNanos((micro * 1000).toInt)
+      x
+    }
+    // the seconds-truncation miss class: interval ends at 7200.000500
+    // (bin boundary second), point at 7200.000200 is INSIDE it but its
+    // truncated second (7200) bins one past the interval's last
+    // seconds-covered bin — µs arithmetic must still find it
+    val ivals = Seq((1L, t(3600, 500), t(7200, 500)))
+      .toDF("interval_id", "start_ts", "end_ts")
+    val pts = Seq((10L, t(7200, 200)), (11L, t(7200, 600)),
+      (12L, t(3600, 499))).toDF("event_id", "ts")
+    val hits = graft.operators.RangeJoin.pointInInterval(
+        pts, "ts", ivals, "start_ts", "end_ts", 3600L, 3600L)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(hits === Set(10L), s"got $hits") // 11 past end, 12 before start
+    // inverted interval raises instead of silently vanishing
+    intercept[Exception] {
+      graft.operators.RangeJoin.pointInInterval(pts, "ts",
+        Seq((2L, t(7200), t(3600))).toDF("interval_id", "start_ts", "end_ts"),
+        "start_ts", "end_ts", 3600L, 3600L).collect()
+    }
+    // overlap: pairs spanning MANY shared bins still emit exactly once
+    val a = Seq((1L, t(0), t(10800))).toDF("a_id", "a_start", "a_end")
+    val b = Seq((2L, t(3600), t(14400)), (3L, t(10800), t(14400)))
+      .toDF("b_id", "b_start", "b_end")
+    val ov = graft.operators.RangeJoin.intervalOverlap(
+        a, "a_start", "a_end", b, "b_start", "b_end", 3600L, 10800L)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // (1,2) overlaps across two shared bins -> once; (1,3) abuts
+    // exactly (a_end == b_start, half-open) -> no pair
+    assert(ov.toSeq === Seq((1L, 2L)), s"got ${ov.toSeq}")
+  }
+
   test("decayedSum: per-half-life halving, shift cap, loud guards") {
     import spark.implicits._
     def t(x: String) = java.sql.Timestamp.valueOf(x)
