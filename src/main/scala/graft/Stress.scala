@@ -157,6 +157,22 @@ object Stress {
         Seq("user_id"), "ts", 86400L,
         Seq("decayed_cents" -> col("cents"))).count())
 
+    // Binned interval-join axis (round 6): keyless point-in-interval at
+    // fact scale — the equi-shuffle-on-bin shape must track the join's
+    // output volume, where the nested loop Spark would otherwise plan
+    // is |points|x|intervals| regardless of selectivity.
+    val (rangeSec, rangeRows) = timed {
+      val pts = big.select(col("user_id"), col("record.ts").as("ts"))
+      val ivals = big.filter(col("event_type") === "purchase" &&
+          col("user_id") % 50 === 7)
+        .select(col("user_id").as("interval_user"),
+          col("record.ts").as("start_ts"),
+          (col("record.ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      graft.operators.RangeJoin.pointInInterval(pts, "ts",
+        ivals, "start_ts", "end_ts",
+        binSec = 1800L, maxSpanSec = 1800L).count()
+    }
+
     // PQ axis: train per-subspace codebooks on the multiplied corpus
     // (zero-exchange assignment passes + one k·dim agg), then the
     // zero-exchange fused encode+ADC probe.
@@ -299,6 +315,7 @@ object Stress {
       s""""cms_sec":$cmsSec,"cms_docs_per_sec":${(nDocs / cmsSec).toLong},"cms_counters":$cmsRows,""" +
       s""""score_sec":$scoreSec,"score_docs_per_sec":${(nDocs / scoreSec).toLong},"score_kept":$scoreKept,""" +
       s""""decay_sec":$decaySec,"decay_rows_per_sec":${(n / decaySec).toLong},"decay_keys":$decayRows,""" +
+      s""""range_sec":$rangeSec,"range_rows_per_sec":${(n / rangeSec).toLong},"range_pairs":$rangeRows,""" +
       s""""pq_sec":$pqSec,"pq_rows":$pqRows,""" +
       s""""ivfpq_sec":$ivfpqSec,"ivfpq_rows":$ivfpqRows,""" +
       s""""cc_chain_len":$chainLen,"cc_rounds":$ccRounds,""" +

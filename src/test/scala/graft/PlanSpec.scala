@@ -337,6 +337,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"binned interval join must never nested-loop, plan:\n$plan")
     assert(plan.contains("Join"), "it is still a join")
+    val ov = graft.operators.RangeJoin.intervalOverlap(
+      ivals.select(col("interval_id").as("a_id"),
+        col("start_ts").as("a_start"), col("end_ts").as("a_end")),
+      "a_start", "a_end",
+      ivals.select(col("interval_id").as("b_id"),
+        col("start_ts").as("b_start"), col("end_ts").as("b_end")),
+      "b_start", "b_end", binSec = 3600L, maxSpanSec = 7200L)
+    val ovPlan = finalPlan(ov)
+    assert(!ovPlan.contains("NestedLoop") && !ovPlan.contains("Cartesian"),
+      s"overlap join must never nested-loop, plan:\n$ovPlan")
+    assert(!ovPlan.contains("HashAggregate") || !ovPlan.contains("distinct"),
+      "owner-bin rule must not need a dedup aggregate")
   }
 
   test("decayedSum: max-ts window and final sum share one exchange, no join") {
