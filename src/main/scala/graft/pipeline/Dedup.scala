@@ -422,6 +422,27 @@ object Dedup {
     docs.join(keepers.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Near-dup removal keeping the BEST row of each cluster instead of
+    * the minimum id — the form curation actually wants ("keep the
+    * longest / cleanest / highest-classifier copy of each near-dup
+    * family"). `priority` is evaluated on `docs` and ranked DESCENDING
+    * with the id as the deterministic tiebreak, so the keeper is
+    * argmax(priority, min id on ties) per component. Cost over
+    * [[removeNearDups]]: one extra rank window keyed on the cluster
+    * label (components are near-dup families — small and numerous, a
+    * well-spread window key). */
+  def removeNearDupsBy(docs: DataFrame, idCol: String,
+      pairs: DataFrame, priority: Column): DataFrame = {
+    val labels = connectedComponents(pairs.select(col("i"), col("j")),
+      docs.select(col(idCol)), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(priority.desc, col(idCol).asc)
+    docs.join(labels.select(col(idCol), col("cluster")), Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk", "cluster")
+  }
+
   /** SimHash over distinct tokens: `bits`-wide (≤ 48 so the value and all
     * shifts stay positive in both engines). Per-row fold over the token
     * array — a weighted bit-vote per token, assembled into one long. */

@@ -824,6 +824,18 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // priority-keeper near-dup removal: each minhash cluster keeps its
+  // LONGEST member (argmax n_chars, min-id tiebreak) instead of the
+  // min id — the curation form ("keep the cleanest copy")
+  private def p73(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+    Dedup.removeNearDupsBy(docs, "doc_id", pairs, col("n_chars"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // binned point-in-interval join: every event joined to the 2-hour
   // windows opened by purchases — no equi key exists, so the bare
   // range predicate would plan as a nested loop; hour bins manufacture
@@ -1180,7 +1192,8 @@ object PipelineQueries {
     "p69_stream_cc" -> (p69 _),
     "p70_batch_mix" -> (p70 _),
     "p71_interval_join" -> (p71 _),
-    "p72_interval_overlap" -> (p72 _))
+    "p72_interval_overlap" -> (p72 _),
+    "p73_keep_best" -> (p73 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2422,5 +2435,27 @@ object PipelineQueries {
           SELECT v.view_id, p.p_id
           FROM v JOIN p
             ON v.v_start < p.p_end AND p.p_start < v.v_end
-          ORDER BY view_id, p_id""")
+          ORDER BY view_id, p_id""",
+    "p73_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j
+                    FROM cand JOIN shh sa ON sa.doc_id = i
+                              JOIN shh sb ON sb.doc_id = j
+                    WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                          * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+          lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster
+                  FROM reach GROUP BY node),
+          r AS (SELECT d.doc_id, d.n_chars, l.cluster,
+                  ROW_NUMBER() OVER (PARTITION BY l.cluster
+                    ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+                FROM documents d JOIN lab l USING (doc_id))
+          SELECT doc_id, n_chars FROM r WHERE rk = 1
+          ORDER BY doc_id""")
 }
