@@ -74,10 +74,14 @@ object Rolling {
     val taken = df.columns.toSet ++ values.map(_._1) + "t_ref"
     val ageCol = Iterator.iterate("__age_hl")(_ + "_")
       .dropWhile(taken.contains).next()
-    val tMax = max(unix_seconds(col(tsCol)))
-      .over(Window.partitionBy(keyCols.map(col): _*))
+    // a null ts would null the age and silently drop the row from every
+    // sum — same loud-guard rule as the value guard below
+    val sec = when(col(tsCol).isNull, raise_error(
+        lit("decayedSum: null timestamp")))
+      .otherwise(unix_seconds(col(tsCol)))
+    val tMax = max(sec).over(Window.partitionBy(keyCols.map(col): _*))
     val age = least(
-      call_function("div", tMax - unix_seconds(col(tsCol)), lit(halfLifeSec)),
+      call_function("div", tMax - sec, lit(halfLifeSec)),
       lit(63L))
     val decayed = values.map { case (name, v) =>
       // a negative value's arithmetic shift rounds toward -inf, which

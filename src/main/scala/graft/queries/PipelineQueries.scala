@@ -824,6 +824,28 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  // STREAMING windowed heavy hitters: per hourly window, the top-3
+  // event types by count — the continuous "what's trending" dashboard
+  // feed. The rank runs as a BATCH window over the streaming rollup's
+  // final complete-mode state (Spark forbids rank windows inside a
+  // streaming agg — the two-stage shape IS the production pattern:
+  // stream maintains counts, a cheap batch pass ranks the tiny state)
+  private def p74(s: SparkSession, d: String): DataFrame = {
+    val st = eventsStream(s, d).select(col("ts"), col("event_type"),
+      lit(0L).as("value")) // rollup's value aggs unused here; n is the rank key
+    val counts = runToMemory(s, graft.streaming.EventRollup.rollup(
+      st, Seq(col("event_type")), "1 hour", "10 minutes"))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("range_start"))
+          .orderBy(col("n").desc, col("event_type").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("range_start"), col("rank").cast("long").as("rank"),
+        col("event_type"), col("n"))
+      .orderBy(col("range_start"), col("rank"))
+  }
+
   // priority-keeper near-dup removal: each minhash cluster keeps its
   // LONGEST member (argmax n_chars, min-id tiebreak) instead of the
   // min id — the curation form ("keep the cleanest copy")
@@ -1193,7 +1215,8 @@ object PipelineQueries {
     "p70_batch_mix" -> (p70 _),
     "p71_interval_join" -> (p71 _),
     "p72_interval_overlap" -> (p72 _),
-    "p73_keep_best" -> (p73 _))
+    "p73_keep_best" -> (p73 _),
+    "p74_stream_topk" -> (p74 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2457,5 +2480,17 @@ object PipelineQueries {
                     ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
                 FROM documents d JOIN lab l USING (doc_id))
           SELECT doc_id, n_chars FROM r WHERE rk = 1
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "p74_stream_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS range_start,
+                       event_type, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+          r AS (SELECT range_start, event_type, n,
+                  ROW_NUMBER() OVER (PARTITION BY range_start
+                    ORDER BY n DESC, event_type ASC) AS rank
+                FROM c)
+          SELECT range_start, CAST(rank AS BIGINT) AS rank,
+                 event_type, n
+          FROM r WHERE rank <= 3
+          ORDER BY range_start, rank""")
 }

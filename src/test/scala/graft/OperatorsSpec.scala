@@ -246,5 +246,12 @@ class OperatorsSpec extends AnyFunSuite {
         Seq((1L, t("2024-03-10 00:00:00"), -5L)).toDF("k", "ts", "v"),
         Seq("k"), "ts", 86400L, Seq("dv" -> col("v"))).collect()
     }
+    // a null ts raises instead of silently dropping the row
+    intercept[Exception] {
+      graft.operators.Rolling.decayedSum(
+        Seq((1L, Option.empty[java.sql.Timestamp], 5L))
+          .toDF("k", "ts", "v"),
+        Seq("k"), "ts", 86400L, Seq("dv" -> col("v"))).collect()
+    }
   }
 }
