@@ -98,8 +98,11 @@ final class RegistryStore(root: String) {
     val legacy = legacyMetas()
     if (legacy.nonEmpty) {
       val owned = perServerMetaIds().toSet
-      legacy.filterNot(r => owned(r.srvid) || scope(r.srvid))
-        .foreach(writeMetaRow)
+      // migrate EVERY unowned row — including ones in scope, which the
+      // loop below immediately overwrites: dropping the legacy table
+      // with a scoped row not yet spilled would lose that server's meta
+      // if the process died before its writeMetaRow
+      legacy.filterNot(r => owned(r.srvid)).foreach(writeMetaRow)
       AtomicSwap.drop(dir, "snapshot_metas")
     }
     val byId = rows.map(r => r.srvid -> r).toMap

@@ -589,7 +589,11 @@ final class Store(val spark: SparkSession, root: String) {
       val v = AtomicSwap.liveTarget(parent, s"srvid=$srvid").get
       Files.move(snapStageDir(ds, tier, srvid),
         v.resolve(s".batch_${java.util.UUID.randomUUID}"))
-      AtomicSwap.republish(parent, s"srvid=$srvid")
+      // doom-aware like promoteCommitted: sink tiers carry no doom
+      // markers today, but a bare republish here would resurrect a
+      // logically-dropped bucket if one ever did
+      AtomicSwap.republish(parent, s"srvid=$srvid",
+        doomExclusion(ds, tier, srvid))
     }
 
   /** Resolve a (possibly crashed) snapshot commit — safe to call every
