@@ -362,6 +362,45 @@ final class Store(val spark: SparkSession, root: String) {
     clearDooms(ds, tier, srvid)
   }
 
+  /** Compact one server's partition: rewrite its accumulated batch/part
+    * files into `targetFiles` files with one atomic swap — the
+    * maintenance op for append-heavy current tiers, where every tick's
+    * snapshotCommit lands one `.batch_` dir and up to `coalesce_seq`
+    * (~100) of them pile up before the aggregate drains the tier. At
+    * fleet scale that is the classic small-file problem (100 servers ×
+    * 100 batches × several tiers), and the cluster form of this op is
+    * Delta OPTIMIZE / Iceberg rewrite_data_files — invoked on a
+    * maintenance cadence, not inside the write path. Rows are
+    * unchanged, only layout; concurrent manifest-pinned readers finish
+    * on the retained predecessor version exactly as with any swap.
+    * Returns false — without launching a Spark job — when the
+    * partition has no manifest (staging / legacy layouts, which other
+    * processes may be appending to without the lock) or fewer than
+    * `minFiles` data files. Like every mutator, assumes the caller
+    * holds the server's snapshot lock: an unlocked concurrent append
+    * between the pinned read and the swap would be lost. Files of
+    * logically-dropped (doomed) buckets are already absent from the
+    * pinned manifest, so compaction also physically ages them out —
+    * their markers become stale no-ops and are cleared. `bucketed`
+    * re-derives the month-bucket directory level for history tiers. */
+  def compactPartition(ds: String, tier: String, srvid: Int,
+      schema: StructType, targetFiles: Int = 1, minFiles: Int = 2,
+      bucketed: Boolean = false): Boolean =
+    AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid") match {
+      case Some(files)
+          if files.count(_.toString.endsWith(".parquet")) >= minFiles =>
+        val df = fromManifestFiles(files, srvid, schema)
+          .coalesce(targetFiles)
+        if (bucketed)
+          overwritePartition(ds, tier, srvid,
+            df.withColumn("bucket",
+              date_format(col("range_start"), "yyyy-MM")),
+            partitionCols = Seq("bucket"))
+        else overwritePartition(ds, tier, srvid, df)
+        true
+      case _ => false
+    }
+
   /** Drop one server's partition — `DELETE FROM … WHERE srvid = ?`
     * (e.g. staging drain powa--5.2.0.sql:4102-4104, reset :6359-6429).
     * Removes the live pointer first (readers stop seeing the partition

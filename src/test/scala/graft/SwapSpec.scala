@@ -312,6 +312,74 @@ class SwapSpec extends AnyFunSuite {
     assert(store.read("ds", "hist", histSchema).count() === 2 * 15)
   }
 
+  test("compactPartition folds accumulated batches into one file, " +
+      "rows unchanged, pinned readers unaffected") {
+    val (store, root) = mkStore()
+    store.overwritePartition("ds", "cur", 7, batch(7, 1L, 10))
+    (2L to 4L).foreach(t => store.appendPartition("ds", "cur", 7,
+      batch(7, t, 10)))
+    def files() = AtomicSwap
+      .manifestFiles(Paths.get(root, "ds", "cur"), "srvid=7").get
+      .count(_.toString.endsWith(".parquet"))
+    assert(files() >= 4) // one per write — the small-file pile-up
+    val before = store.readPartition("ds", "cur", 7, schema)
+      .orderBy("tag", "k").collect().toSeq
+    val pinned = store.readPartitionManifest("ds", "cur", 7, schema).get
+    assert(store.compactPartition("ds", "cur", 7, schema))
+    assert(files() === 1) // layout changed…
+    val after = store.readPartition("ds", "cur", 7, schema)
+      .orderBy("tag", "k").collect().toSeq
+    assert(after === before) // …rows did not
+    // a reader pinned pre-compaction finishes on the retained
+    // predecessor version
+    assert(pinned.count() === 40)
+    // an appended batch AFTER compaction is picked up normally
+    store.appendPartition("ds", "cur", 7, batch(7, 9L, 3))
+    assert(store.readPartition("ds", "cur", 7, schema).count() === 43)
+  }
+
+  test("compactPartition declines below minFiles and without a manifest") {
+    val (store, _) = mkStore()
+    store.overwritePartition("ds", "cur", 7, batch(7, 1L, 10).coalesce(1))
+    assert(!store.compactPartition("ds", "cur", 7, schema)) // 1 file
+    // an already-compacted partition declines again: the op converges
+    store.appendPartition("ds", "cur", 7, batch(7, 2L, 10))
+    assert(store.compactPartition("ds", "cur", 7, schema))
+    assert(!store.compactPartition("ds", "cur", 7, schema))
+    val (legacy, _) = mkStore()
+    legacy.append("ds", "cur", batch(7, 1L, 10)) // hive layout, no manifest
+    legacy.append("ds", "cur", batch(7, 2L, 10))
+    assert(!legacy.compactPartition("ds", "cur", 7, schema))
+    assert(legacy.read("ds", "cur", schema).count() === 20)
+  }
+
+  test("compactPartition bucketed=true re-derives month buckets") {
+    val histSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("range_start", TimestampType)))
+    def histBatch(month: Int, n: Int) =
+      spark.range(n).select(col("id").as("k"),
+        to_timestamp(lit(f"2024-$month%02d-10 00:00:00")).as("range_start"))
+        .withColumn("srvid", lit(7))
+    val (store, root) = mkStore()
+    store.appendPartition("ds", "hist", 7, histBatch(1, 5))
+    store.appendPartition("ds", "hist", 7, histBatch(2, 5))
+    assert(store.compactPartition("ds", "hist", 7, histSchema,
+      bucketed = true))
+    val fs = AtomicSwap
+      .manifestFiles(Paths.get(root, "ds", "hist"), "srvid=7").get
+      .filter(_.toString.endsWith(".parquet"))
+    assert(fs.nonEmpty)
+    assert(fs.forall(_.toString.contains("bucket=2024-")))
+    assert(fs.map(_.getParent.getFileName.toString).distinct.sorted ===
+      Seq("bucket=2024-01", "bucket=2024-02"))
+    val back = store.readPartition("ds", "hist", 7, histSchema)
+    assert(back.count() === 10)
+    assert(back.groupBy(date_format(col("range_start"), "yyyy-MM"))
+      .count().orderBy(col("count")).collect().map(_.getLong(1)).toSeq ===
+      Seq(5L, 5L))
+  }
+
   test("deleteRecursively never follows a symlink out of the tree") {
     val root = Files.createTempDirectory("graft_links")
     val outside = Files.createTempDirectory("graft_outside")
