@@ -222,6 +222,35 @@ object Similarity {
     }.toDF("centroid", "pos", "value")
   }
 
+  /** Trained integer centroids frame → (cid, e4 vector) rows for
+    * [[assignCellsInt]] — the same bounded k×dim driver-resident
+    * collect as [[kmeansCodebook]], kept in integer space. */
+  def intCodebook(centroids: DataFrame): Seq[(Long, Seq[Long])] =
+    centroids.collect()
+      .groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq)
+      }.sortBy(_._1)
+
+  /** Nearest-centroid cell assignment in the SAME e4 integer space the
+    * codebook was trained in — squared-L2 argmin, tie → lowest
+    * centroid id, so the assignment is engine-exact and agrees with
+    * the training iterations' own assignment step. Adds a `cell`
+    * column; every input column passes through. Zero exchanges: one
+    * projection of the corpus against the literal codebook (the
+    * array_max-as-argmax trick of [[ivfTopKWith]]) — the IVF
+    * list-assignment pass, scan speed at any corpus size. */
+  def assignCellsInt(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val best = array_max(array(cents.map { case (cid, cv) =>
+      struct((-dist2Int(col("qv"), cv)).as("ndist"), lit(-cid).as("ncid"))
+    }: _*))
+    embeddings
+      .withColumn("qv", transform(col(vecCol),
+        x => floor(x.cast("double") * 10000).cast("long")))
+      .withColumn("cell", -best.getField("ncid"))
+      .drop("qv")
+  }
+
   /** Trained integer centroids → double codebook for [[ivfTopKWith]]. */
   def kmeansCodebook(centroids: DataFrame): Seq[(Long, Seq[Double])] =
     centroids.collect()

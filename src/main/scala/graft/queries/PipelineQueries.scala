@@ -846,6 +846,24 @@ object PipelineQueries {
       .orderBy(col("range_start"), col("rank"))
   }
 
+  // cluster-balanced (diversity) sampling: train the p24 integer
+  // codebook, assign every vector to its nearest cell, keep a
+  // hash-ranked quota per cell — the embedding-space stratifiedCap,
+  // the curation step that makes a sample cover all modes of the
+  // corpus instead of oversampling the dense ones. Assignment is a
+  // zero-shuffle projection against the literal codebook; the quota
+  // rank is one exchange on (cell), the IVF build's own layout.
+  private def p75(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroidsInt(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val assigned = Similarity.assignCellsInt(emb, "vec_id", "embedding",
+      Similarity.intCodebook(cents))
+    Sampling.stratifiedCap(assigned, "cell", "vec_id", n = 10, seed = 0)
+      .select(col("vec_id"), col("cell"), col("sample_rank"))
+      .orderBy(col("cell"), col("sample_rank"))
+  }
+
   // priority-keeper near-dup removal: each minhash cluster keeps its
   // LONGEST member (argmax n_chars, min-id tiebreak) instead of the
   // min id — the curation form ("keep the cleanest copy")
@@ -1142,6 +1160,41 @@ object PipelineQueries {
   private val lshProj = lshProjSql(6)
   private val lshBucket = lshBucketSql(6)
 
+  /** The p24 integer-k-means CTE chain (e4 quantize → seed centroids →
+    * two exact Lloyd iterations → trained centroids `c2(cid,pos,val)`,
+    * with the exploded corpus kept as `qe(id,pos,val)`). Shared by the
+    * p24 training oracle and the p75 assignment oracle so the replayed
+    * training can never drift between them. */
+  private val kmeansIntCtes: String =
+    """q AS (SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+         qe AS (SELECT id, i AS pos, qv[i + 1] AS val
+                FROM q, range(0, 64) AS t(i)),
+         c0 AS (SELECT id AS cid, i AS pos, qv[i + 1] AS val
+                FROM q, range(0, 64) AS t(i) WHERE id < 8),
+         d1 AS (SELECT qe.id, c0.cid,
+                       CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT) AS dist
+                FROM qe JOIN c0 ON qe.pos = c0.pos GROUP BY qe.id, c0.cid),
+         a1 AS (SELECT id, cid FROM (
+                  SELECT id, cid, ROW_NUMBER() OVER
+                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+                  FROM d1) WHERE rn = 1),
+         c1 AS (SELECT a1.cid, qe.pos,
+                       CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                FROM a1 JOIN qe ON a1.id = qe.id GROUP BY a1.cid, qe.pos),
+         d2 AS (SELECT qe.id, c1.cid,
+                       CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT) AS dist
+                FROM qe JOIN c1 ON qe.pos = c1.pos GROUP BY qe.id, c1.cid),
+         a2 AS (SELECT id, cid FROM (
+                  SELECT id, cid, ROW_NUMBER() OVER
+                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+                  FROM d2) WHERE rn = 1),
+         c2 AS (SELECT a2.cid, qe.pos,
+                       CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                FROM a2 JOIN qe ON a2.id = qe.id GROUP BY a2.cid, qe.pos)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_text_stats" -> (p01 _),
     "p02_lang_id" -> (p02 _),
@@ -1216,7 +1269,8 @@ object PipelineQueries {
     "p71_interval_join" -> (p71 _),
     "p72_interval_overlap" -> (p72 _),
     "p73_keep_best" -> (p73 _),
-    "p74_stream_topk" -> (p74 _))
+    "p74_stream_topk" -> (p74 _),
+    "p75_cluster_sample" -> (p75 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1489,37 +1543,28 @@ object PipelineQueries {
                 END AS rep_ppm
          FROM g ORDER BY doc_id""",
     "p24_kmeans_centroids" ->
-      """WITH q AS (SELECT vec_id AS id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-               FROM embeddings),
-         qe AS (SELECT id, i AS pos, qv[i + 1] AS val
-                FROM q, range(0, 64) AS t(i)),
-         c0 AS (SELECT id AS cid, i AS pos, qv[i + 1] AS val
-                FROM q, range(0, 64) AS t(i) WHERE id < 8),
-         d1 AS (SELECT qe.id, c0.cid,
-                       CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT) AS dist
-                FROM qe JOIN c0 ON qe.pos = c0.pos GROUP BY qe.id, c0.cid),
-         a1 AS (SELECT id, cid FROM (
-                  SELECT id, cid, ROW_NUMBER() OVER
-                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-                  FROM d1) WHERE rn = 1),
-         c1 AS (SELECT a1.cid, qe.pos,
-                       CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
-                FROM a1 JOIN qe ON a1.id = qe.id GROUP BY a1.cid, qe.pos),
-         d2 AS (SELECT qe.id, c1.cid,
-                       CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT) AS dist
-                FROM qe JOIN c1 ON qe.pos = c1.pos GROUP BY qe.id, c1.cid),
-         a2 AS (SELECT id, cid FROM (
-                  SELECT id, cid, ROW_NUMBER() OVER
-                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-                  FROM d2) WHERE rn = 1),
-         c2 AS (SELECT a2.cid, qe.pos,
-                       CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
-                FROM a2 JOIN qe ON a2.id = qe.id GROUP BY a2.cid, qe.pos)
+      s"""WITH $kmeansIntCtes
          SELECT CAST(cid AS BIGINT) AS centroid, CAST(pos AS BIGINT) AS pos,
                 val AS value
          FROM c2 ORDER BY centroid, pos""",
+    "p75_cluster_sample" ->
+      s"""WITH $kmeansIntCtes,
+         d3 AS (SELECT qe.id, c2.cid,
+                       CAST(SUM((qe.val - c2.val) * (qe.val - c2.val)) AS BIGINT) AS dist
+                FROM qe JOIN c2 ON qe.pos = c2.pos GROUP BY qe.id, c2.cid),
+         a3 AS (SELECT id, cid FROM (
+                  SELECT id, cid, ROW_NUMBER() OVER
+                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+                  FROM d3) WHERE rn = 1),
+         r AS (SELECT id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+                        ${h60Sql(0, "CAST(id AS VARCHAR)")} ASC, id ASC)
+                        AS sample_rank
+               FROM a3)
+         SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell,
+                CAST(sample_rank AS INTEGER) AS sample_rank
+         FROM r WHERE sample_rank <= 10
+         ORDER BY cell, sample_rank""",
     "p25_pii_redaction" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"

@@ -149,6 +149,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rt >= rs, s"trained recall $rt < sampled recall $rs")
   }
 
+  test("assignCellsInt: matches driver-side argmin; cluster sample bounded") {
+    import graft.pipeline.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.intCodebook(
+      Similarity.kmeansCentroidsInt(emb, "vec_id", "embedding", k = 8, iters = 2))
+    val assigned = Similarity.assignCellsInt(emb, "vec_id", "embedding", cents)
+    // pass-through: every input column survives, plus `cell`
+    assert(assigned.columns.toSet === emb.columns.toSet + "cell")
+    val got = assigned.select(col("vec_id").cast("long"), col("cell"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * 10000).cast("long")).as("qv"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val qv = r.getSeq[Long](2)
+      // squared-L2 argmin with tie -> lowest centroid id, recomputed
+      // in plain Scala from the same integer codebook
+      val want = cents.map { case (cid, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+      assert(r.getLong(1) === want, s"vec ${r.getLong(0)}")
+    }
+    val sampled = Sampling.stratifiedCap(assigned, "cell", "vec_id", n = 10)
+    val perCell = sampled.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(perCell.forall(_ <= 10))
+    // every surviving cell is a real centroid id
+    val cells = sampled.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cents.map(_._1).toSet))
+  }
+
   test("connected components: chains collapse to min label, singletons keep") {
     import spark.implicits._
     import graft.pipeline.Dedup
