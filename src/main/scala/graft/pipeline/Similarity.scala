@@ -251,6 +251,34 @@ object Similarity {
       .drop("qv")
   }
 
+  /** SemDeDup-style semantic dedup: pairwise cosine ONLY within a
+    * cluster cell (from [[assignCellsInt]]), drop every vector that has
+    * a lower-id near-dup (cos ≥ threshold) in its cell; survivors keep
+    * their cell. The min-id keeper is the deterministic stand-in for
+    * SemDeDup's keep-one-per-group rule.
+    *
+    * This is the at-scale form of [[cosineDupPairs]]: the self-join is
+    * keyed on the cell, so the pairwise cost is Σ|cell|² instead of
+    * N² (or bucket-collision luck) — the whole point of clustering
+    * before dedup. A skewed mega-cell means the codebook k is too
+    * small; raise k (cells shrink quadratically in value). One
+    * shuffle on cell for the join, one on id for the drop anti-join.
+    */
+  def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, thresholdPpm: Long): DataFrame = {
+    NativeFunctions.register(assigned.sparkSession)
+    val e = assigned.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"), col(cellCol).as("cell"))
+      .localCheckpoint() // both sides of the self-join scan it
+    val l = e.select(col("id").as("i"), col("v").as("vi"), col("cell"))
+    val r = e.select(col("id").as("j"), col("v").as("vj"), col("cell"))
+    val dropped = l.join(r, Seq("cell")).filter(col("i") < col("j"))
+      .filter(TextOps.ppm(cosine(col("vi"), col("vj"))) >= thresholdPpm)
+      .select(col("j").as("id")).distinct()
+    e.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** Trained integer centroids → double codebook for [[ivfTopKWith]]. */
   def kmeansCodebook(centroids: DataFrame): Seq[(Long, Seq[Double])] =
     centroids.collect()

@@ -864,6 +864,20 @@ object PipelineQueries {
       .orderBy(col("cell"), col("sample_rank"))
   }
 
+  // SemDeDup: cluster first, then pairwise cosine ONLY within each
+  // cell — the semantic near-dup removal that stays sub-quadratic at
+  // corpus scale. Same trained codebook as p24/p75; min-id keeper.
+  private def p76(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroidsInt(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val assigned = Similarity.assignCellsInt(emb, "vec_id", "embedding",
+      Similarity.intCodebook(cents))
+    Similarity.semanticDedup(assigned, "vec_id", "embedding", "cell",
+        thresholdPpm = 400000L)
+      .orderBy(col("vec_id"))
+  }
+
   // priority-keeper near-dup removal: each minhash cluster keeps its
   // LONGEST member (argmax n_chars, min-id tiebreak) instead of the
   // min id — the curation form ("keep the cleanest copy")
@@ -1195,6 +1209,20 @@ object PipelineQueries {
                        CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
                 FROM a2 JOIN qe ON a2.id = qe.id GROUP BY a2.cid, qe.pos)"""
 
+  /** [[kmeansIntCtes]] + the full-corpus nearest-centroid assignment
+    * (`a3(id, cid)` — squared-L2 argmin against `c2`, tie → lowest
+    * cid), the replay of `Similarity.assignCellsInt`. Shared by the
+    * p75 sampling and p76 semantic-dedup oracles. */
+  private val kmeansAssignCtes: String =
+    s"""$kmeansIntCtes,
+         d3 AS (SELECT qe.id, c2.cid,
+                       CAST(SUM((qe.val - c2.val) * (qe.val - c2.val)) AS BIGINT) AS dist
+                FROM qe JOIN c2 ON qe.pos = c2.pos GROUP BY qe.id, c2.cid),
+         a3 AS (SELECT id, cid FROM (
+                  SELECT id, cid, ROW_NUMBER() OVER
+                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+                  FROM d3) WHERE rn = 1)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_text_stats" -> (p01 _),
     "p02_lang_id" -> (p02 _),
@@ -1270,7 +1298,8 @@ object PipelineQueries {
     "p72_interval_overlap" -> (p72 _),
     "p73_keep_best" -> (p73 _),
     "p74_stream_topk" -> (p74 _),
-    "p75_cluster_sample" -> (p75 _))
+    "p75_cluster_sample" -> (p75 _),
+    "p76_semantic_dedup" -> (p76 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1548,14 +1577,7 @@ object PipelineQueries {
                 val AS value
          FROM c2 ORDER BY centroid, pos""",
     "p75_cluster_sample" ->
-      s"""WITH $kmeansIntCtes,
-         d3 AS (SELECT qe.id, c2.cid,
-                       CAST(SUM((qe.val - c2.val) * (qe.val - c2.val)) AS BIGINT) AS dist
-                FROM qe JOIN c2 ON qe.pos = c2.pos GROUP BY qe.id, c2.cid),
-         a3 AS (SELECT id, cid FROM (
-                  SELECT id, cid, ROW_NUMBER() OVER
-                    (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-                  FROM d3) WHERE rn = 1),
+      s"""WITH $kmeansAssignCtes,
          r AS (SELECT id, cid,
                       ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
                         ${h60Sql(0, "CAST(id AS VARCHAR)")} ASC, id ASC)
@@ -1565,6 +1587,21 @@ object PipelineQueries {
                 CAST(sample_rank AS INTEGER) AS sample_rank
          FROM r WHERE sample_rank <= 10
          ORDER BY cell, sample_rank""",
+    "p76_semantic_dedup" ->
+      s"""WITH $kmeansAssignCtes,
+         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+         pr AS (SELECT a.id AS i, b.id AS j, a.cid
+                FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.id < b.id),
+         sc AS (SELECT i, j,
+                  CAST(floor((list_aggregate(list_transform(range(0, 64), k -> ea.v[k+1] * eb.v[k+1]), 'sum') /
+                    (sqrt(list_aggregate(list_transform(ea.v, x -> x * x), 'sum')) *
+                     sqrt(list_aggregate(list_transform(eb.v, x -> x * x), 'sum')))) * 1000000.0) AS BIGINT) AS cos_ppm
+                FROM pr JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j),
+         dropped AS (SELECT DISTINCT j FROM sc WHERE cos_ppm >= 400000)
+         SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell
+         FROM a3 WHERE id NOT IN (SELECT j FROM dropped)
+         ORDER BY vec_id""",
     "p25_pii_redaction" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"

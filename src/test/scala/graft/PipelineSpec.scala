@@ -179,6 +179,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(cells.subsetOf(cents.map(_._1).toSet))
   }
 
+  test("semanticDedup: min-id keeper within a cell, blind across cells") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val v = Seq(1.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 1.0f, 0.0f)
+    val df = Seq(
+      (1L, v, 0L), (2L, v, 0L), (3L, v, 0L), // same vector, same cell
+      (4L, w, 0L),                           // same cell, orthogonal
+      (5L, v, 1L)                            // identical to 1 but other cell
+    ).toDF("vec_id", "embedding", "cell")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", "cell",
+        thresholdPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2,3 drop (near-dup of 1 in cell 0); 4 survives (cos 0 < tau);
+    // 5 survives UNTOUCHED — cross-cell pairs are never examined
+    assert(out === Set((1L, 0L), (4L, 0L), (5L, 1L)))
+  }
+
   test("connected components: chains collapse to min label, singletons keep") {
     import spark.implicits._
     import graft.pipeline.Dedup
