@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.StructType
   * the aggregate's move of rows from `current` into `history` runs under
   * the commit protocol below (SURVEY.md §7.4 item 2).
   */
-final class Store(val spark: SparkSession, root: String) {
+final class Store(val spark: SparkSession, val root: String) {
 
   /** When true, snapshots count staged rows for the powa_log trace.
     * Off by default: the count is a Spark action per datasource per
@@ -63,6 +63,20 @@ final class Store(val spark: SparkSession, root: String) {
           org.apache.spark.sql.types.IntegerType) +: dataFields))
     } else
       srvids.map(n => readPartition(ds, tier, n, schema)).reduce(_.union(_))
+  }
+
+  /** Read a tier through the DataSource V2 table
+    * (`graft.sources.v2.StoreV2`, format "graft-store") — row-identical
+    * to [[read]], but srvid predicates are pushed into scan planning
+    * (a pruned server's partition is never manifest-read) and the scan
+    * is Spark-native columnar. Column order matches [[read]] (srvid
+    * first). */
+  def readV2(ds: String, tier: String, schema: StructType): DataFrame = {
+    val dataFields = schema.fields.filterNot(_.name == "srvid")
+    spark.read.format("graft-store")
+      .option("root", root).option("ds", ds).option("tier", tier)
+      .schema(schema).load()
+      .select(col("srvid") +: dataFields.toSeq.map(f => col(f.name)): _*)
   }
 
   /** Visible srvid partitions of a tier (links or real dirs). */

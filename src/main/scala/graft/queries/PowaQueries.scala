@@ -1242,6 +1242,44 @@ object PowaQueries {
     }
   }
 
+  // ---- DSv2 readback: the manifest store read through the Spark
+  //      DataSource V2 table (format "graft-store", StoreV2). The
+  //      WHERE srvid = 2 prunes partitions at SCAN PLANNING — servers
+  //      1 and 3 are never manifest-read, the 100-TB/1000-server
+  //      shape of a per-server readback (StoreV2 scaladoc).
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q43")
+    try {
+      val store = new graft.core.Store(s, root.toString)
+      val ev = Tables.events(s, d).select(
+          (col("user_id") % 3 + 1).cast("int").as("srvid"),
+          col("user_id"), col("event_type"),
+          evCents.as("cents"))
+        .localCheckpoint() // three partition filters scan it
+      (1 to 3).foreach { n =>
+        store.appendPartition("evt", "current", n,
+          ev.filter(col("srvid") === n))
+      }
+      val schema = StructType(Seq(
+        StructField("srvid", IntegerType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("cents", LongType)))
+      store.readV2("evt", "current", schema)
+        .filter(col("srvid") === 2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("user_id")).as("max_user"))
+        .orderBy(col("event_type"))
+        .localCheckpoint() // pin before the store is swept
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -1284,7 +1322,8 @@ object PowaQueries {
     "q39_kcache_filters" -> (q39 _),
     "q40_restart_cadence" -> (q40 _),
     "q41_db_module_algebra" -> (q41 _),
-    "q42_config_patch" -> (q42 _))
+    "q42_config_patch" -> (q42 _),
+    "q43_dsv2_readback" -> (q43 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1826,5 +1865,14 @@ object PowaQueries {
            FROM events
            WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts))
-         ORDER BY user_id, event_type, ts""")
+         ORDER BY user_id, event_type, ts""",
+    "q43_dsv2_readback" ->
+      """SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(MAX(user_id) AS BIGINT) AS max_user
+         FROM events
+         WHERE user_id % 3 + 1 = 2
+         GROUP BY event_type
+         ORDER BY event_type""")
 }

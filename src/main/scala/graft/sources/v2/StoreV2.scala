@@ -1,0 +1,324 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.hadoop.mapred.{FileSplit => MapredFileSplit}
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.core.AtomicSwap
+
+/** DataSource V2 Table over one tier of the manifest store — the
+  * catalog-native packaging of `Store.readPartition`'s manifest-pinned
+  * read path (NOTES round-6 "candidate next steps"). Usage:
+  *
+  * {{{
+  * spark.read.format("graft-store")
+  *   .option("root", root).option("ds", ds).option("tier", tier)
+  *   .schema(tierSchema)            // optional; inferred from a file
+  *   .load()
+  * }}}
+  *
+  * What Spark's planner gets that the union-of-literals read assembled
+  * by hand:
+  *
+  *  - **Planning-time partition pruning BEFORE file listing**: srvid
+  *    predicates are pushed into the scan ([[StoreScanBuilder]]), and a
+  *    pruned server's partition is never even manifest-read — on a
+  *    1000-server store a `WHERE srvid = ?` readback plans exactly one
+  *    partition's files, without 999 empty relations passing through
+  *    the optimizer first.
+  *  - **Manifest pinning where it belongs**: the file list of every
+  *    surviving partition comes from ONE atomic manifest read at
+  *    `planInputPartitions` time (fallback: directory walk, hidden
+  *    entries excluded, for never-swapped layouts like staging) — the
+  *    same no-list-vs-open guarantee as `Store.readPartition`, now
+  *    expressed as the scan's input-partition planning.
+  *  - **Vectorized execution**: each file is read by Spark's own
+  *    `VectorizedParquetRecordReader` with the srvid partition value
+  *    attached in-batch (`initBatch`), so the scan emits
+  *    `ColumnarBatch`es exactly like the built-in parquet source and
+  *    joins whole-stage codegen through the usual ColumnarToRow.
+  *  - **Column pruning**: the pruned schema is the schema handed to
+  *    the parquet reader (`SupportsPushDownRequiredColumns`).
+  *
+  * The srvid column is exposed LAST in the table schema (the
+  * partition-column convention), typed int, never read from files.
+  * Cluster note: file paths resolve through `java.nio` here because the
+  * store is a local-filesystem layout in this build; the cluster port
+  * swaps the listing/length calls for Hadoop `FileSystem` against the
+  * same manifest bytes — the scan planning itself is already
+  * location-agnostic (absolute path strings inside InputPartitions).
+  */
+final class StoreV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-store"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def layout(options: JMap[String, String]): StoreLayout = {
+    def req(k: String) = {
+      val v = options.get(k)
+      require(v != null && v.nonEmpty, s"graft-store: missing option '$k'")
+      v
+    }
+    StoreLayout(req("root"), req("ds"), req("tier"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val lay = layout(options.asCaseSensitiveMap())
+    val first = lay.srvids.iterator
+      .flatMap(n => lay.files(n).iterator).buffered.headOption
+    require(first.isDefined,
+      s"graft-store: cannot infer schema of empty tier ${lay.dir}")
+    val fileSchema = SparkSession.active.read.parquet(first.get).schema
+    StructType(fileSchema.fields.filterNot(_.name == "srvid") :+
+      StructField("srvid", IntegerType, nullable = false))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new StoreTable(layout(properties), normalize(schema))
+
+  /** User-supplied schemas may carry srvid anywhere or not at all; the
+    * table always exposes data fields first, srvid (int) last. */
+  private def normalize(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(_.name == "srvid") :+
+      StructField("srvid", IntegerType, nullable = false))
+}
+
+/** One tier's physical layout + the planning-time listing rules. */
+final case class StoreLayout(root: String, ds: String, tier: String) {
+  def dir: Path = Paths.get(root, ds, tier)
+
+  /** Visible srvid partitions (same rule as Store.listSrvids). */
+  def srvids: Seq[Int] = {
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("srvid="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("srvid=").toInt).toOption)
+      .toList.sorted
+    finally s.close()
+  }
+
+  /** One partition's parquet files: manifest-pinned when a manifest
+    * exists (the atomic read — the partition IS this list), else a
+    * directory walk that skips hidden (dot/underscore) entries, the
+    * same visibility rule as Spark's own file index. The walk starts
+    * at the resolved real path so a symlinked live version traverses. */
+  def files(srvid: Int): Seq[String] =
+    AtomicSwap.manifestFiles(dir, s"srvid=$srvid") match {
+      case Some(pinned) =>
+        pinned.map(_.toString).filter(_.endsWith(".parquet"))
+      case None =>
+        val p = dir.resolve(s"srvid=$srvid")
+        if (!Files.isDirectory(p)) Seq.empty
+        else {
+          val real = p.toRealPath()
+          val s = Files.walk(real)
+          try s.iterator().asScala
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .filter { f =>
+              val rel = real.relativize(f)
+              (0 until rel.getNameCount).forall { i =>
+                val n = rel.getName(i).toString
+                !n.startsWith(".") && !n.startsWith("_")
+              }
+            }
+            .map(_.toString).toList.sorted
+          finally s.close()
+        }
+    }
+}
+
+final class StoreTable(layout: StoreLayout, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-store:${layout.root}/${layout.ds}/${layout.tier}"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("srvid"))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StoreScanBuilder(layout, tableSchema)
+}
+
+/** Pushdown: srvid predicates are consumed here (partition pruning at
+  * planning time — satisfied exactly, so Spark never re-evaluates
+  * them); every other filter is returned as residual for Spark to
+  * evaluate post-scan. Column pruning keeps table order. */
+final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var srvidPreds: Seq[Int => Boolean] = Seq.empty
+
+  private def srvidPred(f: Filter): Option[Int => Boolean] = f match {
+    case EqualTo("srvid", v: Number) => Some(_ == v.intValue)
+    case EqualNullSafe("srvid", v: Number) => Some(_ == v.intValue)
+    case In("srvid", vs) => Some(n => vs.exists {
+      case v: Number => v.intValue == n; case _ => false })
+    case GreaterThan("srvid", v: Number) => Some(_ > v.intValue)
+    case GreaterThanOrEqual("srvid", v: Number) => Some(_ >= v.intValue)
+    case LessThan("srvid", v: Number) => Some(_ < v.intValue)
+    case LessThanOrEqual("srvid", v: Number) => Some(_ <= v.intValue)
+    case IsNotNull("srvid") => Some(_ => true) // partition col: never null
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(f => srvidPred(f).isDefined)
+    pushed = sup
+    srvidPreds = sup.toSeq.flatMap(srvidPred)
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new StoreScan(layout, required, pushed, srvidPreds)
+}
+
+final class StoreScan(layout: StoreLayout, required: StructType,
+    pushed: Array[Filter], srvidPreds: Seq[Int => Boolean])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val ids = prunedSrvids
+    s"GraftStoreScan ${layout.ds}/${layout.tier} " +
+      s"srvids=[${ids.mkString(",")}] " +
+      s"columns=[${required.fieldNames.mkString(",")}] " +
+      s"pushed=[${pushed.mkString(",")}]"
+  }
+
+  /** Partition pruning: predicate conjunction over the listed srvids —
+    * evaluated BEFORE any manifest/directory file listing. */
+  private[graft] def prunedSrvids: Seq[Int] =
+    layout.srvids.filter(n => srvidPreds.forall(_(n)))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    prunedSrvids.flatMap { n =>
+      layout.files(n).map(f => StoreFilePartition(f, n))
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // everything ParquetReadSupport + the schema converter consult
+    // (binaryAsString, int96, case sensitivity, nanosAsLong, …) is a
+    // spark.sql.* key they expect PRESENT in the hadoop conf. The
+    // session's newHadoopConf only carries explicitly-SET confs, so
+    // capture every registered conf with its resolved default — the
+    // same values Spark's own parquet scan pins one key at a time.
+    val sq = SparkSession.active.sessionState.conf
+    val defined = sq.getAllDefinedConfs
+      .collect { case (k, v, _, _) if v != null && v != "<undefined>" =>
+        k -> v }
+    // …but internal/legacy entries are EXCLUDED from getAllDefinedConfs
+    // and the schema converter hard-reads these eight with .toBoolean:
+    import org.apache.spark.sql.internal.SQLConf
+    val hardRead = Seq(
+      SQLConf.CASE_SENSITIVE, SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+      SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
+      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION
+    ).map(e => e.key -> sq.getConf(e).toString)
+    val sqlKv = defined ++ hardRead // later entries win on re-set
+    val dataSchema =
+      StructType(required.fields.filterNot(_.name == "srvid"))
+    StoreReaderFactory(sqlKv, dataSchema.json,
+      withSrvid = required.fieldNames.contains("srvid"))
+  }
+}
+
+final case class StoreFilePartition(path: String, srvid: Int)
+    extends InputPartition
+
+/** Executor-side: one vectorized parquet reader per pinned file, srvid
+  * attached as an in-batch constant partition column (`initBatch`) —
+  * the exact mechanics of Spark's own parquet scan, pointed at an
+  * explicit immutable file instead of a listed directory. */
+final case class StoreReaderFactory(sqlKv: Seq[(String, String)],
+    dataSchemaJson: String, withSrvid: Boolean)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  private def open(p: InputPartition): VectorizedParquetRecordReader = {
+    val fp = p.asInstanceOf[StoreFilePartition]
+    val conf = new Configuration()
+    sqlKv.foreach { case (k, v) => conf.set(k, v) }
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      dataSchemaJson)
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val len = new java.io.File(fp.path).length()
+    // the reader casts to the legacy mapred split type internally
+    val split = new MapredFileSplit(new HadoopPath(fp.path), 0, len,
+      Array.empty[String])
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID(), TaskType.MAP, 0), 0))
+    try {
+      reader.initialize(split, ctx)
+      if (withSrvid)
+        reader.initBatch(
+          StructType(Seq(StructField("srvid", IntegerType, false))),
+          new GenericInternalRow(Array[Any](fp.srvid)))
+      reader.enableReturningBatches()
+    } catch { case e: Throwable => reader.close(); throw e }
+    reader
+  }
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val reader = open(p)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): ColumnarBatch =
+        reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** Row fallback (Spark only calls this when a plan opts out of
+    * columnar): same reader, row-by-row off each batch. */
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val reader = open(p)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = _
+      override def next(): Boolean = {
+        while (rows == null || !rows.hasNext) {
+          if (!reader.nextKeyValue()) return false
+          val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+          rows = b.rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = reader.close()
+    }
+  }
+}
