@@ -258,6 +258,56 @@ object Stress {
     val incrOk = incrLabels.filter(col("cluster") =!= 0L).isEmpty
     val incrSec = (System.nanoTime() - t0incr) / 1e9
 
+    // SemDeDup axis (round 6): cluster-then-pairwise near-dup removal.
+    // The codebook grows with the corpus (k ≈ n/256) so cell population
+    // stays ~constant: the in-cell pairwise stage is Σ|cell|² ≈ n·256 —
+    // LINEAR in corpus size, the whole point of clustering before
+    // semantic dedup. Assignment is the codegen'd dot-product argmax
+    // (assignCellsDot); the sampled codebook (k lowest ids) stands in
+    // for the trained one — identical assignment + pairwise cost
+    // shape, no Lloyd iterations to time-noise the axis.
+    val kCells = math.max(8, (nVecs / 256L).toInt)
+    val semCents = vecs.orderBy(col("vec_id")).limit(kCells)
+      .select(col("vec_id"),
+        graft.pipeline.Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val (semSec, semKept) = timed {
+      val assigned = graft.pipeline.Similarity.assignCellsDot(
+        vecs, "vec_id", "embedding", semCents)
+      graft.pipeline.Similarity.semanticDedup(
+        assigned, "vec_id", "embedding", "cell", thresholdPpm = 950000L)
+        .count()
+    }
+
+    // DSv2 pruned-readback axis (round 6): a fleet-sized store read
+    // through the graft-store DataSource V2 table. Full-scan cost grows
+    // with the fleet; a WHERE srvid = ? readback must NOT — StoreV2
+    // prunes partitions at scan planning, before any file listing, so
+    // the pruned read is one partition's files regardless of fleet
+    // size.
+    val (dsv2FullSec, dsv2PrunedSec, dsv2Srv) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_dsv2")
+      val store = new graft.core.Store(spark, root.toString)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("srvid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("record",
+          big.schema("record").dataType)))
+      store.append("evt", "current", big)
+      val nSrv = store.readV2("evt", "current", schema)
+        .select("srvid").distinct().count()
+      val (fullSec, _) =
+        timed(store.readV2("evt", "current", schema).count())
+      val (oneSec, _) = timed(store.readV2("evt", "current", schema)
+        .filter(col("srvid") === 2).count())
+      graft.core.AtomicSwap.deleteRecursively(root)
+      (fullSec, oneSec, nSrv)
+    }
+
     // Fleet-scheduler axis (round 6): 100 registered servers, staged
     // data on a 5-server subset — tick cost must be O(datasources with
     // staged partitions), NOT O(fleet size): the directory-probe fast
@@ -322,6 +372,10 @@ object Stress {
       s""""cc_sec":$ccSec,"cc_correct":$ccOk,""" +
       s""""cc_incr_rounds":$incrRounds,"cc_incr_sec":$incrSec,""" +
       s""""cc_incr_correct":$incrOk,""" +
+      s""""semdedup_k":$kCells,"semdedup_sec":$semSec,""" +
+      s""""semdedup_vecs_per_sec":${(nVecs / semSec).toLong},"semdedup_kept":$semKept,""" +
+      s""""dsv2_srv":$dsv2Srv,"dsv2_full_sec":$dsv2FullSec,""" +
+      s""""dsv2_pruned_sec":$dsv2PrunedSec,""" +
       s""""fleet_servers":100,"fleet_staged_tick_sec":${fleetSec._1},""" +
       s""""fleet_idle_tick_sec":${fleetSec._2},""" +
       s""""plain_join_sec":$plainJoinSec,"bloom_join_sec":$bloomSec,""" +

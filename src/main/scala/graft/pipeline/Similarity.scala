@@ -251,6 +251,30 @@ object Similarity {
       .drop("qv")
   }
 
+  /** Scale-path cell assignment: argmin ‖x−c‖² rewritten as
+    * argmax (2·x·c − ‖c‖²), evaluated as k CODEGEN'D native dot
+    * products per row ([[dot]]) — the form that stays on whole-stage
+    * codegen at fleet-size codebooks, where [[assignCellsInt]]'s
+    * interpreted HOF distance would become the per-row hot loop the
+    * NOTES rule forbids. Double space: a near-equidistant boundary
+    * point can land in a different cell than the integer path (which
+    * is why the ORACLE queries pin assignCellsInt at small k and this
+    * is the Stress/production path). Tie → lowest centroid id. Zero
+    * exchanges, same pass-through contract. */
+  def assignCellsDot(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val best = array_max(array(cents.map { case (cid, cv) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((dot(col("qv"), typedLit(cv)) * 2 - lit(c2)).as("score"),
+        lit(-cid).as("ncid"))
+    }: _*))
+    embeddings
+      .withColumn("qv", asDouble(col(vecCol)))
+      .withColumn("cell", -best.getField("ncid"))
+      .drop("qv")
+  }
+
   /** SemDeDup-style semantic dedup: pairwise cosine ONLY within a
     * cluster cell (from [[assignCellsInt]]), drop every vector that has
     * a lower-id near-dup (cos ≥ threshold) in its cell; survivors keep

@@ -179,6 +179,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(cells.subsetOf(cents.map(_._1).toSet))
   }
 
+  test("assignCellsDot: codegen scale path agrees with the integer path") {
+    import graft.pipeline.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.kmeansCentroidsInt(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val intsAssign = Similarity.assignCellsInt(emb, "vec_id", "embedding",
+        Similarity.intCodebook(cents))
+      .select(col("vec_id").cast("long"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // double codebook = e4 centroids / 1e4 — same centroids, double math
+    val dots = Similarity.assignCellsDot(emb, "vec_id", "embedding",
+        Similarity.kmeansCodebook(cents))
+      .select(col("vec_id").cast("long"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dots.keySet === intsAssign.keySet)
+    // double vs e4-integer distances can split only near-equidistant
+    // boundary points; on this corpus the paths must agree essentially
+    // everywhere (hard floor: 98%)
+    val agree = dots.count { case (id, c) => intsAssign(id) == c }
+    assert(agree.toDouble / dots.size >= 0.98,
+      s"only $agree/${dots.size} cells agree")
+  }
+
   test("semanticDedup: min-id keeper within a cell, blind across cells") {
     import spark.implicits._
     import graft.pipeline.Similarity
