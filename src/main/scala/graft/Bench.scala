@@ -27,6 +27,11 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_READV2=true routes every Store tier read through the
+    // DSv2 table (Store.useV2) — the A/B switch for measuring the
+    // engine round-trips on both read paths.
+    sys.env.get("SPARK_GRAFT_READV2")
+      .foreach(v => spark.conf.set("spark.graft.store.readV2", v))
     // Warm the session (parquet footers, codegen, shuffle machinery) so
     // per-query numbers measure the queries, not first-job startup.
     // events must warm through Tables.events — the raw parquet carries

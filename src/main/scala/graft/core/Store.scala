@@ -40,6 +40,18 @@ final class Store(val spark: SparkSession, val root: String) {
   private def partDir(ds: String, tier: String, srvid: Int): Path =
     dir(ds, tier).resolve(s"srvid=$srvid")
 
+  /** Session flag (`spark.graft.store.readV2`) routing every tier read —
+    * whole-tier [[read]] and per-server [[readPartition]] alike —
+    * through the DataSource V2 table instead of the hand-assembled
+    * union/manifest scan. Row-identical by construction (V2SourceSpec
+    * pins it on every layout); the difference is WHERE the work
+    * happens: srvid pruning moves into scan planning (a pruned server
+    * is never manifest-read) and execution is Spark-native columnar.
+    * Read per call, so a session can flip it mid-run for A/B
+    * measurement (Bench honors SPARK_GRAFT_READV2). */
+  private def useV2: Boolean =
+    spark.conf.get("spark.graft.store.readV2", "false").toBoolean
+
   /** Read one tier across every server; empty-but-correctly-shaped frame
     * when absent. `schema` excludes srvid (re-added by the reader).
     *
@@ -54,6 +66,7 @@ final class Store(val spark: SparkSession, val root: String) {
     * optimize time — planning-time partition pruning, the same work
     * the directory scan's PartitionFilters did. */
   def read(ds: String, tier: String, schema: StructType): DataFrame = {
+    if (useV2) return readV2(ds, tier, schema)
     val srvids = listSrvids(ds, tier)
     if (srvids.isEmpty) {
       val dataFields = schema.fields.filterNot(_.name == "srvid")
@@ -159,7 +172,11 @@ final class Store(val spark: SparkSession, val root: String) {
     * layout) falls back to the directory scan + srvid filter. */
   def readPartition(ds: String, tier: String, srvid: Int,
       schema: StructType): DataFrame =
-    AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid") match {
+    if (useV2)
+      // the srvid equality is consumed by the scan's pushFilters, so
+      // only this server's partition is manifest-read at planning
+      readV2(ds, tier, schema).filter(col("srvid") === srvid)
+    else AtomicSwap.manifestFiles(dir(ds, tier), s"srvid=$srvid") match {
       case Some(files) => fromManifestFiles(files, srvid, schema)
       case None => readPartitionDir(ds, tier, srvid, schema)
     }

@@ -1280,6 +1280,44 @@ object PowaQueries {
     }
   }
 
+  // ---- DSv2 write: the store as a Spark write target. The append
+  //      lands every server's rows through the executor-side demux
+  //      writers + driver AtomicSwap commit; the overwrite then
+  //      REPLACES every partition with the filtered set — if a single
+  //      appended file leaked past the swap, the sums would double.
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q44")
+    try {
+      val ev = Tables.events(s, d).select(
+          (col("user_id") % 3 + 1).cast("int").as("srvid"),
+          col("user_id"), col("event_type"),
+          evCents.as("cents"))
+        .localCheckpoint() // written twice (append + overwrite)
+      def write(df: DataFrame, mode: String): Unit =
+        df.write.format("graft-store")
+          .option("root", root.toString).option("ds", "evt")
+          .option("tier", "current").mode(mode).save()
+      write(ev, "append")
+      write(ev.filter(col("event_type") =!= "click"), "overwrite")
+      val schema = StructType(Seq(
+        StructField("srvid", IntegerType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("cents", LongType)))
+      new graft.core.Store(s, root.toString)
+        .readV2("evt", "current", schema)
+        .groupBy(col("srvid"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("srvid"), col("event_type"))
+        .localCheckpoint() // pin before the store is swept
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -1323,7 +1361,8 @@ object PowaQueries {
     "q40_restart_cadence" -> (q40 _),
     "q41_db_module_algebra" -> (q41 _),
     "q42_config_patch" -> (q42 _),
-    "q43_dsv2_readback" -> (q43 _))
+    "q43_dsv2_readback" -> (q43 _),
+    "q44_dsv2_write" -> (q44 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1874,5 +1913,13 @@ object PowaQueries {
          FROM events
          WHERE user_id % 3 + 1 = 2
          GROUP BY event_type
-         ORDER BY event_type""")
+         ORDER BY event_type""",
+    "q44_dsv2_write" ->
+      """SELECT CAST(user_id % 3 + 1 AS INTEGER) AS srvid, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events
+         WHERE event_type <> 'click'
+         GROUP BY srvid, event_type
+         ORDER BY srvid, event_type""")
 }

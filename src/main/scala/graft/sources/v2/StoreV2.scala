@@ -86,7 +86,7 @@ final class StoreV2 extends TableProvider with DataSourceRegister {
       s"graft-store: cannot infer schema of empty tier ${lay.dir}")
     val fileSchema = SparkSession.active.read.parquet(first.get).schema
     StructType(fileSchema.fields.filterNot(_.name == "srvid") :+
-      StructField("srvid", IntegerType, nullable = false))
+      StructField("srvid", IntegerType))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -94,10 +94,14 @@ final class StoreV2 extends TableProvider with DataSourceRegister {
     new StoreTable(layout(properties), normalize(schema))
 
   /** User-supplied schemas may carry srvid anywhere or not at all; the
-    * table always exposes data fields first, srvid (int) last. */
+    * table always exposes data fields first, srvid (int) last. Declared
+    * NULLABLE so a computed (hence nullable-typed) srvid expression can
+    * be written by-name without an analyzer nullability rejection — the
+    * write path enforces non-null per row, loudly ([[StoreDataWriter]]);
+    * on read the column is a partition value and never null in fact. */
   private def normalize(schema: StructType): StructType =
     StructType(schema.fields.filterNot(_.name == "srvid") :+
-      StructField("srvid", IntegerType, nullable = false))
+      StructField("srvid", IntegerType))
 }
 
 /** One tier's physical layout + the planning-time listing rules. */
@@ -146,16 +150,23 @@ final case class StoreLayout(root: String, ds: String, tier: String) {
 }
 
 final class StoreTable(layout: StoreLayout, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-store:${layout.root}/${layout.ds}/${layout.tier}"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("srvid"))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StoreScanBuilder(layout, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new StoreWriteBuilder(layout, info)
 }
 
 /** Pushdown: srvid predicates are consumed here (partition pruning at

@@ -101,6 +101,96 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.store.readV2 flag routes read/readPartition through V2") {
+    withStore { store =>
+      store.appendPartition("dsF", "current", 1, mk(1, 30))
+      store.appendPartition("dsF", "current", 2, mk(2, 20))
+      store.append("dsF", "staging", mk(3, 10)) // manifest-less fallback
+      val offRead = store.read("dsF", "current", schema).collect().toSet
+      val offPart = store.readPartition("dsF", "current", 2, schema)
+        .collect().toSet
+      val offStaging = store.read("dsF", "staging", schema).collect().toSet
+      spark.conf.set("spark.graft.store.readV2", "true")
+      try {
+        val onPartDf = store.readPartition("dsF", "current", 2, schema)
+        // routed: the physical plan is the V2 scan, srvid pruned at plan
+        val plan = onPartDf.queryExecution.executedPlan.toString
+        assert(plan.contains("GraftStoreScan"), plan)
+        assert(plan.contains("srvids=[2]"), plan)
+        assert(store.read("dsF", "current", schema).collect().toSet
+          === offRead)
+        assert(onPartDf.collect().toSet === offPart)
+        assert(store.read("dsF", "staging", schema).collect().toSet
+          === offStaging)
+      } finally spark.conf.unset("spark.graft.store.readV2")
+      // unset: back to the union/manifest path
+      val after = store.readPartition("dsF", "current", 2, schema)
+      assert(!after.queryExecution.executedPlan.toString
+        .contains("GraftStoreScan"))
+      assert(after.collect().toSet === offPart)
+    }
+  }
+
+  test("DSv2 write: append demuxes per srvid, commit is manifest-visible") {
+    withStore { store =>
+      val df = mk(1, 30).unionByName(mk(2, 20)).unionByName(mk(3, 10))
+      df.write.format("graft-store")
+        .option("root", store.root).option("ds", "dsW").option("tier", "current")
+        .mode("append").save()
+      val back = store.readV2("dsW", "current", schema)
+      assert(back.count() === 60)
+      assert(back.exceptAll(df.select(back.columns.map(col): _*)).count() === 0)
+      // a second append lands as another batch, both visible
+      mk(2, 5).write.format("graft-store")
+        .option("root", store.root).option("ds", "dsW").option("tier", "current")
+        .mode("append").save()
+      assert(store.readV2("dsW", "current", schema)
+        .filter(col("srvid") === 2).count() === 25)
+      // partitions carry manifests (appendInto commit shape), so the
+      // plain Store read path sees the same rows
+      assert(store.read("dsW", "current", schema).count() === 65)
+    }
+  }
+
+  test("DSv2 write: overwrite swaps written servers, drops absent ones") {
+    withStore { store =>
+      val first = mk(1, 10).unionByName(mk(2, 10))
+      first.write.format("graft-store")
+        .option("root", store.root).option("ds", "dsO").option("tier", "current")
+        .mode("append").save()
+      // truncate-overwrite with srvid 2 only: 1 must be gone, 2 replaced
+      mk(2, 7).write.format("graft-store")
+        .option("root", store.root).option("ds", "dsO").option("tier", "current")
+        .mode("overwrite").save()
+      val back = store.readV2("dsO", "current", schema)
+      assert(back.count() === 7)
+      assert(back.select("srvid").distinct().collect().map(_.getInt(0)).toSeq
+        === Seq(2))
+    }
+  }
+
+  test("DSv2 write: NULL srvid and missing srvid column fail loudly") {
+    withStore { store =>
+      val noSrvid = mk(1, 3).drop("srvid")
+      val e1 = intercept[Exception] {
+        noSrvid.write.format("graft-store")
+          .option("root", store.root).option("ds", "dsE").option("tier", "t")
+          .mode("append").save()
+      }
+      // analyzer by-name resolution (missing column) or our own require
+      assert(e1.getMessage != null)
+      val nullSrvid = mk(1, 3)
+        .withColumn("srvid", when(col("k") === 1L, lit(null)).otherwise(col("srvid")).cast("int"))
+      val e2 = intercept[Exception] {
+        nullSrvid.write.format("graft-store")
+          .option("root", store.root).option("ds", "dsE").option("tier", "t")
+          .mode("append").save()
+      }
+      assert(e2.toString.contains("srvid") ||
+        (e2.getCause != null && e2.getCause.toString.contains("srvid")))
+    }
+  }
+
   test("column pruning reaches the reader; count(*) and empty tier work") {
     withStore { store =>
       store.appendPartition("dsC", "current", 7, mk(7, 12))
