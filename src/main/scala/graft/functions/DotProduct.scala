@@ -71,6 +71,7 @@ case class DotProduct(left: Expression, right: Expression)
 object NativeFunctions {
   val DotName = "graft_dot"
   val H60Name = "graft_h60"
+  val Dist2Name = "graft_dist2"
 
   /** Register the expressions in the session's function registry (the
     * supported route to a `Column` over a custom Expression). Idempotent.
@@ -80,6 +81,8 @@ object NativeFunctions {
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       H60Name, exprs => Md5Prefix60Expr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Dist2Name, exprs => Dist2(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-level dot product; caller must have registered the session. */
@@ -87,6 +90,9 @@ object NativeFunctions {
 
   /** Column-level native 60-bit hash; caller must have registered. */
   def h60(c: Column): Column = call_function(H60Name, c)
+
+  /** Column-level integer squared-L2; caller must have registered. */
+  def dist2(a: Column, b: Column): Column = call_function(Dist2Name, a, b)
 }
 
 /** SparkSessionExtensions hook: makes the engine's native functions
@@ -108,5 +114,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Md5Prefix60Expr].getName, NativeFunctions.H60Name),
       (exprs: Seq[Expression]) => Md5Prefix60Expr(exprs(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(NativeFunctions.Dist2Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Dist2].getName, NativeFunctions.Dist2Name),
+      (exprs: Seq[Expression]) => Dist2(exprs(0), exprs(1))))
   }
 }

@@ -167,11 +167,15 @@ object Similarity {
   }
 
   /** Squared L2 distance between an integer vector column and a literal
-    * integer centroid — interpreted HOFs, acceptable in a projection
-    * pass (never a join key; see NOTES on HOF placement). */
+    * integer centroid — the native codegen'd expression
+    * (graft.functions.Dist2): integer sums are associative and exact,
+    * so it is value-identical to the interpreted
+    * `aggregate(zip_with(...))` form it replaced, and it keeps the
+    * k-distances-per-row assignment loop inside whole-stage codegen at
+    * fleet-size codebooks (the caveat [[assignCellsDot]] existed for).
+    * Callers register via [[NativeFunctions.register]]. */
   private def dist2Int(v: Column, cv: Seq[Long]): Column =
-    aggregate(zip_with(v, typedLit(cv), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    NativeFunctions.dist2(v, typedLit(cv))
 
   /** INTEGER-QUANTIZED Lloyd iterations — k-means training for the IVF
     * codebook that is safe to verify across engines: float-mean k-means
@@ -193,6 +197,7 @@ object Similarity {
   def kmeansCentroidsInt(
       embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = embeddings.select(col(idCol).cast("long").as("id"),
@@ -241,6 +246,7 @@ object Similarity {
     * list-assignment pass, scan speed at any corpus size. */
   def assignCellsInt(embeddings: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
     val best = array_max(array(cents.map { case (cid, cv) =>
       struct((-dist2Int(col("qv"), cv)).as("ndist"), lit(-cid).as("ncid"))
     }: _*))
@@ -440,6 +446,7 @@ object Similarity {
     * assumption. */
   def pqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int): Map[Int, Seq[(Long, Seq[Long])]] = {
+    NativeFunctions.register(embeddings.sparkSession)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
     val q = embeddings.select(qvE4(idCol, vecCol): _*).localCheckpoint()
@@ -492,6 +499,7 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, dim: Int, m: Int, k: Int, iters: Int,
       topK: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
     val subDim = dim / m
     val cents = pqCodebook(embeddings, idCol, vecCol, dim, m, k, iters)
     val q = embeddings.select(qvE4(idCol, vecCol): _*)

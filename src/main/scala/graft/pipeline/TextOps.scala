@@ -409,4 +409,40 @@ object TextOps {
           .over(win.rowsBetween(Long.MinValue, -1)), lit(0L)))
       .withColumn("bin", expr(s"offset DIV $binTokens"))
   }
+
+  /** Epoch-shuffled packing v2 — the training-export composition that
+    * [[packSequences]] (running-fill packing) and shuffle-shard (p64)
+    * individually lack: each training epoch re-permutes the corpus
+    * with an independent seeded hash (`h60(seed:epoch:id)`) and packs
+    * THAT order into fixed token-budget bins, so no two epochs present
+    * documents in the same order or bin composition, yet every epoch
+    * is reproducible from (seed, epoch) alone — no RNG state to ship.
+    *
+    * Scale shape: token counts are computed ONCE (narrow projection),
+    * then the epoch dimension explodes rows ×epochs BEFORE the one
+    * window shuffle keyed on (epoch, shard). Each window partition
+    * holds ~corpus/shards documents regardless of corpus size — the
+    * shard count bounds task state, and bins never span shards (the
+    * export writers that consume them are shard-local anyway). A
+    * global per-epoch cumsum would serialize the corpus through one
+    * partition; the per-shard form is the one that survives 100 TB. */
+  def packEpochs(df: DataFrame, idCol: String, textCol: String,
+      epochs: Int, shards: Int, binTokens: Long, seed: Int): DataFrame = {
+    require(epochs > 0 && shards > 0 && binTokens > 0,
+      s"packEpochs: epochs=$epochs shards=$shards binTokens=$binTokens")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col(idCol))
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("h", Hashing.h60(concat(lit(s"$seed:"),
+        col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(win))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens"))
+          .over(win.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("bin", expr(s"offset DIV $binTokens"))
+  }
 }

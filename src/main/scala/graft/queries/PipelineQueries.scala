@@ -1034,6 +1034,18 @@ object PipelineQueries {
       .select(col("shard"), col("shard_pos"), col("doc_id"))
       .orderBy(col("shard"), col("shard_pos"))
 
+  // epoch-shuffled packing: every epoch re-permutes the corpus with an
+  // independent seeded hash and packs that order per shard — the
+  // multi-epoch training-export shape (reproducible from seed+epoch,
+  // no RNG state)
+  private def p77(s: SparkSession, d: String): DataFrame =
+    TextOps.packEpochs(Tables.documents(s, d), "doc_id", "text",
+        epochs = 3, shards = 4, binTokens = 512L, seed = 11)
+      .select(col("epoch").cast("int").as("epoch"), col("shard"),
+        col("doc_id"), col("n_tokens"), col("pos"), col("offset"),
+        col("bin"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+
   // IVF-PQ composed ANN: coarse cell prune → in-cell PQ ADC shortlist
   // → exact cosine re-rank — the production index layout; the exact
   // final ranking is what makes it oracle-verifiable
@@ -1299,7 +1311,8 @@ object PipelineQueries {
     "p73_keep_best" -> (p73 _),
     "p74_stream_topk" -> (p74 _),
     "p75_cluster_sample" -> (p75 _),
-    "p76_semantic_dedup" -> (p76 _))
+    "p76_semantic_dedup" -> (p76 _),
+    "p77_epoch_packing" -> (p77 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1602,6 +1615,27 @@ object PipelineQueries {
          SELECT id AS vec_id, CAST(cid AS BIGINT) AS cell
          FROM a3 WHERE id NOT IN (SELECT j FROM dropped)
          ORDER BY vec_id""",
+    "p77_epoch_packing" ->
+      """WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+                        AS n_tokens
+                    FROM documents),
+         ep AS (SELECT doc_id, n_tokens, s.epoch,
+                  ('0x'||substr(md5('11:'||CAST(s.epoch AS VARCHAR)||':'||
+                    CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+                FROM t, (SELECT UNNEST(range(0, 3)) AS epoch) s),
+         o AS (SELECT epoch, CAST(h % 4 AS INT) AS shard, doc_id,
+                 n_tokens,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY epoch, h % 4
+                   ORDER BY h, doc_id) AS INT) AS pos,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY epoch, h % 4
+                   ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+               FROM ep)
+         SELECT CAST(epoch AS INT) AS epoch, shard, doc_id, n_tokens,
+                pos, CAST(off AS BIGINT) AS offset,
+                CAST(off AS BIGINT) // 512 AS bin
+         FROM o ORDER BY epoch, shard, pos""",
     "p25_pii_redaction" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
