@@ -21,15 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads via the legacy nanos-as-long path. Truncate to
-    * micros with integer division (matching DuckDB's ns→µs truncation);
-    * a double-valued path would lose precision at 1e18 ns epochs.
+  /** The events table has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark reads it only via the
+    * legacy nanos-as-long conf; ns DIV 1000 truncates to micros, matching
+    * DuckDB's ns→µs truncation — integer math, since a double path would
+    * lose precision at 1e18 ns epochs) and native TIMESTAMP(MICROS)
+    * (plain TimestampType read). Detect from the file schema and
+    * normalize either way so every consumer sees a micros `ts`.
     */
+  def eventsRawSchema(s: SparkSession, d: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").schema
+  }
+
+  def eventsTsIsNanosLong(schema: StructType): Boolean =
+    schema("ts").dataType == LongType
+
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (eventsTsIsNanosLong(df.schema))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -359,22 +359,34 @@ object PipelineQueries {
 
   // ---------- structured streaming under the oracle gate ----------
 
-  /** Raw events.parquet schema for the file-stream source (`ts` is
-    * parquet TIMESTAMP(NANOS) → read as long, truncated to micros the
-    * same way Tables.events does for batch). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
+  /** File-stream sources need an explicit schema; take it from the batch
+    * reader's view of the actual file (ts arrives as nanos-long on legacy
+    * TIMESTAMP(NANOS) testdata, TimestampType on native-micros testdata —
+    * `Tables.normalizeEventTs` reconciles both to a micros `ts`). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a DIRECTORY; link the table in
     val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    s.readStream.schema(eventsRawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeEventTs(
+      s.readStream.schema(Tables.eventsRawSchema(s, d)).parquet(dir.toString))
+  }
+
+  /** Sentinel rows (2100-01-01T00:00Z, the far future) written in the SAME
+    * physical layout as the events file so the schema-pinned file stream
+    * accepts both batches. */
+  private def sentinelFrame(s: SparkSession, d: String,
+      rows: Seq[(Long, Long, String)]): DataFrame = {
+    import s.implicits._
+    if (Tables.eventsTsIsNanosLong(Tables.eventsRawSchema(s, d)))
+      rows.map { case (id, uid, tpe) =>
+        (id, 4102444800000000000L, uid, tpe, 0.0d, "")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    else
+      rows.map { case (id, uid, tpe) =>
+        (id, java.sql.Timestamp.from(
+          java.time.Instant.parse("2100-01-01T00:00:00Z")), uid, tpe, 0.0d, "")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   private val memSeq = new java.util.concurrent.atomic.AtomicInteger
@@ -473,16 +485,13 @@ object PipelineQueries {
   // no-data batch flushes them, and the sentinel's own windows can
   // never flush — append mode drops them for free.
   private def p42(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_p42")
     val events = dir.resolve("a_events.parquet")
     java.nio.file.Files.createSymbolicLink(events,
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    // sentinel: one row far in the future (raw schema, nanos ts)
+    // sentinel: one row far in the future (raw schema layout)
     val tmp = java.nio.file.Files.createTempDirectory("graft_p42_sent")
-    import s.implicits._
-    Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0d, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
       p.getFileName.toString.startsWith("part-")).findFirst().get()
@@ -496,9 +505,9 @@ object PipelineQueries {
     java.nio.file.Files.setLastModifiedTime(sentinel,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() + 60000L))
-    val st = s.readStream.schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val st = Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRawSchema(s, d))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .withWatermark("ts", "0 seconds")
     val minutely = st
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
@@ -634,7 +643,6 @@ object PipelineQueries {
   // same sentinel-batch technique as p42 flushes the tail; the oracle
   // is DuckDB's native ASOF LEFT JOIN (p31's shape)
   private def p53(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_p53")
     val events = dir.resolve("a_events.parquet")
     java.nio.file.Files.createSymbolicLink(events,
@@ -644,9 +652,7 @@ object PipelineQueries {
     // the remaining event-time timeouts; it enters the operator as a
     // quote for the unused key -1, so it can never affect output
     val tmp = java.nio.file.Files.createTempDirectory("graft_p53_sent")
-    import s.implicits._
-    Seq((-1L, 4102444800000000000L, -1L, "view", 0.0d, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinelFrame(s, d, Seq((-1L, -1L, "view")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
       p.getFileName.toString.startsWith("part-")).findFirst().get()
@@ -661,9 +667,9 @@ object PipelineQueries {
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() + 60000L))
     val D = org.apache.spark.sql.types.DecimalType(18, 2)
-    val st = s.readStream.schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val st = Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRawSchema(s, d))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .filter(col("user_id") % 5 === 2 || col("user_id") === -1L)
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("user_id").as("k"), col("ts"),
@@ -747,15 +753,11 @@ object PipelineQueries {
   // unmatched purchases would never surface. Emitted set == batch
   // LEFT JOIN with the same interval predicate (the oracle).
   private def p61(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_p61")
     java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_p61_sent")
-    Seq((-1L, 4102444800000000000L, -1L, "view", 0.0d, ""),
-        (-2L, 4102444800000000000L, -1L, "purchase", 0.0d, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinelFrame(s, d, Seq((-1L, -1L, "view"), (-2L, -1L, "purchase")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
       p.getFileName.toString.startsWith("part-")).findFirst().get()
@@ -766,10 +768,9 @@ object PipelineQueries {
     java.nio.file.Files.setLastModifiedTime(sentinel,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() + 60000L))
-    def side(tpe: String, prefix: String) = s.readStream
-      .schema(eventsRawSchema).option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def side(tpe: String, prefix: String) = Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRawSchema(s, d))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .filter(col("event_type") === tpe &&
         (col("user_id") % 5 === 3 || col("user_id") === -1L))
       .select(col("user_id").as(s"${prefix}_user"),
