@@ -21,26 +21,53 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** The events table has shipped in two physical layouts across testdata
+  /** The events table has shipped in three physical layouts across testdata
     * generations: INT64 TIMESTAMP(NANOS) (Spark reads it only via the
     * legacy nanos-as-long conf; ns DIV 1000 truncates to micros, matching
     * DuckDB's ns→µs truncation — integer math, since a double path would
-    * lose precision at 1e18 ns epochs) and native TIMESTAMP(MICROS)
-    * (plain TimestampType read). Detect from the file schema and
-    * normalize either way so every consumer sees a micros `ts`.
+    * lose precision at 1e18 ns epochs), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (Spark reads TIMESTAMP_NTZ; with session TZ
+    * UTC the cast to TimestampType is value-preserving and matches how
+    * the DuckDB oracle reads the same naive-timestamp file), and native
+    * TIMESTAMP(MICROS, UTC) (plain TimestampType read). Detect from the
+    * file schema and normalize so every consumer sees a micros
+    * TimestampType `ts`; any FOURTH layout fails loudly here instead of
+    * as scattered analysis errors in every event-time consumer.
+    *
+    * NOTE: this getter intentionally sets the nanosAsLong session conf as
+    * a side effect — the schema cannot be read at all under the NANOS
+    * layout without it, and stream scans on the same session rely on it.
     */
+  private val rawSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def eventsRawSchema(s: SparkSession, d: String): StructType = {
+    // the conf set must happen on EVERY call (stream scans on this session
+    // depend on it); only the footer read is memoized — the file cannot
+    // change within a run, and p61 reads it three times per invocation
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").schema
+    rawSchemaCache.computeIfAbsent(d, dir => table(s, dir, "events").schema)
   }
 
   def eventsTsIsNanosLong(schema: StructType): Boolean =
     schema("ts").dataType == LongType
 
-  def normalizeEventTs(df: DataFrame): DataFrame =
-    if (eventsTsIsNanosLong(df.schema))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val raw = df.schema("ts").dataType
+    val norm = raw match {
+      case LongType           => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType   => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType      => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; known layouts are " +
+        "INT64 TIMESTAMP(NANOS) (read as long), TIMESTAMP(MICROS, isAdjustedToUTC=false) " +
+        "(read as TIMESTAMP_NTZ), and TIMESTAMP(MICROS, UTC) (read as TIMESTAMP). " +
+        "The driver's testdata layout shifted again — extend Tables.normalizeEventTs.")
+    }
+    assert(norm.schema("ts").dataType == TimestampType,
+      s"normalizeEventTs postcondition: ts must be TimestampType, got ${norm.schema("ts").dataType} (raw was $raw)")
+    norm
+  }
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

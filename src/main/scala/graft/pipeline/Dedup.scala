@@ -41,10 +41,24 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (i < j, jaccard >= threshold).
     * Inverted-index self-join on shingle, then count intersections per
-    * pair; |A∪B| = |A| + |B| − |A∩B|. */
+    * pair; |A∪B| = |A| + |B| − |A∩B|.
+    *
+    * SCALE HONESTY: this is the ORACLE BASELINE, not the production
+    * dedup — the inverted-index join emits df² pair-rows for a shingle
+    * appearing in df documents, so one hot shingle (boilerplate, a
+    * common phrase) is a quadratic hazard at corpus scale. The
+    * production path is MinHash+LSH (`minhashPairs`, p06), whose bucket
+    * sizes are bounded by collision probability. `dfCap > 0` drops
+    * postings for shingles with document frequency above the cap
+    * (the p30/p47/p48 capped-postings rule): intersections then
+    * UNDERCOUNT on pairs that share dropped shingles, making the
+    * reported jaccard a lower bound — near-verbatim pairs still surface
+    * because they share plenty of cold shingles. dfCap=0 keeps exact
+    * oracle parity. Measured cost of each regime: SCALE.md "hot-shingle
+    * stress". */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, dfCap: Long = 0L): DataFrame = {
     // materialize the shingle sets once (spread across cores first — the
     // source is often a single parquet partition): both sides of the
     // self-join and the pair-count aggregation reuse them
@@ -55,9 +69,22 @@ object Dedup {
     // join on the 60-bit shingle hash, not the string — a quarter of the
     // shuffle bytes and a long-vs-long equality in the probe loop; the
     // oracle hashes identically, so results stay comparable
-    val exploded = withSh
+    val explodedAll = withSh
       .select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc"), col("n_sh"), h60(col("s")).as("shingle"))
+    // optional hot-posting drop: one hash agg on the shingle key, then an
+    // anti-join back. Both the agg and the anti-join shuffle on the SAME
+    // key as the pair join below, and the hot set is at most
+    // total-postings/dfCap rows — let AQE broadcast it when it is tiny
+    // (the common case) rather than forcing a driver-side collect.
+    val exploded =
+      if (dfCap <= 0L) explodedAll
+      else {
+        val hot = explodedAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > dfCap)
+          .select(col("shingle"))
+        explodedAll.join(hot, Seq("shingle"), "left_anti")
+      }
     // join via the USING-column form on distinctly-aliased sides — the
     // attribute-reference form (a("shingle") === b("shingle")) trips
     // Spark's trivially-true self-join ambiguity detection

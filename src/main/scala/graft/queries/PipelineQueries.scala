@@ -374,19 +374,41 @@ object PipelineQueries {
 
   /** Sentinel rows (2100-01-01T00:00Z, the far future) written in the SAME
     * physical layout as the events file so the schema-pinned file stream
-    * accepts both batches. */
-  private def sentinelFrame(s: SparkSession, d: String,
-      rows: Seq[(Long, Long, String)]): DataFrame = {
+    * accepts both batches: nanos-long files get a raw Long, NTZ files get
+    * a LocalDateTime (encodes as TIMESTAMP_NTZ — a java.sql.Timestamp
+    * would write isAdjustedToUTC=true parquet, which the NTZ-pinned
+    * stream scan rejects), UTC-micros files get a java.sql.Timestamp.
+    * The five non-ts columns are hard-coded; assert they still match the
+    * file so a layout drift fails loudly instead of silently nulling the
+    * sentinel batch and defeating the watermark flush. */
+  private[graft] def sentinelFrame(s: SparkSession, d: String,
+      rows: Seq[(Long, Long, String)],
+      rawSchema: Option[StructType] = None): DataFrame = {
     import s.implicits._
-    if (Tables.eventsTsIsNanosLong(Tables.eventsRawSchema(s, d)))
-      rows.map { case (id, uid, tpe) =>
-        (id, 4102444800000000000L, uid, tpe, 0.0d, "")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    else
-      rows.map { case (id, uid, tpe) =>
-        (id, java.sql.Timestamp.from(
-          java.time.Instant.parse("2100-01-01T00:00:00Z")), uid, tpe, 0.0d, "")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = rawSchema.getOrElse(Tables.eventsRawSchema(s, d))
+    Seq("event_id" -> LongType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType,
+        "props" -> StringType).foreach { case (n, t) =>
+      require(raw(n).dataType == t,
+        s"events.$n is ${raw(n).dataType} but the sentinel writes $t — " +
+        "testdata layout drift; update sentinelFrame")
+    }
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    raw("ts").dataType match {
+      case LongType =>
+        rows.map { case (id, uid, tpe) =>
+          (id, 4102444800000000000L, uid, tpe, 0.0d, "")
+        }.toDF(cols: _*)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        rows.map { case (id, uid, tpe) =>
+          (id, java.time.LocalDateTime.of(2100, 1, 1, 0, 0, 0), uid, tpe, 0.0d, "")
+        }.toDF(cols: _*)
+      case _ =>
+        rows.map { case (id, uid, tpe) =>
+          (id, java.sql.Timestamp.from(
+            java.time.Instant.parse("2100-01-01T00:00:00Z")), uid, tpe, 0.0d, "")
+        }.toDF(cols: _*)
+    }
   }
 
   private val memSeq = new java.util.concurrent.atomic.AtomicInteger

@@ -911,11 +911,6 @@ object PowaQueries {
     }
   }
 
-  /** Staging-row shape for the q37 streaming source. */
-  private case class StreamBgRow(srvid: Int, ts: java.sql.Timestamp,
-    buffers_clean: Long, maxwritten_clean: Long, buffers_backend: Long,
-    buffers_backend_fsync: Long, buffers_alloc: Long)
-
   // ---- §2.10: STRUCTURED STREAMING front-end under the driver gate —
   //      the same daily-rollup math as q31 but fed through
   //      StreamIngest: each micro-batch lands in staging and drives one
@@ -1923,3 +1918,14 @@ object PowaQueries {
          GROUP BY srvid, event_type
          ORDER BY srvid, event_type""")
 }
+
+/** Staging-row shape for the q37 streaming source. Top-level rather than
+  * nested `private` in the object: a private nested case class makes the
+  * Janino-generated encoder unable to call the accessors
+  * (`CompileException: ...StreamBgRow.srvid()`), forcing Spark to fall
+  * back to interpreted encoding on every micro-batch of the hot ingest
+  * path. `private[queries]` erases to public bytecode, so codegen works.
+  */
+private[queries] case class StreamBgRow(srvid: Int, ts: java.sql.Timestamp,
+  buffers_clean: Long, maxwritten_clean: Long, buffers_backend: Long,
+  buffers_backend_fsync: Long, buffers_alloc: Long)
