@@ -706,6 +706,65 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  // STREAMING exact dedup at ingest: dropDuplicates on the entity key
+  // over the event stream — the dedup-on-arrival front door of a
+  // training-data ingest pipeline (every later pipeline stage sees
+  // each key once). Append mode emits each key's FIRST arrival exactly
+  // once, so the emitted KEY SET equals batch DISTINCT; only the key
+  // columns are output (which occurrence wins is batch-order-
+  // dependent). Exact semantics keep per-key state forever — the
+  // oracle-checkable form; the state-bounded production variant is
+  // dropDuplicatesWithinWatermark (drops dupes only within the
+  // watermark horizon — a recall trade, not oracle-gated).
+  private def p78(s: SparkSession, d: String): DataFrame = {
+    val st = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(s, st, mode = "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // CUSTOM-STATE sessionization: the same 30-minute-gap sessions as
+  // p32 (and p35's session_window) but through flatMapGroupsWithState
+  // with EventTimeTimeout — the custom-state streaming shape for
+  // semantics session_window can't carry (per-session ordinals,
+  // arbitrary accumulators, mid-session emission policies). State is
+  // ONE OpenSession per active user (O(1) per key, dropped at
+  // timeout); closed sessions emit the moment a later event proves the
+  // gap, and the sentinel batch advances the watermark so the final
+  // open sessions emit on event-time timeout (the p42 technique — the
+  // sentinel's own key -1 never times out and is filtered besides).
+  // Oracle: p32's batch sessionization SQL verbatim.
+  private def p79(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p79")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p79_sent")
+    sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sentinel = dir.resolve("b_sentinel.parquet")
+    java.nio.file.Files.copy(part, sentinel)
+    // mtime-order the sentinel AFTER the data batch without touching
+    // the shared testdata through the symlink (see p42)
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+    import s.implicits._
+    val st = Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRawSchema(s, d))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .as[graft.streaming.SessEvent]
+    val out = graft.streaming.StateSessions.sessions(st, gapSec = 1800L)
+    runToMemory(s, out.toDF(), mode = "append")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   // FORWARD as-of join: each purchase picks the EARLIEST view at or
   // after it (next-event attribution) — same union+window shape as p31,
   // scanned from the other end; oracle is DuckDB ASOF with >=
@@ -1335,7 +1394,9 @@ object PipelineQueries {
     "p74_stream_topk" -> (p74 _),
     "p75_cluster_sample" -> (p75 _),
     "p76_semantic_dedup" -> (p76 _),
-    "p77_epoch_packing" -> (p77 _))
+    "p77_epoch_packing" -> (p77 _),
+    "p78_stream_dedup" -> (p78 _),
+    "p79_stream_sessions_state" -> (p79 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1659,6 +1720,35 @@ object PipelineQueries {
                 pos, CAST(off AS BIGINT) AS offset,
                 CAST(off AS BIGINT) // 512 AS bin
          FROM o ORDER BY epoch, shard, pos""",
+    "p78_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    // p32's batch sessionization verbatim — the custom-state streaming
+    // operator must land on the identical session set
+    "p79_stream_sessions_state" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+          n AS (SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN prev IS NULL OR
+                      date_diff('microsecond', prev, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+               FROM x),
+          ss AS (SELECT user_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+               FROM n)
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                 CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                   AS BIGINT) AS duration_sec
+          FROM ss GROUP BY 1, 2 ORDER BY 1, 2""",
     "p25_pii_redaction" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
