@@ -47,10 +47,14 @@ final class Store(val spark: SparkSession, val root: String) {
     * pins it on every layout); the difference is WHERE the work
     * happens: srvid pruning moves into scan planning (a pruned server
     * is never manifest-read) and execution is Spark-native columnar.
-    * Read per call, so a session can flip it mid-run for A/B
-    * measurement (Bench honors SPARK_GRAFT_READV2). */
+    * DEFAULT ON since round 8 — the measured-swap decision the A/B
+    * bench justified (11 engine round-trips, V2 53.7 s vs V1 56.5 s,
+    * per-query within noise both directions; NOTES.md). Set the conf
+    * to false to fall back to the union/manifest scan. Read per call,
+    * so a session can flip it mid-run for A/B measurement (Bench
+    * honors SPARK_GRAFT_READV2). */
   private def useV2: Boolean =
-    spark.conf.get("spark.graft.store.readV2", "false").toBoolean
+    spark.conf.get("spark.graft.store.readV2", "true").toBoolean
 
   /** Read one tier across every server; empty-but-correctly-shaped frame
     * when absent. `schema` excludes srvid (re-added by the reader).

@@ -100,15 +100,30 @@ class SwapSpec extends AnyFunSuite {
     store.overwritePartition("ds", "history", 3, df,
       partitionCols = Seq("bucket"))
     assert(store.listBuckets("ds", "history", 3) === Seq("2024-01", "2024-02"))
-    // a reader that pinned the manifest BEFORE the bucket drop — its
-    // files must survive the drop (deferred physical delete)
-    val pinned = store.readPartition("ds", "history", 3, schema)
+    // a reader OPENED before the bucket drop. The two read paths pin
+    // differently: the V1 union/manifest path resolves the file list at
+    // DATAFRAME CREATION, so the frame keeps seeing all 6 rows after the
+    // logical drop (MVCC pin); the V2 scan (default since round 8)
+    // resolves at ACTION time like any Spark DSv2 table, so a post-drop
+    // action sees the post-drop manifest. What the deferred physical
+    // delete guarantees under V2 is the crash-safety window: the
+    // dropped bucket's files survive until the NEXT purge pass, so a
+    // scan planned just before the drop can still execute.
+    spark.conf.set("spark.graft.store.readV2", "false")
+    val pinnedV1 = try store.readPartition("ds", "history", 3, schema)
+      finally spark.conf.unset("spark.graft.store.readV2")
+    val pinnedV2 = store.readPartition("ds", "history", 3, schema)
     store.dropBucket("ds", "history", 3, "2024-01")
     // logically dropped at once: listing and new reads exclude it
     assert(store.listBuckets("ds", "history", 3) === Seq("2024-02"))
     assert(store.read("ds", "history", schema).count() === 3)
-    // the pre-drop pinned read still sees all 6 rows — MVCC, not delete
-    assert(pinned.count() === 6)
+    // the V1-pinned read still sees all 6 rows — MVCC, not delete
+    assert(pinnedV1.count() === 6)
+    // the V2 frame re-resolves at action time — post-drop logical state
+    assert(pinnedV2.count() === 3)
+    // crash-safety window: files are still on disk until the purge pass
+    assert(Files.isDirectory(
+      Paths.get(root, "ds", "history", "srvid=3", "bucket=2024-01")))
     // one cycle later the purge pass physically deletes the bucket
     store.processDoomedBuckets("ds", "history", 3)
     assert(store.read("ds", "history", schema).count() === 3)

@@ -106,10 +106,22 @@ class V2SourceSpec extends AnyFunSuite {
       store.appendPartition("dsF", "current", 1, mk(1, 30))
       store.appendPartition("dsF", "current", 2, mk(2, 20))
       store.append("dsF", "staging", mk(3, 10)) // manifest-less fallback
-      val offRead = store.read("dsF", "current", schema).collect().toSet
-      val offPart = store.readPartition("dsF", "current", 2, schema)
-        .collect().toSet
-      val offStaging = store.read("dsF", "staging", schema).collect().toSet
+      // DEFAULT (since round 8) is the V2 path
+      val defPart = store.readPartition("dsF", "current", 2, schema)
+      assert(defPart.queryExecution.executedPlan.toString
+        .contains("GraftStoreScan"))
+      // conf=false: the union/manifest V1 path — take the equivalence
+      // baselines there
+      spark.conf.set("spark.graft.store.readV2", "false")
+      val (offRead, offPart, offStaging) =
+        try {
+          val off = store.readPartition("dsF", "current", 2, schema)
+          assert(!off.queryExecution.executedPlan.toString
+            .contains("GraftStoreScan"))
+          (store.read("dsF", "current", schema).collect().toSet,
+            off.collect().toSet,
+            store.read("dsF", "staging", schema).collect().toSet)
+        } finally spark.conf.unset("spark.graft.store.readV2")
       spark.conf.set("spark.graft.store.readV2", "true")
       try {
         val onPartDf = store.readPartition("dsF", "current", 2, schema)
@@ -123,11 +135,8 @@ class V2SourceSpec extends AnyFunSuite {
         assert(store.read("dsF", "staging", schema).collect().toSet
           === offStaging)
       } finally spark.conf.unset("spark.graft.store.readV2")
-      // unset: back to the union/manifest path
-      val after = store.readPartition("dsF", "current", 2, schema)
-      assert(!after.queryExecution.executedPlan.toString
-        .contains("GraftStoreScan"))
-      assert(after.collect().toSet === offPart)
+      // the default-path frame is row-identical to both
+      assert(defPart.collect().toSet === offPart)
     }
   }
 
