@@ -147,14 +147,29 @@ object AtomicSwap {
     }
   }
 
+  /** Parse `.v<digits>_<linkName>` EXACTLY. Suffix matching alone is
+    * ambiguous when one link name is a proper suffix of another in the
+    * same parent (`module_config` vs `db_module_config`: the latter's
+    * version dirs also end in `_module_config`) — the remainder must be
+    * pure digits, or the name belongs to the other link and must be
+    * invisible here. Before this guard, a drop("module_config") would
+    * GC db_module_config's LIVE version directories. */
+  private def versionOf(name: String, linkName: String): Option[Long] = {
+    val sfx = suffix(linkName)
+    if (!(name.startsWith(".v") && name.endsWith(sfx))) None
+    else {
+      val core = name.stripPrefix(".v").dropRight(sfx.length)
+      if (core.nonEmpty && core.forall(_.isDigit)) Some(core.toLong)
+      else None
+    }
+  }
+
   /** Highest existing version for this link, plus one. */
   private def nextVersion(parent: Path, linkName: String): Long = {
     if (!Files.isDirectory(parent)) return 1L
-    val sfx = suffix(linkName)
     val s = Files.list(parent)
     try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(".v") && n.endsWith(sfx))
-      .map(_.stripPrefix(".v").stripSuffix(sfx).toLong)
+      .flatMap(n => versionOf(n, linkName))
       .foldLeft(0L)(math.max) + 1L
     finally s.close()
   }
@@ -201,15 +216,13 @@ object AtomicSwap {
       // the newest leftover one more cycle, exactly like a swap keeps
       // its predecessor
       val leftover = {
-        val sfx = suffix(linkName)
         if (!Files.isDirectory(parent)) None
         else {
           val s = Files.list(parent)
           try s.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.startsWith(".v") && n.endsWith(sfx) &&
+            .filter(n => versionOf(n, linkName).isDefined &&
               n != vdir.getFileName.toString)
-            .toList.sortBy(n => scala.util.Try(
-              n.stripPrefix(".v").stripSuffix(sfx).toLong).getOrElse(0L))
+            .toList.sortBy(n => versionOf(n, linkName).get)
             .lastOption
           finally s.close()
         }
@@ -252,14 +265,11 @@ object AtomicSwap {
   private def gc(parent: Path, linkName: String, keep: Set[String],
       flipped: Long): Unit = {
     if (!Files.isDirectory(parent)) return
-    val sfx = suffix(linkName)
     val s = Files.list(parent)
     val doomed = try s.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
-      (n.startsWith(".v") && n.endsWith(sfx) && !keep.contains(n) &&
-        scala.util.Try(
-          n.stripPrefix(".v").stripSuffix(sfx).toLong).toOption
-          .forall(_ <= flipped)) ||
+      versionOf(n, linkName).exists(v => !keep.contains(n) &&
+        v <= flipped) ||
         n == s".swap_$linkName" || n == s".gc_$linkName"
     }.toList
     finally s.close()

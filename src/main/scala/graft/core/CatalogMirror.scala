@@ -20,8 +20,7 @@ import java.nio.file.{Files, Paths}
   * Storage: one tier per catalog partitioned srvid=N/dbid=M — replace is
   * a partition overwrite, the only scalable mutation shape.
   */
-final class CatalogMirror(spark: SparkSession, root: String) {
-
+object CatalogMirror {
   /** Catalog registry with import priorities (powa--5.2.0.sql:446-455);
     * pg_class last = refresh stamp. */
   val catalogs: Seq[(String, Int)] = Seq(
@@ -29,6 +28,11 @@ final class CatalogMirror(spark: SparkSession, root: String) {
     "pg_namespace" -> 1, "pg_type" -> 2, "pg_collation" -> 3,
     "pg_proc" -> 4, "pg_language" -> 5, "pg_attribute" -> 6,
     "pg_class" -> 10)
+}
+
+final class CatalogMirror(spark: SparkSession, root: String) {
+
+  val catalogs: Seq[(String, Int)] = CatalogMirror.catalogs
 
   /** In-memory cache of the per-(srvid, dbid) refresh stamp; the durable
     * copy lives in a `_last_refresh` marker file next to the pg_class

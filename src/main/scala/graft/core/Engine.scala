@@ -432,10 +432,44 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     registry.persistMetas(Set(srvid))
   }
 
-  /** powa_delete_and_purge_server (:2842-2888): config rows + all data. */
+  /** Autonomous-extension sweeps run by [[deleteServer]] — the analogue
+    * of powa_delete_and_purge_server's manual pg_track_settings pass
+    * (powa--5.2.0.sql:2864-2888): an extension that stores per-server
+    * rows in the same warehouse but outside the engine's datasource
+    * registry has no FK back to powa_servers, so deleting a server must
+    * explicitly sweep its tables too. Registered once per extension;
+    * each sweep is individually guarded like a datasource tick, so a
+    * broken extension never blocks the delete itself. */
+  private var externalSweeps: Vector[(String, Int => Unit)] = Vector.empty
+
+  def registerExternalSweep(extension: String)(sweep: Int => Unit): Unit =
+    externalSweeps = externalSweeps.filterNot(_._1 == extension) :+
+      (extension -> sweep)
+
+  /** Canned sweep body for the common layout: an autonomous extension
+    * that lays its tables out as `root/<table>/srvid=N` hive partitions
+    * — the directory drop that mirrors the reference's
+    * `DELETE FROM <ext_table> WHERE srvid = _srvid` loop (:2864-2888). */
+  def sweepSrvidPartitions(tables: Seq[String])(srvid: Int): Unit =
+    tables.foreach { t =>
+      val d = java.nio.file.Paths.get(store.root, t, s"srvid=$srvid")
+      if (java.nio.file.Files.isDirectory(d)) {
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    }
+
+  /** powa_delete_and_purge_server (:2842-2888): config rows + all data,
+    * plus any registered autonomous-extension sweeps. */
   def deleteServer(srvid: Int): Unit = {
     datasources.foreach(_.reset(store, srvid))
     catalogs.reset(srvid)
+    externalSweeps.foreach { case (ext, sweep) =>
+      try sweep(srvid)
+      catch { case e: Exception =>
+        registry.meta(srvid).errors :+= s"sweep $ext: ${e.getMessage}" }
+    }
     registry.dropServer(srvid)
   }
 }

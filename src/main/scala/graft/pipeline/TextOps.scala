@@ -331,6 +331,41 @@ object TextOps {
         .localCheckpoint(),
       dfCap, minPpm)
 
+  /** Cross-document duplicated n-gram profile — for each document, how
+    * many of its distinct word n-grams also appear in at least one
+    * OTHER document (the corpus-level "duplicated 10-gram fraction"
+    * quality signal; distinct from [[withRepetition]], which measures
+    * repetition WITHIN one document, and from [[containmentPairs]],
+    * which scores specific pairs).
+    *
+    * Scale shape: linear end to end. Grams are hashed to 60-bit longs
+    * before leaving the projection (shuffle rows are (long, id), never
+    * strings), the document-frequency aggregate is one map-side-combined
+    * groupBy on the gram hash, and the postings join multiplies each
+    * (doc, gram) row by exactly the ONE df row for its gram — a hot
+    * boilerplate gram costs df rows, not df² like a pair join. Final
+    * per-doc rollup is the second and last shuffle. No df-cap is needed
+    * here (unlike the containment/overlap pair joins): there is no
+    * quadratic term to bound.
+    *
+    * ppm fraction uses integer division (`div`) — deterministic and
+    * bit-identical in the DuckDB oracle (`//`). */
+  def crossDocDupGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = Partitioning.spread(docs)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), Hashing.h60(col("g")).as("gh"))
+      .localCheckpoint() // consumed twice (df aggregate + postings join)
+    val gdf = grams.groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac_ppm",
+        call_function("div", col("dup_grams") * lit(1000000L),
+          col("n_grams")))
+  }
+
   /** PII redaction rules: (name, pattern, replacement), applied in
     * order. The patterns stay inside the Java-regex ∩ RE2 dialect (no
     * lookaround, no backrefs) so the DuckDB oracle applies the

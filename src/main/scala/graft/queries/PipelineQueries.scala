@@ -765,6 +765,15 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  // Cross-document duplicated 10-gram fraction — the corpus-level
+  // quality signal (RefinedWeb/Gopher-style): per doc, how many of its
+  // distinct 10-grams appear in at least one other document. Linear
+  // (hash grams, df aggregate, postings join) — see TextOps scaladoc.
+  private def p80(s: SparkSession, d: String): DataFrame =
+    TextOps.crossDocDupGrams(Tables.documents(s, d), "doc_id", "text",
+        n = 10)
+      .orderBy(col("doc_id"))
+
   // FORWARD as-of join: each purchase picks the EARLIEST view at or
   // after it (next-event attribution) — same union+window shape as p31,
   // scanned from the other end; oracle is DuckDB ASOF with >=
@@ -1396,7 +1405,8 @@ object PipelineQueries {
     "p76_semantic_dedup" -> (p76 _),
     "p77_epoch_packing" -> (p77 _),
     "p78_stream_dedup" -> (p78 _),
-    "p79_stream_sessions_state" -> (p79 _))
+    "p79_stream_sessions_state" -> (p79 _),
+    "p80_dupgram_fraction" -> (p80 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1749,6 +1759,24 @@ object PipelineQueries {
                  CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
                    AS BIGINT) AS duration_sec
           FROM ss GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p80_dupgram_fraction" ->
+      s"""WITH $toksCte,
+          sh AS (SELECT doc_id, list_distinct(
+                   CASE WHEN len(toks) >= 10
+                        THEN list_transform(range(0, len(toks) - 9),
+                               i -> array_to_string(toks[i+1:i+10], ' '))
+                        ELSE [] END) AS sh
+                 FROM t),
+          g AS (SELECT doc_id, ${h60Sql("unnest(sh)")} AS gh FROM sh),
+          df AS (SELECT gh, COUNT(*) AS gdf FROM g GROUP BY gh)
+          SELECT g.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dup_grams,
+                 CAST(SUM(CASE WHEN df.gdf >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) * 1000000 // COUNT(*) AS dup_frac_ppm
+          FROM g JOIN df USING (gh)
+          GROUP BY g.doc_id ORDER BY g.doc_id""",
     "p25_pii_redaction" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"

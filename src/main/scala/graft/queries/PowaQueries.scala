@@ -1313,6 +1313,117 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.11: the predefined-role ACL matrix (powa--5.2.0.sql:13-118
+  //      setup_powa_roles, :7533-7655 powa_grant) — the role mapping is
+  //      set up through the persistent AccessControl (create mode, then
+  //      re-opened from disk to prove the mapping is restart-safe, like
+  //      q40 does for cadence), and the result is the full computed
+  //      GRANT matrix over the store's object inventory. The oracle
+  //      re-derives the same matrix from powa_grant's rules written
+  //      independently as SQL CASE arms over the same inventory (shared
+  //      literal constants, independently-expressed logic — the q40
+  //      convention).
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q45")
+    try {
+      val acl = new graft.core.AccessControl(Some(root.toString))
+      acl.setupRoles() // create mode, default role names
+      // restart: a fresh instance on the same root must see the mapping
+      val reopened = new graft.core.AccessControl(Some(root.toString))
+      require(reopened.roleFor(graft.core.AccessControl.PowaAdmin)
+        .contains("powa_admin"), "ACL mapping did not survive reopen")
+      // spot-check enforcement through the reopened instance: a metrics
+      // reader may read history but never the constvalues tables
+      require(reopened.check("powa_read_all_metrics", "SELECT",
+        "powa_statements_history"), "metrics reader lost history SELECT")
+      require(!reopened.check("powa_read_all_metrics", "SELECT",
+        "powa_qualstats_constvalues_history"),
+        "metrics reader must not see constvalues")
+      import s.implicits._
+      graft.core.AccessControl.grants()
+        .map(g => (g.obj, g.role, g.privilege))
+        .toDF("obj", "powa_role", "privilege")
+        .orderBy(col("obj"), col("powa_role"), col("privilege"))
+        .localCheckpoint() // pin before the temp root is swept
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
+  // ---- §2.11: powa_delete_and_purge_server incl. the autonomous-
+  //      extension sweep (powa--5.2.0.sql:2842-2888) — two servers live
+  //      in one store plus a track_settings-style extension table laid
+  //      out as srvid partitions OUTSIDE the datasource registry;
+  //      deleting server 91 must purge its datasource tiers, its
+  //      registry rows AND its extension partitions, leaving server 92
+  //      untouched everywhere. The oracle recomputes server 92's
+  //      remaining rows directly from events.
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q46")
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      Seq(91, 92).foreach(id => e.registry.registerServer(
+        graft.core.ServerConfig(id = id, hostname = s"h$id",
+          powaCoalesce = 5, retentionSec = 3650L * 86400)))
+      def weekly(userMod: Int, srvid: Int): DataFrame =
+        Tables.events(s, d).filter(col("user_id") % 4 === userMod)
+          .groupBy(date_trunc("week", col("ts")).as("ts"))
+          .agg(
+            sum(evCents).as("buffers_clean"),
+            count(lit(1)).as("maxwritten_clean"),
+            sum(evK).as("buffers_backend"),
+            max(col("event_id")).as("buffers_backend_fsync"),
+            min(col("event_id")).as("buffers_alloc"))
+          .withColumn("srvid", lit(srvid))
+      val tick = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      Seq(0 -> 91, 1 -> 92).foreach { case (m, id) =>
+        e.ingest("powa_stat_bgwriter", weekly(m, id))
+        e.takeSnapshot(id, tick)
+      }
+      // the autonomous extension's own table: srvid partitions in the
+      // same warehouse, invisible to the datasource registry
+      Tables.events(s, d).filter(col("event_id") % 7 === 0)
+        .select((col("user_id") % 2 + 91).cast("int").as("srvid"),
+          col("event_type").as("name"), evCents.as("setting_cents"))
+        .write.partitionBy("srvid")
+        .parquet(root.resolve("pg_track_settings_history").toString)
+      e.registerExternalSweep("pg_track_settings")(
+        e.sweepSrvidPartitions(Seq("pg_track_settings_history")))
+
+      e.deleteServer(91)
+
+      val spec = graft.spec.Specs.byName("powa_stat_bgwriter")
+      val store = e.store
+      val storeLeft = store.read("powa_stat_bgwriter",
+          graft.core.GenericDatasource.Current, spec.currentSchema)
+        .groupBy(col("srvid").cast("string").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("record.buffers_clean")).as("cents"))
+        .withColumn("section", lit("store"))
+      val extLeft = s.read.parquet(
+          root.resolve("pg_track_settings_history").toString)
+        .groupBy(col("name").as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("setting_cents")).as("cents"))
+        .withColumn("section", lit("ext"))
+      // registry rows re-opened from disk: 91's config must be gone
+      val reopened = new graft.core.Engine(s, root.toString)
+      import s.implicits._
+      val regLeft = reopened.registry.serverIds.sorted
+        .map(id => (id.toString, 1L, 0L)).toDF("k", "n", "cents")
+        .withColumn("section", lit("registry"))
+      storeLeft.unionByName(extLeft).unionByName(regLeft)
+        .select(col("section"), col("k"), col("n"), col("cents"))
+        .orderBy(col("section"), col("k"))
+        .localCheckpoint() // pin before the store is swept
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -1357,7 +1468,18 @@ object PowaQueries {
     "q41_db_module_algebra" -> (q41 _),
     "q42_config_patch" -> (q42 _),
     "q43_dsv2_readback" -> (q43 _),
-    "q44_dsv2_write" -> (q44 _))
+    "q44_dsv2_write" -> (q44 _),
+    "q45_acl_grants" -> (q45 _),
+    "q46_delete_sweep" -> (q46 _))
+
+  /** The ACL object inventory as a DuckDB VALUES literal — shared
+    * constants between the q45 Spark side and its oracle, same as q40's
+    * literal tick list; the grant RULES are what each side expresses
+    * independently. */
+  private def aclInventoryValues: String =
+    graft.core.AccessControl.inventory(graft.spec.Specs.all)
+      .map(o => s"('${o.name}', '${o.kind.code}')")
+      .mkString(",\n           ")
 
   val oracleSql: Map[String, String] = Map(
     "q01_db_rollup" ->
@@ -1916,7 +2038,72 @@ object PowaQueries {
          FROM events
          WHERE event_type <> 'click'
          GROUP BY srvid, event_type
-         ORDER BY srvid, event_type""")
+         ORDER BY srvid, event_type""",
+    "q45_acl_grants" ->
+      s"""WITH inv(obj, kind) AS (VALUES
+           $aclInventoryValues),
+         roles(powa_role) AS (VALUES
+           ('powa_admin'), ('powa_read_all_data'), ('powa_read_all_metrics'),
+           ('powa_write_all_data'), ('powa_snapshot'), ('powa_signal_backend')),
+         cfg(obj) AS (VALUES
+           ('powa_roles'), ('powa_servers'), ('powa_extensions'),
+           ('powa_extension_functions'), ('powa_extension_config'),
+           ('powa_modules'), ('powa_module_config'), ('powa_module_functions'),
+           ('powa_db_modules'), ('powa_db_module_config'),
+           ('powa_db_module_functions'), ('powa_db_module_src_queries'),
+           ('powa_catalogs'), ('powa_catalog_src_queries')),
+         m AS (
+           SELECT i.obj, r.powa_role,
+             CASE
+               WHEN r.powa_role = 'powa_admin' THEN
+                 CASE WHEN i.kind = 'S' THEN ['USAGE','SELECT','UPDATE']
+                      ELSE ['SELECT','INSERT','UPDATE','DELETE','TRUNCATE',
+                            'REFERENCES','TRIGGER'] END
+               WHEN r.powa_role = 'powa_write_all_data' THEN
+                 CASE WHEN i.kind = 'S' THEN ['USAGE','SELECT','UPDATE']
+                      ELSE ['SELECT','INSERT','UPDATE','DELETE','TRUNCATE'] END
+               WHEN r.powa_role = 'powa_snapshot' THEN
+                 CASE WHEN i.kind = 'S' THEN []
+                      WHEN i.kind = 'v'
+                        OR i.obj IN (SELECT obj FROM cfg) THEN ['SELECT']
+                      ELSE ['SELECT','INSERT','UPDATE','DELETE','TRUNCATE'] END
+               WHEN r.powa_role = 'powa_read_all_data' THEN
+                 CASE WHEN i.kind = 'S'
+                        OR i.obj LIKE '%\\_src\\_tmp' ESCAPE '\\' THEN []
+                      ELSE ['SELECT'] END
+               WHEN r.powa_role = 'powa_read_all_metrics' THEN
+                 CASE WHEN i.kind = 'S'
+                        OR i.obj LIKE '%\\_src\\_tmp' ESCAPE '\\'
+                        OR i.obj LIKE '%qualstats\\_constvalues%' ESCAPE '\\'
+                        THEN []
+                      ELSE ['SELECT'] END
+               ELSE []
+             END AS privs
+           FROM inv i CROSS JOIN roles r)
+         SELECT obj, powa_role, unnest(privs) AS privilege FROM m
+         ORDER BY obj, powa_role, privilege""",
+    "q46_delete_sweep" ->
+      """WITH w92 AS (
+           SELECT date_trunc('week', ts) AS wts,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM events WHERE user_id % 4 = 1 GROUP BY 1),
+         ext AS (
+           SELECT event_type AS k, COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM events
+           WHERE event_id % 7 = 0 AND user_id % 2 + 91 = 92
+           GROUP BY event_type)
+         SELECT * FROM (
+           SELECT 'store' AS section, '92' AS k,
+                  (SELECT COUNT(*) FROM w92) AS n,
+                  (SELECT CAST(SUM(cents) AS BIGINT) FROM w92) AS cents
+           UNION ALL
+           SELECT 'ext', k, n, cents FROM ext
+           UNION ALL
+           SELECT 'registry', '0', 1, 0  -- the auto-registered local server
+           UNION ALL
+           SELECT 'registry', '92', 1, 0)
+         ORDER BY section, k""")
 }
 
 /** Staging-row shape for the q37 streaming source. Top-level rather than

@@ -988,4 +988,24 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(again === out.toSet)
   }
+
+  test("crossDocDupGrams: shared grams count per doc, unique docs score 0, " +
+      "short docs vanish") {
+    import spark.implicits._
+    val w = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 3 grams
+    val docs = Seq(
+      (1L, w),                       // 3 grams, all shared with doc 2
+      (2L, w + " extra"),            // 4 grams, 3 shared + 1 unique
+      (3L, (1 to 10).map(i => s"u$i").mkString(" ")), // 1 unique gram
+      (4L, "too short")              // < 10 tokens → no rows
+    ).toDF("doc_id", "text")
+    val out = pipeline.TextOps.crossDocDupGrams(docs, "doc_id", "text", 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out === Array(
+      (1L, 3L, 3L, 1000000L),
+      (2L, 4L, 3L, 750000L),
+      (3L, 1L, 0L, 0L)))
+  }
 }

@@ -406,4 +406,28 @@ class SwapSpec extends AnyFunSuite {
     assert(!Files.exists(root))
     assert(Files.exists(outside.resolve("keep.txt")))
   }
+
+  test("suffix-colliding link names in one parent stay isolated") {
+    // `module_config` is a proper suffix of `db_module_config` (the
+    // _registry layout) — version matching must be exact, or a replace
+    // of the short link mis-parses the long link's version dirs and a
+    // DROP of the short link GC's the long link's LIVE data.
+    val parent = Files.createTempDirectory("graft_sfx")
+    def put(link: String, content: String): Unit =
+      AtomicSwap.replace(parent, link) { v =>
+        Files.createDirectories(v)
+        Files.writeString(v.resolve("data.txt"), content)
+      }
+    put("db_module_config", "long1")
+    put("module_config", "short1") // nextVersion must not parse the long link's dirs
+    put("db_module_config", "long2")
+    AtomicSwap.drop(parent, "module_config")
+    // the long link survives the short link's drop, content intact
+    val live = Files.readSymbolicLink(
+      parent.resolve("db_module_config"))
+    assert(Files.readString(parent.resolve(live).resolve("data.txt"))
+      === "long2")
+    assert(!Files.exists(parent.resolve("module_config")))
+    AtomicSwap.deleteRecursively(parent)
+  }
 }
