@@ -765,6 +765,53 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  // p79's sessionization re-expressed on the transformWithState API
+  // (typed state handles + explicit timer registry + RocksDB store) —
+  // identical semantics, identical oracle. The RocksDB provider conf is
+  // session-wide, so it is set for this query and restored after.
+  private def p81(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.TwsSessions.RocksProvider)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_p81")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p81_sent")
+      sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val sentinel = dir.resolve("b_sentinel.parquet")
+      java.nio.file.Files.copy(part, sentinel)
+      java.nio.file.Files.setLastModifiedTime(sentinel,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 60000L))
+      import s.implicits._
+      val st = Tables.normalizeEventTs(
+          s.readStream.schema(Tables.eventsRawSchema(s, d))
+            .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "purchase").as("is_purchase"))
+        .as[graft.streaming.SessEvent]
+      val out = graft.streaming.TwsSessions.sessions(st, gapSec = 1800L)
+      runToMemory(s, out.toDF(), mode = "append")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_seq"))
+        .localCheckpoint() // pin before the provider conf is restored
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   // Cross-document duplicated 10-gram fraction — the corpus-level
   // quality signal (RefinedWeb/Gopher-style): per doc, how many of its
   // distinct 10-grams appear in at least one other document. Linear
@@ -1406,7 +1453,8 @@ object PipelineQueries {
     "p77_epoch_packing" -> (p77 _),
     "p78_stream_dedup" -> (p78 _),
     "p79_stream_sessions_state" -> (p79 _),
-    "p80_dupgram_fraction" -> (p80 _))
+    "p80_dupgram_fraction" -> (p80 _),
+    "p81_stream_sessions_tws" -> (p81 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1734,7 +1782,32 @@ object PipelineQueries {
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
     // p32's batch sessionization verbatim — the custom-state streaming
-    // operator must land on the identical session set
+    // operator must land on the identical session set. p81 is the same
+    // semantics on the transformWithState API: same oracle, verbatim.
+    "p81_stream_sessions_tws" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+               FROM events),
+          n AS (SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN prev IS NULL OR
+                      date_diff('microsecond', prev, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+               FROM x),
+          ss AS (SELECT user_id, ts, event_type,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+               FROM n)
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                 CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                   AS BIGINT) AS duration_sec
+          FROM ss GROUP BY 1, 2 ORDER BY 1, 2""",
     "p79_stream_sessions_state" ->
       """WITH x AS (SELECT user_id, event_id, ts, event_type,
                  lag(ts) OVER (PARTITION BY user_id

@@ -419,4 +419,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"),
       s"histogram quantiles never join, plan:\n$plan")
   }
+
+  test("crossDocDupGrams: two hash shuffles, equi-join on the gram hash, " +
+      "never a nested-loop pair join") {
+    val out = TextOps.crossDocDupGrams(Tables.documents(spark, sf),
+      "doc_id", "text", 10)
+    val plan = finalPlan(out)
+    // df aggregate + per-doc rollup; the postings join keys on the
+    // 60-bit gram hash (broadcast at this SF, shuffle-hash at scale)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"gram-df agg + doc rollup = 2 hash shuffles, plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the postings join must stay an equi-join, plan:\n$plan")
+  }
 }
