@@ -81,6 +81,14 @@ object Stress {
       graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.8).count())
 
+    // Cross-doc dup-gram axis (p80): the verbatim-copy multiplication is
+    // its worst case too — every gram's document frequency grows with
+    // mult — but cost stays linear (df aggregate + postings join, no
+    // pair term), which is the claim this axis measures.
+    val (dupgramSec, dupgramDocs) = timed(
+      graft.pipeline.TextOps.crossDocDupGrams(docs, "doc_id", "text",
+        n = 10).count())
+
     // ANN axis: vectors multiplied with the planes rule applied — the
     // bucket count must grow with the corpus for the in-bucket join to
     // stay subquadratic (Similarity.planesForCorpus).
@@ -362,6 +370,7 @@ object Stress {
       s""""mix_sec":$mixSec,"mix_kept":$mixKept,""" +
       s""""chunk_sec":$chunkSec,"chunk_docs_per_sec":${(chunkDocs / chunkSec).toLong},""" +
       s""""pairs_sec":$pairsSec,"pairs_docs_per_sec":${(nDocs / pairsSec).toLong},"top_pairs":$nPairs,""" +
+      s""""dupgram_sec":$dupgramSec,"dupgram_docs_per_sec":${(dupgramDocs / dupgramSec).toLong},""" +
       s""""cms_sec":$cmsSec,"cms_docs_per_sec":${(nDocs / cmsSec).toLong},"cms_counters":$cmsRows,""" +
       s""""score_sec":$scoreSec,"score_docs_per_sec":${(nDocs / scoreSec).toLong},"score_kept":$scoreKept,""" +
       s""""decay_sec":$decaySec,"decay_rows_per_sec":${(n / decaySec).toLong},"decay_keys":$decayRows,""" +

@@ -119,5 +119,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Dist2].getName, NativeFunctions.Dist2Name),
       (exprs: Seq[Expression]) => Dist2(exprs(0), exprs(1))))
+    // keyless range-predicate joins → binned equi-joins (inert until
+    // spark.graft.rangeJoin.binSeconds is set; see the rule's scaladoc)
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }

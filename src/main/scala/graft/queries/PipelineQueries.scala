@@ -812,6 +812,54 @@ object PipelineQueries {
     }
   }
 
+  // Streaming per-source admission quota (transformWithState ValueState
+  // counter, TimeMode.None — lifetime budget, no watermark): the corpus
+  // arrives in two micro-batches split on doc_id, and the admitted set
+  // must equal the batch "first cap per source by doc_id" the oracle's
+  // ROW_NUMBER computes — the counter must carry across batches.
+  private def p82(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, graft.streaming.TwsSessions.RocksProvider)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_p82")
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+      def writeBatch(pred: org.apache.spark.sql.Column, name: String,
+          mtimePlus: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_p82_$name")
+        docs.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst().get()
+        val dst = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimePlus))
+      }
+      writeBatch(col("doc_id") < 250, "a_early", 0L)
+      writeBatch(col("doc_id") >= 250, "b_late", 60000L)
+      import s.implicits._
+      val st = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[graft.streaming.QuotaDoc]
+      runToMemory(s, graft.streaming.StreamQuota.admit(st, cap = 12L).toDF(),
+          mode = "append")
+        .orderBy(col("source"), col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   // Cross-document duplicated 10-gram fraction — the corpus-level
   // quality signal (RefinedWeb/Gopher-style): per doc, how many of its
   // distinct 10-grams appear in at least one other document. Linear
@@ -1044,6 +1092,36 @@ object PipelineQueries {
         binSec = 3600L, maxSpanSec = 7200L)
       .select(col("interval_id"), col("event_id"), col("ts"))
       .orderBy(col("interval_id"), col("event_id"))
+  }
+
+  // p71's join written the NAIVE way (bare range predicate — the shape
+  // Spark nested-loops) with the BinnedRangeJoinRule installed: the
+  // optimizer rewrite must produce p71's exact rows through an
+  // equi-join plan. A different user-id slice than p71 so the two rows
+  // stay independent evidence.
+  private def p83(s: SparkSession, d: String): DataFrame = {
+    val prevOpts = s.experimental.extraOptimizations
+    try {
+      graft.plans.BinnedRangeJoinRule.install(s, binSeconds = 3600L)
+      val ev = Tables.events(s, d).filter(col("user_id") % 7 === 1)
+      val points = ev.select(col("event_id"), col("ts"))
+      val ivals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      val joined = points.join(ivals,
+        points("ts") >= ivals("start_ts") && points("ts") < ivals("end_ts"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("__graft_bin"),
+        "BinnedRangeJoinRule did not rewrite the naive range join")
+      joined.select(col("interval_id"), col("event_id"), col("ts"))
+        .orderBy(col("interval_id"), col("event_id"))
+        .localCheckpoint() // pin before extraOptimizations is restored
+    } finally {
+      s.experimental.extraOptimizations = prevOpts
+      s.conf.unset(graft.plans.BinnedRangeJoinRule.BinConf)
+    }
   }
 
   // binned interval-OVERLAP join: view hours x purchase 90-minute
@@ -1454,7 +1532,9 @@ object PipelineQueries {
     "p78_stream_dedup" -> (p78 _),
     "p79_stream_sessions_state" -> (p79 _),
     "p80_dupgram_fraction" -> (p80 _),
-    "p81_stream_sessions_tws" -> (p81 _))
+    "p81_stream_sessions_tws" -> (p81 _),
+    "p82_stream_quota" -> (p82 _),
+    "p83_rule_range_join" -> (p83 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -1781,6 +1861,16 @@ object PipelineQueries {
     "p78_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // lifetime per-source quota: the streaming counter must reproduce
+    // the batch "first cap per source by doc_id" exactly
+    "p82_stream_quota" ->
+      """WITH r AS (SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY doc_id) AS admit_seq
+               FROM documents)
+         SELECT source, doc_id, CAST(admit_seq AS BIGINT) AS admit_seq
+         FROM r WHERE admit_seq <= 12
+         ORDER BY source, doc_id""",
     // p32's batch sessionization verbatim — the custom-state streaming
     // operator must land on the identical session set. p81 is the same
     // semantics on the transformWithState API: same oracle, verbatim.
@@ -2769,6 +2859,18 @@ object PipelineQueries {
     "p71_interval_join" ->
       """WITH e AS (SELECT event_id, ts, event_type FROM events
                     WHERE user_id % 7 = 0),
+          i AS (SELECT event_id AS interval_id, ts AS start_ts,
+                       ts + INTERVAL 2 HOUR AS end_ts
+                FROM e WHERE event_type = 'purchase')
+          SELECT i.interval_id, e.event_id, e.ts
+          FROM e JOIN i
+            ON e.ts >= i.start_ts AND e.ts < i.end_ts
+          ORDER BY interval_id, event_id""",
+    // the optimizer-rule rewrite of the naive join must land on the
+    // same rows the declarative range join computes
+    "p83_rule_range_join" ->
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+                    WHERE user_id % 7 = 1),
           i AS (SELECT event_id AS interval_id, ts AS start_ts,
                        ts + INTERVAL 2 HOUR AS end_ts
                 FROM e WHERE event_type = 'purchase')

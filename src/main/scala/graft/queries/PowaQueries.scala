@@ -1424,6 +1424,57 @@ object PowaQueries {
     }
   }
 
+  // ---- §2.12: the store's tiers as PLAIN SQL TABLES through the DSv2
+  //      TableCatalog (sources.v2.StoreCatalog): engine ingests + ticks,
+  //      then the readback is spark.sql() text against
+  //      <catalog>.<datasource>.<tier> — srvid pruning, manifest-pinned
+  //      listing and the columnar scan all riding the same StoreTable
+  //      the graft-store format uses. The reference's analogue is its
+  //      tables being directly queryable by any SQL client.
+  private val catSeq = new java.util.concurrent.atomic.AtomicInteger()
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q47")
+    // a catalog instance is cached per name once referenced — unique
+    // name per run so the root option is never stale
+    val cat = s"graftcat${catSeq.incrementAndGet()}"
+    try {
+      val e = new graft.core.Engine(s, root.toString)
+      val srvid = e.registry.registerServer(graft.core.ServerConfig(
+        id = 60, hostname = "h", powaCoalesce = 5,
+        retentionSec = 3650L * 86400))
+      val weekly = Tables.events(s, d).filter(col("user_id") % 4 === 2)
+        .groupBy(date_trunc("week", col("ts")).as("ts"))
+        .agg(
+          sum(evCents).as("buffers_clean"),
+          count(lit(1)).as("maxwritten_clean"),
+          sum(evK).as("buffers_backend"),
+          max(col("event_id")).as("buffers_backend_fsync"),
+          min(col("event_id")).as("buffers_alloc"))
+        .withColumn("srvid", lit(srvid))
+      e.ingest("powa_stat_bgwriter", weekly)
+      e.takeSnapshot(srvid,
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.StoreCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+      s.sql(
+        s"""SELECT record.ts AS ts,
+                   record.buffers_clean AS buffers_clean,
+                   record.maxwritten_clean AS maxwritten_clean,
+                   record.buffers_alloc AS buffers_alloc
+            FROM $cat.powa_stat_bgwriter.current
+            WHERE srvid = $srvid
+            ORDER BY ts""")
+        .localCheckpoint() // pin before the store is swept
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cat")
+      s.conf.unset(s"spark.sql.catalog.$cat.root")
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_db_rollup" -> (q01 _),
     "q02_topk_per_group" -> (q02 _),
@@ -1470,7 +1521,8 @@ object PowaQueries {
     "q43_dsv2_readback" -> (q43 _),
     "q44_dsv2_write" -> (q44 _),
     "q45_acl_grants" -> (q45 _),
-    "q46_delete_sweep" -> (q46 _))
+    "q46_delete_sweep" -> (q46 _),
+    "q47_sql_catalog" -> (q47 _))
 
   /** The ACL object inventory as a DuckDB VALUES literal — shared
     * constants between the q45 Spark side and its oracle, same as q40's
@@ -2103,7 +2155,16 @@ object PowaQueries {
            SELECT 'registry', '0', 1, 0  -- the auto-registered local server
            UNION ALL
            SELECT 'registry', '92', 1, 0)
-         ORDER BY section, k""")
+         ORDER BY section, k""",
+    "q47_sql_catalog" ->
+      """SELECT date_trunc('week', ts) AS ts,
+                CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS buffers_clean,
+                COUNT(*) AS maxwritten_clean,
+                CAST(MIN(event_id) AS BIGINT) AS buffers_alloc
+         FROM events
+         WHERE user_id % 4 = 2
+         GROUP BY 1
+         ORDER BY ts""")
 }
 
 /** Staging-row shape for the q37 streaming source. Top-level rather than

@@ -217,4 +217,42 @@ class V2SourceSpec extends AnyFunSuite {
       assert(empty.schema.fieldNames.head === "srvid")
     }
   }
+
+  test("StoreCatalog: tiers resolve as SQL tables, pruned and row-equal") {
+    withStore { store =>
+      store.appendPartition("dsA", "current", 1, mk(1, 30))
+      store.appendPartition("dsA", "current", 2, mk(2, 20))
+      store.appendPartition("dsA", "history", 1, mk(1, 5))
+      val cat = s"graft_cat_spec_${System.nanoTime()}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.StoreCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", store.root)
+      try {
+        // row equivalence with the Store API read
+        val viaSql = spark.sql(
+          s"SELECT srvid, k, s FROM $cat.dsA.current ORDER BY srvid, k")
+        val viaStore = store.read("dsA", "current", schema)
+          .select(col("srvid"), col("k"), col("s"))
+          .orderBy(col("srvid"), col("k"))
+        assert(viaSql.collect().toSeq === viaStore.collect().toSeq)
+        // srvid predicate prunes at planning: only one partition's rows
+        assert(spark.sql(
+          s"SELECT count(*) FROM $cat.dsA.current WHERE srvid = 2")
+          .head.getLong(0) === 20L)
+        // listTables sees both tiers of the namespace
+        val c = new graft.sources.v2.StoreCatalog
+        c.initialize("t", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("root", store.root)))
+        assert(c.listTables(Array("dsA")).map(_.name()).sorted.toSeq ===
+          Seq("current", "history"))
+        // unknown-datasource schema inference: struct column round-trips
+        assert(spark.sql(
+          s"SELECT recs[0].a FROM $cat.dsA.current WHERE srvid = 1 " +
+            "ORDER BY k LIMIT 1").head.getLong(0) === 0L)
+      } finally {
+        spark.conf.unset(s"spark.sql.catalog.$cat")
+        spark.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
+    }
+  }
 }
