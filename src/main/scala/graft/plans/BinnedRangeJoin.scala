@@ -102,6 +102,31 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
         e.deterministic
 
+    def binOf(usExpr: Expression): Expression =
+      IntegralDivide(usExpr, Literal(binUs))
+
+    /** Last bin to explode for interval [lo, hi]: trunc(hi / bin), with
+      * the RangeJoin loud guard. Over-long intervals always raise
+      * (unbounded explode). Inverted intervals raise only where the
+      * rewrite's coverage proof needs interval validity (the overlap
+      * owner-bin rule); the point-in-interval path tolerates them — an
+      * inverted interval's descending bin sequence covers the same bin
+      * SET and the residual filters every phantom pair. */
+    def guardedStop(loUs: Expression, hiUs: Expression,
+        raiseOnInverted: Boolean, what: String): Expression = {
+      val bad =
+        if (raiseOnInverted)
+          Or(LessThanOrEqual(hiUs, loUs),
+            GreaterThan(Subtract(hiUs, loUs), Literal(maxSpanUs)))
+        else GreaterThan(Subtract(hiUs, loUs), Literal(maxSpanUs))
+      If(bad,
+        Cast(RaiseError(Literal(
+          s"BinnedRangeJoinRule ($what): interval must satisfy " +
+            s"0 < end - start <= $SpanConf (${maxSpanUs / 1000000L}s) — " +
+            "raise the conf or pre-split the interval")), LongType),
+        binOf(hiUs))
+    }
+
     // an equi-conjunct between the sides → Spark hash-joins already
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b) =>
@@ -141,38 +166,34 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         val upper = bs.find(!_._3).get
         (lower._1, lower._2, upper._2, lower._4)
     }
-    candidate.map { case (point, lo, hi, pointOnLeft) =>
+    // Sequence is TimeZoneAwareExpression: resolved only once the
+    // timezone is pinned (integral sequences never consult it)
+    def binSeq(first: Expression, stop: Expression): Expression =
+      new Sequence(first, stop, None, Some(conf.sessionLocalTimeZone))
+
+    def explodeBins(side: LogicalPlan, seqExpr: Expression,
+        attrName: String): (Generate, AttributeReference) = {
+      val attr = AttributeReference(attrName, LongType, nullable = false)()
+      (Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None,
+        generatorOutput = Seq(attr), child = side), attr)
+    }
+
+    val pointRewrite = candidate.map { case (point, lo, hi, pointOnLeft) =>
       val (pointSide, intervalSide) =
         if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
-      def binOf(tsExpr: Expression): Expression =
-        IntegralDivide(UnixMicros(tsExpr), Literal(binUs))
-
       // point side: project the single bin
-      val pBinAlias = Alias(binOf(point), "__graft_bin_p")()
+      val pBinAlias = Alias(binOf(UnixMicros(point)), "__graft_bin_p")()
       val pointProj = Project(pointSide.output :+ pBinAlias, pointSide)
 
-      // interval side: explode trunc(lo/bin)..trunc(hi/bin); an
-      // over-long interval errors loudly instead of exploding unbounded
+      // interval side: explode trunc(lo/bin)..trunc(hi/bin)
       val loUs = UnixMicros(lo)
       val hiUs = UnixMicros(hi)
-      val stopGuarded = If(
-        GreaterThan(Subtract(hiUs, loUs), Literal(maxSpanUs)),
-        Cast(RaiseError(Literal(
-          s"BinnedRangeJoinRule: interval longer than $SpanConf " +
-            s"(${maxSpanUs / 1000000L}s) — raise the conf or pre-split " +
-            "the interval")), LongType),
-        IntegralDivide(hiUs, Literal(binUs)))
-      // Sequence is TimeZoneAwareExpression: resolved only once the
-      // timezone is pinned (integral sequences never consult it)
-      val seqExpr = new Sequence(
-        IntegralDivide(loUs, Literal(binUs)), stopGuarded, None,
-        Some(conf.sessionLocalTimeZone))
-      val iBinAttr = AttributeReference("__graft_bin_i", LongType,
-        nullable = false)()
-      val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
-        outer = false, qualifier = None,
-        generatorOutput = Seq(iBinAttr), child = intervalSide)
+      val (gen, iBinAttr) = explodeBins(intervalSide,
+        binSeq(binOf(loUs), guardedStop(loUs, hiUs,
+          raiseOnInverted = false, "point-in-interval")),
+        "__graft_bin_i")
 
       val newCond = And(EqualTo(pBinAlias.toAttribute, iBinAttr), cond)
       val (newLeft, newRight) =
@@ -180,5 +201,84 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond),
         j.hint))
     }
+
+    pointRewrite.orElse(overlapRewrite(j, cond, conjuncts,
+      binOf, guardedStop, binSeq, explodeBins))
+  }
+
+  /** Interval-OVERLAP rewrite: conjuncts `aLo < bHi AND bLo < aHi`
+    * (strict or non-strict, any orientation) — the keyless
+    * interval-overlap join `operators.RangeJoin.intervalOverlap`
+    * covers. Both sides explode their bin ranges and the OWNER-BIN
+    * rule — pair emitted only where the shared bin equals
+    * `greatest(firstBinA, firstBinB)` — keeps emission to exactly once
+    * without a distinct() (proof in RangeJoin's Scaladoc; the
+    * inclusive-end explode here is a superset of the half-open one, and
+    * owner ≤ each side's last bin follows from `bLo ≤ aHi` via
+    * truncation monotonicity). Interval validity (0 < hi − lo ≤ span)
+    * is REQUIRED by the coverage proof, so invalid intervals raise —
+    * same contract as the operator. */
+  private def overlapRewrite(j: Join, cond: Expression,
+      conjuncts: Seq[Expression],
+      binOf: Expression => Expression,
+      guardedStop: (Expression, Expression, Boolean, String) => Expression,
+      binSeq: (Expression, Expression) => Expression,
+      explodeBins: (LogicalPlan, Expression, String) =>
+        (Generate, AttributeReference)): Option[LogicalPlan] = {
+
+    def fromOnly(e: Expression, side: LogicalPlan): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
+        e.deterministic
+
+    // cross-side strict/non-strict less-thans, normalized to
+    // (smaller, larger, smallerIsLeftSide)
+    val lts = conjuncts.flatMap {
+      case LessThan(a, b) => Some((a, b))
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case GreaterThan(a, b) => Some((b, a))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case _ => None
+    }.flatMap { case (small, large) =>
+      val ok = small.dataType == TimestampType &&
+        large.dataType == TimestampType
+      if (!ok) None
+      else if (fromOnly(small, j.left) && fromOnly(large, j.right))
+        Some((small, large, true))
+      else if (fromOnly(small, j.right) && fromOnly(large, j.left))
+        Some((small, large, false))
+      else None
+    }
+    // exactly one in each direction: left's lo vs right's hi, and
+    // right's lo vs left's hi
+    val lr = lts.filter(_._3)
+    val rl = lts.filterNot(_._3)
+    if (lr.size != 1 || rl.size != 1) return None
+    val (leftLo, rightHi, _) = lr.head
+    val (rightLo, leftHi, _) = rl.head
+
+    val (lLoUs, lHiUs) = (UnixMicros(leftLo), UnixMicros(leftHi))
+    val (rLoUs, rHiUs) = (UnixMicros(rightLo), UnixMicros(rightHi))
+
+    // each side: project its first bin (needed by the owner rule), then
+    // explode its bin range; validity guard rides the stop expression
+    val lFirst = Alias(binOf(lLoUs), "__graft_first_l")()
+    val lProj = Project(j.left.output :+ lFirst, j.left)
+    val (lGen, lBin) = explodeBins(lProj,
+      binSeq(lFirst.toAttribute,
+        guardedStop(lLoUs, lHiUs, true, "interval-overlap")),
+      "__graft_bin_l")
+
+    val rFirst = Alias(binOf(rLoUs), "__graft_first_r")()
+    val rProj = Project(j.right.output :+ rFirst, j.right)
+    val (rGen, rBin) = explodeBins(rProj,
+      binSeq(rFirst.toAttribute,
+        guardedStop(rLoUs, rHiUs, true, "interval-overlap")),
+      "__graft_bin_r")
+
+    val owner = Greatest(Seq(lFirst.toAttribute, rFirst.toAttribute))
+    val newCond = And(EqualTo(lBin, rBin),
+      And(EqualTo(lBin, owner), cond))
+    Some(Project(j.output,
+      Join(lGen, rGen, Inner, Some(newCond), j.hint)))
   }
 }

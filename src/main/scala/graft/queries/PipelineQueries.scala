@@ -1124,6 +1124,36 @@ object PipelineQueries {
     }
   }
 
+  // p72's overlap join written the NAIVE way under BinnedRangeJoinRule:
+  // the optimizer's owner-bin rewrite must land on the exact row set,
+  // incl. exactly-once emission (a dup would fail the hash compare)
+  private def p84(s: SparkSession, d: String): DataFrame = {
+    val prevOpts = s.experimental.extraOptimizations
+    try {
+      graft.plans.BinnedRangeJoinRule.install(s, binSeconds = 3600L)
+      val ev = Tables.events(s, d).filter(col("user_id") % 11 === 4)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("v_end"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("p_end"))
+      val joined = views.join(purch,
+        views("v_start") < purch("p_end") &&
+          purch("p_start") < views("v_end"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("__graft_bin"),
+        "BinnedRangeJoinRule did not rewrite the naive overlap join")
+      joined.select(col("view_id"), col("p_id"))
+        .orderBy(col("view_id"), col("p_id"))
+        .localCheckpoint() // pin before extraOptimizations is restored
+    } finally {
+      s.experimental.extraOptimizations = prevOpts
+      s.conf.unset(graft.plans.BinnedRangeJoinRule.BinConf)
+    }
+  }
+
   // binned interval-OVERLAP join: view hours x purchase 90-minute
   // windows, dedup-free via the owner-bin rule (pair emitted only in
   // the first bin of its overlap — both sides provably cover it)
@@ -1534,7 +1564,8 @@ object PipelineQueries {
     "p80_dupgram_fraction" -> (p80 _),
     "p81_stream_sessions_tws" -> (p81 _),
     "p82_stream_quota" -> (p82 _),
-    "p83_rule_range_join" -> (p83 _))
+    "p83_rule_range_join" -> (p83 _),
+    "p84_rule_overlap_join" -> (p84 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2878,6 +2909,19 @@ object PipelineQueries {
           FROM e JOIN i
             ON e.ts >= i.start_ts AND e.ts < i.end_ts
           ORDER BY interval_id, event_id""",
+    "p84_rule_overlap_join" ->
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+                    WHERE user_id % 11 = 4),
+          v AS (SELECT event_id AS view_id, ts AS v_start,
+                       ts + INTERVAL 1 HOUR AS v_end
+                FROM e WHERE event_type = 'view'),
+          p AS (SELECT event_id AS p_id, ts AS p_start,
+                       ts + INTERVAL 90 MINUTE AS p_end
+                FROM e WHERE event_type = 'purchase')
+          SELECT v.view_id, p.p_id
+          FROM v JOIN p
+            ON v.v_start < p.p_end AND p.p_start < v.v_end
+          ORDER BY view_id, p_id""",
     "p72_interval_overlap" ->
       """WITH e AS (SELECT event_id, ts, event_type FROM events
                     WHERE user_id % 11 = 3),

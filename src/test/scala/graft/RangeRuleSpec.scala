@@ -98,6 +98,35 @@ class RangeRuleSpec extends AnyFunSuite {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("interval-overlap joins rewrite with the owner-bin rule, " +
+      "exactly-once emission") {
+    import spark.implicits._
+    val a = (0 until 50).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 20}%02d:00:00"),
+        ts(f"2024-01-01 ${i % 20}%02d:50:00"))).toDF("aid", "alo", "ahi")
+    val b = (0 until 40).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 21}%02d:30:00"),
+        ts(f"2024-01-01 ${(i % 21) + 1}%02d:20:00"))).toDF("bid", "blo", "bhi")
+    def q = a.join(b, a("alo") < b("bhi") && b("blo") < a("ahi"))
+      .select("aid", "bid")
+    // the fixture is the BNLJ shape without the rule
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+    withRule(900L) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("__graft_bin"),
+        s"overlap must rewrite, plan:\n$plan")
+      // SEQ compare (not set): owner-bin must emit each pair exactly
+      // once — a duplicate would show here where a set compare hides it
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .sorted
+      assert(got === naive && naive.nonEmpty)
+    }
+  }
+
   test("over-long interval raises the span guard") {
     import spark.implicits._
     val p = points
