@@ -127,6 +127,22 @@ class GenericDatasource(val spec: DatasourceSpec) {
       purgeBucketedTier(store, srvid, cutoff, HistoryDb, historyNoSrvid(dbs)))
   }
 
+  /** Small-file maintenance for the history tiers: every aggregate pass
+    * appends one file set per bucket, so a long-running server
+    * accumulates one parquet file per coalesce cycle per month — the
+    * classic small-file drift (the reference never sees it: Postgres
+    * heap tables have no per-append file). Compacts when a tier's
+    * manifest holds at least `minFiles` data files; rides the purge
+    * cadence (the rarest phase), like Delta OPTIMIZE on a maintenance
+    * schedule. No-op on anything below the threshold. */
+  def compact(store: Store, srvid: Int, minFiles: Int): Unit = {
+    store.compactPartition(name, History, srvid, historyNoSrvid(spec),
+      minFiles = minFiles, bucketed = true)
+    dbSpec.foreach(dbs =>
+      store.compactPartition(name, HistoryDb, srvid, historyNoSrvid(dbs),
+        minFiles = minFiles, bucketed = true))
+  }
+
   /** One bucketed tier's retention purge — also used by subclasses with
     * extra history tiers (qualstats constvalues). Any schema with
     * top-level `range_start`/`range_end` columns works. */
@@ -215,6 +231,15 @@ object GenericDatasource {
   *     (:3490-3497, :3696-3700).
   */
 final class Engine(val spark: SparkSession, storageRoot: String) {
+  /** History-tier small-file maintenance threshold: when a purge-phase
+    * tick finds at least this many data files in a history partition's
+    * manifest, it compacts them (one atomic swap, rows unchanged —
+    * [[Store.compactPartition]]). The default keeps the op invisible at
+    * test cadence (a partition only crosses 64 files after ~64
+    * aggregate cycles) while bounding file-count drift on a
+    * long-running fleet. Set <= 0 to disable. */
+  @volatile var compactMinFiles: Int = 64
+
   val registry = new Registry(Some(new RegistryStore(storageRoot)))
   val store = new Store(spark, storageRoot)
   val catalogs = new CatalogMirror(spark, storageRoot)
@@ -349,6 +374,13 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
           d.purge(store, srvid, cutoff)
         } catch { case e: Exception =>
           errors :+= s"${d.name}_purge: ${e.getMessage}" }
+      }
+      // history small-file maintenance rides the purge cadence —
+      // compactMinFiles <= 0 disables
+      if (compactMinFiles > 0) active.foreach { d =>
+        try d.compact(store, srvid, compactMinFiles)
+        catch { case e: Exception =>
+          errors :+= s"${d.name}_compact: ${e.getMessage}" }
       }
       meta.purgets = Some(now)
     }

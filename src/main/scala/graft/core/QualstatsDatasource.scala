@@ -199,6 +199,12 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
       constvaluesHistorySchema)
   }
 
+  override def compact(store: Store, srvid: Int, minFiles: Int): Unit = {
+    super.compact(store, srvid, minFiles)
+    store.compactPartition(name, ConstvaluesHistory, srvid,
+      constvaluesHistorySchema, minFiles = minFiles, bucketed = true)
+  }
+
   def readConstvaluesHistory(store: Store, srvid: Int): DataFrame =
     store.readPartition(name, ConstvaluesHistory, srvid,
       constvaluesHistorySchema)

@@ -858,4 +858,42 @@ class EngineSpec extends AnyFunSuite {
       assert(jobs.get() === 0, s"idle tick launched ${jobs.get()} Spark jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("purge-phase compaction folds accumulated history files, rows intact") {
+    val e = mkEngine()
+    e.compactMinFiles = 3
+    val srvid = e.registry.registerServer(ServerConfig(
+      id = 20, hostname = "h", powaCoalesce = 5, retentionSec = 3650L * 86400))
+    val ds = "powa_stat_bgwriter"
+    def historyFiles(): Int = {
+      val d = java.nio.file.Paths.get(e.store.root, ds,
+        GenericDatasource.History, s"srvid=$srvid")
+      if (!java.nio.file.Files.exists(d)) 0
+      else {
+        val s = java.nio.file.Files.walk(d,
+          java.nio.file.FileVisitOption.FOLLOW_LINKS)
+        try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+        finally s.close()
+      }
+    }
+    // coalesce=5, srvid%20==0: aggregate at seq 5,10,15; purge at
+    // seq 6,11,16. One batch per tick — every aggregate appends a file
+    // set to the same month bucket, so the purge at seq 16 sees 3 files
+    // and must compact.
+    (1 to 16).foreach { t =>
+      e.ingest(ds, bgwriterBatch(srvid, t % 10))
+      e.takeSnapshot(srvid,
+        Timestamp.valueOf(f"2024-01-01 00:${t - 1}%02d:30"))
+    }
+    val rows = tierCount(e, ds, GenericDatasource.History)
+    assert(rows > 0)
+    assert(historyFiles() === 1,
+      s"expected compacted history, found ${historyFiles()} files")
+    assert(tierCount(e, ds, GenericDatasource.History) === rows)
+    // readback still value-correct through the compacted layout
+    val back = e.readSeriesWithRates(ds, srvid,
+      Timestamp.valueOf("2023-01-01 00:00:00"),
+      Timestamp.valueOf("2025-01-01 00:00:00"))
+    assert(back.count() === 16)
+  }
 }
