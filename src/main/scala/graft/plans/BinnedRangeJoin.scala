@@ -55,33 +55,62 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinConf = "spark.graft.rangeJoin.binSeconds"
   val SpanConf = "spark.graft.rangeJoin.maxSpanSeconds"
+  /** LongType variant (genomic coordinates, µs-long columns, any
+    * integer domain): bin width and max span in the column's OWN raw
+    * units. Independent of the timestamp confs — a session can enable
+    * either or both. */
+  val BinWidthConf = "spark.graft.rangeJoin.binWidth"
+  val SpanWidthConf = "spark.graft.rangeJoin.maxSpanWidth"
+
+  /** One type family's binning parameters: divisor, explode cap, and
+    * how to project an expression onto the integer axis. */
+  private case class BinSpec(width: Long, maxSpan: Long,
+      toUnits: Expression => Expression, what: String)
 
   /** Runtime installation (idempotent) — extraOptimizations runs in the
     * optimizer's user-provided batch, after the analyzer, which is why
     * every expression built here is constructed fully resolved. */
-  def install(spark: SparkSession, binSeconds: Long): Unit = {
-    spark.conf.set(BinConf, binSeconds.toString)
+  def install(spark: SparkSession, binSeconds: Long = 0L,
+      binWidth: Long = 0L): Unit = {
+    if (binSeconds > 0) spark.conf.set(BinConf, binSeconds.toString)
+    if (binWidth > 0) spark.conf.set(BinWidthConf, binWidth.toString)
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
   }
 
+  private def confLong(key: String, default: Long): Long =
+    try conf.getConfString(key, default.toString).toLong
+    catch { case _: NumberFormatException => default }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val binSec =
-      try conf.getConfString(BinConf, "0").toLong catch {
-        case _: NumberFormatException => 0L }
-    if (binSec <= 0) plan
-    else {
-      val maxSpanSec =
-        try conf.getConfString(SpanConf, (31L * 86400).toString).toLong
-        catch { case _: NumberFormatException => 31L * 86400 }
-      plan.transformUp {
-        case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
-          rewrite(j, cond, binSec * 1000000L, maxSpanSec * 1000000L)
-            .getOrElse(j)
-      }
+    val binSec = confLong(BinConf, 0L)
+    val binWidth = confLong(BinWidthConf, 0L)
+    val tsSpec =
+      if (binSec <= 0) None
+      else Some(BinSpec(binSec * 1000000L,
+        confLong(SpanConf, 31L * 86400) * 1000000L,
+        e => UnixMicros(e), SpanConf))
+    val longSpec =
+      if (binWidth <= 0) None
+      else Some(BinSpec(binWidth,
+        confLong(SpanWidthConf, binWidth * 1000L),
+        identity, SpanWidthConf))
+    if (tsSpec.isEmpty && longSpec.isEmpty) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
+        rewrite(j, cond, tsSpec, longSpec).getOrElse(j)
     }
   }
+
+  /** The enabled BinSpec for an expression's type, if any. */
+  private def specFor(dt: org.apache.spark.sql.types.DataType,
+      tsSpec: Option[BinSpec], longSpec: Option[BinSpec]): Option[BinSpec] =
+    dt match {
+      case TimestampType => tsSpec
+      case LongType => longSpec
+      case _ => None
+    }
 
   /** A conjunct `lo <= p` / `lo < p` (any orientation) classified as a
     * bound: (point expr, bound expr, isLower). */
@@ -94,16 +123,16 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  private def rewrite(j: Join, cond: Expression, binUs: Long,
-      maxSpanUs: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, cond: Expression, tsSpec: Option[BinSpec],
+      longSpec: Option[BinSpec]): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
 
     def fromOnly(e: Expression, side: LogicalPlan): Boolean =
       e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
         e.deterministic
 
-    def binOf(usExpr: Expression): Expression =
-      IntegralDivide(usExpr, Literal(binUs))
+    def binOf(spec: BinSpec, unitExpr: Expression): Expression =
+      IntegralDivide(unitExpr, Literal(spec.width))
 
     /** Last bin to explode for interval [lo, hi]: trunc(hi / bin), with
       * the RangeJoin loud guard. Over-long intervals always raise
@@ -112,19 +141,19 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       * owner-bin rule); the point-in-interval path tolerates them — an
       * inverted interval's descending bin sequence covers the same bin
       * SET and the residual filters every phantom pair. */
-    def guardedStop(loUs: Expression, hiUs: Expression,
-        raiseOnInverted: Boolean, what: String): Expression = {
+    def guardedStop(spec: BinSpec, loU: Expression, hiU: Expression,
+        raiseOnInverted: Boolean): Expression = {
       val bad =
         if (raiseOnInverted)
-          Or(LessThanOrEqual(hiUs, loUs),
-            GreaterThan(Subtract(hiUs, loUs), Literal(maxSpanUs)))
-        else GreaterThan(Subtract(hiUs, loUs), Literal(maxSpanUs))
+          Or(LessThanOrEqual(hiU, loU),
+            GreaterThan(Subtract(hiU, loU), Literal(spec.maxSpan)))
+        else GreaterThan(Subtract(hiU, loU), Literal(spec.maxSpan))
       If(bad,
         Cast(RaiseError(Literal(
-          s"BinnedRangeJoinRule ($what): interval must satisfy " +
-            s"0 < end - start <= $SpanConf (${maxSpanUs / 1000000L}s) — " +
+          s"BinnedRangeJoinRule: interval must satisfy " +
+            s"0 < end - start <= ${spec.what} (${spec.maxSpan} units) — " +
             "raise the conf or pre-split the interval")), LongType),
-        binOf(hiUs))
+        binOf(spec, hiU))
     }
 
     // an equi-conjunct between the sides → Spark hash-joins already
@@ -140,12 +169,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (hasEqui) return None
 
     // normalize bounds so the point expr is the `p` slot; keep only
-    // timestamp-typed, strictly side-separated ones
+    // side-separated bounds of a type family with binning enabled
     val bounds = conjuncts.flatMap { c =>
       asBound(c) match {
         // p OP bound  with p from left, bound from right (or flipped)
         case Some((p, b, isLower)) =>
-          val ok = p.dataType == TimestampType && b.dataType == TimestampType
+          val ok = p.dataType == b.dataType &&
+            specFor(p.dataType, tsSpec, longSpec).isDefined
           if (!ok) None
           else if (fromOnly(p, j.left) && fromOnly(b, j.right))
             Some((p, b, isLower, true)) // point on left
@@ -180,19 +210,21 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     val pointRewrite = candidate.map { case (point, lo, hi, pointOnLeft) =>
+      val spec = specFor(point.dataType, tsSpec, longSpec).get
       val (pointSide, intervalSide) =
         if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
       // point side: project the single bin
-      val pBinAlias = Alias(binOf(UnixMicros(point)), "__graft_bin_p")()
+      val pBinAlias = Alias(binOf(spec, spec.toUnits(point)),
+        "__graft_bin_p")()
       val pointProj = Project(pointSide.output :+ pBinAlias, pointSide)
 
       // interval side: explode trunc(lo/bin)..trunc(hi/bin)
-      val loUs = UnixMicros(lo)
-      val hiUs = UnixMicros(hi)
+      val loU = spec.toUnits(lo)
+      val hiU = spec.toUnits(hi)
       val (gen, iBinAttr) = explodeBins(intervalSide,
-        binSeq(binOf(loUs), guardedStop(loUs, hiUs,
-          raiseOnInverted = false, "point-in-interval")),
+        binSeq(binOf(spec, loU), guardedStop(spec, loU, hiU,
+          raiseOnInverted = false)),
         "__graft_bin_i")
 
       val newCond = And(EqualTo(pBinAlias.toAttribute, iBinAttr), cond)
@@ -203,7 +235,7 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     pointRewrite.orElse(overlapRewrite(j, cond, conjuncts,
-      binOf, guardedStop, binSeq, explodeBins))
+      tsSpec, longSpec, binOf, guardedStop, binSeq, explodeBins))
   }
 
   /** Interval-OVERLAP rewrite: conjuncts `aLo < bHi AND bLo < aHi`
@@ -220,8 +252,9 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * same contract as the operator. */
   private def overlapRewrite(j: Join, cond: Expression,
       conjuncts: Seq[Expression],
-      binOf: Expression => Expression,
-      guardedStop: (Expression, Expression, Boolean, String) => Expression,
+      tsSpec: Option[BinSpec], longSpec: Option[BinSpec],
+      binOf: (BinSpec, Expression) => Expression,
+      guardedStop: (BinSpec, Expression, Expression, Boolean) => Expression,
       binSeq: (Expression, Expression) => Expression,
       explodeBins: (LogicalPlan, Expression, String) =>
         (Generate, AttributeReference)): Option[LogicalPlan] = {
@@ -239,8 +272,8 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(a, b) => Some((b, a))
       case _ => None
     }.flatMap { case (small, large) =>
-      val ok = small.dataType == TimestampType &&
-        large.dataType == TimestampType
+      val ok = small.dataType == large.dataType &&
+        specFor(small.dataType, tsSpec, longSpec).isDefined
       if (!ok) None
       else if (fromOnly(small, j.left) && fromOnly(large, j.right))
         Some((small, large, true))
@@ -255,24 +288,26 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (lr.size != 1 || rl.size != 1) return None
     val (leftLo, rightHi, _) = lr.head
     val (rightLo, leftHi, _) = rl.head
+    // all four bounds must share one enabled type family
+    if (Set(leftLo, leftHi, rightLo, rightHi)
+        .map(_.dataType).size != 1) return None
+    val spec = specFor(leftLo.dataType, tsSpec, longSpec).get
 
-    val (lLoUs, lHiUs) = (UnixMicros(leftLo), UnixMicros(leftHi))
-    val (rLoUs, rHiUs) = (UnixMicros(rightLo), UnixMicros(rightHi))
+    val (lLoU, lHiU) = (spec.toUnits(leftLo), spec.toUnits(leftHi))
+    val (rLoU, rHiU) = (spec.toUnits(rightLo), spec.toUnits(rightHi))
 
     // each side: project its first bin (needed by the owner rule), then
     // explode its bin range; validity guard rides the stop expression
-    val lFirst = Alias(binOf(lLoUs), "__graft_first_l")()
+    val lFirst = Alias(binOf(spec, lLoU), "__graft_first_l")()
     val lProj = Project(j.left.output :+ lFirst, j.left)
     val (lGen, lBin) = explodeBins(lProj,
-      binSeq(lFirst.toAttribute,
-        guardedStop(lLoUs, lHiUs, true, "interval-overlap")),
+      binSeq(lFirst.toAttribute, guardedStop(spec, lLoU, lHiU, true)),
       "__graft_bin_l")
 
-    val rFirst = Alias(binOf(rLoUs), "__graft_first_r")()
+    val rFirst = Alias(binOf(spec, rLoU), "__graft_first_r")()
     val rProj = Project(j.right.output :+ rFirst, j.right)
     val (rGen, rBin) = explodeBins(rProj,
-      binSeq(rFirst.toAttribute,
-        guardedStop(rLoUs, rHiUs, true, "interval-overlap")),
+      binSeq(rFirst.toAttribute, guardedStop(spec, rLoU, rHiU, true)),
       "__graft_bin_r")
 
     val owner = Greatest(Seq(lFirst.toAttribute, rFirst.toAttribute))

@@ -127,6 +127,35 @@ class RangeRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("LongType intervals (genomic-coordinate class) rewrite via binWidth") {
+    import spark.implicits._
+    // reads (points) against gene regions (intervals) on a raw integer
+    // axis — no timestamps anywhere
+    val reads = (0 until 500).map(i => (i.toLong, (i * 997L) % 100000L))
+      .toDF("read_id", "pos")
+    val genes = (0 until 60).map(g =>
+      (g.toLong, g * 1500L, g * 1500L + 2200L)).toDF("gene_id", "gstart", "gend")
+    def q = reads.join(genes,
+      reads("pos") >= genes("gstart") && reads("pos") < genes("gend"))
+      .select("read_id", "gene_id")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val naive = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prevOpts = spark.experimental.extraOptimizations
+    try {
+      BinnedRangeJoinRule.install(spark, binWidth = 1000L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("__graft_bin"),
+        s"LongType range join must rewrite, plan:\n$plan")
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === naive && naive.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = prevOpts
+      spark.conf.unset(BinnedRangeJoinRule.BinWidthConf)
+    }
+  }
+
   test("over-long interval raises the span guard") {
     import spark.implicits._
     val p = points
