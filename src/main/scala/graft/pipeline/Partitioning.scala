@@ -37,4 +37,31 @@ object Partitioning {
     else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
+
+  /** Training-export shard manifest — the reproducibility record a
+    * shard export ships next to its files: per shard, the document
+    * count, whitespace-token and char totals, and an ORDER-INDEPENDENT
+    * content checksum (sum of the docs' 60-bit content hashes in
+    * DECIMAL(38,0) — overflow-proof at any corpus size — folded mod
+    * 10^15 back into a long). Two exports are byte-identical in content
+    * iff their manifests match, regardless of file order or task
+    * scheduling. Shard assignment is [[Sampling.shuffleShard]]'s seeded
+    * hash, so the manifest also pins WHICH docs landed where.
+    *
+    * Scale shape: one hash aggregate keyed on the shard id — the
+    * checksum is a commutative fold, so map-side partial aggregation
+    * applies and no per-shard sort or collect exists. */
+  def exportManifest(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int, seed: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Sampling.shuffleShard(docs, idCol, shards, seed)
+      .groupBy(org.apache.spark.sql.functions.col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol)))).as("n_tokens"),
+        sum(length(col(textCol))).as("n_chars"),
+        (sum(Hashing.h60(col(textCol))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(1000000000000000L)).cast("long").as("checksum"))
+  }
 }

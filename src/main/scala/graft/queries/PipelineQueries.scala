@@ -860,6 +860,14 @@ object PipelineQueries {
     }
   }
 
+  // training-export shard manifest: per-shard doc/token/char totals +
+  // an order-independent content checksum (decimal-fold of the 60-bit
+  // doc hashes) — the reproducibility record next to an export
+  private def p85(s: SparkSession, d: String): DataFrame =
+    Partitioning.exportManifest(Tables.documents(s, d), "doc_id", "text",
+        shards = 8, seed = 3)
+      .orderBy(col("shard"))
+
   // Cross-document duplicated 10-gram fraction — the corpus-level
   // quality signal (RefinedWeb/Gopher-style): per doc, how many of its
   // distinct 10-grams appear in at least one other document. Linear
@@ -1565,7 +1573,8 @@ object PipelineQueries {
     "p81_stream_sessions_tws" -> (p81 _),
     "p82_stream_quota" -> (p82 _),
     "p83_rule_range_join" -> (p83 _),
-    "p84_rule_overlap_join" -> (p84 _))
+    "p84_rule_overlap_join" -> (p84 _),
+    "p85_export_manifest" -> (p85 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2909,6 +2918,18 @@ object PipelineQueries {
           FROM e JOIN i
             ON e.ts >= i.start_ts AND e.ts < i.end_ts
           ORDER BY interval_id, event_id""",
+    "p85_export_manifest" ->
+      s"""WITH sh AS (SELECT doc_id, text,
+                 CAST(${h60Sql(3, "doc_id::VARCHAR")} % 8 AS INT) AS shard
+               FROM documents)
+          SELECT shard,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT)
+                   AS n_tokens,
+                 CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                 CAST(SUM(CAST(${h60Sql("text")} AS HUGEINT))
+                   % 1000000000000000 AS BIGINT) AS checksum
+          FROM sh GROUP BY shard ORDER BY shard""",
     "p84_rule_overlap_join" ->
       """WITH e AS (SELECT event_id, ts, event_type FROM events
                     WHERE user_id % 11 = 4),

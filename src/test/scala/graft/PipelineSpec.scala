@@ -989,6 +989,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === out.toSet)
   }
 
+  test("exportManifest: checksum order-independent, content-sensitive") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i body ${"x" * (i % 7).toInt}"))
+    def manifest(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long)] =
+      Partitioning.exportManifest(df, "doc_id", "text", shards = 4, seed = 1)
+        .orderBy("shard")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(4))).toSeq
+    val a = manifest(docs.toDF("doc_id", "text"))
+    // same content, reversed arrival order and different partitioning
+    val b = manifest(docs.reverse.toDF("doc_id", "text").repartition(7))
+    assert(a === b && a.map(_._2).sum === 40L)
+    // one flipped character must change exactly its shard's checksum
+    val mutated = docs.map { case (i, t) =>
+      (i, if (i == 17L) t + "!" else t) }
+    val c = manifest(mutated.toDF("doc_id", "text"))
+    assert(c !== a)
+    assert(a.zip(c).count { case (x, y) => x != y } === 1,
+      "only doc 17's shard may differ")
+  }
+
   test("crossDocDupGrams: shared grams count per doc, unique docs score 0, " +
       "short docs vanish") {
     import spark.implicits._
