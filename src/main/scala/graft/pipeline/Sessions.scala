@@ -49,4 +49,43 @@ object Sessions {
         max(col(tsCol)).as("session_end"))
       .withColumn("duration_sec",
         expr("(unix_micros(session_end) - unix_micros(session_start)) DIV 1000000"))
+
+  /** Ordered funnel progression per key — the conversion analytic:
+    * given an ordered step list (e.g. view → click → purchase), each
+    * key's stage-k timestamp is the EARLIEST step-k event strictly
+    * after its stage-(k−1) timestamp (greedy first-touch; strict `>`
+    * so a same-instant later step never counts). Output one row per
+    * key that entered the funnel: `stages` reached, `ts_first`
+    * (stage-1 instant) and `span_sec` (full-completion span, −1 while
+    * incomplete — no NULLs to trip hash compares).
+    *
+    * Shape: the stage chain is N chained per-key window minimums over
+    * the SAME partitioning — one exchange total, no self-joins (the
+    * SQL formulation is N−1 joins; here stage k's conditional min just
+    * references stage k−1's window column). The final per-key rollup
+    * reuses the window exchange's hash distribution. Works for any
+    * number of steps ≥ 2. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val w = Window.partitionBy(col(keyCol))
+    val s0 = df.withColumn("__s0",
+      min(when(col(typeCol) === steps.head, col(tsCol))).over(w))
+    val staged = steps.indices.tail.foldLeft(s0) { (d, i) =>
+      d.withColumn(s"__s$i",
+        min(when(col(typeCol) === steps(i) &&
+          col(tsCol) > col(s"__s${i - 1}"), col(tsCol))).over(w))
+    }
+    val last = col(s"__s${steps.size - 1}")
+    val stages = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(s"__s$i").isNotNull, 1).otherwise(0) }
+    staged.filter(col("__s0").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(first(stages.cast("int")).as("stages"),
+        first(col("__s0")).as("ts_first"),
+        first(coalesce(
+          call_function("div",
+            unix_micros(last) - unix_micros(col("__s0")), lit(1000000L)),
+          lit(-1L))).as("span_sec"))
+  }
 }

@@ -860,6 +860,14 @@ object PipelineQueries {
     }
   }
 
+  // ordered conversion funnel (view → click → purchase): greedy
+  // first-touch stage timestamps as chained per-key window minimums —
+  // one exchange, no self-joins (the SQL oracle needs two)
+  private def p86(s: SparkSession, d: String): DataFrame =
+    Sessions.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
   // training-export shard manifest: per-shard doc/token/char totals +
   // an order-independent content checksum (decimal-fold of the 60-bit
   // doc hashes) — the reproducibility record next to an export
@@ -1574,7 +1582,8 @@ object PipelineQueries {
     "p82_stream_quota" -> (p82 _),
     "p83_rule_range_join" -> (p83 _),
     "p84_rule_overlap_join" -> (p84 _),
-    "p85_export_manifest" -> (p85 _))
+    "p85_export_manifest" -> (p85 _),
+    "p86_funnel" -> (p86 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2918,6 +2927,24 @@ object PipelineQueries {
           FROM e JOIN i
             ON e.ts >= i.start_ts AND e.ts < i.end_ts
           ORDER BY interval_id, event_id""",
+    "p86_funnel" ->
+      """WITH u1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          u2 AS (SELECT e.user_id, MIN(e.ts) AS s2
+                 FROM events e JOIN u1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > u1.s1 GROUP BY 1),
+          u3 AS (SELECT e.user_id, MIN(e.ts) AS s3
+                 FROM events e JOIN u2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > u2.s2 GROUP BY 1)
+          SELECT u1.user_id,
+            CAST(1 + CASE WHEN u2.user_id IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN u3.user_id IS NULL THEN 0 ELSE 1 END
+              AS INT) AS stages,
+            u1.s1 AS ts_first,
+            CAST(COALESCE((epoch_us(u3.s3) - epoch_us(u1.s1)) // 1000000,
+              -1) AS BIGINT) AS span_sec
+          FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+          ORDER BY user_id""",
     "p85_export_manifest" ->
       s"""WITH sh AS (SELECT doc_id, text,
                  CAST(${h60Sql(3, "doc_id::VARCHAR")} % 8 AS INT) AS shard

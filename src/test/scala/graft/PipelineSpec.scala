@@ -989,6 +989,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === out.toSet)
   }
 
+  test("funnel: greedy first-touch stages, strict ordering, 4-step chain") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 completes all 4 steps, with a decoy early D before C
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 00:01:00"), "b"),
+      (1L, ts("2024-01-01 00:01:30"), "d"), // before c: must not count
+      (1L, ts("2024-01-01 00:02:00"), "c"),
+      (1L, ts("2024-01-01 00:03:00"), "d"),
+      // user 2: b happens AT the same instant as a — strict > rejects it
+      (2L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, ts("2024-01-01 00:00:00"), "b"),
+      // user 3 never enters the funnel
+      (3L, ts("2024-01-01 00:00:00"), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c", "d"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 4, 180L), (2L, 1, -1L)))
+    // the stage chain shares ONE exchange (window + rollup co-partitioned)
+    val plan = Sessions.funnel(ev, "user_id", "ts", "event_type",
+      Seq("a", "b", "c", "d")).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"funnel must cost one exchange, plan:\n$plan")
+  }
+
   test("exportManifest: checksum order-independent, content-sensitive") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"doc $i body ${"x" * (i % 7).toInt}"))
