@@ -860,6 +860,21 @@ object PipelineQueries {
     }
   }
 
+  // streaming dedup on the BUILT-IN dropDuplicatesWithinWatermark —
+  // the native-operator-first counterpart to p78's custom-state form
+  // (prefer the built-in when its TTL semantics fit; custom state only
+  // for what it can't express, e.g. p78's re-emission policy knobs)
+  private def p87(s: SparkSession, d: String): DataFrame = {
+    val st = eventsStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"), (col("user_id") % 50).as("ukey"),
+        col("event_type"))
+      .dropDuplicatesWithinWatermark("ukey", "event_type")
+    runToMemory(s, st, mode = "append")
+      .select(col("ukey"), col("event_type"))
+      .orderBy(col("ukey"), col("event_type"))
+  }
+
   // ordered conversion funnel (view → click → purchase): greedy
   // first-touch stage timestamps as chained per-key window minimums —
   // one exchange, no self-joins (the SQL oracle needs two)
@@ -1583,7 +1598,8 @@ object PipelineQueries {
     "p83_rule_range_join" -> (p83 _),
     "p84_rule_overlap_join" -> (p84 _),
     "p85_export_manifest" -> (p85 _),
-    "p86_funnel" -> (p86 _))
+    "p86_funnel" -> (p86 _),
+    "p87_stream_dedup_native" -> (p87 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2927,6 +2943,9 @@ object PipelineQueries {
           FROM e JOIN i
             ON e.ts >= i.start_ts AND e.ts < i.end_ts
           ORDER BY interval_id, event_id""",
+    "p87_stream_dedup_native" ->
+      """SELECT DISTINCT user_id % 50 AS ukey, event_type FROM events
+         ORDER BY ukey, event_type""",
     "p86_funnel" ->
       """WITH u1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
                      WHERE event_type = 'view' GROUP BY 1),
