@@ -218,6 +218,33 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("schema widening: old files read under a wider spec with nulls, " +
+      "both read paths") {
+    // the version-upgrade analogue (the reference ships 15 upgrade
+    // scripts that ALTER TABLE ADD COLUMN): a spec gaining a counter
+    // must keep reading partitions written before the upgrade
+    withStore { store =>
+      store.appendPartition("dsA", "current", 1, mk(1, 10))
+      val widened = StructType(schema.fields :+
+        StructField("new_counter", LongType))
+      def check(df: org.apache.spark.sql.DataFrame): Unit = {
+        assert(df.count() === 10)
+        assert(df.schema.fieldNames.contains("new_counter"))
+        assert(df.filter(col("new_counter").isNull).count() === 10)
+        assert(df.select(sum(col("k"))).head.getLong(0) === 45L)
+      }
+      check(store.read("dsA", "current", widened))
+      check(store.readV2("dsA", "current", widened))
+      // and a mixed partition: one pre-upgrade file, one post-upgrade
+      store.appendPartition("dsA", "current", 1,
+        mk(1, 5).withColumn("new_counter", col("k") * 10))
+      val mixed = store.readV2("dsA", "current", widened)
+      assert(mixed.count() === 15)
+      assert(mixed.filter(col("new_counter").isNull).count() === 10)
+      assert(mixed.select(sum(col("new_counter"))).head.getLong(0) === 100L)
+    }
+  }
+
   test("StoreCatalog: tiers resolve as SQL tables, pruned and row-equal") {
     withStore { store =>
       store.appendPartition("dsA", "current", 1, mk(1, 30))
