@@ -154,6 +154,50 @@ object Sketches {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** KS-style distribution drift between two groups' binned CDFs — the
+    * training-data drift monitor ("did source X's length/quality
+    * distribution move between crawls?"). Per bin:
+    * `gap_ppm = |F_a(bin) − F_b(bin)|` in parts-per-million; the max
+    * over bins is the (bin-granular, hence conservative-exact) KS
+    * statistic. All arithmetic is integer/DECIMAL cross-multiplied —
+    * `|cum_a·n_b − cum_b·n_a| · 10^6 div (n_a·n_b)` — so the oracle
+    * matches bit-for-bit with no float CDFs.
+    *
+    * Scale shape: the data-volume pass is [[histogram]]'s hash
+    * aggregate; everything here runs over DISTINCT BINS (value range /
+    * binWidth — thousands, not billions), so the global bin-ordered
+    * window is bounded and deliberate, same as [[histQuantiles]]'s
+    * per-group fold. An absent group raises (a silent zero-row CDF
+    * would report max drift as a legit-looking 1e6). */
+  def histDrift(hist: DataFrame, groupCol: String, grpA: String,
+      grpB: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = hist.filter(col(groupCol) === grpA)
+      .select(col("bin"), col("cnt").as("cnt_a"))
+    val b = hist.filter(col(groupCol) === grpB)
+      .select(col("bin"), col("cnt").as("cnt_b"))
+    val joined = a.join(b, Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val wOrd = Window.orderBy(col("bin"))
+    val wAll = Window.partitionBy()
+    joined
+      .withColumn("cum_a", sum(col("cnt_a")).over(wOrd))
+      .withColumn("cum_b", sum(col("cnt_b")).over(wOrd))
+      .withColumn("n_a", sum(col("cnt_a")).over(wAll))
+      .withColumn("n_b", sum(col("cnt_b")).over(wAll))
+      .withColumn("gap_ppm",
+        when(col("n_a") === 0 || col("n_b") === 0, raise_error(
+          lit(s"histDrift: group '$grpA' or '$grpB' has no rows")))
+          .otherwise(call_function("div",
+            abs(col("cum_a").cast(D) * col("n_b").cast(D) -
+              col("cum_b").cast(D) * col("n_a").cast(D)) * lit(1000000),
+            col("n_a").cast(D) * col("n_b").cast(D))))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        col("gap_ppm").cast("long").as("gap_ppm"))
+  }
+
   /** Count-min sketch: a depth×width counter matrix — the mergeable
     * frequency sketch that answers "how often does item x occur?" in
     * O(d·w) space when the item space (tokens, URLs, queryids at

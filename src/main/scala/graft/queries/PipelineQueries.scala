@@ -860,6 +860,17 @@ object PipelineQueries {
     }
   }
 
+  // binned-CDF drift (KS-style, integer-exact) between two sources'
+  // doc-length distributions — the training-data drift monitor
+  private def p88(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1"))
+    Sketches.histDrift(
+        Sketches.histogram(docs, "source", col("n_chars"), binWidth = 50L),
+        "source", "src0", "src1")
+      .orderBy(col("bin"))
+  }
+
   // streaming dedup on the BUILT-IN dropDuplicatesWithinWatermark —
   // the native-operator-first counterpart to p78's custom-state form
   // (prefer the built-in when its TTL semantics fit; custom state only
@@ -1599,7 +1610,8 @@ object PipelineQueries {
     "p84_rule_overlap_join" -> (p84 _),
     "p85_export_manifest" -> (p85 _),
     "p86_funnel" -> (p86 _),
-    "p87_stream_dedup_native" -> (p87 _))
+    "p87_stream_dedup_native" -> (p87 _),
+    "p88_hist_drift" -> (p88 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2946,6 +2958,26 @@ object PipelineQueries {
     "p87_stream_dedup_native" ->
       """SELECT DISTINCT user_id % 50 AS ukey, event_type FROM events
          ORDER BY ukey, event_type""",
+    "p88_hist_drift" ->
+      """WITH h AS (SELECT source, n_chars // 50 AS bin, COUNT(*) AS cnt
+                    FROM documents WHERE source IN ('src0', 'src1')
+                    GROUP BY 1, 2),
+          a AS (SELECT bin, cnt FROM h WHERE source = 'src0'),
+          b AS (SELECT bin, cnt FROM h WHERE source = 'src1'),
+          j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+                       COALESCE(a.cnt, 0) AS cnt_a,
+                       COALESCE(b.cnt, 0) AS cnt_b
+                FROM a FULL JOIN b ON a.bin = b.bin),
+          c AS (SELECT bin, cnt_a, cnt_b,
+                       SUM(cnt_a) OVER (ORDER BY bin) AS cum_a,
+                       SUM(cnt_b) OVER (ORDER BY bin) AS cum_b,
+                       SUM(cnt_a) OVER () AS n_a,
+                       SUM(cnt_b) OVER () AS n_b
+                FROM j)
+          SELECT bin, cnt_a, cnt_b,
+                 CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000
+                   // (n_a * n_b) AS BIGINT) AS gap_ppm
+          FROM c ORDER BY bin""",
     "p86_funnel" ->
       """WITH u1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
                      WHERE event_type = 'view' GROUP BY 1),

@@ -989,6 +989,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === out.toSet)
   }
 
+  test("histDrift: self-drift is zero, disjoint supports hit 1e6, " +
+      "absent group raises") {
+    import spark.implicits._
+    val lo = (0 until 100).map(i => ("a", (i % 40).toLong))
+    val hi = (0 until 80).map(i => ("b", 500L + (i % 40)))
+    val both = (lo ++ hi).toDF("g", "v")
+    val hist = Sketches.histogram(both, "g", col("v"), binWidth = 10L)
+    // identical distributions (a vs a relabeled) → every gap 0
+    val same = Sketches.histogram(
+      (lo ++ lo.map { case (_, v) => ("b", v) }).toDF("g", "v"),
+      "g", col("v"), binWidth = 10L)
+    assert(Sketches.histDrift(same, "g", "a", "b")
+      .agg(max(col("gap_ppm"))).head.getLong(0) === 0L)
+    // disjoint supports → the KS max is exactly 1e6 (full separation)
+    assert(Sketches.histDrift(hist, "g", "a", "b")
+      .agg(max(col("gap_ppm"))).head.getLong(0) === 1000000L)
+    // absent group is loud, not a silent max-drift report
+    val boom = intercept[Exception] {
+      Sketches.histDrift(hist, "g", "a", "nope").collect()
+    }
+    assert(boom.getMessage.contains("histDrift") ||
+      Option(boom.getCause).exists(_.getMessage.contains("histDrift")))
+  }
+
   test("funnel: greedy first-touch stages, strict ordering, 4-step chain") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
