@@ -184,6 +184,55 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(h.asc, col(idCol).asc)))
   }
 
+  /** Importance resampling to MATCH a target distribution — the
+    * domain-matching curation step ("thin the crawl until its length /
+    * quality histogram looks like the reference corpus"): per value
+    * bin, the acceptance probability is
+    * `min(1, (cnt_target/n_target) / (cnt_src/n_src))` in exact ppm
+    * integer arithmetic (`cnt_t·n_s·10^6 div (cnt_s·n_t)` through
+    * DECIMAL(38,0) — no float ratios), and each row is kept iff its
+    * seeded 60-bit hash mod 1e6 falls under its bin's weight — the
+    * same portable-hash bernoulli as [[bernoulliPpm]], so the kept set
+    * is identical on every engine and re-run. Bins absent from the
+    * target get weight 0 (nothing to match); bins where the source is
+    * UNDER-represented cap at 1e6 (never upsample — the
+    * [[sourceMix]] rule).
+    *
+    * Scale shape: two bin histograms (hash aggregates, each tiny
+    * output), then ONE broadcast join of the per-bin weight table onto
+    * the source scan — the big side never shuffles. */
+  def importanceResample(src: DataFrame, target: DataFrame, idCol: String,
+      value: Column, binWidth: Long, seed: Int = 0): DataFrame = {
+    require(binWidth >= 1)
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = value.cast("long")
+    // same loud guard as Sketches.histogram: null/negative values would
+    // silently land in a wrong bin
+    val bin = when(v.isNull || v < 0, raise_error(
+        lit("importanceResample: value must be non-negative and non-null")))
+      .otherwise(call_function("div", v, lit(binWidth)))
+    def hist(df: DataFrame, cName: String) =
+      df.select(bin.as("bin")).groupBy(col("bin"))
+        .agg(count(lit(1)).as(cName))
+    val hs = hist(src, "cnt_s").withColumn("n_s",
+      sum(col("cnt_s")).over(Window.partitionBy()))
+    val ht = hist(target, "cnt_t").withColumn("n_t",
+      sum(col("cnt_t")).over(Window.partitionBy()))
+    val weights = hs.join(ht, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(
+          least(lit(1000000L), call_function("div",
+            coalesce(col("cnt_t"), lit(0L)).cast(D) * col("n_s").cast(D) *
+              lit(1000000),
+            col("cnt_s").cast(D) * coalesce(col("n_t"), lit(1L)).cast(D))
+            .cast("long")),
+          lit(0L)).as("weight_ppm"))
+    src.withColumn("bin", bin)
+      .join(broadcast(weights), Seq("bin"))
+      .filter(pmod(Hashing.h60(seed, col(idCol).cast("string")),
+        lit(1000000L)) < col("weight_ppm"))
+  }
+
   /** Stratified cap: at most `n` rows per group, picked by hash rank —
     * the "balance languages / cap domains" operator. Cost is one window
     * shuffle keyed on the group column; group count is normally large

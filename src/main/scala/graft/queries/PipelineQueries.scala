@@ -860,6 +860,18 @@ object PipelineQueries {
     }
   }
 
+  // importance resample: thin src2 until its length histogram matches
+  // src3's — per-bin exact-ppm acceptance, hash-bernoulli keep
+  private def p89(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Sampling.importanceResample(
+        docs.filter(col("source") === "src2"),
+        docs.filter(col("source") === "src3"),
+        "doc_id", col("n_chars"), binWidth = 50L, seed = 5)
+      .select(col("doc_id"), col("bin"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // binned-CDF drift (KS-style, integer-exact) between two sources'
   // doc-length distributions — the training-data drift monitor
   private def p88(s: SparkSession, d: String): DataFrame = {
@@ -1611,7 +1623,8 @@ object PipelineQueries {
     "p85_export_manifest" -> (p85 _),
     "p86_funnel" -> (p86 _),
     "p87_stream_dedup_native" -> (p87 _),
-    "p88_hist_drift" -> (p88 _))
+    "p88_hist_drift" -> (p88 _),
+    "p89_importance_resample" -> (p89 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2978,6 +2991,25 @@ object PipelineQueries {
                  CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000
                    // (n_a * n_b) AS BIGINT) AS gap_ppm
           FROM c ORDER BY bin""",
+    "p89_importance_resample" ->
+      s"""WITH a AS (SELECT doc_id, n_chars // 50 AS bin FROM documents
+                     WHERE source = 'src2'),
+          t AS (SELECT n_chars // 50 AS bin FROM documents
+                WHERE source = 'src3'),
+          ca AS (SELECT bin, COUNT(*) AS cnt_s FROM a GROUP BY 1),
+          ct AS (SELECT bin, COUNT(*) AS cnt_t FROM t GROUP BY 1),
+          w AS (SELECT ca.bin,
+                  LEAST(1000000,
+                    CAST(COALESCE(ct.cnt_t, 0) AS HUGEINT) *
+                      (SELECT COUNT(*) FROM a) * 1000000
+                    // (CAST(ca.cnt_s AS HUGEINT) *
+                       GREATEST(1, (SELECT COUNT(*) FROM t))))
+                    AS weight_ppm
+                FROM ca LEFT JOIN ct USING (bin))
+          SELECT a.doc_id, a.bin, CAST(w.weight_ppm AS BIGINT) AS weight_ppm
+          FROM a JOIN w USING (bin)
+          WHERE ${h60Sql(5, "doc_id::VARCHAR")} % 1000000 < w.weight_ppm
+          ORDER BY a.doc_id""",
     "p86_funnel" ->
       """WITH u1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
                      WHERE event_type = 'view' GROUP BY 1),

@@ -989,6 +989,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === out.toSet)
   }
 
+  test("importanceResample: self-target keeps everything, absent-target " +
+      "bins drop, weights are the exact bin ratio") {
+    import spark.implicits._
+    val src = ((0 until 90).map(i => (i.toLong, 10L)) ++   // bin 1: 90 rows
+      (90 until 120).map(i => (i.toLong, 25L))).toDF("id", "v") // bin 2: 30
+    // target: bin 1 thinned (30 of 60), bin 2 same share, bin 3 ignored
+    val tgt = ((0 until 30).map(i => (i.toLong, 10L)) ++
+      (0 until 30).map(i => (i.toLong, 25L))).toDF("id", "v")
+    // matching against ITSELF: every weight 1e6, everything kept
+    val self = Sampling.importanceResample(src, src, "id", col("v"), 10L)
+    assert(self.count() === 120)
+    assert(self.select(min(col("weight_ppm"))).head.getLong(0) === 1000000L)
+    // against tgt: bin-1 weight = (30/60)/(90/120) = 2/3; bin-2 capped 1e6
+    val out = Sampling.importanceResample(src, tgt, "id", col("v"), 10L)
+    val w = out.select(col("bin"), col("weight_ppm")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w(1L) === 666666L && w(2L) === 1000000L)
+    // bins absent from the target vanish entirely
+    val noTgt = Sampling.importanceResample(src,
+      tgt.filter(col("v") < 20), "id", col("v"), 10L)
+    assert(noTgt.filter(col("bin") === 2L).count() === 0)
+  }
+
   test("histDrift: self-drift is zero, disjoint supports hit 1e6, " +
       "absent group raises") {
     import spark.implicits._
