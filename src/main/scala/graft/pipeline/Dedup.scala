@@ -27,6 +27,27 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Corpus snapshot diff — the incremental-crawl audit: classify every
+    * doc id across two snapshots as `added` (new id), `removed` (id
+    * gone), `changed` (id present in both, content hash differs) or
+    * `unchanged`. One full outer join on the id (hash-partitioned both
+    * sides, the only exchange); content equality is by md5 so the diff
+    * never carries document bodies through the shuffle — at 100 TB the
+    * join rows are (id, 16-byte hash) pairs. The downstream contract:
+    * `added ∪ changed` is exactly the work list an incremental pipeline
+    * must reprocess. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol), md5(col(textCol)).as(as))
+    hashed(prev, "h_prev").join(hashed(cur, "h_cur"), Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_prev") === col("h_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Distinct word n-gram shingles per document, as one array column —
     * `transform(sequence)` + `slice`, no explode. Documents shorter than
     * `n` tokens yield an empty set. */

@@ -331,6 +331,21 @@ object TextOps {
         .localCheckpoint(),
       dfCap, minPpm)
 
+  /** Canonical text normalization — the pre-dedup step that makes
+    * near-identical documents hash-identical: lowercase, strip
+    * non-alphanumeric-non-space characters (ASCII class — locale-free,
+    * so every engine agrees), collapse whitespace runs, trim.
+    * Idempotent by construction (normalize∘normalize = normalize —
+    * spec-pinned), pure codegen'd projection (lower/regexp_replace/
+    * trim are native expressions): at 100 TB it runs at scan speed
+    * ahead of the hash. The regexes stay in the Java∩RE2 dialect so
+    * the DuckDB oracle applies the identical strings (the
+    * [[piiRules]] rule). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   /** Cross-document duplicated n-gram profile — for each document, how
     * many of its distinct word n-grams also appear in at least one
     * OTHER document (the corpus-level "duplicated 10-gram fraction"

@@ -860,6 +860,36 @@ object PipelineQueries {
     }
   }
 
+  // corpus snapshot diff: two crawls derived from documents (ids shift,
+  // every 7th doc's content mutates) — added/removed/changed/unchanged
+  // per id; added ∪ changed is the incremental reprocessing work list
+  private def p91(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prev = docs.filter(col("doc_id") < 450)
+      .select(col("doc_id"), col("text"))
+    val cur = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Dedup.snapshotDiff(prev, cur, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  // canonical normalization ahead of exact dedup: deterministic
+  // case/punct/whitespace noise is injected per doc_id, and
+  // TextOps.normalize must collapse the noised copies back onto the
+  // identical content hashes the raw corpus had
+  private def p90(s: SparkSession, d: String): DataFrame = {
+    val noised = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, upper(col("text")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("  "), col("text"), lit(" !!")))
+        .otherwise(col("text")).as("text"))
+    Dedup.exact(noised.select(col("doc_id"),
+        TextOps.normalize(col("text")).as("text")), "doc_id", "text")
+      .orderBy(col("content_hash"))
+  }
+
   // importance resample: thin src2 until its length histogram matches
   // src3's — per-bin exact-ppm acceptance, hash-bernoulli keep
   private def p89(s: SparkSession, d: String): DataFrame = {
@@ -1624,7 +1654,9 @@ object PipelineQueries {
     "p86_funnel" -> (p86 _),
     "p87_stream_dedup_native" -> (p87 _),
     "p88_hist_drift" -> (p88 _),
-    "p89_importance_resample" -> (p89 _))
+    "p89_importance_resample" -> (p89 _),
+    "p90_normalize_dedup" -> (p90 _),
+    "p91_snapshot_diff" -> (p91 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -2991,6 +3023,33 @@ object PipelineQueries {
                  CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000
                    // (n_a * n_b) AS BIGINT) AS gap_ppm
           FROM c ORDER BY bin""",
+    "p91_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 450),
+          cur AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+                  FROM documents WHERE doc_id >= 50)
+          SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+            CASE WHEN prev.doc_id IS NULL THEN 'added'
+                 WHEN cur.doc_id IS NULL THEN 'removed'
+                 WHEN md5(prev.text) = md5(cur.text) THEN 'unchanged'
+                 ELSE 'changed' END AS status
+          FROM prev FULL JOIN cur ON prev.doc_id = cur.doc_id
+          ORDER BY doc_id""",
+    "p90_normalize_dedup" ->
+      """WITH no AS (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                      WHEN doc_id % 3 = 1 THEN '  ' || text || ' !!'
+                      ELSE text END AS text
+               FROM documents),
+          n AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+               FROM no)
+          SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+                 COUNT(*) AS n_copies
+          FROM n GROUP BY 1 ORDER BY content_hash""",
     "p89_importance_resample" ->
       s"""WITH a AS (SELECT doc_id, n_chars // 50 AS bin FROM documents
                      WHERE source = 'src2'),

@@ -989,6 +989,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === out.toSet)
   }
 
+  test("normalize: idempotent, collapses case/punct/whitespace noise") {
+    import spark.implicits._
+    val rows = Seq(
+      ("Hello,   World!!", "hello world"),
+      ("  hello world ", "hello world"),
+      ("HELLO\tworld", "hello world"),
+      ("a1-b2_c3", "a1 b2 c3"))
+      .toDF("raw", "want")
+      .withColumn("once", TextOps.normalize(col("raw")))
+      .withColumn("twice", TextOps.normalize(col("once")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("once") === r.getAs[String]("want"))
+      assert(r.getAs[String]("twice") === r.getAs[String]("once"),
+        "normalize must be idempotent")
+    }
+  }
+
   test("importanceResample: self-target keeps everything, absent-target " +
       "bins drop, weights are the exact bin ratio") {
     import spark.implicits._
