@@ -491,6 +491,112 @@ object Dedup {
       .filter(col("__rk") === 1).drop("__rk", "cluster")
   }
 
+  /** Provenance record per near-dup family — the audit artifact a
+    * curation run keeps AFTER [[removeNearDups]] throws rows away: for
+    * every multi-member cluster, the keeper, the full sorted member
+    * list, and the distinct sources the family drew from. This is what
+    * answers "why is doc X gone" and "which crawls feed duplicate
+    * families" months later, so it must be produced in the same pass
+    * that dedups, not reconstructed.
+    *
+    * Shape: the CC labeling ([[connectedComponents]]) plus ONE
+    * aggregate keyed on the cluster label. Clusters are near-dup
+    * families — small and numerous — so collect_list is bounded by the
+    * family size, never the corpus; the singleton majority is filtered
+    * out BEFORE the collect by the n_members≥2 having-clause pushed
+    * into a count-only pre-aggregate on the same key (no wide rows for
+    * the 95% of docs that are their own cluster). */
+  def clusterProvenance(docs: DataFrame, idCol: String,
+      sourceCol: String, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs.select(col("i"), col("j")),
+      docs.select(col(idCol)), idCol)
+    val labeled = docs.select(col(idCol), col(sourceCol))
+      .join(labels.select(col(idCol), col("cluster")), Seq(idCol))
+    // families only: count-first on the same key, then semi-join — the
+    // collect_list below never materializes singleton arrays
+    val families = labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    labeled.join(families, Seq("cluster"))
+      .groupBy(col("cluster"), col("n_members"))
+      .agg(min(col(idCol)).as("keeper"),
+        sort_array(collect_list(col(idCol))).as("members"),
+        sort_array(array_distinct(collect_list(col(sourceCol))))
+          .as("sources"))
+      .select(col("cluster"), col("keeper"), col("n_members"),
+        col("members"), col("sources"))
+  }
+
+  /** One-permutation-hashing MinHash signature (Li, Owen, Zhang 2012;
+    * rotation densification per Shrivastava & Li 2014): instead of k
+    * independent hash families each scanning every shingle (k·|doc| hash
+    * evaluations — [[signaturesFromHashed]]), partition the SINGLE
+    * 60-bit hash universe into k bins by `h mod k` and take the min
+    * within each bin — one pass, k× less hashing, the dominant cost of
+    * MinHash at corpus scale. Empty bins (short docs) densify by
+    * borrowing the first filled bin to the right (circular), offset by
+    * `off · MinhashMod` so borrowed values can never collide with
+    * natural ones from a different distance.
+    *
+    * Per-row array expressions only — no explode, no shuffle beyond the
+    * hashed-shingle frame's own groupBy; the k² worst-case densification
+    * probe is on a k-length in-memory array, not data rows. Returns
+    * (doc, sig: array<long>) with sig fully dense unless the doc had no
+    * shingles at all (such docs never reach here — explode drops them).
+    */
+  def ophSignaturesFromHashed(hsh: DataFrame, k: Int): DataFrame = {
+    val bins = hsh.withColumn("vals",
+      transform(sequence(lit(0), lit(k - 1)),
+        b => array_min(filter(col("sh"), h => h % k === b))))
+    bins.select(col("doc"),
+      transform(sequence(lit(0), lit(k - 1)), b => {
+        val off = element_at(
+          filter(sequence(lit(0), lit(k - 1)),
+            o => element_at(col("vals"), ((b + o) % k) + 1).isNotNull),
+          1)
+        element_at(col("vals"), ((b + off) % k) + 1) +
+          off * lit(MinhashMod)
+      }).as("sig"))
+  }
+
+  /** OPH near-dup pairs: band the densified OPH signature exactly like
+    * [[candidatesFromSignatures]] (band sig = h60 over rowsPerBand
+    * components), bucket-join, then verify candidates with exact
+    * Jaccard on the SAME hashed-shingle frame. The 100-TB story is
+    * [[minhashPairs]]' with the signature stage k× cheaper — the only
+    * tradeoff is slightly correlated bins (shared permutation), the
+    * standard OPH accuracy bargain. */
+  def ophPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val hsh = hashedShingles(df, idCol, textCol, n)
+    val sig = ophSignaturesFromHashed(hsh, k)
+    val nBands = k / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1).cast("string"))
+      struct(lit(b).as("band"), h60(concat_ws(",", parts: _*)).as("sig"))
+    }: _*)
+    val banded = sig.select(col("doc"), explode(bandStructs).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.sig").as("bsig"))
+      .localCheckpoint() // reused by both sides of the bucket self-join
+    val l = banded.select(col("doc").as("i"), col("band"), col("bsig"))
+    val r = banded.select(col("doc").as("j"), col("band"), col("bsig"))
+    val cands = l.join(r, Seq("band", "bsig")).filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    val withA = cands.join(
+      hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
+    val withB = withA.join(
+      hsh.select(col("doc").as("j"), col("sh").as("shb")), Seq("j"))
+    withB.select(col("i"), col("j"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_ppm", TextOps.ppm(
+        col("inter").cast("double") / col("uni").cast("double")))
+      .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
+  }
+
   /** SimHash over distinct tokens: `bits`-wide (≤ 48 so the value and all
     * shifts stay positive in both engines). Per-row fold over the token
     * array — a weighted bit-vote per token, assembled into one long. */

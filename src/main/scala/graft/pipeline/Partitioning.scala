@@ -64,4 +64,36 @@ object Partitioning {
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           % lit(1000000000000000L)).cast("long").as("checksum"))
   }
+
+  /** Power-of-two length-bucket padding audit — the batching-efficiency
+    * report for a fixed-shape training loader: every document pads up to
+    * the smallest `base`·2^k ≥ its length, and the waste column is the
+    * fraction of padded capacity that is padding (floor-ppm). The
+    * integer log2 is `length(bin(q-1))` — the bit length of q−1 — so
+    * the bucket math is pure 64-bit integer arithmetic, bit-identical
+    * in the DuckDB oracle (`bin` exists in both engines); no float
+    * log/pow crosses the engine boundary (NOTES.md FP rule).
+    *
+    * Scale shape: a narrow projection then one aggregate keyed on the
+    * bucket (≤ ~40 distinct keys at any corpus size — log-bounded), so
+    * map-side combine reduces each task to a handful of rows. */
+  def lengthBuckets(docs: DataFrame, lenCol: String,
+      base: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(base >= 1, "base must be positive")
+    // q = ceil(len/base) clamped to ≥1; bucket = base · 2^ceil(log2 q)
+    val q = expr(s"greatest(($lenCol + $base - 1) DIV $base, 1)")
+    // call_function: the shiftleft(Column, Int) API can't take a
+    // per-row shift amount (same trick as p67's shiftright, NOTES.md)
+    val bucket = when(q <= 1, lit(base))
+      .otherwise(call_function("shiftleft", lit(base),
+        length(bin(q - 1)).cast("int")))
+    docs.select(bucket.as("bucket"), col(lenCol))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(lenCol)).as("sum_len"))
+      .withColumn("capacity", expr("bucket * n_docs"))
+      .withColumn("waste_ppm",
+        expr("(capacity - sum_len) * 1000000 DIV capacity"))
+  }
 }

@@ -41,4 +41,38 @@ object Profiling {
       max(col(valueCol)).as(s"max_$valueCol")
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Winsorized per-group summary: clamp `valueCol` into the
+    * [loPct, hiPct] exact rank-picked quantiles (same type-1 convention
+    * as [[quantiles]] — actual data values, bit-identical across
+    * engines) and report the clamped sum plus its floor-ppm mean. The
+    * outlier-robust statistic a curation dashboard reports when a few
+    * enormous documents would otherwise dominate a plain mean.
+    *
+    * Shape: rank window, bound aggregate, bound join and final
+    * aggregate ALL key on `groupCol`, so Catalyst plans one exchange
+    * and the join is a broadcast (one row per group). Skew bound is the
+    * same as [[quantiles]]: the busiest group sorts in one task. */
+  def winsorized(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String, loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100, "bad pcts")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieBreak))
+    val ranked = df.select(col(groupCol), col(valueCol), col(tieBreak))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    def pick(p: Int): Column = max(when(
+      col("rn") === expr(s"(cnt - 1) * $p DIV 100 + 1"), col(valueCol)))
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(pick(loPct).as("lo"), pick(hiPct).as("hi"))
+    val clamped = greatest(col("lo"), least(col("hi"), col(valueCol)))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("cnt")).as("n_rows"),
+        max(col("lo")).as(s"lo_$valueCol"),
+        max(col("hi")).as(s"hi_$valueCol"),
+        sum(clamped).as(s"wsum_$valueCol"))
+      .withColumn("wmean_ppm",
+        expr(s"wsum_$valueCol * 1000000 DIV n_rows"))
+  }
 }

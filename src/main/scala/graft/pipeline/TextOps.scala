@@ -381,6 +381,49 @@ object TextOps {
           col("n_grams")))
   }
 
+  /** Corpus-statistic boilerplate stripping (CCNet-style): drop from
+    * every document the tokens whose per-SOURCE document frequency is
+    * at or above `dfPpm` (navigation chrome, legal footers, the words a
+    * crawler's template injects everywhere), then reassemble the text in
+    * original token order. The stoplist is LEARNED from the corpus being
+    * processed — per source, since boilerplate is a property of where
+    * the text came from — not a fixed word list.
+    *
+    * Scale shape: the df aggregate keys on (source, token) — vocab-
+    * bounded, tiny next to the corpus — and the resulting boilerplate
+    * set is smaller still (only tokens above the threshold), so the
+    * removal anti-join broadcasts. The rebuild is ONE groupBy on the doc
+    * id collecting (pos, token) structs bounded by document length.
+    * Docs whose every token is boilerplate survive with empty text (the
+    * left join back to the corpus), so downstream row accounting never
+    * loses ids. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, dfPpm: Long): DataFrame = {
+    val toks = Partitioning.spread(docs)
+      .select(col(idCol), col(sourceCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint() // consumed by df agg + removal + rebuild
+    val srcDocs = docs.groupBy(col(sourceCol))
+      .agg(count_distinct(col(idCol)).as("src_docs"))
+    val boiler = toks.select(col(idCol), col(sourceCol), col("tok")).distinct()
+      .groupBy(col(sourceCol), col("tok"))
+      .agg(count(lit(1)).as("tok_docs"))
+      .join(broadcast(srcDocs), Seq(sourceCol))
+      .filter(expr(s"tok_docs * 1000000 DIV src_docs") >= dfPpm)
+      .select(col(sourceCol), col("tok"))
+    val kept = toks.join(broadcast(boiler), Seq(sourceCol, "tok"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok"))).as("__t"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), col(sourceCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col(sourceCol),
+        coalesce(col("__t"), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** PII redaction rules: (name, pattern, replacement), applied in
     * order. The patterns stay inside the Java-regex ∩ RE2 dialect (no
     * lookaround, no backrefs) so the DuckDB oracle applies the

@@ -875,6 +875,53 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // near-dup family provenance: the audit record kept alongside a
+  // dedup pass — keeper + sorted member roster + contributing sources
+  // per multi-member cluster (member lists emitted comma-joined: no
+  // green query ships array columns through the hash compare)
+  private def p92(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+    Dedup.clusterProvenance(docs, "doc_id", "source", pairs)
+      .select(col("cluster"), col("keeper"), col("n_members"),
+        concat_ws(",", transform(col("members"), x => x.cast("string")))
+          .as("members"),
+        concat_ws(",", col("sources")).as("sources"))
+      .orderBy(col("cluster"))
+  }
+
+  // winsorized per-source length stats: rank-picked p05/p95 bounds,
+  // clamped sum + floor-ppm mean — the outlier-robust dashboard row
+  private def p93(s: SparkSession, d: String): DataFrame =
+    Profiling.winsorized(Tables.documents(s, d), "source", "n_chars",
+        tieBreak = "doc_id", loPct = 5, hiPct = 95)
+      .orderBy(col("source"))
+
+  // power-of-two padding buckets: the batching-efficiency audit (how
+  // much padded capacity a fixed-shape loader wastes per bucket)
+  private def p94(s: SparkSession, d: String): DataFrame =
+    Partitioning.lengthBuckets(Tables.documents(s, d), "n_chars",
+        base = 64L)
+      .orderBy(col("bucket"))
+
+  // corpus-learned boilerplate strip: drop tokens whose per-source
+  // document frequency ≥ 60%, rebuild text in original token order
+  private def p95(s: SparkSession, d: String): DataFrame =
+    TextOps.stripBoilerplate(Tables.documents(s, d), "doc_id", "source",
+        "text", dfPpm = 600000L)
+      .orderBy(col("doc_id"))
+
+  // one-permutation-hashing MinHash dedup: single shared permutation
+  // binned into k minima (k× less hashing than p06's k families),
+  // rotation-densified, banded, then exact-Jaccard verified
+  private def p96(s: SparkSession, d: String): DataFrame =
+    Dedup.ophPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+
   // canonical normalization ahead of exact dedup: deterministic
   // case/punct/whitespace noise is injected per doc_id, and
   // TextOps.normalize must collapse the noised copies back onto the
@@ -1656,7 +1703,12 @@ object PipelineQueries {
     "p88_hist_drift" -> (p88 _),
     "p89_importance_resample" -> (p89 _),
     "p90_normalize_dedup" -> (p90 _),
-    "p91_snapshot_diff" -> (p91 _))
+    "p91_snapshot_diff" -> (p91 _),
+    "p92_dedup_provenance" -> (p92 _),
+    "p93_winsorized_stats" -> (p93 _),
+    "p94_length_buckets" -> (p94 _),
+    "p95_strip_boilerplate" -> (p95 _),
+    "p96_oph_dedup" -> (p96 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3023,6 +3075,139 @@ object PipelineQueries {
                  CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000
                    // (n_a * n_b) AS BIGINT) AS gap_ppm
           FROM c ORDER BY bin""",
+    "p92_dedup_provenance" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j
+                    FROM cand JOIN shh sa ON sa.doc_id = i
+                              JOIN shh sb ON sb.doc_id = j
+                    WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                          * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+          lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster
+                  FROM reach GROUP BY node),
+          fam AS (SELECT cluster FROM lab GROUP BY cluster
+                  HAVING COUNT(*) >= 2),
+          mem AS (SELECT l.cluster, l.doc_id, d.source
+                  FROM lab l JOIN documents d USING (doc_id)
+                             JOIN fam USING (cluster)),
+          agg AS (SELECT cluster, MIN(doc_id) AS keeper,
+                         CAST(COUNT(*) AS BIGINT) AS n_members,
+                         array_to_string(list(doc_id ORDER BY doc_id), ',')
+                           AS members
+                  FROM mem GROUP BY cluster),
+          srcs AS (SELECT cluster,
+                          array_to_string(list(source ORDER BY source), ',')
+                            AS sources
+                   FROM (SELECT DISTINCT cluster, source FROM mem)
+                   GROUP BY cluster)
+          SELECT agg.cluster, keeper, n_members, members, sources
+          FROM agg JOIN srcs USING (cluster) ORDER BY agg.cluster""",
+    "p93_winsorized_stats" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS cnt
+               FROM documents),
+          b AS (SELECT source,
+                 MAX(CASE WHEN rn = (cnt - 1) * 5 // 100 + 1
+                     THEN n_chars END) AS lo,
+                 MAX(CASE WHEN rn = (cnt - 1) * 95 // 100 + 1
+                     THEN n_chars END) AS hi
+               FROM r GROUP BY source)
+          SELECT r.source, CAST(MAX(cnt) AS BIGINT) AS n_rows,
+                 CAST(MAX(lo) AS BIGINT) AS lo_n_chars,
+                 CAST(MAX(hi) AS BIGINT) AS hi_n_chars,
+                 CAST(SUM(GREATEST(lo, LEAST(hi, n_chars))) AS BIGINT)
+                   AS wsum_n_chars,
+                 CAST(SUM(GREATEST(lo, LEAST(hi, n_chars))) * 1000000
+                   // MAX(cnt) AS BIGINT) AS wmean_ppm
+          FROM r JOIN b USING (source) GROUP BY r.source
+          ORDER BY r.source""",
+    "p94_length_buckets" ->
+      """WITH q AS (SELECT GREATEST((n_chars + 63) // 64, 1) AS q, n_chars
+                    FROM documents),
+          b AS (SELECT CASE WHEN q <= 1 THEN 64
+                            ELSE 64 << length(bin(q - 1)) END AS bucket,
+                       n_chars
+                FROM q)
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+                 CAST(bucket * COUNT(*) AS BIGINT) AS capacity,
+                 CAST((bucket * COUNT(*) - SUM(n_chars)) * 1000000
+                   // (bucket * COUNT(*)) AS BIGINT) AS waste_ppm
+          FROM b GROUP BY bucket ORDER BY bucket""",
+    "p95_strip_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source,
+                 regexp_split_to_array(text, ' +') AS toks FROM documents),
+          tok AS (SELECT doc_id, source,
+                   generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+                  FROM t),
+          sd AS (SELECT source, COUNT(DISTINCT doc_id) AS src_docs
+                 FROM documents GROUP BY source),
+          dfs AS (SELECT source, tok, COUNT(DISTINCT doc_id) AS tok_docs
+                  FROM tok GROUP BY source, tok),
+          bp AS (SELECT dfs.source, tok FROM dfs JOIN sd USING (source)
+                 WHERE tok_docs * 1000000 // src_docs >= 600000),
+          kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+                   LEFT JOIN bp ON k.source = bp.source AND k.tok = bp.tok
+                   WHERE bp.tok IS NULL),
+          reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                         CAST(COUNT(*) AS BIGINT) AS n_kept
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, d.source, COALESCE(reb.text, '') AS text,
+                 COALESCE(reb.n_kept, 0) AS n_kept
+          FROM documents d LEFT JOIN reb USING (doc_id)
+          ORDER BY d.doc_id""",
+    "p96_oph_dedup" -> {
+      val mod = Dedup.MinhashMod
+      val bands = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"sig[${4 * b + r + 1}]::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, ${h60Sql(parts)} AS bsig FROM dens"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shinglesCte,
+          shh AS (SELECT doc_id, list_distinct(list_transform(sh,
+                    s -> ${h60Sql("s")} % $mod)) AS sh FROM sh),
+          bins AS (SELECT doc_id, list_transform(range(0, 16),
+                     b -> list_min(list_filter(sh, h -> h % 16 = b))) AS vals
+                   FROM shh WHERE len(sh) > 0),
+          dens AS (SELECT doc_id, list_transform(range(0, 16), b ->
+                     vals[((b + list_filter(range(0, 16),
+                       o -> vals[((b + o) % 16) + 1] IS NOT NULL)[1]) % 16) + 1]
+                     + list_filter(range(0, 16),
+                       o -> vals[((b + o) % 16) + 1] IS NOT NULL)[1] * $mod)
+                     AS sig
+                   FROM bins),
+          bands AS ($bands),
+          cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bsig = b.bsig
+                        AND a.doc_id < b.doc_id)
+          SELECT i, j,
+                 CAST(len(sa.sh) AS BIGINT) AS na,
+                 CAST(len(sb.sh) AS BIGINT) AS nb,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+                 CAST(len(sa.sh) + len(sb.sh)
+                   - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni,
+                 CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                   * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM cand JOIN shh sa ON sa.doc_id = i
+                    JOIN shh sb ON sb.doc_id = j
+          WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                (len(sa.sh) + len(sb.sh)
+                 - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                * 1000000.0) >= 800000
+          ORDER BY i, j"""
+    },
     "p91_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, text FROM documents
                        WHERE doc_id < 450),

@@ -1122,4 +1122,102 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 4L, 3L, 750000L),
       (3L, 1L, 0L, 0L)))
   }
+
+  test("winsorized: rank-picked bounds, outlier clamped into the sum") {
+    import spark.implicits._
+    // 1..20 plus one outlier: lo = rank (20*5 DIV 100)+1 = 2 → value 2,
+    // hi = rank (20*95 DIV 100)+1 = 20 → value 20; clamp folds 1→2 and
+    // 1000→20, so wsum = 2 + (2+…+20) + 20 = 231 and the mean is exact
+    val df = ((1 to 20) :+ 1000).zipWithIndex
+      .map { case (v, i) => ("a", v.toLong, i.toLong) }
+      .toDF("grp", "v", "id")
+    val r = Profiling.winsorized(df, "grp", "v", "id", 5, 95).collect()(0)
+    assert(r.getAs[Long]("n_rows") === 21L)
+    assert(r.getAs[Long]("lo_v") === 2L)
+    assert(r.getAs[Long]("hi_v") === 20L)
+    assert(r.getAs[Long]("wsum_v") === 231L)
+    assert(r.getAs[Long]("wmean_ppm") === 11000000L)
+  }
+
+  test("lengthBuckets: power-of-two boundaries, integer waste ppm") {
+    import spark.implicits._
+    val df = Seq(1L, 64L, 65L, 128L, 129L, 553L).toDF("len")
+    val out = Partitioning.lengthBuckets(df, "len", 64L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (64L, 2L, 65L, 128L, 492187L),    // 1 and 64
+      (128L, 2L, 193L, 256L, 246093L),  // 65 and 128
+      (256L, 1L, 129L, 256L, 496093L),
+      (1024L, 1L, 553L, 1024L, 459960L)))
+  }
+
+  test("stripBoilerplate: corpus-learned per-source stoplist, order kept, " +
+      "all-boilerplate docs survive empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1", "the cat"),
+      (2L, "s1", "the dog runs"),
+      (3L, "s1", "rare the bird"),   // 'the' mid-doc: order must hold
+      (4L, "s1", "the the"),         // nothing survives
+      (5L, "s2", "the unique")       // other source: its own df stats
+    ).toDF("doc_id", "source", "text")
+    // s1: df('the') = 4/4 ≥ 60%; every other token 1/4 < 60%
+    // s2: both tokens at 1/1 → everything stripped
+    val out = TextOps.stripBoilerplate(df, "doc_id", "source", "text", 600000L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, "cat", 1L),
+      (2L, "dog runs", 2L),
+      (3L, "rare bird", 2L),
+      (4L, "", 0L),
+      (5L, "", 0L)))
+  }
+
+  test("clusterProvenance: families only, sorted rosters, distinct sources") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "crawlA"), (2L, "crawlB"), (3L, "crawlA"),
+      (4L, "crawlC"), (5L, "crawlB"), (6L, "crawlB")
+    ).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val out = Dedup.clusterProvenance(docs, "doc_id", "source", pairs)
+      .orderBy("cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[String](4)))
+    assert(out === Array(
+      (1L, 1L, 3L, Seq(1L, 2L, 3L), Seq("crawlA", "crawlB")),
+      (5L, 5L, 2L, Seq(5L, 6L), Seq("crawlB"))))
+    // singleton 4 never makes a family row
+    assert(!out.exists(_._4.contains(4L)))
+  }
+
+  test("oph signatures: dense after rotation densification, borrowed bins " +
+      "offset by the modulus, identical sets collide") {
+    import spark.implicits._
+    // bins of h mod 4 over {5,17,23}: bin0 empty, bin1 min(5,17)=5,
+    // bin2 empty, bin3 23 → densified [5+M, 5, 23+M, 23] with M the
+    // borrow offset per rotation distance 1
+    val hsh = Seq((1L, Seq(5L, 17L, 23L)), (2L, Seq(5L, 17L, 23L)))
+      .toDF("doc", "sh")
+    val sig = Dedup.ophSignaturesFromHashed(hsh, 4)
+      .orderBy("doc").collect().map(_.getSeq[Long](1))
+    val m = Dedup.MinhashMod
+    assert(sig(0) === Seq(5L + m, 5L, 23L + m, 23L))
+    assert(sig(0) === sig(1))
+  }
+
+  test("ophPairs: verified subset of exact jaccard with high recall") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oph = Dedup.ophPairs(docs, "doc_id", "text", 3, 16, 4, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oph.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(oph.size.toDouble / exact.size >= 0.8,
+      s"OPH recall too low: ${oph.size}/${exact.size}")
+  }
 }
