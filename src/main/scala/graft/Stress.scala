@@ -81,6 +81,22 @@ object Stress {
       graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.8).count())
 
+    // OPH axis (p96): same corpus, same banding — but the signature
+    // stage is a per-row projection over the shared hashed-shingle
+    // frame instead of k universal-hash explode→groupBy minima. The
+    // claim this axis measures: the signature stage drops from a
+    // data-volume shuffle to zero exchanges, and end-to-end OPH tracks
+    // (or beats) the k-family time while finding the same near-dup mass.
+    val hshStress = graft.pipeline.Dedup.hashedShingles(
+      docs, "doc_id", "text", 3)
+    val (sigKfamSec, _) = timed(
+      graft.pipeline.Dedup.signaturesFromHashed(hshStress, 16).count())
+    val (sigOphSec, _) = timed(
+      graft.pipeline.Dedup.ophSignaturesFromHashed(hshStress, 16).count())
+    val (ophSec, ophDupPairs) = timed(
+      graft.pipeline.Dedup.ophPairs(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8).count())
+
     // Cross-doc dup-gram axis (p80): the verbatim-copy multiplication is
     // its worst case too — every gram's document frequency grows with
     // mult — but cost stays linear (df aggregate + postings join, no
@@ -361,6 +377,9 @@ object Stress {
       s""""series_rows":$seriesRows,""" +
       s""""n_docs":$nDocs,"minhash_sec":$minhashSec,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},""" +
       s""""dup_pairs":$dupPairs,""" +
+      s""""sig_kfam_sec":$sigKfamSec,"sig_oph_sec":$sigOphSec,""" +
+      s""""oph_sec":$ophSec,"oph_docs_per_sec":${(nDocs / ophSec).toLong},""" +
+      s""""oph_pairs":$ophDupPairs,""" +
       s""""n_vecs":$nVecs,"ann_planes":$planes,"ann_sec":$annSec,""" +
       s""""ann_vecs_per_sec":${(nVecs / annSec).toLong},"ann_pairs":$annPairs,""" +
       s""""quality_sec":$qualitySec,"quality_docs_per_sec":${(nDocs / qualitySec).toLong},""" +

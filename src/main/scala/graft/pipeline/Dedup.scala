@@ -217,6 +217,58 @@ object Dedup {
       .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
   }
 
+  /** Incremental (new-batch-vs-corpus) MinHash near-dup pairs — the
+    * daily-ingest shape: only `newDocs` ids probe the LSH buckets, the
+    * standing corpus contributes its banded signatures without being
+    * re-paired against itself. A full [[minhashPairs]] on corpus+batch
+    * re-verifies every historical pair on every ingest (O(corpus²)
+    * candidate work per day); this form's candidate join is
+    * batch-sized on the probe side, which is what makes per-batch
+    * dedup affordable at a 100 TB standing corpus — in production the
+    * corpus-side signature frame is the persisted artifact, computed
+    * once per doc ever.
+    *
+    * Output is normalized to i < j over pairs touching at least one
+    * new doc (new-new pairs once, new-old pairs once), verified with
+    * exact Jaccard on the shared hashed-shingle frame like every other
+    * pair operator here. */
+  def minhashPairsIncremental(df: DataFrame, idCol: String,
+      textCol: String, newDocs: DataFrame, n: Int, k: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    val hsh = hashedShingles(df, idCol, textCol, n)
+    val sig = signaturesFromHashed(hsh, k)
+    val nBands = k / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), h60(concat_ws(",", parts: _*)).as("sig"))
+    }: _*)
+    val banded = sig.select(col("doc"), explode(bandStructs).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.sig").as("bsig"))
+      .localCheckpoint() // probe side filters it, build side keeps it all
+    val probe = banded.join(
+      broadcast(newDocs.select(col(idCol).as("doc"))), Seq("doc"), "left_semi")
+      .select(col("doc").as("a"), col("band"), col("bsig"))
+    val build = banded.select(col("doc").as("b"), col("band"), col("bsig"))
+    val cands = probe.join(build, Seq("band", "bsig"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .distinct()
+    val withA = cands.join(
+      hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
+    val withB = withA.join(
+      hsh.select(col("doc").as("j"), col("sh").as("shb")), Seq("j"))
+    withB.select(col("i"), col("j"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_ppm", TextOps.ppm(
+        col("inter").cast("double") / col("uni").cast("double")))
+      .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
+  }
+
   /** Exact-substring duplicate pairs — the distributed shape of
     * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": find documents

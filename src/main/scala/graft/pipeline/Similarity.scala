@@ -405,6 +405,40 @@ object Similarity {
       .filter(col("cos_ppm") >= thresholdPpm)
   }
 
+  /** Embedding-space drift between corpus slices: the e4-integer
+    * centroid of every `labelCol` slice (same fixed-point + integer-DIV
+    * mean as [[kmeansCentroidsInt]] — deterministic in any execution
+    * order and engine), then pairwise squared-L2 between slice
+    * centroids. The monitoring question this answers: "did source/crawl
+    * X move away from the rest of the corpus in embedding space" —
+    * cheap enough to run per ingest batch, sensitive to topic and
+    * duplication shifts that length histograms miss.
+    *
+    * Scale shape: one posexplode projection of the corpus + one hash
+    * aggregate keyed on (label, pos) — at most labels×dim rows out, so
+    * map-side combine collapses each task; the pairwise stage operates
+    * on that labels×dim frame only (corpus-size-independent) and its
+    * pos equi-join broadcasts. Nothing downstream of the first
+    * aggregate ever scales with the corpus. */
+  def labelCentroidDrift(embeddings: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val c = embeddings.select(col(labelCol).as("label"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("sum(val) DIV count(1)").as("cval"))
+    val a = c.select(col("label").as("label_a"), col("pos"),
+      col("cval").as("ca"))
+    val b = c.select(col("label").as("label_b"), col("pos"),
+      col("cval").as("cb"))
+    a.join(broadcast(b), Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("dist2"))
+  }
+
   /** Int8 scalar quantization of an embedding column: per-vector scale
     * 127/max|x|, elements floor(x·scale) ∈ [−127, 127]. The standard 4×
     * footprint cut before ANN indexing at scale. Pure projection — no

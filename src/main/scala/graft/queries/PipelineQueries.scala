@@ -912,6 +912,28 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // incremental dedup: a synthetic "today's batch" (every 10th doc)
+  // probes the standing corpus's LSH buckets — candidate work is
+  // batch-sized, not corpus², the shape that makes daily ingest
+  // affordable against a 100 TB standing corpus
+  private def p98(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    Dedup.minhashPairsIncremental(docs, "doc_id", "text", batch,
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // embedding-space drift monitor: e4-integer centroid per label
+  // slice, pairwise squared-L2 between slice centroids — corpus-size-
+  // independent after the first aggregate
+  private def p97(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroidDrift(Tables.embeddings(s, d),
+        "embedding", "label")
+      .orderBy(col("label_a"), col("label_b"))
+
   // one-permutation-hashing MinHash dedup: single shared permutation
   // binned into k minima (k× less hashing than p06's k families),
   // rotation-densified, banded, then exact-Jaccard verified
@@ -1708,7 +1730,9 @@ object PipelineQueries {
     "p93_winsorized_stats" -> (p93 _),
     "p94_length_buckets" -> (p94 _),
     "p95_strip_boilerplate" -> (p95 _),
-    "p96_oph_dedup" -> (p96 _))
+    "p96_oph_dedup" -> (p96 _),
+    "p97_label_drift" -> (p97 _),
+    "p98_incremental_dedup" -> (p98 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3208,6 +3232,47 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p98_incremental_dedup" ->
+      s"""WITH $minhashCtes,
+          icand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
+                           GREATEST(a.doc_id, b.doc_id) AS j
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bsig = b.bsig
+                         AND a.doc_id != b.doc_id
+                    WHERE a.doc_id % 10 = 0)
+          SELECT i, j,
+                 CAST(len(sa.sh) AS BIGINT) AS na,
+                 CAST(len(sb.sh) AS BIGINT) AS nb,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+                 CAST(len(sa.sh) + len(sb.sh)
+                   - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni,
+                 CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                   (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                   * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM icand JOIN shh sa ON sa.doc_id = i
+                     JOIN shh sb ON sb.doc_id = j
+          WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                (len(sa.sh) + len(sb.sh)
+                 - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                * 1000000.0) >= 800000
+          ORDER BY i, j""",
+    "p97_label_drift" ->
+      """WITH q AS (SELECT label,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+                   AS qv
+               FROM embeddings),
+          qe AS (SELECT label, i AS pos, qv[i + 1] AS val
+                 FROM q, range(0, 64) AS t(i)),
+          c AS (SELECT label, pos,
+                       CAST(SUM(val) AS BIGINT) // COUNT(*) AS cval
+                FROM qe GROUP BY label, pos)
+          SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(SUM((a.cval - b.cval) * (a.cval - b.cval)) AS BIGINT)
+                   AS dist2
+          FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY a.label, b.label ORDER BY label_a, label_b""",
     "p91_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, text FROM documents
                        WHERE doc_id < 450),

@@ -1209,6 +1209,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig(0) === sig(1))
   }
 
+  test("labelCentroidDrift: identical slices at zero, a shifted slice " +
+      "is equidistant from both") {
+    import spark.implicits._
+    // labels 0 and 1 hold the SAME two vectors; label 2 is both
+    // shifted by +1.0 (e4: +10000 per dim) → drift(0,1)=0 and
+    // drift(0,2)=drift(1,2)=dim·10000². Values are binary-exact floats
+    // so the e4 floor is clean on both the base and shifted copies.
+    val vs = Seq(Array(0.25f, 0.5f), Array(0.5f, 0.75f))
+    val rows = (0 to 2).flatMap(l => vs.map(v =>
+      (l, if (l == 2) v.map(_ + 1.0f) else v)))
+    val df = rows.toDF("label", "embedding")
+    val out = Similarity.labelCentroidDrift(df, "embedding", "label")
+      .orderBy("label_a", "label_b")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out === Array(
+      (0, 1, 0L),
+      (0, 2, 2L * 10000L * 10000L),
+      (1, 2, 2L * 10000L * 10000L)))
+  }
+
+  test("minhashPairsIncremental equals the full pair set restricted to " +
+      "pairs touching the batch") {
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val incr = Dedup.minhashPairsIncremental(docs, "doc_id", "text",
+        batch, 3, 16, 4, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(incr === expected)
+    assert(expected.nonEmpty, "fixture must exercise the batch path")
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)

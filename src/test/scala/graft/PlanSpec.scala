@@ -433,4 +433,52 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"the postings join must stay an equi-join, plan:\n$plan")
   }
+
+  test("winsorized: group-keyed throughout — bounds broadcast back, " +
+      "no sort-merge join") {
+    val out = Profiling.winsorized(Tables.documents(spark, sf),
+      "source", "n_chars", tieBreak = "doc_id")
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"one-row-per-group bounds must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"never a sort-merge for the bounds join, plan:\n$plan")
+    // rank window, count window, bounds agg and final agg all key on
+    // the group column: at most the ranked exchange + its reuse
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"everything keys on the group column, plan:\n$plan")
+  }
+
+  test("lengthBuckets: one hash aggregate, no join, no window") {
+    val out = Partitioning.lengthBuckets(
+      Tables.documents(spark, sf), "n_chars", 64L)
+    val plan = finalPlan(out)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"single bucket-keyed aggregate, plan:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"pure projection + aggregate, plan:\n$plan")
+  }
+
+  test("stripBoilerplate: learned stoplist broadcast anti-join, " +
+      "never a nested loop") {
+    val out = TextOps.stripBoilerplate(Tables.documents(spark, sf),
+      "doc_id", "source", "text", 600000L)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin LeftAnti".substring(0, 17)) &&
+      plan.contains("LeftAnti"),
+      s"the removal join must broadcast the stoplist, plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"equi-joins only, plan:\n$plan")
+  }
+
+  test("oph signatures are a zero-exchange projection over the " +
+      "hashed-shingle frame") {
+    import spark.implicits._
+    val hsh = (1L to 64L).map(i => (i, Seq(i, i + 7, i * 3 % 97)))
+      .toDF("doc", "sh")
+    val out = Dedup.ophSignaturesFromHashed(hsh, 8)
+    assert(!finalPlan(out).contains("Exchange"),
+      "the OPH signature stage must add no shuffle")
+  }
 }
