@@ -912,6 +912,28 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // streaming drift monitor: the p88 KS-style statistic computed over
+  // a STREAMING histogram (complete-mode bin counts in the stream, the
+  // corpus-size-independent drift join on the final state) — what a
+  // standing ingest pipeline runs to catch a distribution shift in
+  // flight rather than at the next batch audit
+  private def p99(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val st = eventsStream(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        call_function("div", (col("value").cast(D) * 100).cast("long"),
+          lit(500L)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // localCheckpoint: the memory-sink MemoryPlan is not a
+    // MultiInstanceRelation, so histDrift's full self-join would hit
+    // conflicting attribute ids; the checkpointed LogicalRDD re-instances
+    Sketches.histDrift(runToMemory(s, st).localCheckpoint(),
+        "event_type", "view", "click")
+      .orderBy(col("bin"))
+  }
+
   // incremental dedup: a synthetic "today's batch" (every 10th doc)
   // probes the standing corpus's LSH buckets — candidate work is
   // batch-sized, not corpus², the shape that makes daily ingest
@@ -1732,7 +1754,8 @@ object PipelineQueries {
     "p95_strip_boilerplate" -> (p95 _),
     "p96_oph_dedup" -> (p96 _),
     "p97_label_drift" -> (p97 _),
-    "p98_incremental_dedup" -> (p98 _))
+    "p98_incremental_dedup" -> (p98 _),
+    "p99_stream_drift" -> (p99 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3232,6 +3255,29 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p99_stream_drift" ->
+      """WITH h AS (SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500
+                   AS bin,
+                 COUNT(*) AS cnt
+               FROM events WHERE event_type IN ('view', 'click')
+               GROUP BY 1, 2),
+          a AS (SELECT bin, cnt FROM h WHERE event_type = 'view'),
+          b AS (SELECT bin, cnt FROM h WHERE event_type = 'click'),
+          j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+                       COALESCE(a.cnt, 0) AS cnt_a,
+                       COALESCE(b.cnt, 0) AS cnt_b
+                FROM a FULL JOIN b ON a.bin = b.bin),
+          c AS (SELECT bin, cnt_a, cnt_b,
+                       SUM(cnt_a) OVER (ORDER BY bin) AS cum_a,
+                       SUM(cnt_b) OVER (ORDER BY bin) AS cum_b,
+                       SUM(cnt_a) OVER () AS n_a,
+                       SUM(cnt_b) OVER () AS n_b
+                FROM j)
+          SELECT bin, cnt_a, cnt_b,
+                 CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000
+                   // (n_a * n_b) AS BIGINT) AS gap_ppm
+          FROM c ORDER BY bin""",
     "p98_incremental_dedup" ->
       s"""WITH $minhashCtes,
           icand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
