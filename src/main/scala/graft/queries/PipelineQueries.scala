@@ -912,6 +912,26 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // the flagship curation chain — quality gate → exact dedup → split
+  // assignment → per-(source, split) manifest, i.e. the four stages a
+  // real pre-training data pipeline runs, composed end to end from the
+  // library operators with one deterministic manifest as the receipt
+  private def p100(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.gopherQuality(Tables.documents(s, d), "text",
+        30, 80, 3500000L, 4600000L, 20000L)
+      .filter(col("keep"))
+    val keepers = Dedup.exact(q, "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
+    val deduped = q.join(keepers, Seq("doc_id"), "left_semi")
+    Sampling.splitAssign(deduped, "doc_id",
+        trainPpm = 800000L, valPpm = 100000L, seed = 7)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
   // streaming drift monitor: the p88 KS-style statistic computed over
   // a STREAMING histogram (complete-mode bin counts in the stream, the
   // corpus-size-independent drift join on the final state) — what a
@@ -1755,7 +1775,8 @@ object PipelineQueries {
     "p96_oph_dedup" -> (p96 _),
     "p97_label_drift" -> (p97 _),
     "p98_incremental_dedup" -> (p98 _),
-    "p99_stream_drift" -> (p99 _))
+    "p99_stream_drift" -> (p99 _),
+    "p100_curation_chain" -> (p100 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3254,6 +3275,43 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p100_curation_chain" -> {
+      val bucket = h60Sql(7, "doc_id::VARCHAR") + " % 1000000"
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+                     FROM documents),
+          m AS (SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(list_aggregate(list_transform(toks,
+                         x -> length(x)), 'sum') AS BIGINT) AS chars,
+                       CAST(len(list_filter(toks,
+                         x -> x IN ('the','a','is','of','and'))) AS BIGINT)
+                         AS stop
+                FROM t),
+          r AS (SELECT doc_id, n_words,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE chars * 1000000 // n_words END
+                         AS mean_word_len_ppm,
+                       CASE WHEN n_words = 0 THEN 0
+                            ELSE stop * 1000000 // n_words END
+                         AS stopword_ppm
+                FROM m),
+          k AS (SELECT d.doc_id, d.source, d.text, r.n_words
+                FROM documents d JOIN r USING (doc_id)
+                WHERE r.n_words BETWEEN 30 AND 80
+                  AND r.mean_word_len_ppm BETWEEN 3500000 AND 4600000
+                  AND r.stopword_ppm >= 20000),
+          keep AS (SELECT MIN(doc_id) AS doc_id FROM k GROUP BY md5(text)),
+          dd AS (SELECT k.* FROM k JOIN keep USING (doc_id)),
+          sp AS (SELECT doc_id, source, n_words,
+                  CASE WHEN $bucket < 800000 THEN 'train'
+                       WHEN $bucket < 900000 THEN 'val'
+                       ELSE 'test' END AS split
+                 FROM dd)
+          SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS sum_words,
+                 MIN(doc_id) AS min_doc
+          FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
     },
     "p99_stream_drift" ->
       """WITH h AS (SELECT event_type,
