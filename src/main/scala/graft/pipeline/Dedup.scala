@@ -235,6 +235,18 @@ object Dedup {
   def minhashPairsIncremental(df: DataFrame, idCol: String,
       textCol: String, newDocs: DataFrame, n: Int, k: Int,
       rowsPerBand: Int, threshold: Double): DataFrame = {
+    val (hsh, banded) = signatureIndex(df, idCol, textCol, n, k, rowsPerBand)
+    probeIndex(hsh, banded, newDocs, idCol, threshold)
+  }
+
+  /** The standing corpus's signature index — the once-ever artifact the
+    * incremental and streaming dedup forms probe: the hashed-shingle
+    * frame (doc, sh) for exact-Jaccard verification, and the banded LSH
+    * frame (doc, band, bsig) for candidate generation. Both are
+    * materialized (`localCheckpoint`); in production they'd be
+    * persisted tables keyed by doc, appended as docs are admitted. */
+  def signatureIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val hsh = hashedShingles(df, idCol, textCol, n)
     val sig = signaturesFromHashed(hsh, k)
     val nBands = k / rowsPerBand
@@ -246,6 +258,17 @@ object Dedup {
     val banded = sig.select(col("doc"), explode(bandStructs).as("b"))
       .select(col("doc"), col("b.band").as("band"), col("b.sig").as("bsig"))
       .localCheckpoint() // probe side filters it, build side keeps it all
+    (hsh, banded)
+  }
+
+  /** Probe a [[signatureIndex]] with a batch of arriving doc ids:
+    * LSH-bucket candidates touching the batch, verified with exact
+    * Jaccard — the per-ingest step of incremental dedup. The probe
+    * side is batch-sized (semi-join on the broadcast id set); the
+    * index contributes its buckets without being re-paired against
+    * itself. */
+  def probeIndex(hsh: DataFrame, banded: DataFrame, newDocs: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val probe = banded.join(
       broadcast(newDocs.select(col(idCol).as("doc"))), Seq("doc"), "left_semi")
       .select(col("doc").as("a"), col("band"), col("bsig"))

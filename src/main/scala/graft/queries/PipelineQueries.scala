@@ -912,6 +912,41 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // STREAMING near-dup admission control: the p98 batch ("every 10th
+  // doc") ARRIVES in 4 file-batches and each micro-batch probes the
+  // standing corpus's signature index (foreachBatch — the index is
+  // corpus-wide, not per-key state). The emitted pair set is
+  // batching-independent == batch minhashPairsIncremental over the
+  // union of arrivals, so the oracle is p98's verbatim.
+  private def p101(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_p101")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p101_parts")
+    val arrivals = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), (col("doc_id") % 4).as("b"))
+    (0 to 3).foreach { b =>
+      val part = tmp.resolve(s"b$b")
+      arrivals.filter(col("b") === b).select(col("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(part.toString)
+      val f = java.nio.file.Files.list(part).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = dir.resolve(s"batch$b.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val st = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    graft.streaming.StreamNearDedup.run(s, st, hsh, banded,
+        "doc_id", threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // the flagship curation chain — quality gate → exact dedup → split
   // assignment → per-(source, split) manifest, i.e. the four stages a
   // real pre-training data pipeline runs, composed end to end from the
@@ -1615,6 +1650,35 @@ object PipelineQueries {
                    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
   }
 
+  /** Shared by p98 (batch incremental dedup) and p101 (its streaming
+    * admission-control form) — the fold is batching-independent, so
+    * both must hash-match this exact pair set. */
+  private lazy val incrementalDedupSql: String =
+    s"""WITH $minhashCtes,
+        icand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
+                         GREATEST(a.doc_id, b.doc_id) AS j
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bsig = b.bsig
+                       AND a.doc_id != b.doc_id
+                  WHERE a.doc_id % 10 = 0)
+        SELECT i, j,
+               CAST(len(sa.sh) AS BIGINT) AS na,
+               CAST(len(sb.sh) AS BIGINT) AS nb,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+               CAST(len(sa.sh) + len(sb.sh)
+                 - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni,
+               CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                 (len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                 * 1000000.0) AS BIGINT) AS jaccard_ppm
+        FROM icand JOIN shh sa ON sa.doc_id = i
+                   JOIN shh sb ON sb.doc_id = j
+        WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+              (len(sa.sh) + len(sb.sh)
+               - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+              * 1000000.0) >= 800000
+        ORDER BY i, j"""
+
   /** Seeded per-table variant (Similarity.planeWeights(table, plane)). */
   private def lshProjSqlSeeded(table: Int, planes: Int): String =
     (0 until planes).map { p =>
@@ -1776,7 +1840,8 @@ object PipelineQueries {
     "p97_label_drift" -> (p97 _),
     "p98_incremental_dedup" -> (p98 _),
     "p99_stream_drift" -> (p99 _),
-    "p100_curation_chain" -> (p100 _))
+    "p100_curation_chain" -> (p100 _),
+    "p101_stream_neardup" -> (p101 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3336,31 +3401,11 @@ object PipelineQueries {
                  CAST(abs(cum_a * n_b - cum_b * n_a) * 1000000
                    // (n_a * n_b) AS BIGINT) AS gap_ppm
           FROM c ORDER BY bin""",
-    "p98_incremental_dedup" ->
-      s"""WITH $minhashCtes,
-          icand AS (SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
-                           GREATEST(a.doc_id, b.doc_id) AS j
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bsig = b.bsig
-                         AND a.doc_id != b.doc_id
-                    WHERE a.doc_id % 10 = 0)
-          SELECT i, j,
-                 CAST(len(sa.sh) AS BIGINT) AS na,
-                 CAST(len(sb.sh) AS BIGINT) AS nb,
-                 CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
-                 CAST(len(sa.sh) + len(sb.sh)
-                   - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni,
-                 CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                   (len(sa.sh) + len(sb.sh)
-                    - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
-                   * 1000000.0) AS BIGINT) AS jaccard_ppm
-          FROM icand JOIN shh sa ON sa.doc_id = i
-                     JOIN shh sb ON sb.doc_id = j
-          WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                (len(sa.sh) + len(sb.sh)
-                 - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
-                * 1000000.0) >= 800000
-          ORDER BY i, j""",
+    "p98_incremental_dedup" -> incrementalDedupSql,
+    // the streaming admission-control form folds to the identical end
+    // state (batching-independent — see p101's scaladoc), so it runs
+    // against the same oracle verbatim
+    "p101_stream_neardup" -> incrementalDedupSql,
     "p97_label_drift" ->
       """WITH q AS (SELECT label,
                  list_transform(embedding,
