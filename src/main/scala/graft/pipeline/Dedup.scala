@@ -261,6 +261,33 @@ object Dedup {
     (hsh, banded)
   }
 
+  /** Persist a [[signatureIndex]] as bucketed tables — the durable
+    * form the daily-ingest pipeline actually keeps: the hashed-shingle
+    * frame bucketed by `doc` (the verification joins key on doc ids)
+    * and the banded frame bucketed by `bsig` (the candidate join keys
+    * on (band, bsig); a partitioning on the bsig subset satisfies the
+    * join's clustering requirement). With this layout a probe NEVER
+    * reshuffles the index: the candidate join reads co-bucketed
+    * parquet and only the batch-sized probe/candidate frames move —
+    * at a 100 TB standing corpus, that is the entire point.
+    * PipelineSpec pins both the loaded-probe equality and the
+    * no-index-exchange plan shape. */
+  def saveSignatureIndex(hsh: DataFrame, banded: DataFrame,
+      name: String, buckets: Int = 8): Unit = {
+    val spark = hsh.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_sh")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    hsh.write.bucketBy(buckets, "doc").sortBy("doc")
+      .format("parquet").saveAsTable(s"${name}_sh")
+    banded.write.bucketBy(buckets, "bsig").sortBy("bsig")
+      .format("parquet").saveAsTable(s"${name}_bands")
+  }
+
+  /** Reload a persisted signature index for [[probeIndex]]. */
+  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): (DataFrame, DataFrame) =
+    (spark.table(s"${name}_sh"), spark.table(s"${name}_bands"))
+
   /** Probe a [[signatureIndex]] with a batch of arriving doc ids:
     * LSH-bucket candidates touching the batch, verified with exact
     * Jaccard — the per-ingest step of incremental dedup. The probe

@@ -1243,6 +1243,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must exercise the batch path")
   }
 
+  test("persisted signature index: loaded probe equals in-memory probe, " +
+      "candidate join never reshuffles the index") {
+    val docs = Tables.documents(spark, sf)
+    val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text", 3, 16, 4)
+    val batch = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val direct = Dedup.probeIndex(hsh, banded, batch, "doc_id", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.saveSignatureIndex(hsh, banded, "graft_sigidx")
+    try {
+      val (lh, lb) = Dedup.loadSignatureIndex(spark, "graft_sigidx")
+      val probed = Dedup.probeIndex(lh, lb, batch, "doc_id", 0.8)
+      assert(probed.select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === direct)
+      // the index is NEVER hash-reshuffled: banded scans stay bucketed,
+      // and the only hashpartitioning exchange allowed is the
+      // batch-sized candidate distinct on (i, j) — never on the index's
+      // doc / band / bsig columns
+      probed.collect()
+      val plan = probed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("Bucketed: true".r.findAllIn(plan).size >= 2,
+        s"index scans must stay bucketed, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(doc") &&
+        !plan.contains("Exchange hashpartitioning(band") &&
+        !plan.contains("Exchange hashpartitioning(bsig"),
+        s"the index side must never reshuffle, plan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sigidx_sh")
+      spark.sql("DROP TABLE IF EXISTS graft_sigidx_bands")
+    }
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
