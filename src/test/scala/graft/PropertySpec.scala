@@ -513,4 +513,60 @@ class PropertySpec extends AnyFunSuite {
     assert(composed === brute,
       s"composed $composed != brute $brute")
   }
+
+  test("oph densification invariants on random shingle sets: dense, " +
+      "set-determined, natural bins untouched, borrowed bins offset") {
+    import spark.implicits._
+    val m = graft.pipeline.Dedup.MinhashMod
+    val k = 8
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, m - 1)).map(_.distinct)
+    forAllSeeded(Gen.listOfN(12, setGen), 8) { sets =>
+      val hsh = sets.zipWithIndex
+        .map { case (sh, i) => (i.toLong, sh) }.toDF("doc", "sh")
+      val sig = graft.pipeline.Dedup.ophSignaturesFromHashed(hsh, k)
+        .orderBy("doc").collect().map(_.getSeq[Long](1))
+      sets.zip(sig).foreach { case (sh, s) =>
+        assert(s.length === k && s.forall(_ != null), "signature not dense")
+        // replay the reference densification in plain Scala
+        val bins = (0 until k).map(b =>
+          sh.filter(h => h % k == b) match {
+            case Nil => None; case xs => Some(xs.min)
+          })
+        val expected = (0 until k).map { b =>
+          val off = (0 until k).find(o => bins((b + o) % k).isDefined).get
+          bins((b + off) % k).get + off * m
+        }
+        assert(s === expected, s"sh=$sh")
+      }
+      // permutation-invariance: signatures depend on the SET only
+      val shuffled = sets.zipWithIndex
+        .map { case (sh, i) => (i.toLong, sh.reverse) }.toDF("doc", "sh")
+      val sig2 = graft.pipeline.Dedup.ophSignaturesFromHashed(shuffled, k)
+        .orderBy("doc").collect().map(_.getSeq[Long](1))
+      assert(sig.map(_.toList).toSeq === sig2.map(_.toList).toSeq)
+    }
+  }
+
+  test("incremental dedup partitions the pair set: batch splits compose " +
+      "to the full pair list, probe-side restriction loses nothing") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = graft.pipeline.Dedup
+      .minhashPairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (hsh, banded) = graft.pipeline.Dedup
+      .signatureIndex(docs, "doc_id", "text", 3, 16, 4)
+    // ANY split of the corpus into arrival batches unions to the full
+    // pair set (each pair surfaces when its second member arrives)
+    forAllSeeded(Gen.choose(2, 5), 3) { parts =>
+      val probes = (0 until parts).map(p =>
+        docs.filter(pmod(col("doc_id"), lit(parts)) === p).select("doc_id"))
+      val unioned = probes.flatMap(p =>
+        graft.pipeline.Dedup.probeIndex(hsh, banded, p, "doc_id", 0.8)
+          .select("i", "j").collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        .toSet
+      assert(unioned === full, s"parts=$parts lost or invented pairs")
+    }
+  }
 }
