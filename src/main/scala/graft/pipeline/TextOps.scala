@@ -200,6 +200,45 @@ object TextOps {
         expr("sum_bits * 1000000L DIV n_toks"))
   }
 
+  /** Bigram-LM surprisal — the fluency-proxy quality score one tier up
+    * from [[unigramSurprisal]]: per token transition, bits ≈
+    * log2(context count / bigram count) via the integer bit-length log
+    * (`length(bin(x))` = floor(log2 x)+1 — deterministic and identical
+    * in the DuckDB oracle, the repo's standing no-float-logs rule).
+    * High mean surprisal = improbable transitions (shuffled text, OCR
+    * noise, spam); low = fluent high-frequency phrasing. This is the
+    * shape of KenLM-style perplexity filtering with the corpus itself
+    * as the LM.
+    *
+    * Scale: the bigram/context frequency tables are vocab²-bounded —
+    * tiny next to the corpus — so both joins broadcast and the corpus
+    * side streams at scan speed; the only data-volume shuffle is the
+    * per-doc rollup. */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val pairsCol = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("prev"),
+          element_at(t, i + 2).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val bg = Partitioning.spread(docs)
+      .select(col(idCol), explode(pairsCol).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .localCheckpoint() // consumed by both freq aggs + the score join
+    val bf = bg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bf"))
+    val cf = bg.groupBy(col("prev")).agg(count(lit(1)).as("cf"))
+    bg.join(broadcast(bf), Seq("prev", "cur"))
+      .join(broadcast(cf), Seq("prev"))
+      .withColumn("bits",
+        (length(bin(col("cf"))) - length(bin(col("bf")))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_surprisal_ppm",
+        expr("sum_bits * 1000000L DIV n_bigrams"))
+  }
+
   /** Eval-set decontamination: flag training documents sharing any word
     * n-gram with an evaluation document, with the shared-distinct-gram
     * count as evidence. The join is an inverted index keyed by the

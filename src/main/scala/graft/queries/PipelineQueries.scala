@@ -912,6 +912,13 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // bigram-LM surprisal: per-transition bits via integer bit-length
+  // logs, the corpus as its own language model — the fluency-proxy
+  // quality filter one tier above p58's unigram form
+  private def p102(s: SparkSession, d: String): DataFrame =
+    TextOps.bigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // STREAMING near-dup admission control: the p98 batch ("every 10th
   // doc") ARRIVES in 4 file-batches and each micro-batch probes the
   // standing corpus's signature index (foreachBatch — the index is
@@ -1841,7 +1848,8 @@ object PipelineQueries {
     "p98_incremental_dedup" -> (p98 _),
     "p99_stream_drift" -> (p99 _),
     "p100_curation_chain" -> (p100 _),
-    "p101_stream_neardup" -> (p101 _))
+    "p101_stream_neardup" -> (p101 _),
+    "p102_bigram_surprisal" -> (p102 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3341,6 +3349,25 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p102_bigram_surprisal" ->
+      s"""WITH $toksCte,
+          bg AS (SELECT doc_id,
+                  unnest(list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+                    i -> toks[i + 1])) AS prev,
+                  unnest(list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+                    i -> toks[i + 2])) AS cur
+                 FROM t),
+          bf AS (SELECT prev, cur, COUNT(*) AS bf FROM bg GROUP BY 1, 2),
+          cf AS (SELECT prev, COUNT(*) AS cf FROM bg GROUP BY 1)
+          SELECT bg.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(length(bin(cf.cf)) - length(bin(bf.bf)))
+                   AS BIGINT) AS sum_bits,
+                 CAST(SUM(length(bin(cf.cf)) - length(bin(bf.bf)))
+                   * 1000000 // COUNT(*) AS BIGINT) AS mean_surprisal_ppm
+          FROM bg JOIN bf ON bg.prev = bf.prev AND bg.cur = bf.cur
+                  JOIN cf ON bg.prev = cf.prev
+          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
     "p100_curation_chain" -> {
       val bucket = h60Sql(7, "doc_id::VARCHAR") + " % 1000000"
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS toks

@@ -1275,6 +1275,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramSurprisal: bit-length log of context/bigram ratios, " +
+      "frequent transitions score zero") {
+    import spark.implicits._
+    // bigrams of "a b a b c": (a,b)×2, (b,a), (b,c); cf(a)=2, cf(b)=2
+    // bits: (a,b)→len(bin 2)−len(bin 2)=0; (b,a)→2−1=1; (b,c)→1
+    // sum = 0+1+0+1 = 2 over 4 transitions → mean 500000 ppm
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextOps.bigramSurprisal(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_bigrams") === 4L)
+    assert(r.getAs[Long]("sum_bits") === 2L)
+    assert(r.getAs[Long]("mean_surprisal_ppm") === 500000L)
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
