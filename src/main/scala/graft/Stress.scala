@@ -97,6 +97,22 @@ object Stress {
       graft.pipeline.Dedup.ophPairs(docs, "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.8).count())
 
+    // Boilerplate-strip axis (p95): the df aggregate is vocab-bounded,
+    // so the multiplied corpus must track scan speed — the stoplist
+    // grows with VOCAB (constant here), never with volume.
+    val docsSrc = docs.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(16))))
+    val (stripSec, stripDocs) = timed(
+      graft.pipeline.TextOps.stripBoilerplate(docsSrc, "doc_id", "source",
+        "text", 600000L).count())
+
+    // Bigram-surprisal axis (p102): both frequency tables are
+    // vocab²-bounded broadcasts; per-doc cost must stay flat as the
+    // corpus multiplies (the scan-speed claim of LM-quality filtering).
+    val (bigramSec, bigramDocs) = timed(
+      graft.pipeline.TextOps.bigramSurprisal(docs, "doc_id", "text")
+        .count())
+
     // Cross-doc dup-gram axis (p80): the verbatim-copy multiplication is
     // its worst case too — every gram's document frequency grows with
     // mult — but cost stays linear (df aggregate + postings join, no
@@ -377,6 +393,8 @@ object Stress {
       s""""series_rows":$seriesRows,""" +
       s""""n_docs":$nDocs,"minhash_sec":$minhashSec,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},""" +
       s""""dup_pairs":$dupPairs,""" +
+      s""""strip_sec":$stripSec,"strip_docs_per_sec":${(stripDocs / stripSec).toLong},""" +
+      s""""bigram_sec":$bigramSec,"bigram_docs_per_sec":${(bigramDocs / bigramSec).toLong},""" +
       s""""sig_kfam_sec":$sigKfamSec,"sig_oph_sec":$sigOphSec,""" +
       s""""oph_sec":$ophSec,"oph_docs_per_sec":${(nDocs / ophSec).toLong},""" +
       s""""oph_pairs":$ophDupPairs,""" +

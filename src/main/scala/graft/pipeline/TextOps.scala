@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -237,6 +238,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .withColumn("mean_surprisal_ppm",
         expr("sum_bits * 1000000L DIV n_bigrams"))
+  }
+
+  /** Sliding-window chunking — the RAG-export primitive: fixed
+    * `window`-token chunks at `stride`-token steps, the last chunk
+    * truncated at the document end, short docs yielding one chunk.
+    * Complements [[Chunking]]'s content-defined chunks: CDC optimizes
+    * dedup stability, sliding windows optimize retrieval coverage
+    * (every token is inside ⌈window/stride⌉ chunks). Pure per-row
+    * array expressions + one posexplode — no shuffle at all; at
+    * 100 TB this is a scan-speed projection feeding the embedding
+    * stage. */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(expr(s"(size(${textCol}_toks) - $window + $stride - 1) " +
+        s"DIV $stride + 1"))
+    Partitioning.spread(docs)
+      .withColumn(s"${textCol}_toks", t)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1), c =>
+          concat_ws(" ", slice(col(s"${textCol}_toks"),
+            c * stride + 1, lit(window))))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"),
+        size(split(col("col"), " +")).cast("long").as("n_tokens"))
+  }
+
+  /** Frequency-vocabulary with a coverage cutoff — the tokenizer-
+    * training step that picks "the smallest vocab covering X% of
+    * corpus tokens": rank tokens by corpus frequency (count desc, token
+    * asc tie), cumulative coverage in floor-ppm, keep every rank whose
+    * PRECEDING cumulative coverage is below the cutoff (so the rank
+    * that crosses the line is included). The rank/cumsum window runs on
+    * the vocab-sized frequency table, not the corpus — a single-
+    * partition window over at most |vocab| rows, which is the correct
+    * tradeoff at any corpus size (the corpus-sized stage is one
+    * map-side-combined count). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      cutoffPpm: Long): DataFrame = {
+    val freq = Partitioning.spread(docs)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
+    freq
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("tf")).over(w))
+      .withColumn("total", sum(col("tf")).over(Window.partitionBy()))
+      .withColumn("cum_ppm", expr("cum * 1000000 DIV total"))
+      .withColumn("prev_ppm", expr("(cum - tf) * 1000000 DIV total"))
+      .filter(col("prev_ppm") < cutoffPpm)
+      .select(col("rank"), col("token"), col("tf"), col("cum_ppm"))
   }
 
   /** Eval-set decontamination: flag training documents sharing any word

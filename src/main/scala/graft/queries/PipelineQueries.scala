@@ -912,6 +912,20 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // RAG sliding-window chunk export: 32-token chunks, stride 16 —
+  // every token covered by 2 chunks, scan-speed projection
+  private def p103(s: SparkSession, d: String): DataFrame =
+    TextOps.chunkSliding(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // tokenizer vocab with 90% corpus-coverage cutoff: smallest
+  // frequency-ranked vocab covering the token mass
+  private def p104(s: SparkSession, d: String): DataFrame =
+    TextOps.vocabCoverage(Tables.documents(s, d), "text",
+        cutoffPpm = 900000L)
+      .orderBy(col("rank"))
+
   // bigram-LM surprisal: per-transition bits via integer bit-length
   // logs, the corpus as its own language model — the fluency-proxy
   // quality filter one tier above p58's unigram form
@@ -1849,7 +1863,9 @@ object PipelineQueries {
     "p99_stream_drift" -> (p99 _),
     "p100_curation_chain" -> (p100 _),
     "p101_stream_neardup" -> (p101 _),
-    "p102_bigram_surprisal" -> (p102 _))
+    "p102_bigram_surprisal" -> (p102 _),
+    "p103_rag_chunks" -> (p103 _),
+    "p104_vocab_coverage" -> (p104 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3349,6 +3365,32 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p103_rag_chunks" ->
+      s"""WITH $toksCte,
+          c AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) <= 32 THEN 1
+                      ELSE (len(toks) - 32 + 15) // 16 + 1 END AS nchunks
+                FROM t),
+          e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS c
+                FROM c)
+          SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+                 array_to_string(toks[c*16+1 : c*16+32], ' ') AS chunk,
+                 CAST(len(toks[c*16+1 : c*16+32]) AS BIGINT) AS n_tokens
+          FROM e ORDER BY doc_id, chunk_idx""",
+    "p104_vocab_coverage" ->
+      s"""WITH $toksCte,
+          f AS (SELECT tok AS token, COUNT(*) AS tf
+                FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+          r AS (SELECT token, tf,
+                 ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rank,
+                 SUM(tf) OVER (ORDER BY tf DESC, token ASC) AS cum,
+                 SUM(tf) OVER () AS total
+                FROM f)
+          SELECT CAST(rank AS BIGINT) AS rank, token,
+                 CAST(tf AS BIGINT) AS tf,
+                 CAST(cum * 1000000 // total AS BIGINT) AS cum_ppm
+          FROM r WHERE (cum - tf) * 1000000 // total < 900000
+          ORDER BY rank""",
     "p102_bigram_surprisal" ->
       s"""WITH $toksCte,
           bg AS (SELECT doc_id,

@@ -1288,6 +1288,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mean_surprisal_ppm") === 500000L)
   }
 
+  test("chunkSliding: stride-covered chunks, truncated tail, short docs " +
+      "yield one chunk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w4 s2
+      (2L, "a b")                                     // shorter than w
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkSliding(df, "doc_id", "text", window = 4,
+        stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // doc 1: nchunks = (10-4+1)//2 + 1 = 4 → starts 0,2,4,6;
+    // wait: (10-4+2-1) DIV 2 + 1 = 7 DIV 2 + 1 = 4 chunks
+    assert(out.filter(_._1 == 1L).map(_._3) === Array(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(out.filter(_._1 == 1L).forall(_._4 == 4L))
+    assert(out.filter(_._1 == 2L) === Array((2L, 0L, "a b", 2L)))
+  }
+
+  test("vocabCoverage: rank order, crossing rank included, nothing after") {
+    import spark.implicits._
+    // tf: x×6, y×3, z×1 → total 10; cum_ppm: 600000, 900000, 1000000
+    // cutoff 900000: x (prev 0), y (prev 600000) kept; z (prev 900000) out
+    val df = Seq((1L, "x x x y y z"), (2L, "x x x y")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(df, "text", 900000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out === Array((1L, "x", 6L, 600000L), (2L, "y", 3L, 900000L)))
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
