@@ -246,4 +246,34 @@ object Sampling {
         Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Reciprocal-rank fusion — combine several quality signals WITHOUT
+    * calibrating their scales (the standard move when a classifier
+    * score, a perplexity and a length heuristic disagree about units):
+    * rank the corpus by each signal independently (higher = better,
+    * ties → lowest id), give every row `1e6 DIV (k + rank)` points per
+    * signal, keep the `topN` by total points (ties → lowest id).
+    * Integer arithmetic end to end, so the fusion is engine-exact —
+    * unlike any weighted-sum-of-floats blend.
+    *
+    * Shape: one rank window per signal — all unpartitioned over the
+    * corpus. This is the operator's honest cost at full-corpus scope;
+    * at 100 TB you run it per shard/stratum (pass a pre-filtered df)
+    * or on the survivor set of a cheaper gate, exactly like
+    * [[Profiling.quantiles]]' skew note. The final top-N is a
+    * TakeOrdered, never a global sort. */
+  def rrfFusion(df: DataFrame, idCol: String, scores: Seq[Column],
+      k: Int = 60, topN: Int = 100): DataFrame = {
+    require(scores.nonEmpty, "need at least one score signal")
+    val ranked = scores.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
+      acc.withColumn(s"rank_$i", row_number().over(
+        Window.orderBy(s.desc, col(idCol).asc)).cast("long"))
+    }
+    val points = scores.indices
+      .map(i => expr(s"1000000 DIV ($k + rank_$i)"))
+      .reduce(_ + _)
+    ranked.withColumn("rrf", points)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

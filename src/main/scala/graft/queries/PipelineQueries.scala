@@ -912,6 +912,22 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // reciprocal-rank fusion of two uncalibrated quality signals
+  // (heuristic quality score + unigram fluency) — integer RRF points,
+  // engine-exact where any float blend would not be
+  private def p105(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = TextOps.withStats(docs, "text")
+      .select(col("doc_id"), col("quality_ppm"))
+    val sur = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_surprisal_ppm"))
+    Sampling.rrfFusion(stats.join(sur, Seq("doc_id")), "doc_id",
+        Seq(col("quality_ppm"), -col("mean_surprisal_ppm")),
+        k = 60, topN = 50)
+      .select(col("doc_id"), col("rank_0"), col("rank_1"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   // RAG sliding-window chunk export: 32-token chunks, stride 16 —
   // every token covered by 2 chunks, scan-speed projection
   private def p103(s: SparkSession, d: String): DataFrame =
@@ -1865,7 +1881,8 @@ object PipelineQueries {
     "p101_stream_neardup" -> (p101 _),
     "p102_bigram_surprisal" -> (p102 _),
     "p103_rag_chunks" -> (p103 _),
-    "p104_vocab_coverage" -> (p104 _))
+    "p104_vocab_coverage" -> (p104 _),
+    "p105_rank_fusion" -> (p105 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3365,6 +3382,39 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p105_rank_fusion" ->
+      s"""WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, ' +')
+                        AS toks FROM documents),
+          s0 AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+                        len(toks) AS n_tokens FROM t0),
+          q AS (SELECT doc_id,
+                 CAST(floor(((LEAST(n_tokens, 200)::DOUBLE / 200.0) * 0.5 +
+                   (len(list_intersect(dt, ${stopList(langs.head._2)}))::DOUBLE
+                    / len(dt)::DOUBLE) * 0.5) * 1000000.0) AS BIGINT)
+                   AS quality_ppm
+                FROM s0),
+          tt AS (SELECT doc_id, unnest(toks) AS token FROM t0),
+          f AS (SELECT token, COUNT(*) AS tf FROM tt GROUP BY 1),
+          n AS (SELECT COUNT(*) AS total FROM tt),
+          sb AS (SELECT tt.doc_id,
+                  length(bin((SELECT total FROM n))) -
+                  length(bin(f.tf)) AS bits
+                 FROM tt JOIN f USING (token)),
+          sur AS (SELECT doc_id,
+                   CAST((SUM(bits) * 1000000) // COUNT(*) AS BIGINT)
+                     AS mean_surprisal_ppm
+                  FROM sb GROUP BY doc_id),
+          r AS (SELECT q.doc_id,
+                 ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, q.doc_id)
+                   AS rank_0,
+                 ROW_NUMBER() OVER (ORDER BY mean_surprisal_ppm ASC,
+                   q.doc_id) AS rank_1
+                FROM q JOIN sur ON q.doc_id = sur.doc_id)
+          SELECT doc_id, CAST(rank_0 AS BIGINT) AS rank_0,
+                 CAST(rank_1 AS BIGINT) AS rank_1,
+                 CAST(1000000 // (60 + rank_0)
+                    + 1000000 // (60 + rank_1) AS BIGINT) AS rrf
+          FROM r ORDER BY rrf DESC, doc_id LIMIT 50""",
     "p103_rag_chunks" ->
       s"""WITH $toksCte,
           c AS (SELECT doc_id, toks, len(toks) AS n,

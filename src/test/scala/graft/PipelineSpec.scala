@@ -1319,6 +1319,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Array((1L, "x", 6L, 600000L), (2L, "y", 3L, 900000L)))
   }
 
+  test("rrfFusion: integer points per rank, ties broken by id, topN cut") {
+    import spark.implicits._
+    // k=0: rank r is worth 1e6 DIV r points. doc1 (A-best, B-worst) and
+    // doc3 (B-best, A-worst) tie at 1333333; doc2 (middle on both) gets
+    // 1000000 — tie resolves to the lower id first
+    val df = Seq((1L, 10L, 1L), (2L, 5L, 5L), (3L, 1L, 10L))
+      .toDF("doc_id", "a", "b")
+    val out = Sampling.rrfFusion(df, "doc_id",
+        Seq(col("a"), col("b")), k = 0, topN = 2)
+      .select("doc_id", "rrf")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 1333333L), (3L, 1333333L)))
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
