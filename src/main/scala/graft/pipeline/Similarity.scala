@@ -405,6 +405,63 @@ object Similarity {
       .filter(col("cos_ppm") >= thresholdPpm)
   }
 
+  /** Maximal-marginal-relevance selection — the diversity-aware
+    * retrieval/curation pick (Carbonell & Goldstein 1998): greedily
+    * choose k vectors maximizing `λ·relevance − (1−λ)·max-similarity to
+    * the already-chosen`, in the integer squared-L2 form
+    * `argmax (1e6−λppm)·min_s d2(c,s) − λppm·d2(c,q)` — close to the
+    * query BUT far from each other, which is what a representative
+    * context window or a diverse fine-tuning subset needs (plain top-k
+    * returns k near-duplicates when the corpus has them).
+    *
+    * Deterministic: e4 fixed point, native codegen'd integer Dist2,
+    * ties → lowest id. Driver-iterative like [[kmeansCentroidsInt]] —
+    * k corpus scans, each a zero-exchange projection against ≤ k
+    * driver-resident selected vectors (bounded state, the standard MMR
+    * shape) followed by a one-row max aggregate; nothing corpus-sized
+    * ever reaches the driver. */
+  def mmrSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && lambdaPpm >= 0 && lambdaPpm <= 1000000L)
+    NativeFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 10000).cast("long")).as("qv"))
+      .localCheckpoint() // scanned once per pick — pin it
+    val qVec = q.filter(col("id") === queryId).select(col("qv"))
+      .collect() match {
+        case Array(r) => r.getSeq[Long](0).toSeq
+        case _ => throw new IllegalArgumentException(s"no vector $queryId")
+      }
+    val withDq = q.filter(col("id") =!= queryId)
+      .withColumn("dq", dist2Int(col("qv"), qVec))
+    var selected = Vector.empty[(Long, Seq[Long], Long, Long)]
+    for (t <- 1 to k) {
+      val remaining = withDq.filter(
+        !col("id").isInCollection(selected.map(_._1) :+ -1L))
+      val minSel =
+        if (selected.isEmpty) lit(0L)
+        else array_min(array(selected.map { case (_, sv, _, _) =>
+          dist2Int(col("qv"), sv) }: _*))
+      val scored = remaining.withColumn("score",
+        minSel * lit(1000000L - lambdaPpm) - col("dq") * lit(lambdaPpm))
+      // one-pass argmax: ties resolve to the LOWEST id via -id in the
+      // struct ordering (no global sort, no TakeOrdered needed)
+      val best = scored
+        .agg(max(struct(col("score"), (-col("id")).as("nid"))).as("b"))
+        .select(col("b.score"), (-col("b.nid")).as("id"))
+        .collect()(0)
+      val bestId = best.getLong(1)
+      val bestVec = q.filter(col("id") === bestId)
+        .collect()(0).getSeq[Long](1).toSeq
+      selected :+= ((bestId, bestVec, t.toLong, best.getLong(0)))
+    }
+    selected.map { case (id, _, ord, score) => (ord, id, score) }
+      .toDF("pick", idCol, "score")
+  }
+
   /** Embedding-space drift between corpus slices: the e4-integer
     * centroid of every `labelCol` slice (same fixed-point + integer-DIV
     * mean as [[kmeansCentroidsInt]] — deterministic in any execution

@@ -912,6 +912,13 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // MMR diverse top-k: close to the query, far from each other —
+  // integer squared-L2 form, driver-iterative with bounded state
+  private def p106(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 5, lambdaPpm = 700000L)
+      .orderBy(col("pick"))
+
   // reciprocal-rank fusion of two uncalibrated quality signals
   // (heuristic quality score + unigram fluency) — integer RRF points,
   // engine-exact where any float blend would not be
@@ -1882,7 +1889,8 @@ object PipelineQueries {
     "p102_bigram_surprisal" -> (p102 _),
     "p103_rag_chunks" -> (p103 _),
     "p104_vocab_coverage" -> (p104 _),
-    "p105_rank_fusion" -> (p105 _))
+    "p105_rank_fusion" -> (p105 _),
+    "p106_mmr_select" -> (p106 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3381,6 +3389,55 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p106_mmr_select" -> {
+      // replay the k greedy picks as unrolled CTE stages: stage t
+      // scores every remaining candidate by (1−λ)·min-dist-to-selected
+      // − λ·dist-to-query and takes the rank-1 row (ties → lowest id)
+      val lam = 700000L; val inv = 300000L; val k = 5
+      val stages = new StringBuilder
+      for (t <- 1 to k) {
+        val excl = (1 until t).map(i => s"SELECT id FROM s$i")
+          .mkString(" UNION ALL ")
+        val minD = if (t == 1) "CAST(0 AS BIGINT)"
+          else (1 until t).map(i => s"d$i.d").mkString("LEAST(", ", ", ")")
+        val joins = (1 until t).map(i => s" JOIN d$i ON dq.id = d$i.id")
+          .mkString
+        val notIn = if (t == 1) "" else s" WHERE dq.id NOT IN ($excl)"
+        stages ++= s""",
+          p$t AS (SELECT dq.id, $minD * $inv - dq.dq * $lam AS score
+                  FROM dq$joins$notIn),
+          s$t AS (SELECT id, score FROM (
+                    SELECT id, score, ROW_NUMBER() OVER
+                      (ORDER BY score DESC, id) AS rn FROM p$t)
+                  WHERE rn = 1)"""
+        if (t < k) stages ++= s""",
+          d$t AS (SELECT qe.id,
+                   CAST(SUM((qe.val - se.val) * (qe.val - se.val))
+                     AS BIGINT) AS d
+                  FROM qe JOIN (SELECT pos, val FROM qe
+                                WHERE id = (SELECT id FROM s$t)) se
+                    USING (pos)
+                  WHERE qe.id != 0 GROUP BY qe.id)"""
+      }
+      val picks = (1 to k).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS pick, id AS vec_id, " +
+        s"CAST(score AS BIGINT) AS score FROM s$t")
+        .mkString(" UNION ALL ")
+      s"""WITH qx AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+                   AS qv
+               FROM embeddings),
+          qe AS (SELECT id, i AS pos, qv[i + 1] AS val
+                 FROM qx, range(0, 64) AS t(i)),
+          qv0 AS (SELECT pos, val FROM qe WHERE id = 0),
+          dq AS (SELECT qe.id,
+                  CAST(SUM((qe.val - qv0.val) * (qe.val - qv0.val))
+                    AS BIGINT) AS dq
+                 FROM qe JOIN qv0 USING (pos)
+                 WHERE qe.id != 0 GROUP BY qe.id)$stages
+          SELECT * FROM ($picks) ORDER BY pick"""
     },
     "p105_rank_fusion" ->
       s"""WITH t0 AS (SELECT doc_id, regexp_split_to_array(text, ' +')

@@ -1333,6 +1333,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSet === Set((1L, 1333333L), (3L, 1333333L)))
   }
 
+  test("mmrSelect: diversifies where plain top-k returns near-dups") {
+    import spark.implicits._
+    // q at the origin; a1/a2 nearly identical and closest; b farther
+    // from q but far from a1. Distance top-2 = {a1, a2}; MMR λ=0.7
+    // must pick a1 then b (a2's min-dist-to-selected is ~0)
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(0.1f, 0.0f)),
+      (2L, Array(0.1f, 0.0002f)),
+      (3L, Array(0.0f, 0.15f))
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(df, "vec_id", "embedding",
+        queryId = 0L, k = 2, lambdaPpm = 700000L)
+      .orderBy("pick").collect().map(_.getLong(1))
+    assert(picks === Array(1L, 3L), s"got ${picks.toSeq}")
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
