@@ -912,6 +912,12 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // ANALYZE-style column profile of the widest relational table —
+  // rows/nulls/exact-distinct per column in one aggregate pass
+  private def p107(s: SparkSession, d: String): DataFrame =
+    Profiling.columnProfile(Tables.lineitem(s, d))
+      .orderBy(col("column"))
+
   // MMR diverse top-k: close to the query, far from each other —
   // integer squared-L2 form, driver-iterative with bounded state
   private def p106(s: SparkSession, d: String): DataFrame =
@@ -1890,7 +1896,8 @@ object PipelineQueries {
     "p103_rag_chunks" -> (p103 _),
     "p104_vocab_coverage" -> (p104 _),
     "p105_rank_fusion" -> (p105 _),
-    "p106_mmr_select" -> (p106 _))
+    "p106_mmr_select" -> (p106 _),
+    "p107_column_profile" -> (p107 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3389,6 +3396,18 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p107_column_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+            CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+            FROM lineitem""")
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY \"column\"")
     },
     "p106_mmr_select" -> {
       // replay the k greedy picks as unrolled CTE stages: stage t

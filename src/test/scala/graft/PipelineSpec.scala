@@ -1333,6 +1333,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSet === Set((1L, 1333333L), (3L, 1333333L)))
   }
 
+  test("columnProfile: nulls counted, exact distincts, one row per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x"), Some(1.0)),
+      (2L, None, Some(1.0)),
+      (3L, Some("x"), None),
+      (4L, Some("y"), Some(2.0))
+    ).toDF("id", "s", "v")
+    val out = Profiling.columnProfile(df).orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out === Array(
+      ("id", 4L, 0L, 4L),
+      ("s", 4L, 1L, 2L),
+      ("v", 4L, 1L, 2L)))
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
