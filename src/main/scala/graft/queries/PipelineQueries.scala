@@ -912,6 +912,26 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // ROLLUP corpus report: (source, lang) → source subtotals → grand
+  // total in one grouping-sets pass — the hierarchy report Spark's
+  // rollup plans as a single Expand+aggregate, no self-unions
+  private def p108(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
+  // PIVOT lang-mix matrix: one row per source, one count column per
+  // language — Spark's pivot over the known lang set (explicit value
+  // list keeps the plan a single aggregate, no value-discovery scan)
+  private def p109(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+
   // ANALYZE-style column profile of the widest relational table —
   // rows/nulls/exact-distinct per column in one aggregate pass
   private def p107(s: SparkSession, d: String): DataFrame =
@@ -1897,7 +1917,9 @@ object PipelineQueries {
     "p104_vocab_coverage" -> (p104 _),
     "p105_rank_fusion" -> (p105 _),
     "p106_mmr_select" -> (p106 _),
-    "p107_column_profile" -> (p107 _))
+    "p107_column_profile" -> (p107 _),
+    "p108_rollup_report" -> (p108 _),
+    "p109_lang_pivot" -> (p109 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3397,6 +3419,19 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p108_rollup_report" ->
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ROLLUP (source, lang)
+         ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""",
+    "p109_lang_pivot" ->
+      """SELECT source,
+                CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de,
+                CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en,
+                CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es,
+                CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+                CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+         FROM documents GROUP BY source ORDER BY source""",
     "p107_column_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
