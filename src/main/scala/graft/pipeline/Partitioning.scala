@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Input-spreading policy for the fan-out stages (shingle/window/pair
   * explodes). A single-file parquet source arrives as ONE partition, so
@@ -63,6 +63,28 @@ object Partitioning {
         (sum(Hashing.h60(col(textCol))
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           % lit(1000000000000000L)).cast("long").as("checksum"))
+  }
+
+  /** Z-order (Morton) interleave of two non-negative integer keys —
+    * the multi-dimensional layout key: sorting/sharding by the z-value
+    * keeps rows close in BOTH dimensions physically close, so parquet
+    * min/max stats prune scans filtered on EITHER key (the data-
+    * skipping layout Delta/Iceberg OPTIMIZE ZORDER applies; here as a
+    * plain deterministic column). `bits` per dimension (≤ 31 so the
+    * interleaved value fits a positive long); pure bit arithmetic —
+    * shifts, masks, a fold over bit positions — identical in both
+    * engines, zero shuffle. */
+  def zorder2(a: Column, b: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, "1 <= bits <= 31")
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, i) => acc
+        + call_function("shiftleft",
+            call_function("shiftright", a, i).bitwiseAND(lit(1L)),
+            (i * 2).cast("int"))
+        + call_function("shiftleft",
+            call_function("shiftright", b, i).bitwiseAND(lit(1L)),
+            (i * 2 + 1).cast("int")))
   }
 
   /** Power-of-two length-bucket padding audit — the batching-efficiency

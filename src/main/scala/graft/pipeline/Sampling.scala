@@ -247,6 +247,26 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Per-group percentile-rank normalization: map a raw score to its
+    * within-group percentile in floor-ppm (`(rank−1)·1e6 DIV (n−1)`,
+    * singleton groups → 0) — what makes a quality score COMPARABLE
+    * across sources whose raw scales differ (one crawl's median is
+    * another's p95), the step before any cross-source threshold or
+    * mix. Rank window + count window share the group exchange; ties →
+    * lowest id, integer-exact in both engines. */
+  def percentileNorm(df: DataFrame, groupCol: String, idCol: String,
+      score: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(score.asc, col(idCol).asc)
+    df.withColumn("score_rank", row_number().over(w).cast("long"))
+      .withColumn("grp_n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("pctile_ppm",
+        expr("CASE WHEN grp_n <= 1 THEN 0 " +
+          "ELSE (score_rank - 1) * 1000000 DIV (grp_n - 1) END"))
+      .drop("grp_n")
+  }
+
   /** Reciprocal-rank fusion — combine several quality signals WITHOUT
     * calibrating their scales (the standard move when a classifier
     * score, a perplexity and a length heuristic disagree about units):

@@ -912,6 +912,31 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // per-source percentile normalization: raw length scores mapped to
+  // within-source percentile ppm — cross-source comparable thresholds
+  private def p110(s: SparkSession, d: String): DataFrame =
+    Sampling.percentileNorm(Tables.documents(s, d), "source", "doc_id",
+        col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("score_rank"), col("pctile_ppm"))
+      .orderBy(col("doc_id"))
+
+  // z-order layout audit: Morton-interleave two uncorrelated keys,
+  // shard by the top z bits, report per-shard key ranges — every
+  // shard's min/max box is tight in BOTH dimensions, which is what
+  // lets parquet stats prune scans filtered on either key
+  private def p111(s: SparkSession, d: String): DataFrame = {
+    val k = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 1024).as("a"), (col("l_suppkey") % 1024).as("b"))
+    k.withColumn("zv", Partitioning.zorder2(col("a"), col("b"), bits = 10))
+      .withColumn("shard", shiftright(col("zv"), 14))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .orderBy(col("shard"))
+  }
+
   // ROLLUP corpus report: (source, lang) → source subtotals → grand
   // total in one grouping-sets pass — the hierarchy report Spark's
   // rollup plans as a single Expand+aggregate, no self-unions
@@ -1919,7 +1944,9 @@ object PipelineQueries {
     "p106_mmr_select" -> (p106 _),
     "p107_column_profile" -> (p107 _),
     "p108_rollup_report" -> (p108 _),
-    "p109_lang_pivot" -> (p109 _))
+    "p109_lang_pivot" -> (p109 _),
+    "p110_percentile_norm" -> (p110 _),
+    "p111_zorder_layout" -> (p111 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3419,6 +3446,32 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p110_percentile_norm" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS score_rank,
+                 COUNT(*) OVER (PARTITION BY source) AS grp_n
+               FROM documents)
+         SELECT doc_id, source, n_chars, score_rank,
+                CAST(CASE WHEN grp_n <= 1 THEN 0
+                     ELSE (score_rank - 1) * 1000000 // (grp_n - 1) END
+                  AS BIGINT) AS pctile_ppm
+         FROM r ORDER BY doc_id""",
+    "p111_zorder_layout" ->
+      """WITH k AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b
+                    FROM lineitem),
+          z AS (SELECT a, b,
+                 CAST(list_aggregate(list_transform(range(0, 10),
+                   i -> (((a >> i) & 1) << (2 * i))
+                      + (((b >> i) & 1) << (2 * i + 1))), 'sum')
+                   AS BIGINT) AS zv
+                FROM k)
+          SELECT zv >> 14 AS shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(MIN(a) AS BIGINT) AS min_a,
+                 CAST(MAX(a) AS BIGINT) AS max_a,
+                 CAST(MIN(b) AS BIGINT) AS min_b,
+                 CAST(MAX(b) AS BIGINT) AS max_b
+          FROM z GROUP BY shard ORDER BY shard""",
     "p108_rollup_report" ->
       """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars

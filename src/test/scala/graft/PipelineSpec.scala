@@ -1350,6 +1350,27 @@ class PipelineSpec extends AnyFunSuite {
       ("v", 4L, 1L, 2L)))
   }
 
+  test("zorder2: exact Morton interleave, locality boxes shrink with " +
+      "shared prefixes") {
+    import spark.implicits._
+    // a=3 (11₂), b=1 (01₂), bits=2 → z = a₀·1 + b₀·2 + a₁·4 + b₁·0 = 7
+    val df = Seq((3L, 1L), (0L, 0L), (1L, 1L)).toDF("a", "b")
+    val z = df.select(Partitioning.zorder2(col("a"), col("b"), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z === Array(7L, 0L, 3L))
+  }
+
+  test("percentileNorm: rank-ppm within group, singleton at zero") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 30L), ("g", 3L, 20L),
+      ("solo", 4L, 99L)).toDF("grp", "id", "v")
+    val out = Sampling.percentileNorm(df, "grp", "id", col("v"))
+      .select("id", "pctile_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 3L -> 500000L, 2L -> 1000000L,
+      4L -> 0L))
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
