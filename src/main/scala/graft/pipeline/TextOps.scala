@@ -240,6 +240,55 @@ object TextOps {
         expr("sum_bits * 1000000L DIV n_bigrams"))
   }
 
+  /** Longest intra-document repeated token run — the degenerate-
+    * generation detector ([[withRepetition]]'s n-gram ratio says HOW
+    * MUCH repeats; this says HOW LONG the longest verbatim self-repeat
+    * is, the signal that catches looping generations and template
+    * stuffing): k-token window hashes self-joined WITHIN each doc
+    * (pa < pb), runs collapsed on the (diag = pb−pa) islands exactly
+    * like the cross-doc [[graft.pipeline.Dedup.substringPairs]], max
+    * run + k − 1 tokens. Docs with no repeated window report 0.
+    *
+    * Cost note: a window repeated m times in one doc fans out m²/2
+    * pairs — bounded by the DOCUMENT length, never the corpus (the
+    * self-join key is (doc, hash)), so the 100 TB shape is safe
+    * without a df-cap; a single pathological doc is the failure mode,
+    * and a length gate upstream (p26) is the guard. */
+  def longestSelfRepeat(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val wins = Partitioning.spread(docs)
+      .select(col(idCol),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos"), Hashing.h60(col("col")).as("h"))
+      .localCheckpoint() // both sides of the within-doc self-join
+    val a = wins.select(col(idCol), col("pos").as("pa"), col("h"))
+    val b = wins.select(col(idCol), col("pos").as("pb"), col("h"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("diag"), col("pa"))
+    val prevDiag = lag(col("diag"), 1).over(w)
+    val prevPa = lag(col("pa"), 1).over(w)
+    val isNew = when(prevDiag.isNull || prevDiag =!= col("diag") ||
+      prevPa =!= col("pa") - 1, 1L).otherwise(0L)
+    val runs = a.join(b, Seq(idCol, "h")).filter(col("pa") < col("pb"))
+      .withColumn("diag", col("pb") - col("pa"))
+      .withColumn("island", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run_win"))
+      .groupBy(col(idCol))
+      .agg((max(col("run_win")) + lit(k - 1).cast("long"))
+        .as("longest_repeat"),
+        sum(col("run_win")).as("n_repeat_windows"))
+    docs.select(col(idCol)).join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("longest_repeat"), lit(0L)).as("longest_repeat"),
+        coalesce(col("n_repeat_windows"), lit(0L)).as("n_repeat_windows"))
+  }
+
   /** Sliding-window chunking — the RAG-export primitive: fixed
     * `window`-token chunks at `stride`-token steps, the last chunk
     * truncated at the document end, short docs yielding one chunk.

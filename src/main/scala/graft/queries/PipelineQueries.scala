@@ -912,6 +912,13 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // longest intra-doc verbatim repeat (looping-generation detector):
+  // within-doc window self-join, diagonal islands, max run + k − 1
+  private def p112(s: SparkSession, d: String): DataFrame =
+    TextOps.longestSelfRepeat(Tables.documents(s, d), "doc_id", "text",
+        k = 5)
+      .orderBy(col("doc_id"))
+
   // per-source percentile normalization: raw length scores mapped to
   // within-source percentile ppm — cross-source comparable thresholds
   private def p110(s: SparkSession, d: String): DataFrame =
@@ -1946,7 +1953,8 @@ object PipelineQueries {
     "p108_rollup_report" -> (p108 _),
     "p109_lang_pivot" -> (p109 _),
     "p110_percentile_norm" -> (p110 _),
-    "p111_zorder_layout" -> (p111 _))
+    "p111_zorder_layout" -> (p111 _),
+    "p112_self_repeat" -> (p112 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3446,6 +3454,34 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p112_self_repeat" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +')
+                       AS toks FROM documents),
+          g0 AS (SELECT doc_id,
+                  list_transform(range(0, GREATEST(len(toks) - 4, 0)),
+                    i -> array_to_string(toks[i+1:i+5], ' ')) AS wins
+                 FROM t),
+          w AS (SELECT doc_id, generate_subscripts(wins, 1) - 1 AS pos,
+                       ${h60Sql("unnest(wins)")} AS h
+                FROM g0),
+          m AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+                FROM w a JOIN w b
+                  ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+          isl AS (SELECT doc_id, pb - pa AS diag, pa,
+                   pa - ROW_NUMBER() OVER (PARTITION BY doc_id, pb - pa
+                     ORDER BY pa) AS island
+                  FROM m),
+          runs AS (SELECT doc_id, COUNT(*) AS nwin
+                   FROM isl GROUP BY doc_id, diag, island),
+          agg AS (SELECT doc_id,
+                   CAST(MAX(nwin) + 4 AS BIGINT) AS longest_repeat,
+                   CAST(SUM(nwin) AS BIGINT) AS n_repeat_windows
+                  FROM runs GROUP BY doc_id)
+          SELECT d.doc_id,
+                 COALESCE(agg.longest_repeat, 0) AS longest_repeat,
+                 COALESCE(agg.n_repeat_windows, 0) AS n_repeat_windows
+          FROM documents d LEFT JOIN agg USING (doc_id)
+          ORDER BY d.doc_id""",
     "p110_percentile_norm" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
                  CAST(ROW_NUMBER() OVER (PARTITION BY source

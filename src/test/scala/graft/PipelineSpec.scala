@@ -1371,6 +1371,20 @@ class PipelineSpec extends AnyFunSuite {
       4L -> 0L))
   }
 
+  test("longestSelfRepeat: diagonal islands find the true longest loop, " +
+      "clean docs report zero") {
+    import spark.implicits._
+    // "a b c" looped 3×: the longest verbatim self-repeat is the
+    // 6-token overlap at offset 3 (diag-3 island of five 2-windows
+    // → 5 + k − 1 = 6); diag-6 contributes 2 more repeated windows
+    val df = Seq((1L, "a b c a b c a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.longestSelfRepeat(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out === Array((1L, 6L, 7L), (2L, 0L, 0L)))
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
