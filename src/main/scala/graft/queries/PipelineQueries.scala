@@ -912,6 +912,17 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // prefix-filtering set-similarity join: EXACT Jaccard pairs with
+  // only df-ordered prefixes indexed — lossless, so the oracle is the
+  // brute-force all-pairs SQL itself (equality IS the correctness of
+  // the prefix lemma as implemented)
+  private def p113(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixFilterPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+
   // longest intra-doc verbatim repeat (looping-generation detector):
   // within-doc window self-join, diagonal islands, max run + k − 1
   private def p112(s: SparkSession, d: String): DataFrame =
@@ -1954,7 +1965,8 @@ object PipelineQueries {
     "p109_lang_pivot" -> (p109 _),
     "p110_percentile_norm" -> (p110 _),
     "p111_zorder_layout" -> (p111 _),
-    "p112_self_repeat" -> (p112 _))
+    "p112_self_repeat" -> (p112 _),
+    "p113_prefix_filter" -> (p113 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3454,6 +3466,23 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p113_prefix_filter" ->
+      s"""WITH $shinglesCte,
+          eh AS (SELECT doc_id, nsh, ${h60Sql("shingle")} AS sh_h FROM e),
+          p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.nsh AS na2,
+                       b.nsh AS nb2, COUNT(*) AS inter2
+                FROM eh a JOIN eh b
+                  ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+          SELECT i, j, CAST(na2 AS BIGINT) AS na, CAST(nb2 AS BIGINT) AS nb,
+                 CAST(inter2 AS BIGINT) AS inter,
+                 CAST(na2 + nb2 - inter2 AS BIGINT) AS uni,
+                 CAST(floor((inter2::DOUBLE / (na2 + nb2 - inter2)::DOUBLE)
+                   * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM p
+          WHERE floor((inter2::DOUBLE / (na2 + nb2 - inter2)::DOUBLE)
+                * 1000000.0) >= 800000
+          ORDER BY i, j""",
     "p112_self_repeat" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' +')
                        AS toks FROM documents),

@@ -1385,6 +1385,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Array((1L, 6L, 7L), (2L, 0L, 0L)))
   }
 
+  test("prefixFilterPairs: lossless — identical pair set to the exact " +
+      "inverted-index join, from prefixes only") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === exact, "the prefix lemma must lose nothing")
+    assert(exact.nonEmpty, "fixture must exercise the join")
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
