@@ -247,6 +247,26 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each row goes
+    * to the shard whose seeded hash of the row's id is largest. The
+    * property that matters operationally — and that a plain
+    * `hash(id) mod n` does NOT have — is MINIMAL MOVEMENT: growing the
+    * fleet from n to n+1 shards reassigns only the ~1/(n+1) of rows
+    * whose new shard's hash wins, everything else stays put (the spec
+    * pins this). That is what lets a standing export/cache layer scale
+    * out without a full reshuffle of 100 TB. Pure projection — the
+    * argmax folds over a literal shard list, zero shuffle, and ties
+    * break to the lowest shard id. */
+  def rendezvousShard(df: DataFrame, idCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1)
+    // array of per-shard hashes; argmax via max(struct(hash, -shard))
+    val hs = array((0 until shards).map(s =>
+      struct(Hashing.h60(s, col(idCol).cast("string")).as("h"),
+        lit(-s).as("ns"))): _*)
+    df.withColumn("shard", (-array_max(hs).getField("ns")).cast("long"))
+  }
+
   /** Per-group percentile-rank normalization: map a raw score to its
     * within-group percentile in floor-ppm (`(rank−1)·1e6 DIV (n−1)`,
     * singleton groups → 0) — what makes a quality score COMPARABLE

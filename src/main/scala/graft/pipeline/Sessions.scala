@@ -88,4 +88,33 @@ object Sessions {
             unix_micros(last) - unix_micros(col("__s0")), lit(1000000L)),
           lit(-1L))).as("span_sec"))
   }
+
+  /** Merge overlapping/touching intervals per key into disjoint spans —
+    * the temporal-coverage primitive ([[sessionize]] merges POINTS by
+    * gap; this merges INTERVALS by overlap: activity windows, lease
+    * spans, validity ranges). Island detection: an interval starts a
+    * new merged span iff its start exceeds the running max end of all
+    * PRECEDING intervals (the rows-between(-∞, −1) frame — the current
+    * row must not see itself). One window + one aggregate, both keyed
+    * on `keyCol` — a single exchange; all integer microsecond math.
+    * `startCol`/`endCol` are epoch-micros longs; half-open or closed
+    * semantics are the caller's via `touchGapMicros` (0 = merge only
+    * true overlaps/touching). */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieBreak: Seq[Column] = Seq.empty,
+      touchGapMicros: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol).asc +: col(endCol).asc +:
+        tieBreak.map(_.asc): _*)
+    val prevMaxEnd = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMaxEnd.isNull ||
+      col(startCol) > prevMaxEnd + touchGapMicros, 1L).otherwise(0L)
+    df.withColumn("span_seq", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("span_seq"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

@@ -912,6 +912,28 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // rendezvous-hash shard assignment: highest-random-weight argmax
+  // over the shard fleet — scale-out moves only ~1/(n+1) of rows
+  private def p114(s: SparkSession, d: String): DataFrame =
+    Sampling.rendezvousShard(Tables.documents(s, d), "doc_id", 16)
+      .select(col("doc_id"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  // merge overlapping activity intervals per user into disjoint spans
+  // — the temporal-coverage primitive (value cents → duration µs)
+  private def p115(s: SparkSession, d: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val iv = Tables.events(s, d).select(
+      (col("user_id") % 50).as("ukey"),
+      unix_micros(col("ts")).as("ivs"),
+      (unix_micros(col("ts")) +
+        (col("value").cast(D) * 100).cast("long") * 10000L).as("ive"),
+      col("event_id"))
+    Sessions.mergeIntervals(iv, "ukey", "ivs", "ive",
+        tieBreak = Seq(col("event_id")))
+      .orderBy(col("ukey"), col("span_seq"))
+  }
+
   // prefix-filtering set-similarity join: EXACT Jaccard pairs with
   // only df-ordered prefixes indexed — lossless, so the oracle is the
   // brute-force all-pairs SQL itself (equality IS the correctness of
@@ -1966,7 +1988,9 @@ object PipelineQueries {
     "p110_percentile_norm" -> (p110 _),
     "p111_zorder_layout" -> (p111 _),
     "p112_self_repeat" -> (p112 _),
-    "p113_prefix_filter" -> (p113 _))
+    "p113_prefix_filter" -> (p113 _),
+    "p114_rendezvous_shard" -> (p114 _),
+    "p115_interval_merge" -> (p115 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3466,6 +3490,42 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p114_rendezvous_shard" -> {
+      val h = "('0x'||substr(md5(s::VARCHAR || ':' || " +
+        "doc_id::VARCHAR), 1, 15))::BIGINT"
+      s"""WITH l AS (SELECT doc_id,
+                 list_transform(range(0, 16), s -> $h) AS hs
+               FROM documents)
+          SELECT doc_id,
+                 CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT)
+                   AS shard
+          FROM l ORDER BY doc_id"""
+    },
+    "p115_interval_merge" ->
+      """WITH iv AS (SELECT user_id % 50 AS ukey, epoch_us(ts) AS ivs,
+                 epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT) * 10000 AS ive,
+                 event_id
+               FROM events),
+          w AS (SELECT ukey, ivs, ive, event_id,
+                 MAX(ive) OVER (PARTITION BY ukey
+                   ORDER BY ivs, ive, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+                FROM iv),
+          isl AS (SELECT ukey, ivs, ive,
+                   SUM(CASE WHEN pme IS NULL OR ivs > pme
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY ukey ORDER BY ivs, ive, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_seq
+                  FROM w)
+          SELECT ukey, CAST(span_seq AS BIGINT) AS span_seq,
+                 CAST(MIN(ivs) AS BIGINT) AS span_start,
+                 CAST(MAX(ive) AS BIGINT) AS span_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_intervals
+          FROM isl GROUP BY ukey, span_seq
+          ORDER BY ukey, span_seq""",
     "p113_prefix_filter" ->
       s"""WITH $shinglesCte,
           eh AS (SELECT doc_id, nsh, ${h60Sql("shingle")} AS sh_h FROM e),

@@ -1396,6 +1396,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture must exercise the join")
   }
 
+  test("rendezvousShard: scale-out moves only the new shard's share") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    def assign(n: Int) = Sampling.rendezvousShard(docs, "doc_id", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a8 = assign(8); val a9 = assign(9)
+    val moved = a8.count { case (id, s) => a9(id) != s }
+    // every moved row must have moved TO the new shard — that is the
+    // rendezvous guarantee a mod-n scheme breaks completely
+    assert(a8.keys.forall(id => a9(id) == a8(id) || a9(id) == 8L))
+    val frac = moved.toDouble / a8.size
+    assert(frac > 0 && frac < 0.25, s"moved $frac, expected ~1/9")
+  }
+
+  test("mergeIntervals: overlaps and touches merge, gaps split") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10L, 1L), (1L, 5L, 15L, 2L),
+      (1L, 20L, 30L, 3L), (1L, 30L, 40L, 4L), (2L, 0L, 1L, 5L))
+      .toDF("k", "ivs", "ive", "eid")
+    val out = Sessions.mergeIntervals(df, "k", "ivs", "ive",
+        tieBreak = Seq(col("eid")))
+      .orderBy("k", "span_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (1L, 1L, 0L, 15L, 2L),
+      (1L, 2L, 20L, 40L, 2L),
+      (2L, 1L, 0L, 1L, 1L)))
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
