@@ -912,6 +912,49 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // dedup-graph health report: cluster-size histogram over the
+  // resolved near-dup components — the observability row a dedup run
+  // publishes (how much of the corpus sits in how-big families)
+  private def p116(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+    Dedup.connectedComponents(pairs.select(col("i"), col("j")),
+        docs.select(col("doc_id")), "doc_id")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("docs_in_tier", expr("csize * n_clusters"))
+      .orderBy(col("csize"))
+  }
+
+  // equi-depth quartile bins per source (NTILE): each bucket holds the
+  // same row count and reports its value range — the histogram form
+  // that adapts to the distribution instead of fixing bin widths
+  private def p117(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc)).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy(col("source"), col("bucket"))
+
+  // activity retention cohorts: users grouped by first-seen day, the
+  // distinct-user count at each day offset — the classic engagement
+  // matrix, all date arithmetic in integer days
+  private def p118(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   // rendezvous-hash shard assignment: highest-random-weight argmax
   // over the shard fleet — scale-out moves only ~1/(n+1) of rows
   private def p114(s: SparkSession, d: String): DataFrame =
@@ -1990,7 +2033,10 @@ object PipelineQueries {
     "p112_self_repeat" -> (p112 _),
     "p113_prefix_filter" -> (p113 _),
     "p114_rendezvous_shard" -> (p114 _),
-    "p115_interval_merge" -> (p115 _))
+    "p115_interval_merge" -> (p115 _),
+    "p116_cluster_histogram" -> (p116 _),
+    "p117_equidepth_bins" -> (p117 _),
+    "p118_retention_cohorts" -> (p118 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3490,6 +3536,46 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p116_cluster_histogram" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j
+                    FROM cand JOIN shh sa ON sa.doc_id = i
+                              JOIN shh sb ON sb.doc_id = j
+                    WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                          * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+          lab AS (SELECT node, MIN(lbl) AS cluster
+                  FROM reach GROUP BY node),
+          cs AS (SELECT cluster, COUNT(*) AS csize FROM lab
+                 GROUP BY cluster)
+          SELECT CAST(csize AS BIGINT) AS csize,
+                 CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                 CAST(csize * COUNT(*) AS BIGINT) AS docs_in_tier
+          FROM cs GROUP BY csize ORDER BY csize""",
+    "p117_equidepth_bins" ->
+      """WITH r AS (SELECT source, n_chars,
+                 NTILE(4) OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS bucket
+               FROM documents)
+         SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(MIN(n_chars) AS BIGINT) AS lo,
+                CAST(MAX(n_chars) AS BIGINT) AS hi
+         FROM r GROUP BY source, bucket ORDER BY source, bucket""",
+    "p118_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          f AS (SELECT user_id, MIN(day) AS cohort FROM e
+                GROUP BY user_id)
+          SELECT cohort, CAST(e.day - f.cohort AS BIGINT) AS day_offset,
+                 CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+          FROM e JOIN f USING (user_id)
+          GROUP BY cohort, day_offset ORDER BY cohort, day_offset""",
     "p114_rendezvous_shard" -> {
       val h = "('0x'||substr(md5(s::VARCHAR || ':' || " +
         "doc_id::VARCHAR), 1, 15))::BIGINT"
