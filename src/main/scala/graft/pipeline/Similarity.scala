@@ -405,6 +405,33 @@ object Similarity {
       .filter(col("cos_ppm") >= thresholdPpm)
   }
 
+  /** Multi-probe LSH ANN (Lv et al. 2007): probe the query's bucket
+    * AND every single-bit-flip neighbor bucket — the planes+1 buckets
+    * a near-miss vector most likely fell into. The standard recall
+    * repair that does NOT grow the index (multi-TABLE LSH multiplies
+    * index size by `tables`; multi-probe multiplies only query-time
+    * bucket reads), which at a 100 TB index is the difference between
+    * a config change and a rebuild. In-plan probe predicate (bucket
+    * XOR against the broadcast query bucket) — no driver collect, and
+    * the bucket filter stays pushable ahead of the cosine. */
+  def lshTopKMultiProbe(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, k: Int, planes: Int,
+      dim: Int): DataFrame = {
+    NativeFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, planes))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    val probeHit = (0 until planes)
+      .map(p => col("bucket") === col("qbucket").bitwiseXOR(lit(1L << p)))
+      .foldLeft(col("bucket") === col("qbucket"))(_ || _)
+    e.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), probeHit)
+      .select(col(idCol), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Maximal-marginal-relevance selection — the diversity-aware
     * retrieval/curation pick (Carbonell & Goldstein 1998): greedily
     * choose k vectors maximizing `λ·relevance − (1−λ)·max-similarity to

@@ -912,6 +912,36 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // multi-probe LSH: query bucket + all 1-bit-flip neighbors — the
+  // recall repair that grows query-time reads, not the index
+  private def p120(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopKMultiProbe(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 5, planes = 6, dim = 64)
+      .select(col("vec_id"), TextOps.ppm(col("cos")).as("cos_ppm"))
+
+  // character-level verification of the LSH near-dup pairs: exact
+  // Levenshtein distance + similarity ppm — the token-order-sensitive
+  // second opinion (shingle Jaccard can't tell reordered copies apart;
+  // edit distance can), run on CANDIDATE PAIRS only, never all-pairs
+  private def p119(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("i"), col("j"))
+    val t = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    pairs
+      .join(t.select(col("doc_id").as("i"), col("text").as("ta"),
+        col("n_chars").as("la")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("text").as("tb"),
+        col("n_chars").as("lb")), Seq("j"))
+      .select(col("i"), col("j"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(col("la"), col("lb")).as("max_len"))
+      .withColumn("sim_ppm",
+        expr("(max_len - edit_dist) * 1000000 DIV max_len"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // dedup-graph health report: cluster-size histogram over the
   // resolved near-dup components — the observability row a dedup run
   // publishes (how much of the corpus sits in how-big families)
@@ -2036,7 +2066,9 @@ object PipelineQueries {
     "p115_interval_merge" -> (p115 _),
     "p116_cluster_histogram" -> (p116 _),
     "p117_equidepth_bins" -> (p117 _),
-    "p118_retention_cohorts" -> (p118 _))
+    "p118_retention_cohorts" -> (p118 _),
+    "p119_edit_distance" -> (p119 _),
+    "p120_multiprobe_lsh" -> (p120 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3536,6 +3568,50 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p120_multiprobe_lsh" -> {
+      val probes = (0 until 6)
+        .map(p => s"bk.bucket = xor(q.qbucket, ${1L << p})")
+        .mkString("bk.bucket = q.qbucket OR ", " OR ", "")
+      s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+          pr AS (SELECT vec_id, v, $lshProj FROM e),
+          bk AS (SELECT vec_id, v, CAST($lshBucket AS BIGINT) AS bucket
+                 FROM pr),
+          q AS (SELECT v AS qv, bucket AS qbucket FROM bk
+                WHERE vec_id = 0),
+          sc AS (SELECT bk.vec_id,
+                   list_aggregate(list_transform(range(0, 64),
+                     i -> bk.v[i+1] * q.qv[i+1]), 'sum') /
+                   (sqrt(list_aggregate(list_transform(bk.v,
+                      x -> x * x), 'sum')) *
+                    sqrt(list_aggregate(list_transform(q.qv,
+                      x -> x * x), 'sum'))) AS cos
+                 FROM bk, q
+                 WHERE bk.vec_id != 0 AND ($probes))
+          SELECT vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5"""
+    },
+    "p119_edit_distance" ->
+      s"""WITH $minhashCtes,
+          ver AS (SELECT i, j
+                  FROM cand JOIN shh sa ON sa.doc_id = i
+                            JOIN shh sb ON sb.doc_id = j
+                  WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                        * 1000000.0) >= 800000)
+          SELECT i, j,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT)
+                   AS edit_dist,
+                 CAST(GREATEST(da.n_chars, db.n_chars) AS BIGINT)
+                   AS max_len,
+                 CAST((GREATEST(da.n_chars, db.n_chars)
+                    - levenshtein(da.text, db.text)) * 1000000
+                   // GREATEST(da.n_chars, db.n_chars) AS BIGINT)
+                   AS sim_ppm
+          FROM ver JOIN documents da ON da.doc_id = i
+                   JOIN documents db ON db.doc_id = j
+          ORDER BY i, j""",
     "p116_cluster_histogram" ->
       s"""WITH RECURSIVE $minhashCtes,
           pairs AS (SELECT i, j

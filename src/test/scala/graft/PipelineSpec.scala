@@ -1425,6 +1425,22 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 1L, 0L, 1L, 1L)))
   }
 
+  test("multi-probe lsh: recall against brute force dominates the " +
+      "single-bucket probe") {
+    val emb = Tables.embeddings(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      0L, 5))
+    val single = ids(Similarity.lshTopK(emb, "vec_id", "embedding",
+      0L, 5, planes = 6, dim = 64))
+    val multi = ids(Similarity.lshTopKMultiProbe(emb, "vec_id",
+      "embedding", 0L, 5, planes = 6, dim = 64))
+    assert((multi & brute).size >= (single & brute).size,
+      s"multi-probe recall must dominate: multi=$multi single=$single " +
+      s"brute=$brute")
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
