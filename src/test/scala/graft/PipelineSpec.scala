@@ -1441,6 +1441,41 @@ class PipelineSpec extends AnyFunSuite {
       s"brute=$brute")
   }
 
+  test("madOutliers: only the contaminant is flagged — the median and " +
+      "MAD don't move with it") {
+    import spark.implicits._
+    val df = ((1L to 9L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("grp", "v", "id")
+    val out = Profiling.madOutliers(df, "grp", "v", "id", k = 3L)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"), r.getAs[Boolean]("is_outlier")))
+    assert(out.forall(t => t._2 == 5L && t._3 == 2L))
+    assert(out.filter(_._4).map(_._1).toSeq === Seq(1000L))
+  }
+
+  test("stratifiedSplit: per-stratum proportions exact to the row") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => ("a", i)).toDF("grp", "id")
+    val out = Sampling.stratifiedSplit(df, "grp", "id", 800000L, 100000L)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("train" -> 8L, "val" -> 1L, "test" -> 1L))
+  }
+
+  test("leakageSafeSplit: every near-dup family lands in ONE split") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+        800000L, 100000L)
+      .groupBy("cluster")
+      .agg(countDistinct(col("split")).as("nsplits"),
+        count(lit(1)).as("n"))
+    assert(out.filter(col("nsplits") > 1).isEmpty,
+      "a split family is a train/test leak")
+    assert(out.filter(col("n") > 1).count() > 0,
+      "fixture must contain real multi-member families")
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
