@@ -912,6 +912,54 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // behavioral transition matrix: per-user event-type bigrams in time
+  // order → (from, to) counts + row-normalized ppm — the Markov view
+  // of the event stream (one user-keyed window, one tiny aggregate)
+  private def p124(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    tr.withColumn("row_ppm", expr(
+        "n * 1000000 DIV (SUM(n) OVER (PARTITION BY from_type))"))
+      .orderBy(col("from_type"), col("next_type"))
+  }
+
+  // inter-event dwell-time profile: per event type, exact rank-picked
+  // quantiles of the gap to the user's next event (seconds)
+  private def p125(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        call_function("div",
+          unix_micros(col("next_ts")) - unix_micros(col("ts")),
+          lit(1000000L)).as("gap_sec"))
+    Profiling.quantiles(gaps, "event_type", "gap_sec",
+        tieBreak = "event_id", pcts = Seq(50, 90, 99))
+      .orderBy(col("event_type"))
+  }
+
+  // burst detection: per-minute event counts, flag minutes above
+  // k× the median minute — rate-spike monitoring with the robust
+  // center (a burst can't move the median it's compared against)
+  private def p126(s: SparkSession, d: String): DataFrame = {
+    val perMin = Tables.events(s, d)
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("all"))
+      .withColumn("mid", unix_micros(col("minute")))
+    Profiling.madOutliers(perMin, "grp", "n", tieBreak = "mid", k = 3L)
+      .select(col("mid"), col("n"), col("med"), col("mad"),
+        col("is_outlier"))
+      .orderBy(col("mid"))
+  }
+
   // robust MAD outlier flags: rank-picked median + median absolute
   // deviation per source — the outlier rule the outliers can't move
   private def p121(s: SparkSession, d: String): DataFrame =
@@ -2101,7 +2149,10 @@ object PipelineQueries {
     "p120_multiprobe_lsh" -> (p120 _),
     "p121_mad_outliers" -> (p121 _),
     "p122_stratified_split" -> (p122 _),
-    "p123_leakage_safe_split" -> (p123 _))
+    "p123_leakage_safe_split" -> (p123 _),
+    "p124_event_transitions" -> (p124 _),
+    "p125_dwell_quantiles" -> (p125 _),
+    "p126_burst_detect" -> (p126 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3601,6 +3652,66 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p124_event_transitions" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+               FROM events),
+          c AS (SELECT from_type, next_type, COUNT(*) AS n FROM tr
+                WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, next_type, CAST(n AS BIGINT) AS n,
+                 CAST(n * 1000000
+                   // (SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
+                   AS row_ppm
+          FROM c ORDER BY from_type, next_type""",
+    "p125_dwell_quantiles" ->
+      """WITH g AS (SELECT event_type, event_id,
+                 (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000
+                   AS gap_sec
+               FROM events),
+          gg AS (SELECT * FROM g WHERE gap_sec IS NOT NULL),
+          r AS (SELECT event_type, gap_sec,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY gap_sec, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM gg)
+          SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_rows,
+                 CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
+                 CAST(MAX(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1
+                   THEN gap_sec END) AS BIGINT) AS p50_gap_sec,
+                 CAST(MAX(CASE WHEN rn = (cnt - 1) * 90 // 100 + 1
+                   THEN gap_sec END) AS BIGINT) AS p90_gap_sec,
+                 CAST(MAX(CASE WHEN rn = (cnt - 1) * 99 // 100 + 1
+                   THEN gap_sec END) AS BIGINT) AS p99_gap_sec,
+                 CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+          FROM r GROUP BY event_type ORDER BY event_type""",
+    "p126_burst_detect" ->
+      """WITH pm AS (SELECT date_trunc('minute', ts) AS minute,
+                 COUNT(*) AS n
+               FROM events GROUP BY 1),
+          b AS (SELECT epoch_us(minute) AS mid, CAST(n AS BIGINT) AS n
+                FROM pm),
+          r1 AS (SELECT mid, n,
+                  ROW_NUMBER() OVER (ORDER BY n, mid) AS rn,
+                  COUNT(*) OVER () AS cnt
+                 FROM b),
+          m AS (SELECT MAX(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1
+                  THEN n END) AS med
+                FROM r1),
+          dv AS (SELECT b.mid, b.n, m.med, abs(b.n - m.med) AS absdev
+                 FROM b, m),
+          r2 AS (SELECT mid, absdev,
+                  ROW_NUMBER() OVER (ORDER BY absdev, mid) AS rn,
+                  COUNT(*) OVER () AS cnt
+                 FROM dv),
+          md AS (SELECT MAX(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1
+                   THEN absdev END) AS mad
+                 FROM r2)
+          SELECT dv.mid, dv.n, CAST(dv.med AS BIGINT) AS med,
+                 CAST(md.mad AS BIGINT) AS mad,
+                 dv.absdev > md.mad * 3 AS is_outlier
+          FROM dv, md ORDER BY dv.mid""",
     "p121_mad_outliers" ->
       """WITH b AS (SELECT doc_id, source, n_chars FROM documents),
           r1 AS (SELECT source, n_chars,
