@@ -912,6 +912,24 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // trailing 7-day active users (WAU): each (user, active-day) pair
+  // contributes to the 7 report days it falls inside — a linear
+  // explode instead of a per-day distinct-over-range window (which
+  // Spark windows can't express and a self-join would quadratically);
+  // report days are clamped to days that actually occur
+  private def p127(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val contrib = ud.select(col("user_id"),
+      explode(transform(sequence(lit(0), lit(6)),
+        i => date_add(col("day"), i))).as("report_day"))
+    contrib.join(ud.select(col("day").as("report_day")).distinct(),
+        Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+      .orderBy(col("report_day"))
+  }
+
   // behavioral transition matrix: per-user event-type bigrams in time
   // order → (from, to) counts + row-normalized ppm — the Markov view
   // of the event stream (one user-keyed window, one tiny aggregate)
@@ -2152,7 +2170,8 @@ object PipelineQueries {
     "p123_leakage_safe_split" -> (p123 _),
     "p124_event_transitions" -> (p124 _),
     "p125_dwell_quantiles" -> (p125 _),
-    "p126_burst_detect" -> (p126 _))
+    "p126_burst_detect" -> (p126 _),
+    "p127_trailing_wau" -> (p127 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3652,6 +3671,18 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p127_trailing_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+          c AS (SELECT user_id,
+                 unnest(list_transform(range(0, 7), i -> day + i::INT))
+                   AS report_day
+                FROM ud),
+          rd AS (SELECT DISTINCT day AS report_day FROM ud)
+          SELECT c.report_day,
+                 CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+          FROM c JOIN rd USING (report_day)
+          GROUP BY c.report_day ORDER BY c.report_day""",
     "p124_event_transitions" ->
       """WITH tr AS (SELECT event_type AS from_type,
                  LEAD(event_type) OVER (PARTITION BY user_id
