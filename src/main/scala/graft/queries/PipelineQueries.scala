@@ -912,6 +912,61 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // language-ID confusion matrix: predicted vs labeled language with
+  // row-normalized ppm — the classifier-calibration view the corpus's
+  // own ground-truth labels make possible
+  private def p128(s: SparkSession, d: String): DataFrame =
+    TextOps.withLangId(Tables.documents(s, d), "text")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_ppm", expr(
+        "n * 1000000 DIV (SUM(n) OVER (PARTITION BY lang))"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  // source-vocabulary overlap matrix: exact token-set Jaccard between
+  // every source pair — vocab-bounded set ops, the corpus-level
+  // "which crawls speak the same language" signal
+  private def p129(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(collect_set(col("tok")).as("toks"))
+    val a = vocab.select(col("source").as("src_a"), col("toks").as("ta"))
+    val b = vocab.select(col("source").as("src_b"), col("toks").as("tb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb"))
+          - size(array_intersect(col("ta"), col("tb")))).cast("long")
+          .as("uni"))
+      .withColumn("jaccard_ppm", expr("inter * 1000000 DIV uni"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // Spearman rank association between doc length and heuristic
+  // quality, per source — reported as the exact integer pieces
+  // (n, Σd² over the two rank columns) plus the floor-ppm rho
+  // numerator, so no float correlation crosses the engine boundary
+  private def p130(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.withStats(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("quality_ppm"))
+    val wLen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality_ppm"), col("doc_id"))
+    q.withColumn("r_len", row_number().over(wLen).cast("long"))
+      .withColumn("r_q", row_number().over(wQ).cast("long"))
+      .withColumn("d2",
+        (col("r_len") - col("r_q")) * (col("r_len") - col("r_q")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      // rho = 1 − 6Σd²/(n(n²−1)): emit the exact floor-ppm value
+      .withColumn("rho_ppm", expr(
+        "1000000 - 6 * sum_d2 * 1000000 DIV (n * (n * n - 1))"))
+      .orderBy(col("source"))
+  }
+
   // trailing 7-day active users (WAU): each (user, active-day) pair
   // contributes to the 7 report days it falls inside — a linear
   // explode instead of a per-day distinct-over-range window (which
@@ -2171,7 +2226,10 @@ object PipelineQueries {
     "p124_event_transitions" -> (p124 _),
     "p125_dwell_quantiles" -> (p125 _),
     "p126_burst_detect" -> (p126 _),
-    "p127_trailing_wau" -> (p127 _))
+    "p127_trailing_wau" -> (p127 _),
+    "p128_lang_confusion" -> (p128 _),
+    "p129_vocab_overlap" -> (p129 _),
+    "p130_rank_correlation" -> (p130 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3670,6 +3728,74 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p128_lang_confusion" -> {
+      val scores = langs.map { case (l, ws) =>
+        s"len(list_intersect(dt, ${stopList(ws)})) AS score_$l"
+      }.mkString(", ")
+      val best = langs.map { case (l, _) => s"score_$l" }
+        .mkString("GREATEST(", ", ", ")")
+      val pick = langs.map { case (l, _) =>
+        s"WHEN score_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+          sc AS (SELECT doc_id, $scores FROM s),
+          pr AS (SELECT doc_id,
+                  CASE WHEN $best = 0 THEN 'unknown' $pick
+                       ELSE 'unknown' END AS lang_pred
+                 FROM sc),
+          c AS (SELECT d.lang, pr.lang_pred, COUNT(*) AS n
+                FROM documents d JOIN pr USING (doc_id)
+                GROUP BY 1, 2)
+          SELECT lang, lang_pred, CAST(n AS BIGINT) AS n,
+                 CAST(n * 1000000
+                   // (SUM(n) OVER (PARTITION BY lang)) AS BIGINT)
+                   AS row_ppm
+          FROM c ORDER BY lang, lang_pred"""
+    },
+    "p129_vocab_overlap" ->
+      s"""WITH v AS (SELECT source,
+                 list_distinct(flatten(list(
+                   regexp_split_to_array(text, ' +')))) AS toks
+               FROM documents GROUP BY source)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                   AS inter,
+                 CAST(len(a.toks) + len(b.toks)
+                   - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                   AS uni,
+                 CAST(len(list_intersect(a.toks, b.toks)) * 1000000
+                   // (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) AS BIGINT)
+                   AS jaccard_ppm
+          FROM v a JOIN v b ON a.source < b.source
+          ORDER BY src_a, src_b""",
+    "p130_rank_correlation" -> {
+      val stops = stopList(langs.head._2)
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+                 len(toks) AS n_tokens FROM t),
+          q AS (SELECT doc_id,
+                 CAST(floor(((LEAST(n_tokens, 200)::DOUBLE / 200.0) * 0.5 +
+                   (len(list_intersect(dt, $stops))::DOUBLE
+                    / len(dt)::DOUBLE) * 0.5) * 1000000.0) AS BIGINT)
+                   AS quality_ppm
+                FROM s),
+          j AS (SELECT d.doc_id, d.source, d.n_chars, q.quality_ppm
+                FROM documents d JOIN q USING (doc_id)),
+          r AS (SELECT source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS r_len,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY quality_ppm, doc_id) AS r_q
+                FROM j)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM((r_len - r_q) * (r_len - r_q)) AS BIGINT)
+                   AS sum_d2,
+                 CAST(1000000 - 6 * SUM((r_len - r_q) * (r_len - r_q))
+                   * 1000000 // (COUNT(*) *
+                     (COUNT(*) * COUNT(*) - 1)) AS BIGINT) AS rho_ppm
+          FROM r GROUP BY source ORDER BY source"""
     },
     "p127_trailing_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
