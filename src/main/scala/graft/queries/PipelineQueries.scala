@@ -912,6 +912,31 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // MinHash estimator-error audit: per verified near-dup pair, the
+  // 16-component signature-agreement estimate vs the exact Jaccard —
+  // the introspection row that justifies (or indicts) the banding
+  // thresholds in production
+  private def p131(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.signaturesFromHashed(
+      Dedup.hashedShingles(docs, "doc_id", "text", 3), 16)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("i"), col("j"), col("jaccard_ppm"))
+    val sa = sig.select(col("doc").as("i") +:
+      (0 until 16).map(k => col(s"m$k").as(s"a$k")): _*)
+    val sb = sig.select(col("doc").as("j") +:
+      (0 until 16).map(k => col(s"m$k").as(s"b$k")): _*)
+    val matches = (0 until 16)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("i")).join(sb, Seq("j"))
+      .withColumn("est_ppm", matches * lit(62500L))
+      .select(col("i"), col("j"), col("jaccard_ppm"), col("est_ppm"),
+        (col("est_ppm") - col("jaccard_ppm")).as("err_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // language-ID confusion matrix: predicted vs labeled language with
   // row-normalized ppm — the classifier-calibration view the corpus's
   // own ground-truth labels make possible
@@ -2229,7 +2254,8 @@ object PipelineQueries {
     "p127_trailing_wau" -> (p127 _),
     "p128_lang_confusion" -> (p128 _),
     "p129_vocab_overlap" -> (p129 _),
-    "p130_rank_correlation" -> (p130 _))
+    "p130_rank_correlation" -> (p130 _),
+    "p131_estimator_audit" -> (p131 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3728,6 +3754,30 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p131_estimator_audit" -> {
+      val matches = (0 until 16)
+        .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+          ver AS (SELECT i, j,
+                   CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                     (len(sa.sh) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                     * 1000000.0) AS BIGINT) AS jaccard_ppm
+                  FROM cand JOIN shh sa ON sa.doc_id = i
+                            JOIN shh sb ON sb.doc_id = j
+                  WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                        (len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                        * 1000000.0) >= 800000)
+          SELECT ver.i, ver.j, ver.jaccard_ppm,
+                 CAST(($matches) * 62500 AS BIGINT) AS est_ppm,
+                 CAST(($matches) * 62500 - ver.jaccard_ppm AS BIGINT)
+                   AS err_ppm
+          FROM ver JOIN mh a ON a.doc_id = ver.i
+                   JOIN mh b ON b.doc_id = ver.j
+          ORDER BY ver.i, ver.j"""
     },
     "p128_lang_confusion" -> {
       val scores = langs.map { case (l, ws) =>
