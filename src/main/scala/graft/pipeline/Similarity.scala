@@ -405,6 +405,40 @@ object Similarity {
       .filter(col("cos_ppm") >= thresholdPpm)
   }
 
+  /** Semantic decontamination against a reference set: flag every
+    * corpus vector whose cosine to ANY reference vector (the eval/
+    * benchmark embeddings) reaches `thresholdPpm` — the embedding-
+    * space counterpart of n-gram decontamination (TextOps
+    * .decontaminate catches verbatim leakage; this catches paraphrase
+    * and translation leakage that shares no n-gram). Reports the
+    * best-matching reference id and score per flagged vector.
+    *
+    * Scale shape: the reference set is eval-sized (thousands), so it
+    * broadcasts and the corpus streams through one scan scoring
+    * |ref| dots per row — linear, zero shuffle before the final
+    * argmax projection (array_max over the per-row score structs, no
+    * per-row explode). The corpus side never joins itself. */
+  def semanticContamination(corpus: DataFrame, refs: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long): DataFrame = {
+    NativeFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    // eval-sized driver collect, same bound as every codebook here
+    val refVecs = refs.select(col(idCol).cast("long"),
+        asDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    val scored = array(refVecs.map { case (rid, rv) =>
+      struct(TextOps.ppm(cosine(col("v"), typedLit(rv))).as("cos_ppm"),
+        lit(-rid).as("nrid"))
+    }: _*)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("best", array_max(scored))
+      .select(col(idCol),
+        col("best.cos_ppm").as("cos_ppm"),
+        (-col("best.nrid")).as("ref_id"))
+      .filter(col("cos_ppm") >= thresholdPpm)
+  }
+
   /** Multi-probe LSH ANN (Lv et al. 2007): probe the query's bucket
     * AND every single-bit-flip neighbor bucket — the planes+1 buckets
     * a near-miss vector most likely fell into. The standard recall

@@ -912,6 +912,18 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // semantic decontamination: corpus vectors within cosine τ of ANY
+  // reference (label-0 = synthetic eval set) vector — catches the
+  // paraphrase/translation leakage n-gram decontamination (p22)
+  // cannot see; reference broadcast, corpus streams one scan
+  private def p132(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.semanticContamination(
+        emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+        "vec_id", "embedding", thresholdPpm = 450000L)
+      .orderBy(col("vec_id"))
+  }
+
   // MinHash estimator-error audit: per verified near-dup pair, the
   // 16-component signature-agreement estimate vs the exact Jaccard —
   // the introspection row that justifies (or indicts) the banding
@@ -2255,7 +2267,8 @@ object PipelineQueries {
     "p128_lang_confusion" -> (p128 _),
     "p129_vocab_overlap" -> (p129 _),
     "p130_rank_correlation" -> (p130 _),
-    "p131_estimator_audit" -> (p131 _))
+    "p131_estimator_audit" -> (p131 _),
+    "p132_semantic_decontam" -> (p132 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3755,6 +3768,29 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p132_semantic_decontam" ->
+      """WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS v, label
+               FROM embeddings),
+          r AS (SELECT vec_id AS rid, v AS rv FROM v WHERE label = 0),
+          c AS (SELECT vec_id, v FROM v WHERE label != 0),
+          sc AS (SELECT c.vec_id, r.rid,
+                  CAST(floor(
+                    list_aggregate(list_transform(range(0, 64),
+                      i -> c.v[i+1] * r.rv[i+1]), 'sum') /
+                    (sqrt(list_aggregate(list_transform(c.v,
+                       x -> x * x), 'sum')) *
+                     sqrt(list_aggregate(list_transform(r.rv,
+                       x -> x * x), 'sum'))) * 1000000.0) AS BIGINT)
+                    AS cos_ppm
+                 FROM c, r),
+          b AS (SELECT vec_id, cos_ppm, rid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cos_ppm DESC, rid ASC) AS rn
+                FROM sc)
+          SELECT vec_id, cos_ppm, CAST(rid AS BIGINT) AS ref_id
+          FROM b WHERE rn = 1 AND cos_ppm >= 450000
+          ORDER BY vec_id""",
     "p131_estimator_audit" -> {
       val matches = (0 until 16)
         .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")

@@ -1476,6 +1476,27 @@ class PipelineSpec extends AnyFunSuite {
       "fixture must contain real multi-member families")
   }
 
+  test("semanticContamination: verbatim twin flagged at ~1.0, " +
+      "orthogonal vector clean, best ref reported") {
+    import spark.implicits._
+    val refs = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f)),   // scaled copy of ref 100 → cos 1.0
+      (2L, Array(0.0f, 1.0f)),   // cos 0 to ref 100, 0.8 to ref 101
+      (3L, Array(-1.0f, 0.0f))   // anti-parallel → clean
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(corpus, refs,
+        "vec_id", "embedding", thresholdPpm = 700000L)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0)._3 === 100L && out(0)._2 >= 999999L)
+    // 0.6f/0.8f are not binary-exact; the floor-ppm lands within 1
+    assert(out(1)._3 === 101L &&
+      out(1)._2 >= 799999L && out(1)._2 <= 800001L)
+  }
+
   test("mmrSelect: diversifies where plain top-k returns near-dups") {
     import spark.implicits._
     // q at the origin; a1/a2 nearly identical and closest; b farther
