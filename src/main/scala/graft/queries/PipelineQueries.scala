@@ -912,6 +912,62 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // medoid keeper per near-dup family: the member with the highest
+  // total similarity to its siblings (tie → lowest id) — a better
+  // canonical pick than min-id when families chain A~B~C and A,C
+  // differ most; computed from the already-verified pair jaccards
+  private def p133(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("i"), col("j"), col("jaccard_ppm"))
+    val labels = Dedup.connectedComponents(
+      pairs.select(col("i"), col("j")), docs.select(col("doc_id")),
+      "doc_id")
+    val incident = pairs.select(col("i").as("doc_id"), col("jaccard_ppm"))
+      .union(pairs.select(col("j").as("doc_id"), col("jaccard_ppm")))
+      .groupBy(col("doc_id")).agg(sum(col("jaccard_ppm")).as("sim_sum"))
+    labels.join(incident, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("sim_sum"), (-col("doc_id")).as("nid"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("b.nid")).as("medoid"),
+        col("b.sim_sum").as("sim_sum"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  // per-segment PII exposure report over the p25 synthetic-PII corpus:
+  // total redaction hits by rule and documents carrying any hit —
+  // the risk row a release review reads before an export ships
+  private def p134(s: SparkSession, d: String): DataFrame =
+    TextOps.redactPii(
+        Tables.table(s, d, "customer").select(col("c_mktsegment"),
+          concat(col("c_mktsegment"), lit(" reach "), lower(col("c_name")),
+            lit("@example.com or "),
+            lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"),
+            lit(" id "),
+            lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 100).cast("string"), 2, "0"),
+            lit("-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+            .as("text")),
+        "text")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email").cast("long")).as("emails"),
+        sum(col("n_phone").cast("long")).as("phones"),
+        sum(col("n_ssn").cast("long")).as("ssns"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ssn") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"))
+      .orderBy(col("c_mktsegment"))
+
   // semantic decontamination: corpus vectors within cosine τ of ANY
   // reference (label-0 = synthetic eval set) vector — catches the
   // paraphrase/translation leakage n-gram decontamination (p22)
@@ -2268,7 +2324,9 @@ object PipelineQueries {
     "p129_vocab_overlap" -> (p129 _),
     "p130_rank_correlation" -> (p130 _),
     "p131_estimator_audit" -> (p131 _),
-    "p132_semantic_decontam" -> (p132 _))
+    "p132_semantic_decontam" -> (p132 _),
+    "p133_medoid_keeper" -> (p133 _),
+    "p134_pii_by_source" -> (p134 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3767,6 +3825,70 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p133_medoid_keeper" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pj AS (SELECT i, j,
+                  CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                    (len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                    * 1000000.0) AS BIGINT) AS jp
+                 FROM cand JOIN shh sa ON sa.doc_id = i
+                           JOIN shh sb ON sb.doc_id = j
+                 WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                       (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                       * 1000000.0) >= 800000),
+          sym AS (SELECT i AS a, j AS b FROM pj
+                  UNION ALL SELECT j, i FROM pj),
+          reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+          lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster
+                  FROM reach GROUP BY node),
+          inc AS (SELECT i AS doc_id, jp FROM pj
+                  UNION ALL SELECT j, jp FROM pj),
+          ss AS (SELECT doc_id, SUM(jp) AS sim_sum FROM inc
+                 GROUP BY doc_id),
+          m AS (SELECT lab.cluster, ss.doc_id, ss.sim_sum,
+                 ROW_NUMBER() OVER (PARTITION BY lab.cluster
+                   ORDER BY ss.sim_sum DESC, ss.doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY lab.cluster) AS n_members
+                FROM lab JOIN ss USING (doc_id))
+          SELECT cluster, doc_id AS medoid,
+                 CAST(sim_sum AS BIGINT) AS sim_sum,
+                 CAST(n_members AS BIGINT) AS n_members
+          FROM m WHERE rn = 1 ORDER BY cluster""",
+    "p134_pii_by_source" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      s"""WITH t AS (
+            SELECT c_mktsegment,
+                   c_mktsegment || ' reach ' || lower(c_name) ||
+                     '@example.com or ' ||
+                     lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+                     lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') ||
+                     ' id ' ||
+                     lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+                     lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+            FROM customer),
+          c AS (SELECT c_mktsegment,
+                 len(regexp_extract_all(text, '$email')) AS ne,
+                 len(regexp_extract_all(text, '$phone')) AS np,
+                 len(regexp_extract_all(text, '$ssn')) AS ns
+                FROM t)
+          SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(ne) AS BIGINT) AS emails,
+                 CAST(SUM(np) AS BIGINT) AS phones,
+                 CAST(SUM(ns) AS BIGINT) AS ssns,
+                 CAST(SUM(CASE WHEN ne + np + ns > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS docs_with_pii
+          FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment"""
     },
     "p132_semantic_decontam" ->
       """WITH v AS (SELECT vec_id,
