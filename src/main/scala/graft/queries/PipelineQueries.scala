@@ -912,6 +912,70 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // collocation extraction: adjacent token pairs ranked by the
+  // integer PMI-order ratio c_xy·N / (c_x·c_y) — same ordering as
+  // PMI without a float log; min-count floor keeps rare-pair noise out
+  private def p135(s: SparkSession, d: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val pairsCol = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("x"),
+          element_at(t, i + 2).as("y"))))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))
+    val bg = Partitioning.spread(Tables.documents(s, d))
+      .select(explode(pairsCol).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .localCheckpoint() // totals + unigram counts + pair counts
+    val n = bg.count() // scalar total, driver-held like p58's
+    val cx = bg.groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val cy = bg.groupBy(col("y")).agg(count(lit(1)).as("cy"))
+    bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 20)
+      .join(broadcast(cx), Seq("x")).join(broadcast(cy), Seq("y"))
+      .withColumn("pmi_ratio_ppm",
+        expr(s"cxy * $n * 1000000 DIV (cx * cy)"))
+      .select(col("x"), col("y"), col("cxy"), col("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  // out-of-vocabulary rate per doc against the p104 coverage vocab —
+  // the tokenizer-eval metric: what fraction of a doc's tokens fall
+  // outside the smallest 90%-coverage vocabulary
+  private def p136(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = TextOps.vocabCoverage(docs, "text", 900000L)
+      .select(col("token"))
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    toks.join(broadcast(vocab.withColumn("in_v", lit(1L))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // vocabulary growth curve (Heaps'-law audit) over 3-gram shingles —
+  // the unit that actually grows with the corpus (the word vocabulary
+  // saturates in the first batch): per shingle the FIRST ingest batch
+  // it appears in, then a running distinct count over batch ids
+  private def p137(s: SparkSession, d: String): DataFrame = {
+    val first = Partitioning.spread(Tables.documents(s, d))
+      .select((col("doc_id") % 10).as("batch"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("batch"), Hashing.h60(col("sh")).as("h"))
+      .groupBy(col("h")).agg(min(col("batch")).as("first_batch"))
+    val perBatch = first.groupBy(col("first_batch"))
+      .agg(count(lit(1)).as("new_shingles"))
+    perBatch.withColumn("vocab_size",
+        sum(col("new_shingles")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("first_batch"))))
+      .orderBy(col("first_batch"))
+  }
+
   // medoid keeper per near-dup family: the member with the highest
   // total similarity to its siblings (tie → lowest id) — a better
   // canonical pick than min-id when families chain A~B~C and A,C
@@ -2326,7 +2390,10 @@ object PipelineQueries {
     "p131_estimator_audit" -> (p131 _),
     "p132_semantic_decontam" -> (p132 _),
     "p133_medoid_keeper" -> (p133 _),
-    "p134_pii_by_source" -> (p134 _))
+    "p134_pii_by_source" -> (p134 _),
+    "p135_collocations" -> (p135 _),
+    "p136_oov_rate" -> (p136 _),
+    "p137_vocab_growth" -> (p137 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3826,6 +3893,54 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p135_collocations" ->
+      s"""WITH $toksCte,
+          bg AS (SELECT
+                  unnest(list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+                    i -> toks[i + 1])) AS x,
+                  unnest(list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+                    i -> toks[i + 2])) AS y
+                 FROM t),
+          n AS (SELECT COUNT(*) AS total FROM bg),
+          cx AS (SELECT x, COUNT(*) AS cx FROM bg GROUP BY x),
+          cy AS (SELECT y, COUNT(*) AS cy FROM bg GROUP BY y),
+          cxy AS (SELECT x, y, COUNT(*) AS cxy FROM bg GROUP BY x, y
+                  HAVING COUNT(*) >= 20)
+          SELECT cxy.x, cxy.y, CAST(cxy.cxy AS BIGINT) AS cxy,
+                 CAST(cxy.cxy * (SELECT total FROM n) * 1000000
+                   // (cx.cx * cy.cy) AS BIGINT) AS pmi_ratio_ppm
+          FROM cxy JOIN cx ON cxy.x = cx.x JOIN cy ON cxy.y = cy.y
+          ORDER BY pmi_ratio_ppm DESC, cxy.x, cxy.y LIMIT 50""",
+    "p136_oov_rate" ->
+      s"""WITH $toksCte,
+          f AS (SELECT tok AS token, COUNT(*) AS tf
+                FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+          r AS (SELECT token, tf,
+                 SUM(tf) OVER (ORDER BY tf DESC, token ASC) AS cum,
+                 SUM(tf) OVER () AS total
+                FROM f),
+          v AS (SELECT token FROM r
+                WHERE (cum - tf) * 1000000 // total < 900000),
+          tok AS (SELECT doc_id, unnest(toks) AS token FROM t)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+                 CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                   * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+          FROM tok LEFT JOIN v USING (token)
+          GROUP BY doc_id ORDER BY doc_id""",
+    "p137_vocab_growth" ->
+      s"""WITH $shinglesCte,
+          b AS (SELECT doc_id % 10 AS batch, ${h60Sql("shingle")} AS h
+                FROM e),
+          f AS (SELECT h, MIN(batch) AS fb FROM b GROUP BY h),
+          pb AS (SELECT fb AS first_batch, COUNT(*) AS new_shingles
+                 FROM f GROUP BY fb)
+          SELECT CAST(first_batch AS BIGINT) AS first_batch,
+                 CAST(new_shingles AS BIGINT) AS new_shingles,
+                 CAST(SUM(new_shingles) OVER (ORDER BY first_batch)
+                   AS BIGINT) AS vocab_size
+          FROM pb ORDER BY first_batch""",
     "p133_medoid_keeper" ->
       s"""WITH RECURSIVE $minhashCtes,
           pj AS (SELECT i, j,
