@@ -912,6 +912,53 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // near-dup divergence forensics: for each verified pair, the length
+  // of the longest common token prefix and the first position where
+  // the texts part ways — the "where did the copy change" row a
+  // dedup reviewer reads (first-diff 0-based; -1 = one text is a
+  // strict prefix of the other or they are token-identical)
+  private def p138(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("i"), col("j"), col("jaccard_ppm"))
+    val t = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"))
+    val joined = pairs
+      .join(t.select(col("doc_id").as("i"), col("toks").as("ta")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("toks").as("tb")), Seq("j"))
+    val m = least(size(col("ta")), size(col("tb")))
+    // flags over the common span; first true = first divergence
+    val flags = transform(sequence(lit(1), m),
+      k => element_at(col("ta"), k) =!= element_at(col("tb"), k))
+    joined
+      .withColumn("first_diff",
+        coalesce(array_position(flags, true) - 1, lit(-1L)))
+      .select(col("i"), col("j"), col("jaccard_ppm"),
+        size(col("ta")).cast("long").as("len_a"),
+        size(col("tb")).cast("long").as("len_b"),
+        col("first_diff"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // effective sample size of quality-weighted sampling per source:
+  // ESS = (Σw)²/Σw² as a ppm fraction of n — how much of the stratum
+  // a weighted draw effectively uses (1e6 = uniform, small = a few
+  // heavy rows dominate). Weights are downscaled to per-mille so the
+  // whole computation stays in 64-bit integer DIV — exact in both
+  // engines, no decimal rounding at the division boundary
+  private def p139(s: SparkSession, d: String): DataFrame =
+    TextOps.withStats(Tables.documents(s, d), "text")
+      .select(col("source"),
+        expr("quality_ppm DIV 1000").as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w")).as("sum_w"), sum(col("w") * col("w")).as("sw2"))
+      .withColumn("ess_ppm",
+        expr("sum_w * sum_w * 1000000 DIV (n * sw2)"))
+      .select(col("source"), col("n"), col("sum_w"), col("ess_ppm"))
+      .orderBy(col("source"))
+
   // collocation extraction: adjacent token pairs ranked by the
   // integer PMI-order ratio c_xy·N / (c_x·c_y) — same ordering as
   // PMI without a float log; min-count floor keeps rare-pair noise out
@@ -2393,7 +2440,9 @@ object PipelineQueries {
     "p134_pii_by_source" -> (p134 _),
     "p135_collocations" -> (p135 _),
     "p136_oov_rate" -> (p136 _),
-    "p137_vocab_growth" -> (p137 _))
+    "p137_vocab_growth" -> (p137 _),
+    "p138_pair_divergence" -> (p138 _),
+    "p139_effective_sample_size" -> (p139 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3892,6 +3941,49 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p138_pair_divergence" ->
+      s"""WITH $minhashCtes,
+          pj AS (SELECT i, j,
+                  CAST(floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                    (len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                    * 1000000.0) AS BIGINT) AS jaccard_ppm
+                 FROM cand JOIN shh sa ON sa.doc_id = i
+                           JOIN shh sb ON sb.doc_id = j
+                 WHERE floor((len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                       (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
+                       * 1000000.0) >= 800000)
+          SELECT pj.i, pj.j, pj.jaccard_ppm,
+                 CAST(len(ta.toks) AS BIGINT) AS len_a,
+                 CAST(len(tb.toks) AS BIGINT) AS len_b,
+                 CAST(COALESCE(list_position(
+                   list_transform(range(1,
+                     LEAST(len(ta.toks), len(tb.toks)) + 1),
+                     k -> ta.toks[k] != tb.toks[k]), true), 0) - 1
+                   AS BIGINT) AS first_diff
+          FROM pj JOIN t ta ON ta.doc_id = pj.i
+                  JOIN t tb ON tb.doc_id = pj.j
+          ORDER BY pj.i, pj.j""",
+    "p139_effective_sample_size" -> {
+      val stops = stopList(langs.head._2)
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+                 len(toks) AS n_tokens FROM t),
+          q AS (SELECT doc_id,
+                 CAST(floor(((LEAST(n_tokens, 200)::DOUBLE / 200.0) * 0.5 +
+                   (len(list_intersect(dt, $stops))::DOUBLE
+                    / len(dt)::DOUBLE) * 0.5) * 1000000.0) AS BIGINT)
+                   AS quality_ppm
+                FROM s),
+          w AS (SELECT d.source, q.quality_ppm // 1000 AS w
+                FROM documents d JOIN q USING (doc_id))
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(w) AS BIGINT) AS sum_w,
+                 CAST(SUM(w) * SUM(w) * 1000000
+                   // (COUNT(*) * SUM(w * w)) AS BIGINT) AS ess_ppm
+          FROM w GROUP BY source ORDER BY source"""
     },
     "p135_collocations" ->
       s"""WITH $toksCte,
