@@ -472,6 +472,26 @@ class PlanSpec extends AnyFunSuite {
       s"equi-joins only, plan:\n$plan")
   }
 
+  test("prefix-filter join: equi-join on the prefix hash, never a " +
+      "nested loop or cartesian") {
+    val out = Dedup.prefixFilterPairs(Tables.documents(spark, sf),
+      "doc_id", "text", 3, 0.8)
+    val plan = finalPlan(out)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join, plan:\n$plan")
+  }
+
+  test("semantic contamination scan is zero-exchange: broadcast refs " +
+      "as literals, in-row argmax") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.semanticContamination(
+      emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+      "vec_id", "embedding", 400000L)
+    assert(!finalPlan(out).contains("Exchange"),
+      "the corpus side must stream one scan with no shuffle")
+  }
+
   test("oph signatures are a zero-exchange projection over the " +
       "hashed-shingle frame") {
     import spark.implicits._
