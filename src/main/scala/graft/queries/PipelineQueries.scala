@@ -912,6 +912,33 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // ranking-agreement audit: overlap@k between the two quality
+  // rankings p105 fuses — how much the heuristic score and the
+  // fluency score agree about the top of the corpus before anyone
+  // trusts a blended threshold
+  private def p140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = TextOps.withStats(docs, "text")
+      .select(col("doc_id"), col("quality_ppm"))
+    val sur = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_surprisal_ppm"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_ppm").desc, col("doc_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_surprisal_ppm").asc, col("doc_id").asc)
+    val r = stats.join(sur, Seq("doc_id"))
+      .withColumn("ra", row_number().over(wA).cast("long"))
+      .withColumn("rb", row_number().over(wB).cast("long"))
+    r.crossJoin(
+        s.range(1).select(explode(array(lit(10L), lit(25L), lit(50L)))
+          .as("k")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("ra") <= col("k") && col("rb") <= col("k"), 1L)
+        .otherwise(0L)).as("overlap"))
+      .withColumn("overlap_ppm", expr("overlap * 1000000 DIV k"))
+      .orderBy(col("k"))
+  }
+
   // near-dup divergence forensics: for each verified pair, the length
   // of the longest common token prefix and the first position where
   // the texts part ways — the "where did the copy change" row a
@@ -2442,7 +2469,8 @@ object PipelineQueries {
     "p136_oov_rate" -> (p136 _),
     "p137_vocab_growth" -> (p137 _),
     "p138_pair_divergence" -> (p138 _),
-    "p139_effective_sample_size" -> (p139 _))
+    "p139_effective_sample_size" -> (p139 _),
+    "p140_overlap_at_k" -> (p140 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3941,6 +3969,43 @@ object PipelineQueries {
                  - len(list_intersect(sa.sh, sb.sh)))::DOUBLE)
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
+    },
+    "p140_overlap_at_k" -> {
+      val stops = stopList(langs.head._2)
+      s"""WITH $toksCte,
+          s AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+                 len(toks) AS n_tokens FROM t),
+          q AS (SELECT doc_id,
+                 CAST(floor(((LEAST(n_tokens, 200)::DOUBLE / 200.0) * 0.5 +
+                   (len(list_intersect(dt, $stops))::DOUBLE
+                    / len(dt)::DOUBLE) * 0.5) * 1000000.0) AS BIGINT)
+                   AS quality_ppm
+                FROM s),
+          tt AS (SELECT doc_id, unnest(toks) AS token FROM t),
+          f AS (SELECT token, COUNT(*) AS tf FROM tt GROUP BY 1),
+          n AS (SELECT COUNT(*) AS total FROM tt),
+          sb AS (SELECT tt.doc_id,
+                  length(bin((SELECT total FROM n))) -
+                  length(bin(f.tf)) AS bits
+                 FROM tt JOIN f USING (token)),
+          sur AS (SELECT doc_id,
+                   CAST((SUM(bits) * 1000000) // COUNT(*) AS BIGINT)
+                     AS mean_surprisal_ppm
+                  FROM sb GROUP BY doc_id),
+          r AS (SELECT q.doc_id,
+                 ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, q.doc_id)
+                   AS ra,
+                 ROW_NUMBER() OVER (ORDER BY mean_surprisal_ppm ASC,
+                   q.doc_id) AS rb
+                FROM q JOIN sur ON q.doc_id = sur.doc_id),
+          ks AS (SELECT unnest([10, 25, 50]) AS k)
+          SELECT CAST(ks.k AS BIGINT) AS k,
+                 CAST(SUM(CASE WHEN ra <= ks.k AND rb <= ks.k
+                   THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+                 CAST(SUM(CASE WHEN ra <= ks.k AND rb <= ks.k
+                   THEN 1 ELSE 0 END) * 1000000 // ks.k AS BIGINT)
+                   AS overlap_ppm
+          FROM r CROSS JOIN ks GROUP BY ks.k ORDER BY k"""
     },
     "p138_pair_divergence" ->
       s"""WITH $minhashCtes,
