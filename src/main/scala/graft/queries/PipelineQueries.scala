@@ -912,6 +912,47 @@ object PipelineQueries {
         "text", dfPpm = 600000L)
       .orderBy(col("doc_id"))
 
+  // key-uniqueness audit: is (l_orderkey, l_linenumber) a primary
+  // key — duplicate-key groups, worst multiplicity, and the same
+  // check on l_orderkey alone (expected to fail: multi-line orders)
+  private def p141(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def audit(name: String, keys: Seq[String]) = li
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(lit(name).as("key_set"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_keys"),
+        max(col("c")).as("max_multiplicity"))
+    audit("orderkey", Seq("l_orderkey"))
+      .unionByName(audit("orderkey_linenumber",
+        Seq("l_orderkey", "l_linenumber")))
+      .orderBy(col("key_set"))
+  }
+
+  // referential-integrity audit: orphan foreign keys across the
+  // relational tables — the constraint check a lakehouse can't
+  // enforce at write time and must therefore audit
+  private def p142(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String) = {
+      val o = child.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct(), Seq("k"),
+          "left_anti")
+      o.agg(lit(name).as("fk"),
+        count(lit(1)).as("orphan_rows"),
+        count_distinct(col("k")).as("orphan_keys"))
+    }
+    orphans("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey")
+      .unionByName(orphans("orders.o_custkey->customer",
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(orphans("customer.c_nationkey->nation",
+        Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+      .orderBy(col("fk"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2470,7 +2511,9 @@ object PipelineQueries {
     "p137_vocab_growth" -> (p137 _),
     "p138_pair_divergence" -> (p138 _),
     "p139_effective_sample_size" -> (p139 _),
-    "p140_overlap_at_k" -> (p140 _))
+    "p140_overlap_at_k" -> (p140 _),
+    "p141_key_uniqueness" -> (p141 _),
+    "p142_referential_integrity" -> (p142 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3970,6 +4013,49 @@ object PipelineQueries {
                 * 1000000.0) >= 800000
           ORDER BY i, j"""
     },
+    "p141_key_uniqueness" ->
+      """WITH a AS (SELECT l_orderkey, COUNT(*) AS c FROM lineitem
+                    GROUP BY l_orderkey),
+          b AS (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+                FROM lineitem GROUP BY l_orderkey, l_linenumber)
+          SELECT * FROM (
+            SELECT 'orderkey' AS key_set,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_multiplicity
+            FROM a
+            UNION ALL
+            SELECT 'orderkey_linenumber',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(MAX(c) AS BIGINT)
+            FROM b)
+          ORDER BY key_set""",
+    "p142_referential_integrity" ->
+      """SELECT * FROM (
+           SELECT 'lineitem.l_orderkey->orders' AS fk,
+                  CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+                  CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT)
+                    AS orphan_keys
+           FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey IS NULL
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+           FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey IS NULL
+           UNION ALL
+           SELECT 'customer.c_nationkey->nation',
+                  CAST(COUNT(*) AS BIGINT),
+                  CAST(COUNT(DISTINCT cu.c_nationkey) AS BIGINT)
+           FROM customer cu LEFT JOIN nation n
+             ON cu.c_nationkey = n.n_nationkey
+           WHERE n.n_nationkey IS NULL)
+         ORDER BY fk""",
     "p140_overlap_at_k" -> {
       val stops = stopList(langs.head._2)
       s"""WITH $toksCte,
