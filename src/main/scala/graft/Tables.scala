@@ -34,14 +34,16 @@ object Tables {
     * TimestampType `ts`; any FOURTH layout fails loudly here instead of
     * as scattered analysis errors in every event-time consumer.
     *
-    * NOTE: this getter intentionally sets the nanosAsLong session conf as
-    * a side effect — the schema cannot be read at all under the NANOS
-    * layout without it, and stream scans on the same session rely on it.
+    * NOTE: the `PinNanosConf` suffix is the contract — this getter
+    * intentionally sets the nanosAsLong session conf as a side effect
+    * on every call. The schema cannot be read at all under the NANOS
+    * layout without it, and the stream scans each call site builds on
+    * the same session rely on it staying set.
     */
   private val rawSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
-  def eventsRawSchema(s: SparkSession, d: String): StructType = {
+  def eventsRawSchemaPinNanosConf(s: SparkSession, d: String): StructType = {
     // the conf set must happen on EVERY call (stream scans on this session
     // depend on it); only the footer read is memoized — the file cannot
     // change within a run, and p61 reads it three times per invocation

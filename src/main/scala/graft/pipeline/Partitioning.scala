@@ -118,4 +118,62 @@ object Partitioning {
       .withColumn("waste_ppm",
         expr("(capacity - sum_len) * 1000000 DIV capacity"))
   }
+
+  /** Exact DISTRIBUTED global rank + running sum under a total order —
+    * the standard two-pass range-rank, replacing the single-task
+    * `row_number().over(Window.orderBy(...))` that cannot survive a
+    * table that outgrows one executor:
+    *
+    *  1. `repartitionByRange(order)` — a sampled range exchange; every
+    *     partition holds a contiguous slice of the total order and ALL
+    *     partitions sort in parallel. `spark_partition_id()` is stamped
+    *     and the frame `localCheckpoint`ed so both downstream passes
+    *     see the identical (sampled, otherwise re-randomized) slice
+    *     assignment.
+    *  2. per-slice row counts and value sums collect to the driver —
+    *     ≤ `spark.sql.shuffle.partitions` rows, O(32) here, O(#slices)
+    *     ever — and prefix-sum into per-slice offsets, broadcast back.
+    *     Local `row_number`/running-`sum` windows keyed on the slice id
+    *     plus the offsets give the exact global rank and cumulative sum.
+    *
+    * No stage sees more than one slice's rows in one task; shuffle
+    * volume is one range exchange of the input plus a slice-count
+    * hash exchange. `valueCol` must be a non-null integral column.
+    * When `totalName` is non-null a literal grand-total column (known
+    * on the driver from the slice sums) is attached for ratio math. */
+  def globalRankCumsum(df: DataFrame, order: Seq[Column],
+      valueCol: String, rankName: String = "rank",
+      cumName: String = "cum", totalName: String = null): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ss = df.sparkSession
+    val slices = ss.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(slices, order: _*)
+      .withColumn("_slice", spark_partition_id())
+      .localCheckpoint()
+    val stats = parted.groupBy(col("_slice"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = stats.map(_._3).sum
+    // exclusive prefix sums → the offset each slice's local rank/cumsum
+    // starts from
+    val offsets = stats.scanLeft((0, 0L, 0L)) {
+      case ((_, ro, so), (pid, n, sv)) => (pid, ro + n, so + sv)
+    }.dropRight(1).zip(stats).map { case ((_, ro, so), (pid, _, _)) =>
+      (pid, ro, so)
+    }
+    import ss.implicits._
+    val offDf = broadcast(
+      offsets.toSeq.toDF("_slice", "_rank_off", "_sum_off"))
+    val w = Window.partitionBy(col("_slice")).orderBy(order: _*)
+    val ranked = parted.join(offDf, Seq("_slice"))
+      .withColumn(rankName,
+        (row_number().over(w).cast("long") + col("_rank_off")))
+      .withColumn(cumName, sum(col(valueCol)).over(w) + col("_sum_off"))
+      .drop("_slice", "_rank_off", "_sum_off")
+    if (totalName == null) ranked
+    else ranked.withColumn(totalName, lit(total))
+  }
 }

@@ -317,20 +317,97 @@ object Sampling {
     * calibrating their scales (the standard move when a classifier
     * score, a perplexity and a length heuristic disagree about units):
     * rank the corpus by each signal independently (higher = better,
-    * ties → lowest id), give every row `1e6 DIV (k + rank)` points per
-    * signal, keep the `topN` by total points (ties → lowest id).
-    * Integer arithmetic end to end, so the fusion is engine-exact —
-    * unlike any weighted-sum-of-floats blend.
+    * ties → lowest id, scores must be non-null), give every row
+    * `1e6 DIV (k + rank)` points per signal, keep the `topN` by total
+    * points (ties → lowest id). Integer arithmetic end to end, so the
+    * fusion is engine-exact — unlike any weighted-sum-of-floats blend.
     *
-    * Shape: one rank window per signal — all unpartitioned over the
-    * corpus. This is the operator's honest cost at full-corpus scope;
-    * at 100 TB you run it per shard/stratum (pass a pre-filtered df)
-    * or on the survivor set of a cheaper gate, exactly like
-    * [[Profiling.quantiles]]' skew note. The final top-N is a
-    * TakeOrdered, never a global sort. */
+    * Shape — NO corpus-global rank window. Two phases, both exact:
+    *
+    *  1. CANDIDATE GATE: only rows inside some signal's global top-M
+    *     can reach the final top-N, for M chosen so that even a row
+    *     ranked M+1 in EVERY signal scores strictly below the points
+    *     floor `F = 1e6 DIV (k+topN)` that signal-0's top-N rows are
+    *     each guaranteed (S·(1e6 DIV (k+M+1)) < F ⇒ outsiders lose to
+    *     ≥ topN candidates outright, ties included). Each gate is an
+    *     `orderBy().limit(M)` — TakeOrderedAndProject, a parallel
+    *     per-partition heap + driver merge of S·M rows, never a
+    *     single-partition sort. A `limit(topN)`-by-id gate joins the
+    *     union so all-ties corpora (every points total equal) still
+    *     resolve to the lowest ids.
+    *  2. EXACT RANKS BY COUNTING: a candidate's true corpus rank under
+    *     signal i is 1 + |rows strictly ahead of it|. The ≤ S·M+topN
+    *     candidates broadcast; one scan of the corpus joins each row to
+    *     the candidates it beats in ANY signal (broadcast nested-loop,
+    *     O(|cand|) comparisons per row, zero exchange) and a hash
+    *     aggregate keyed on the candidate id — |cand| groups, map-side
+    *     combined — counts per signal. Rank-stage shuffle volume is
+    *     candidate-sized, independent of the corpus.
+    *
+    * The corpus is scanned S+2 times (S gates + id gate + counting
+    * pass) — scan-bound and embarrassingly parallel at 100 TB, vs the
+    * old shape's S full sorts through one task. Degenerate parameters
+    * with `k+topN > 1e6` (points floor 0) fall back to the windowed
+    * form — unreachable for any sane k. */
   def rrfFusion(df: DataFrame, idCol: String, scores: Seq[Column],
       k: Int = 60, topN: Int = 100): DataFrame = {
     require(scores.nonEmpty, "need at least one score signal")
+    require(k >= 0, s"rrf k must be non-negative, got $k")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val nSig = scores.length
+    val floorPts = 1000000L / (k + topN.toLong)
+    if (floorPts == 0L) return rrfFusionWindowed(df, idCol, scores, k, topN)
+    // smallest M with nSig * (1e6 DIV (k+M+1)) strictly below floorPts:
+    // k+M+1 > nSig*1e6/floorPts
+    val m = ((nSig * 1000000L) / floorPts + 1L - k).toInt.max(topN)
+    // evaluate each signal once so gate, counting join and points all
+    // see identical values
+    val base = scores.zipWithIndex.foldLeft(df) { case (acc, (sc, i)) =>
+      acc.withColumn(s"_s_$i", sc)
+    }
+    val gates = scores.indices.map(i =>
+      base.orderBy(col(s"_s_$i").desc, col(idCol).asc).limit(m)) :+
+      base.orderBy(col(idCol).asc).limit(topN)
+    val cands = gates.reduce(_.unionByName(_)).dropDuplicates(idCol)
+    val candKeys = cands.select(col(idCol).as("_cid") +:
+      scores.indices.map(i => col(s"_s_$i").as(s"_cs_$i")): _*)
+    val corpus = base.select(col(idCol).as("_yid") +:
+      scores.indices.map(i => col(s"_s_$i").as(s"_ys_$i")): _*)
+    // "corpus row strictly ahead of candidate under signal i"
+    def beats(i: Int): Column =
+      col(s"_ys_$i") > col(s"_cs_$i") ||
+        (col(s"_ys_$i") === col(s"_cs_$i") && col("_yid") < col("_cid"))
+    val counts = corpus
+      .join(broadcast(candKeys), scores.indices.map(beats).reduce(_ || _))
+      .groupBy(col("_cid"))
+      .agg(sum(when(beats(0), 1L).otherwise(0L)).as("_nb_0"),
+        scores.indices.drop(1).map(i =>
+          sum(when(beats(i), 1L).otherwise(0L)).as(s"_nb_$i")): _*)
+      // comparisons reference both sides' score columns; drop the
+      // candidate copies so the join back to `cands` is unambiguous
+      .select(col("_cid") +:
+        scores.indices.map(i => col(s"_nb_$i")): _*)
+    val ranked = scores.indices.foldLeft(
+      cands.join(broadcast(counts), col(idCol) === col("_cid"), "left")
+        .drop("_cid")) { case (acc, i) =>
+      // a candidate nobody beats never enters the counting join → rank 1
+      acc.withColumn(s"rank_$i", coalesce(col(s"_nb_$i"), lit(0L)) + 1L)
+        .drop(s"_nb_$i")
+    }
+    val points = scores.indices
+      .map(i => expr(s"1000000 DIV ($k + rank_$i)"))
+      .reduce(_ + _)
+    ranked.withColumn("rrf", points)
+      .drop(scores.indices.map(i => s"_s_$i"): _*)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
+  /** The pre-gate fallback for degenerate `k+topN > 1e6` (every rank's
+    * points floor to 0, so no candidate bound exists): the original
+    * corpus-global window form. Never taken for real parameters. */
+  private[graft] def rrfFusionWindowed(df: DataFrame, idCol: String,
+      scores: Seq[Column], k: Int, topN: Int): DataFrame = {
     val ranked = scores.zipWithIndex.foldLeft(df) { case (acc, (s, i)) =>
       acc.withColumn(s"rank_$i", row_number().over(
         Window.orderBy(s.desc, col(idCol).asc)).cast("long"))

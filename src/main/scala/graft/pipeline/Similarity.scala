@@ -422,11 +422,18 @@ object Similarity {
       idCol: String, vecCol: String, thresholdPpm: Long): DataFrame = {
     NativeFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
-    // eval-sized driver collect, same bound as every codebook here
+    // eval-sized driver collect, same bound as every codebook here;
+    // each ref becomes ONE literal struct in the scoring expression, so
+    // the plan grows linearly with |refs| — thousands of refs is the
+    // design point (an eval suite), not a second corpus
     val refVecs = refs.select(col(idCol).cast("long"),
         asDouble(col(vecCol)))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
+    // array() of zero literal structs would fail at analysis time
+    // inside array_max — reject the empty eval set loudly instead
+    require(refVecs.nonEmpty,
+      "semanticContamination: reference set is empty")
     val scored = array(refVecs.map { case (rid, rv) =>
       struct(TextOps.ppm(cosine(col("v"), typedLit(rv))).as("cos_ppm"),
         lit(-rid).as("nrid"))
@@ -500,8 +507,11 @@ object Similarity {
       .withColumn("dq", dist2Int(col("qv"), qVec))
     var selected = Vector.empty[(Long, Seq[Long], Long, Long)]
     for (t <- 1 to k) {
-      val remaining = withDq.filter(
-        !col("id").isInCollection(selected.map(_._1) :+ -1L))
+      // no exclusion on the first pick — a sentinel id would silently
+      // ban a legitimate vector carrying that id from every pick
+      val remaining =
+        if (selected.isEmpty) withDq
+        else withDq.filter(!col("id").isInCollection(selected.map(_._1)))
       val minSel =
         if (selected.isEmpty) lit(0L)
         else array_min(array(selected.map { case (_, sv, _, _) =>

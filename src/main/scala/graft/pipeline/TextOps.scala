@@ -323,21 +323,19 @@ object TextOps {
     * corpus tokens": rank tokens by corpus frequency (count desc, token
     * asc tie), cumulative coverage in floor-ppm, keep every rank whose
     * PRECEDING cumulative coverage is below the cutoff (so the rank
-    * that crosses the line is included). The rank/cumsum window runs on
-    * the vocab-sized frequency table, not the corpus — a single-
-    * partition window over at most |vocab| rows, which is the correct
-    * tradeoff at any corpus size (the corpus-sized stage is one
-    * map-side-combined count). */
+    * that crosses the line is included). The corpus-sized stage is one
+    * map-side-combined count; the rank/cumsum over the vocab-sized
+    * frequency table is [[Partitioning.globalRankCumsum]]'s two-pass
+    * distributed range rank — a web-scale vocabulary (10⁸+ tokens)
+    * never funnels through a single-task sort. */
   def vocabCoverage(docs: DataFrame, textCol: String,
       cutoffPpm: Long): DataFrame = {
     val freq = Partitioning.spread(docs)
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val w = Window.orderBy(col("tf").desc, col("token").asc)
-    freq
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("tf")).over(w))
-      .withColumn("total", sum(col("tf")).over(Window.partitionBy()))
+    Partitioning.globalRankCumsum(freq,
+        Seq(col("tf").desc, col("token").asc), "tf",
+        rankName = "rank", cumName = "cum", totalName = "total")
       .withColumn("cum_ppm", expr("cum * 1000000 DIV total"))
       .withColumn("prev_ppm", expr("(cum - tf) * 1000000 DIV total"))
       .filter(col("prev_ppm") < cutoffPpm)

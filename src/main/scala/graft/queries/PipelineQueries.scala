@@ -369,7 +369,7 @@ object PipelineQueries {
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
     Tables.normalizeEventTs(
-      s.readStream.schema(Tables.eventsRawSchema(s, d)).parquet(dir.toString))
+      s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d)).parquet(dir.toString))
   }
 
   /** Sentinel rows (2100-01-01T00:00Z, the far future) written in the SAME
@@ -385,7 +385,7 @@ object PipelineQueries {
       rows: Seq[(Long, Long, String)],
       rawSchema: Option[StructType] = None): DataFrame = {
     import s.implicits._
-    val raw = rawSchema.getOrElse(Tables.eventsRawSchema(s, d))
+    val raw = rawSchema.getOrElse(Tables.eventsRawSchemaPinNanosConf(s, d))
     Seq("event_id" -> LongType, "user_id" -> LongType,
         "event_type" -> StringType, "value" -> DoubleType,
         "props" -> StringType).foreach { case (n, t) =>
@@ -528,7 +528,7 @@ object PipelineQueries {
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() + 60000L))
     val st = Tables.normalizeEventTs(
-        s.readStream.schema(Tables.eventsRawSchema(s, d))
+        s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
           .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .withWatermark("ts", "0 seconds")
     val minutely = st
@@ -690,7 +690,7 @@ object PipelineQueries {
         System.currentTimeMillis() + 60000L))
     val D = org.apache.spark.sql.types.DecimalType(18, 2)
     val st = Tables.normalizeEventTs(
-        s.readStream.schema(Tables.eventsRawSchema(s, d))
+        s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
           .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .filter(col("user_id") % 5 === 2 || col("user_id") === -1L)
       .filter(col("event_type").isin("purchase", "view"))
@@ -753,7 +753,7 @@ object PipelineQueries {
         System.currentTimeMillis() + 60000L))
     import s.implicits._
     val st = Tables.normalizeEventTs(
-        s.readStream.schema(Tables.eventsRawSchema(s, d))
+        s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
           .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -791,7 +791,7 @@ object PipelineQueries {
           System.currentTimeMillis() + 60000L))
       import s.implicits._
       val st = Tables.normalizeEventTs(
-          s.readStream.schema(Tables.eventsRawSchema(s, d))
+          s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
             .option("maxFilesPerTrigger", "1").parquet(dir.toString))
         .withWatermark("ts", "0 seconds")
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -963,19 +963,37 @@ object PipelineQueries {
       .select(col("doc_id"), col("quality_ppm"))
     val sur = TextOps.unigramSurprisal(docs, "doc_id", "text")
       .select(col("doc_id"), col("mean_surprisal_ppm"))
-    val wA = org.apache.spark.sql.expressions.Window
-      .orderBy(col("quality_ppm").desc, col("doc_id").asc)
-    val wB = org.apache.spark.sql.expressions.Window
-      .orderBy(col("mean_surprisal_ppm").asc, col("doc_id").asc)
-    val r = stats.join(sur, Seq("doc_id"))
-      .withColumn("ra", row_number().over(wA).cast("long"))
-      .withColumn("rb", row_number().over(wB).cast("long"))
-    r.crossJoin(
-        s.range(1).select(explode(array(lit(10L), lit(25L), lit(50L)))
-          .as("k")))
+    val j = stats.join(sur, Seq("doc_id"))
+    // only ranks ≤ max(k)=50 can contribute to any overlap count, so
+    // gate each signal to its global top-50 FIRST (TakeOrdered — a
+    // per-partition heap, no single-task corpus sort) and rank inside
+    // the gated ≤50-row frame, where the within-gate rank IS the true
+    // corpus rank (the ordering is total). The rank windows run over
+    // GlobalLimit(50) inputs — bounded by a literal, not by the corpus.
+    val maxK = 50
+    val oA = Seq(col("quality_ppm").desc, col("doc_id").asc)
+    val oB = Seq(col("mean_surprisal_ppm").asc, col("doc_id").asc)
+    val ra = j.orderBy(oA: _*).limit(maxK)
+      .withColumn("ra", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(oA: _*))
+        .cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val rb = j.orderBy(oB: _*).limit(maxK)
+      .withColumn("rb", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(oB: _*))
+        .cast("long"))
+      .select(col("doc_id"), col("rb"))
+    // overlap@k needs ra<=k AND rb<=k → only docs in BOTH gates matter
+    val both = ra.join(rb, Seq("doc_id"))
+    val ks = s.range(1).select(
+      explode(array(lit(10L), lit(25L), lit(50L))).as("k"))
+    val counts = both.crossJoin(ks)
       .groupBy(col("k"))
       .agg(sum(when(col("ra") <= col("k") && col("rb") <= col("k"), 1L)
-        .otherwise(0L)).as("overlap"))
+        .otherwise(0L)).as("o"))
+    // left join from the k spine: disjoint top-50s still emit 3 rows
+    ks.join(counts, Seq("k"), "left")
+      .withColumn("overlap", coalesce(col("o"), lit(0L))).drop("o")
       .withColumn("overlap_ppm", expr("overlap * 1000000 DIV k"))
       .orderBy(col("k"))
   }
@@ -1022,8 +1040,14 @@ object PipelineQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("w")).as("sum_w"), sum(col("w") * col("w")).as("sw2"))
+      // DuckDB's integer SUM is HUGEINT, so its sum_w² · 1e6 never
+      // wraps; mirror that headroom in DECIMAL(38,0) — Long would
+      // silently overflow once a stratum's sum_w passes ~3e6 (≈3M docs
+      // at w ≤ 1000), diverging from the oracle at scale. Bound check:
+      // 1e9 docs → sum_w ≤ 1e12 → numerator ≤ 1e30 < 1e38.
       .withColumn("ess_ppm",
-        expr("sum_w * sum_w * 1000000 DIV (n * sw2)"))
+        expr("CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * sw2)"))
       .select(col("source"), col("n"), col("sum_w"), col("ess_ppm"))
       .orderBy(col("source"))
 
@@ -1815,7 +1839,7 @@ object PipelineQueries {
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() + 60000L))
     def side(tpe: String, prefix: String) = Tables.normalizeEventTs(
-        s.readStream.schema(Tables.eventsRawSchema(s, d))
+        s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
           .option("maxFilesPerTrigger", "1").parquet(dir.toString))
       .filter(col("event_type") === tpe &&
         (col("user_id") % 5 === 3 || col("user_id") === -1L))

@@ -501,4 +501,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalPlan(out).contains("Exchange"),
       "the OPH signature stage must add no shuffle")
   }
+
+  test("rrfFusion: no rank window at all — TakeOrdered gates + " +
+      "broadcast counting join, zero single-partition exchange") {
+    val docs = Tables.documents(spark, sf)
+    val scored = TextOps.withStats(docs, "text")
+      .select(col("doc_id"), col("quality_ppm"), col("n_tokens"))
+    val out = Sampling.rrfFusion(scored, "doc_id",
+      Seq(col("quality_ppm"), col("n_tokens")), k = 60, topN = 50)
+    val plan = finalPlan(out)
+    assert(!plan.contains("Window"),
+      s"rank must come from counting, not a corpus window, plan:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage may funnel the corpus through one task, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "candidate gates must be TakeOrdered heaps")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "exact ranks must come from the broadcast counting pass")
+  }
+
+  test("p140 overlap@k: rank windows only over GlobalLimit-bounded " +
+      "inputs, zero single-partition exchange") {
+    val out = SparkEntry.queries("p140_overlap_at_k")(spark, sf)
+    val plan = finalPlan(out)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"windows must sit on TakeOrdered(50) outputs, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=50"),
+      "each signal must gate to its top-50 before ranking")
+  }
+
+  test("vocabCoverage: distributed range rank — the only window is " +
+      "keyed on the range-slice id, zero single-partition exchange") {
+    val out = TextOps.vocabCoverage(Tables.documents(spark, sf),
+      "text", 900000L)
+    val plan = finalPlan(out)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a web-scale vocab must never sort in one task, plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(_slice"),
+      s"the rank window must be partitioned by the slice id, plan:\n$plan")
+  }
 }

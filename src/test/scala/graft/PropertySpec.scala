@@ -569,4 +569,63 @@ class PropertySpec extends AnyFunSuite {
       assert(unioned === full, s"parts=$parts lost or invented pairs")
     }
   }
+
+  test("rrfFusion gate+count == corpus-window reference on random " +
+      "scores with ties, any k/topN/signal count") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      nSig <- Gen.choose(1, 3)
+      k <- Gen.oneOf(0, 1, 60)
+      topN <- Gen.oneOf(1, 5, 40, 200)
+      // small value domain → heavy score ties, the tie-break hot path
+      rows <- Gen.listOfN(n, Gen.listOfN(nSig, Gen.choose(-5L, 5L)))
+    } yield (nSig, k, topN, rows.zipWithIndex.map { case (ss, i) =>
+      (i.toLong, ss.padTo(3, 0L)) })
+    forAllSeeded(gen, 8) { case (nSig, k, topN, rows) =>
+      val df = rows.map { case (id, ss) => (id, ss(0), ss(1), ss(2)) }
+        .toDF("id", "s0", "s1", "s2")
+      val sigs = (0 until nSig).map(i => col(s"s$i"))
+      val got = graft.pipeline.Sampling
+        .rrfFusion(df, "id", sigs, k, topN)
+        .collect().map(_.toSeq).toSeq
+      val want = graft.pipeline.Sampling
+        .rrfFusionWindowed(df, "id", sigs, k, topN)
+        .collect().map(_.toSeq).toSeq
+      assert(got === want,
+        s"nSig=$nSig k=$k topN=$topN n=${rows.size}")
+    }
+  }
+
+  test("vocabCoverage distributed rank == single-window reference " +
+      "on random token streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      cutoff <- Gen.oneOf(1L, 500000L, 900000L, 1000000L)
+      docs <- Gen.listOfN(n,
+        Gen.listOfN(8, Gen.oneOf("a", "b", "c", "dd", "e", "f", "gg"))
+          .map(_.mkString(" ")))
+    } yield (cutoff, docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    forAllSeeded(gen, 6) { case (cutoff, rows) =>
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.pipeline.TextOps.vocabCoverage(df, "text", cutoff)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      val freq = df
+        .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val w = Window.orderBy(col("tf").desc, col("token").asc)
+      val want = freq
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("tf")).over(w))
+        .withColumn("total", sum(col("tf")).over(Window.partitionBy()))
+        .withColumn("cum_ppm", expr("cum * 1000000 DIV total"))
+        .withColumn("prev_ppm", expr("(cum - tf) * 1000000 DIV total"))
+        .filter(col("prev_ppm") < cutoff)
+        .select(col("rank"), col("token"), col("tf"), col("cum_ppm"))
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(got === want, s"cutoff=$cutoff n=${rows.size}")
+    }
+  }
 }

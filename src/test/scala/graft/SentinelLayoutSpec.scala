@@ -37,7 +37,7 @@ class SentinelLayoutSpec extends AnyFunSuite {
 
   /** sentinelFrame → parquet → pinned-raw-schema read → normalize → instant. */
   private def sentinelRoundTrip(d: String): java.sql.Timestamp = {
-    val raw = Tables.eventsRawSchema(spark, d)
+    val raw = Tables.eventsRawSchemaPinNanosConf(spark, d)
     val out = java.nio.file.Files.createTempDirectory("graft_sentinel_out").toString
     graft.queries.PipelineQueries.sentinelFrame(spark, d, Seq((-1L, -1L, "sentinel")))
       .coalesce(1).write.mode("overwrite").parquet(out)
