@@ -24,9 +24,18 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // the ENGINE's store pins TIMESTAMP_MICROS for its own files
+        // (Store constructor — manifest range stats need INT64 chunks),
+        // but the DUMP read by the DuckDB comparator must stay INT96:
+        // DuckDB reads MICROS(adjustedToUTC) as tz-aware TIMESTAMPTZ
+        // while the oracle SQL produces naive timestamps — same values,
+        // failed dtype compare. Engine work ran eagerly inside fn, so
+        // re-pinning here cannot leak into store writes.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -50,12 +50,65 @@ object AtomicSwap {
   private def suffix(linkName: String) = s"_$linkName"
   private def manifestName(linkName: String): String = s".m_$linkName"
 
+  /** Columns whose per-file min/max are published in the manifest —
+    * the readback range keys, so a history scan can skip whole files
+    * at PLANNING time (the Spark analogue of the reference's GiST
+    * `(srvid, queryid, coalesce_range)` index, powa--5.2.0.sql:2123:
+    * the index prunes by range before any page is read; here the
+    * manifest prunes by range before any file is opened). */
+  private val statCols = Set("range_start", "range_end")
+
+  /** Per-file min/max of the [[statCols]] INT64 chunks, from the
+    * parquet footer. A column qualifies only when EVERY row group
+    * carries valid statistics for it (all-null groups are safe — a
+    * range predicate never matches null); any unreadable footer or
+    * stat yields no entry, which readers treat as "cannot skip".
+    * Stats are an optimization: this never fails a commit. */
+  private def parquetRangeStats(file: Path): Map[String, (Long, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+        val bad = scala.collection.mutable.Set[String]()
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            if (statCols(name) &&
+                c.getPrimitiveType.getPrimitiveTypeName ==
+                  PrimitiveTypeName.INT64) {
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) bad += name
+              else if (st.hasNonNullValue) {
+                val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+                  .longValue
+                val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+                  .longValue
+                acc(name) = acc.get(name) match {
+                  case Some((a, z)) => (math.min(a, mn), math.max(z, mx))
+                  case None => (mn, mx)
+                }
+              }
+            }
+          }
+        }
+        (acc -- bad).toMap
+      } finally r.close()
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** Publish the manifest for the freshly flipped version: header line =
     * version dir name, then every regular file as a parent-relative
     * path (minus any `exclude`d paths — the logical-delete hook for
-    * deferred bucket drops). Written to a temp name and atomically
-    * renamed over the old manifest — readers see the old complete list
-    * or the new one, never a partial write. */
+    * deferred bucket drops). Parquet files carry tab-separated
+    * `col=min:max` stats for the [[statCols]] after the path — the
+    * file-skipping index; readers that only need paths split on the
+    * first tab, so pre-stats manifests parse identically. Written to a
+    * temp name and atomically renamed over the old manifest — readers
+    * see the old complete list or the new one, never a partial write. */
   private def writeManifest(parent: Path, linkName: String,
       vdir: Path, exclude: String => Boolean = _ => false): Unit = {
     val files = {
@@ -65,9 +118,18 @@ object AtomicSwap {
         .toList.sorted
       finally s.close()
     }
+    val lines = files.map { rel =>
+      if (!rel.endsWith(".parquet")) rel
+      else {
+        val stats = parquetRangeStats(parent.resolve(rel))
+        if (stats.isEmpty) rel
+        else rel + stats.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"\t$c=$mn:$mx" }.mkString
+      }
+    }
     val tmp = parent.resolve(s".mtmp_$linkName")
     Files.write(tmp,
-      (vdir.getFileName.toString +: files).mkString("\n")
+      (vdir.getFileName.toString +: lines).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, parent.resolve(manifestName(linkName)),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -137,13 +199,39 @@ object AtomicSwap {
     * from one atomic read — no directory listing, no list-vs-open
     * window. None when the partition has never been swap-written (or
     * was dropped); callers fall back to the directory path. */
-  def manifestFiles(parent: Path, linkName: String): Option[Seq[Path]] = {
+  def manifestFiles(parent: Path, linkName: String): Option[Seq[Path]] =
+    manifestEntries(parent, linkName).map(_.map(_._1))
+
+  /** Manifest read with the per-file range stats: each entry is the
+    * absolute path plus a (possibly empty) `col -> (min, max)` map
+    * parsed from the tab-separated `col=min:max` suffixes. Entries from
+    * pre-stats manifests, non-parquet files, or unparseable suffixes
+    * get an empty map — "cannot skip", never wrong. */
+  def manifestEntries(parent: Path,
+      linkName: String): Option[Seq[(Path, Map[String, (Long, Long)])]] = {
     val m = parent.resolve(manifestName(linkName))
     if (!Files.isRegularFile(m)) None
     else {
       val lines = new String(Files.readAllBytes(m),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-      Some(lines.drop(1).filter(_.nonEmpty).map(parent.resolve(_)))
+      Some(lines.drop(1).filter(_.nonEmpty).map { line =>
+        val parts = line.split("\t")
+        val stats = parts.drop(1).flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(c, range) => range.split(":", 2) match {
+              case Array(mn, mx) =>
+                (scala.util.Try(mn.toLong).toOption,
+                  scala.util.Try(mx.toLong).toOption) match {
+                  case (Some(a), Some(z)) => Some(c -> (a, z))
+                  case _ => None
+                }
+              case _ => None
+            }
+            case _ => None
+          }
+        }.toMap
+        (parent.resolve(parts(0)), stats)
+      })
     }
   }
 

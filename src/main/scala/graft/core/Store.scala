@@ -29,6 +29,18 @@ import org.apache.spark.sql.types.StructType
   */
 final class Store(val spark: SparkSession, val root: String) {
 
+  // Store write contract: timestamps are written as INT64
+  // TIMESTAMP(MICROS), never legacy INT96 — INT96 chunks carry NO
+  // parquet min/max statistics, which would blind both the manifest's
+  // per-file range stats (AtomicSwap.writeManifest — planning-time file
+  // skipping) and parquet row-group pruning on range readbacks. The
+  // knob is session-global and conf-only (the per-write option is not
+  // honored by the parquet write support), so it is pinned here, once,
+  // when the store is constructed — the same explicit-side-effect
+  // pattern as Tables.eventsRawSchemaPinNanosConf.
+  spark.conf.set("spark.sql.parquet.outputTimestampType",
+    "TIMESTAMP_MICROS")
+
   /** When true, snapshots count staged rows for the powa_log trace.
     * Off by default: the count is a Spark action per datasource per
     * tick, and the reference gates the same rowcount reporting behind

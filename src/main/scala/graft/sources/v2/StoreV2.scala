@@ -124,10 +124,19 @@ final case class StoreLayout(root: String, ds: String, tier: String) {
     * directory walk that skips hidden (dot/underscore) entries, the
     * same visibility rule as Spark's own file index. The walk starts
     * at the resolved real path so a symlinked live version traverses. */
-  def files(srvid: Int): Seq[String] =
-    AtomicSwap.manifestFiles(dir, s"srvid=$srvid") match {
+  def files(srvid: Int): Seq[String] = filesWithStats(srvid).map(_._1)
+
+  /** Files plus the manifest's per-file range stats (`col -> (min,
+    * max)` in µs) — the planning-time skip index. Directory-walk
+    * fallback and pre-stats manifests yield empty maps ("cannot
+    * skip"). */
+  def filesWithStats(
+      srvid: Int): Seq[(String, Map[String, (Long, Long)])] =
+    AtomicSwap.manifestEntries(dir, s"srvid=$srvid") match {
       case Some(pinned) =>
-        pinned.map(_.toString).filter(_.endsWith(".parquet"))
+        pinned.collect { case (p, st) if p.toString.endsWith(".parquet") =>
+          (p.toString, st)
+        }
       case None =>
         val p = dir.resolve(s"srvid=$srvid")
         if (!Files.isDirectory(p)) Seq.empty
@@ -143,7 +152,8 @@ final case class StoreLayout(root: String, ds: String, tier: String) {
                 !n.startsWith(".") && !n.startsWith("_")
               }
             }
-            .map(_.toString).toList.sorted
+            .map(f => (f.toString, Map.empty[String, (Long, Long)]))
+            .toList.sortBy(_._1)
           finally s.close()
         }
     }
@@ -171,8 +181,13 @@ final class StoreTable(layout: StoreLayout, tableSchema: StructType)
 
 /** Pushdown: srvid predicates are consumed here (partition pruning at
   * planning time — satisfied exactly, so Spark never re-evaluates
-  * them); every other filter is returned as residual for Spark to
-  * evaluate post-scan. Column pruning keeps table order. */
+  * them). Range predicates on the manifest's stat columns
+  * (`range_start`/`range_end`) are pushed as FILE-SKIPPING predicates:
+  * they prune whole files against the manifest min/max before any file
+  * is opened, but stay residual too (Spark re-evaluates them row-wise
+  * inside surviving files) — the same partial-pushdown contract as
+  * parquet's own PushedFilters. Every other filter is returned as
+  * residual. Column pruning keeps table order. */
 final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -180,6 +195,7 @@ final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var srvidPreds: Seq[Int => Boolean] = Seq.empty
+  private var rangeSkips: Seq[(String, (Long, Long) => Boolean)] = Seq.empty
 
   private def srvidPred(f: Filter): Option[Int => Boolean] = f match {
     case EqualTo("srvid", v: Number) => Some(_ == v.intValue)
@@ -194,11 +210,49 @@ final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
     case _ => None
   }
 
+  /** Filter value → epoch µs, across the comparand types Spark hands a
+    * V1-Filter pushdown for a timestamp column (plus raw micros longs
+    * for long-typed stat columns). */
+  private def tsMicros(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime =>
+        Some(DateTimeUtils.localDateTimeToMicros(l))
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+  }
+
+  /** "Can any row of a file with this (min, max) satisfy the filter?"
+    * — the file-skipping form of the range comparisons. Null rows
+    * never satisfy a comparison, so bounds over non-null values are
+    * decisive. */
+  private def rangeSkip(
+      f: Filter): Option[(String, (Long, Long) => Boolean)] = f match {
+    case GreaterThanOrEqual(c, v) if StoreScan.statCols(c) =>
+      tsMicros(v).map(x => (c, (_: Long, mx: Long) => mx >= x))
+    case GreaterThan(c, v) if StoreScan.statCols(c) =>
+      tsMicros(v).map(x => (c, (_: Long, mx: Long) => mx > x))
+    case LessThanOrEqual(c, v) if StoreScan.statCols(c) =>
+      tsMicros(v).map(x => (c, (mn: Long, _: Long) => mn <= x))
+    case LessThan(c, v) if StoreScan.statCols(c) =>
+      tsMicros(v).map(x => (c, (mn: Long, _: Long) => mn < x))
+    case EqualTo(c, v) if StoreScan.statCols(c) =>
+      tsMicros(v).map(x => (c, (mn: Long, mx: Long) => mn <= x && mx >= x))
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, unsup) = filters.partition(f => srvidPred(f).isDefined)
-    pushed = sup
-    srvidPreds = sup.toSeq.flatMap(srvidPred)
-    unsup
+    val (srvidSup, rest) = filters.partition(f => srvidPred(f).isDefined)
+    val rangeSup = rest.filter(f => rangeSkip(f).isDefined)
+    pushed = srvidSup ++ rangeSup
+    srvidPreds = srvidSup.toSeq.flatMap(srvidPred)
+    rangeSkips = rangeSup.toSeq.flatMap(rangeSkip)
+    // srvid is satisfied exactly; range skips only prune files, so
+    // they remain residual for row-level evaluation
+    rest
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -206,11 +260,17 @@ final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
     required = requiredSchema
 
   override def build(): Scan =
-    new StoreScan(layout, required, pushed, srvidPreds)
+    new StoreScan(layout, required, pushed, srvidPreds, rangeSkips)
+}
+
+object StoreScan {
+  /** Columns with manifest min/max stats (AtomicSwap.statCols). */
+  val statCols: Set[String] = Set("range_start", "range_end")
 }
 
 final class StoreScan(layout: StoreLayout, required: StructType,
-    pushed: Array[Filter], srvidPreds: Seq[Int => Boolean])
+    pushed: Array[Filter], srvidPreds: Seq[Int => Boolean],
+    rangeSkips: Seq[(String, (Long, Long) => Boolean)] = Seq.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -228,9 +288,18 @@ final class StoreScan(layout: StoreLayout, required: StructType,
   private[graft] def prunedSrvids: Seq[Int] =
     layout.srvids.filter(n => srvidPreds.forall(_(n)))
 
+  /** File skipping: a file survives only if every pushed range
+    * predicate is satisfiable against its manifest min/max — a
+    * narrow-range readback on a long history opens a handful of files
+    * instead of the partition. Files without stats (pre-stats
+    * manifests, directory-walk fallback) always survive. */
   override def planInputPartitions(): Array[InputPartition] =
     prunedSrvids.flatMap { n =>
-      layout.files(n).map(f => StoreFilePartition(f, n))
+      layout.filesWithStats(n).collect {
+        case (f, stats) if rangeSkips.forall { case (c, sat) =>
+          stats.get(c).forall { case (mn, mx) => sat(mn, mx) }
+        } => StoreFilePartition(f, n)
+      }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {

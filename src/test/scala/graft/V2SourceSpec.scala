@@ -282,4 +282,70 @@ class V2SourceSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("manifest range stats skip files at planning time; surviving " +
+      "rows are filter-exact") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val hSchema = StructType(Seq(
+      StructField("srvid", IntegerType),
+      StructField("range_start", TimestampType),
+      StructField("range_end", TimestampType),
+      StructField("v", LongType)))
+    def mkRange(srvid: Int, startSec: Long, n: Int) =
+      spark.range(n).coalesce(2).select(lit(srvid).as("srvid"),
+        timestamp_seconds(lit(startSec) + col("id") * 60L)
+          .as("range_start"),
+        timestamp_seconds(lit(startSec) + col("id") * 60L + 30L)
+          .as("range_end"),
+        col("id").as("v"))
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    withStore { store =>
+      val jan = 1704067200L // 2024-01-01
+      val feb = 1706745600L // 2024-02-01
+      store.appendPartition("dsR", "history", 1, mkRange(1, jan, 10))
+      store.appendPartition("dsR", "history", 1, mkRange(1, feb, 10))
+      val layout = StoreLayout(store.root, "dsR", "history")
+      // both batches' files carry stats in the republished manifest
+      val withStats = layout.filesWithStats(1)
+      assert(withStats.nonEmpty &&
+        withStats.forall(_._2.keySet === Set("range_start", "range_end")),
+        s"manifest must stat both range columns, got $withStats")
+      val all = {
+        val b = new StoreScanBuilder(layout, hSchema)
+        b.build().asInstanceOf[StoreScan].planInputPartitions().length
+      }
+      // "history since Feb" must not open any January file
+      val b = new StoreScanBuilder(layout, hSchema)
+      val residual = b.pushFilters(Array(
+        GreaterThanOrEqual("range_end", ts(feb))))
+      // range skip is partial pushdown: pushed AND residual
+      assert(residual.toSeq === Seq(GreaterThanOrEqual("range_end", ts(feb))))
+      assert(b.pushedFilters().toSeq ===
+        Seq(GreaterThanOrEqual("range_end", ts(feb))))
+      val pruned = b.build().asInstanceOf[StoreScan].planInputPartitions()
+      assert(pruned.nonEmpty && pruned.length < all,
+        s"expected fewer than $all files, planned ${pruned.length}")
+      // a window before all data plans zero files
+      val b2 = new StoreScanBuilder(layout, hSchema)
+      b2.pushFilters(Array(LessThanOrEqual("range_end", ts(jan - 1))))
+      assert(b2.build().asInstanceOf[StoreScan]
+        .planInputPartitions().isEmpty)
+      // end-to-end row exactness through the V2 reader (residual
+      // re-evaluation inside surviving files)
+      val want = store.read("dsR", "history", hSchema)
+        .filter(col("range_end") >= lit(ts(feb))).collect().toSet
+      val got = store.readV2("dsR", "history", hSchema)
+        .filter(col("range_end") >= lit(ts(feb))).collect().toSet
+      assert(got === want && got.size === 10)
+      // directory-walk fallback (no manifest → no stats): never skips
+      store.append("dsR", "staging", mkRange(2, jan, 5))
+      val lay2 = StoreLayout(store.root, "dsR", "staging")
+      val b3 = new StoreScanBuilder(lay2, hSchema)
+      b3.pushFilters(Array(LessThanOrEqual("range_end", ts(jan - 1))))
+      assert(b3.build().asInstanceOf[StoreScan]
+        .planInputPartitions().nonEmpty,
+        "stat-less files must always survive the skip")
+    }
+  }
 }
