@@ -52,15 +52,20 @@ object Bench {
         .filter(col("r") <= 3).count()
     }
     // SPARK_GRAFT_ONLY=q01,q02 restricts the run (local profiling aid);
-    // SPARK_GRAFT_REPS=N takes the min of N runs per query (default 2 —
-    // this box shows 5-10x run-to-run variance on individual queries,
-    // so a single sample routinely misreports a fast query as slow).
+    // SPARK_GRAFT_REPS=N sets the rep count for sub-5 s queries
+    // (default 3) — the committed number is the MEDIAN of the reps.
+    // Median, not min: this box shows a 153.7-228.5 s same-code band
+    // across identical runs (NOTES.md r8), so a single sample is
+    // unjudgeable and a min systematically flatters contended runs;
+    // the median is the stable round-over-round comparator. Queries at
+    // ≥ 5 s first-run are dominated by real work (the rep would cost
+    // more than the noise it removes) and keep that single sample.
     // ENGINE ROUND-TRIPS run once: each drives 20+ Spark jobs through
     // full snapshot->aggregate->readback lifecycles, so scheduler noise
     // averages out internally and a second full engine run would only
     // re-pay multi-second tick orchestration for no extra signal.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
     // streaming queries (p34/p35/p40) count as round-trips too: each
     // runs a full StreamingQuery lifecycle (many micro-batch jobs)
     val roundTrips = Set("q31", "q32", "q33", "q34", "q35", "q36", "q37",
@@ -79,13 +84,25 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      def median(ts: List[Double]): Double = {
+        val s = ts.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
       val isRoundTrip = roundTrips.exists(name.startsWith)
-      var runs = List.fill(if (isRoundTrip) 1 else reps)(()).map(_ => once())
-      // a round-trip first-run above 10 s is usually box noise (measured
-      // 3x swings on identical code) — retry once and keep the min
-      if (isRoundTrip && runs.head._1 > 10.0 && runs.head._2)
-        runs = once() :: runs
-      (name, runs.map(_._1).min, runs.forall(_._2))
+      if (isRoundTrip) {
+        // a round-trip first-run above 10 s is usually box noise
+        // (measured 3x swings on identical code) — retry once, keep min
+        var runs = List(once())
+        if (runs.head._1 > 10.0 && runs.head._2) runs = once() :: runs
+        (name, runs.map(_._1).min, runs.forall(_._2))
+      } else {
+        val first = once()
+        val runs =
+          if (!first._2 || first._1 >= 5.0) List(first)
+          else first :: List.fill(reps - 1)(()).map(_ => once())
+        (name, median(runs.map(_._1)), runs.forall(_._2))
+      }
     }
     def sec(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }

@@ -36,10 +36,13 @@ final class StoreCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var catalogOptions: CaseInsensitiveStringMap =
+    CaseInsensitiveStringMap.empty()
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    catalogOptions = options
     root = options.get("root")
     require(root != null && root.nonEmpty,
       s"StoreCatalog '$name': set spark.sql.catalog.$name.root")
@@ -84,7 +87,62 @@ final class StoreCatalog extends TableCatalog {
     val ds = ident.namespace()(0)
     val tier = ident.name()
     val layout = StoreLayout(root, ds, tier)
-    new StoreTable(layout, tierSchema(ds, tier, layout))
+    new StoreTable(layout, tierSchema(ds, tier, layout), aclGuard(ds, tier))
+  }
+
+  /** Physical tier → the reference's table name for that tier — the
+    * key the powa_grant matrix is expressed in (AccessControl
+    * .inventory; powa--5.2.0.sql:7574-7654). */
+  private def powaObjectName(ds: String, tier: String): String =
+    (ds, tier) match {
+      // the qualstats family's generic tiers hold the QUALS history
+      // pair (QualstatsDatasource scaladoc); constvalues are own tiers
+      case ("powa_qualstats", "current") => "powa_qualstats_quals_history_current"
+      case ("powa_qualstats", "history") => "powa_qualstats_quals_history"
+      case (_, "staging") => s"${ds}_src_tmp"
+      case (_, "current") => s"${ds}_history_current"
+      case (_, "current_db") => s"${ds}_history_current_db"
+      case (_, "history") => s"${ds}_history"
+      case (_, "history_db") => s"${ds}_history_db"
+      case (_, "constvalues") => s"${ds}_constvalues_history_current"
+      case (_, "constvalues_history") => s"${ds}_constvalues_history"
+      case (_, other) => s"${ds}_$other"
+    }
+
+  /** The ACL enforcement decorator (the reference's pseudo-role
+    * delegation made real at the SQL surface): when the session names a
+    * principal via `spark.sql.catalog.<name>.principal` or the session
+    * conf `spark.graft.acl.principal`, every scan/write build on a
+    * loaded tier consults the store's persisted powa_grant matrix
+    * (`AccessControl.check` over `_registry/acl.properties`) and throws
+    * for a privilege the principal's pseudo-roles do not carry —
+    * powa_read_all_metrics reads `statements.history` but not
+    * `qualstats.constvalues`, exactly the reference's GRANT rows.
+    * Objects outside the powa inventory (ad-hoc datasources like q44's
+    * `evt`) are not powa's to guard and pass through, matching the
+    * pg_depend walk's extension-owned scope. No principal set → open,
+    * the engine's own path. */
+  private def aclGuard(ds: String, tier: String): String => Unit = {
+    val principal = Option(catalogOptions.get("principal"))
+      .orElse(SparkSession.active.conf
+        .getOption("spark.graft.acl.principal"))
+      .filter(_.nonEmpty)
+    principal match {
+      case None => _ => ()
+      case Some(p) =>
+        val obj = powaObjectName(ds, tier)
+        val known = graft.core.AccessControl
+          .inventory(graft.spec.Specs.all).exists(_.name == obj)
+        if (!known) _ => ()
+        else {
+          val acl = new graft.core.AccessControl(Some(root))
+          priv =>
+            if (!acl.check(p, priv, obj))
+              throw new SecurityException(
+                s"powa ACL: principal '$p' lacks $priv on $obj " +
+                  s"(catalog $catalogName, tier $ds.$tier)")
+        }
+    }
   }
 
   /** Spec-registry schema for the generic tier names of a known

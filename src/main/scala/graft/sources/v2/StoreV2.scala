@@ -159,7 +159,14 @@ final case class StoreLayout(root: String, ds: String, tier: String) {
     }
 }
 
-final class StoreTable(layout: StoreLayout, tableSchema: StructType)
+/** `guard` is the ACL hook ([[StoreCatalog]]'s enforcement decorator):
+  * called with the required privilege ("SELECT" at scan building,
+  * "INSERT" at write building — the coarse DML gate; the reference's
+  * finer UPDATE/DELETE rows coincide with INSERT for every powa role)
+  * and throws to deny. Default no-op: the bare `graft-store` format and
+  * the engine's own reads are not principal-scoped. */
+final class StoreTable(layout: StoreLayout, tableSchema: StructType,
+    guard: String => Unit = _ => ())
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
@@ -171,12 +178,16 @@ final class StoreTable(layout: StoreLayout, tableSchema: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    guard("SELECT")
     new StoreScanBuilder(layout, tableSchema)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    guard("INSERT")
     new StoreWriteBuilder(layout, info)
+  }
 }
 
 /** Pushdown: srvid predicates are consumed here (partition pruning at

@@ -156,4 +156,58 @@ class AclSpec extends AnyFunSuite {
     e.deleteServer(72)
     assert(e.registry.serverIds == Seq(0))
   }
+
+  test("catalog enforcement: read_all_metrics reads statements history " +
+      "but not qualstats constvalues; writes denied; ad-hoc unguarded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = tmpRoot()
+    val acl = new AccessControl(Some(root))
+    acl.setupRoles(readAllMetricsRole = "metrics_readers")
+    acl.addMember("mallory", "metrics_readers")
+    val store = new graft.core.Store(spark, root)
+    store.appendPartition("powa_qualstats", "constvalues", 1,
+      Seq((10L, "x")).toDF("qualid", "constvalues"))
+    store.appendPartition("adhoc", "current", 1,
+      Seq((1L, "y")).toDF("k", "v"))
+    val cat = "graft_acl_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set("spark.graft.acl.principal", "mallory")
+    try {
+      // allowed: metrics readers SELECT the statements history tier
+      assert(spark.sql(
+        s"SELECT * FROM $cat.powa_statements.history").count() === 0L)
+      // denied: constvalues carry data values — excluded from
+      // read_all_metrics (powa--5.2.0.sql:7612-7617)
+      val e = intercept[Throwable] {
+        spark.sql(s"SELECT * FROM $cat.powa_qualstats.constvalues").count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(
+        "lacks SELECT on powa_qualstats_constvalues_history_current")),
+        s"got: ${messages(e)}")
+      // denied: a read-only role may not write any tier
+      val w = intercept[Throwable] {
+        Seq((11L, "y", 1)).toDF("qualid", "constvalues", "srvid")
+          .writeTo(s"$cat.powa_qualstats.constvalues").append()
+      }
+      assert(messages(w).exists(_.contains("lacks INSERT")),
+        s"got: ${messages(w)}")
+      // outside the powa inventory: not powa's to guard
+      assert(spark.sql(
+        s"SELECT * FROM $cat.adhoc.current").count() === 1L)
+      // no principal -> open (the engine's own path)
+      spark.conf.unset("spark.graft.acl.principal")
+      assert(spark.sql(
+        s"SELECT * FROM $cat.powa_qualstats.constvalues").count() === 1L)
+    } finally {
+      spark.conf.unset("spark.graft.acl.principal")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
 }

@@ -896,4 +896,52 @@ class EngineSpec extends AnyFunSuite {
       Timestamp.valueOf("2025-01-01 00:00:00"))
     assert(back.count() === 16)
   }
+
+  test("spec evolution (add-nullable-column): v1 history reads under " +
+      "the v2 spec with nulls; mixed-generation readback unions") {
+    // the supported evolution class is the reference's own: every one
+    // of its 15 upgrade scripts only ADDS columns to live tables (plus
+    // config rows) — so "store written by engine vN, opened by vN+1
+    // with a wider DatasourceSpec" must read old files with nulls in
+    // the new field and keep aggregating/reading back. NOTES.md
+    // "spec evolution" names the contract.
+    import GenericDatasource._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val store = new Store(spark, root)
+    val v1 = Specs.byName("powa_stat_bgwriter")
+    val dsV1 = new GenericDatasource(v1)
+    val srvid = 20
+    (1 to 5).foreach { t =>
+      store.append(v1.name, Staging, bgwriterBatch(srvid, t))
+      dsV1.snapshot(store, srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    dsV1.aggregate(store, srvid) // v1-generation history files on disk
+    // engine vN+1: the same datasource grew one nullable counter
+    val v2 = v1.copy(counterCols = v1.counterCols :+ Specs.big("buffers_evo"))
+    val dsV2 = new GenericDatasource(v2)
+    val hist = store.readBucketed(v1.name, History, historyNoSrvid(v2))
+    val recs = hist.select(explode(col("records")).as("r"))
+      .select(col("r.buffers_clean"), col("r.buffers_evo"))
+    assert(recs.count() === 5)
+    assert(recs.filter(col("buffers_evo").isNull).count() === 5,
+      "v1 records must read with null in the added column")
+    assert(recs.filter(col("buffers_clean").isNull).count() === 0)
+    // a v2 tick lands with the new counter populated and coalesces
+    store.append(v2.name, Staging, bgwriterBatch(srvid, 6)
+      .withColumn("buffers_evo", lit(42L)))
+    dsV2.snapshot(store, srvid, Timestamp.valueOf("2024-01-01 00:06:30"))
+    val cur = store.readPartition(v2.name, Current, srvid,
+      currentNoSrvid(v2))
+    val rb = graft.operators.Readback.series(cur,
+      store.readBucketed(v2.name, History, historyNoSrvid(v2)), v2,
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")),
+      lit(Timestamp.valueOf("2024-01-01 01:00:00")))
+    assert(rb.count() === 6, "both generations must read back together")
+    assert(rb.filter(col("record.buffers_evo") === 42L).count() === 1)
+    assert(rb.filter(col("record.buffers_evo").isNull).count() === 5)
+    // and the v2 aggregate commits over the widened current tier
+    dsV2.aggregate(store, srvid)
+    val h2 = store.readBucketed(v2.name, History, historyNoSrvid(v2))
+    assert(h2.select(explode(col("records"))).count() === 6)
+  }
 }
