@@ -385,6 +385,66 @@ object Stress {
       (stagedSec, idleSec)
     }
 
+    // Rank-stage axis (round 9): rrfFusion rebuilt as TakeOrdered gates
+    // + a broadcast counting pass vs the corpus-global window it
+    // replaced. Signals are cheap in-row expressions so the axis times
+    // the rank machinery, not feature extraction. Claim: the gate+count
+    // form tracks scan speed with a constant-size shuffle (candidates
+    // only), while the windowed form funnels the corpus through one
+    // task per signal.
+    val scored = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("s0"),
+        pmod(graft.pipeline.Hashing.h60(col("doc_id").cast("string")),
+          lit(1000003L)).as("s1"))
+      .localCheckpoint()
+    val (rrfSec, _) = timed(graft.pipeline.Sampling.rrfFusion(
+      scored, "doc_id", Seq(col("s0"), col("s1")),
+      k = 60, topN = 100).count())
+    val (rrfWinSec, _) = timed(graft.pipeline.Sampling.rrfFusionWindowed(
+      scored, "doc_id", Seq(col("s0"), col("s1")), 60, 100).count())
+
+    // Vocab-rank axis (round 9): vocabCoverage's distributed range rank
+    // (repartitionByRange + per-slice offsets). The vocab is
+    // ~constant under the rep-token multiplication, so the rank stage
+    // must stay flat while the corpus-sized count pass grows.
+    val (vocabSec, vocabRows) = timed(
+      graft.pipeline.TextOps.vocabCoverage(docs, "text", 900000L).count())
+
+    // Prefix-filter set-similarity axis (p113, round 9): the verbatim
+    // copies are its worst case — every copied doc shares its WHOLE
+    // prefix, so prefix-token postings are maximally hot. The prefix
+    // lemma + length filter must keep candidates ~output-bounded
+    // (true-duplicate pairs), never all-pairs.
+    val (pfxSec, pfxPairs) = timed(
+      graft.pipeline.Dedup.prefixFilterPairs(docs, "doc_id", "text",
+        3, 0.8).count())
+
+    // Column-profile axis (p107, round 9): one pass, per-column
+    // aggregates map-side combined — must track scan speed on the
+    // multiplied events frame.
+    val (profSec, profCols) = timed(
+      graft.pipeline.Profiling.columnProfile(
+        big.select(col("srvid"), col("user_id"), col("event_type"),
+          col("record.value").as("value"))).count())
+
+    // Self-repeat axis (p112, round 9): the within-doc window self-join
+    // is doc-length-bounded per row (zero cross-doc terms), so
+    // docs/sec must stay flat as the corpus multiplies.
+    val (selfSec, selfDocs) = timed(
+      graft.pipeline.TextOps.longestSelfRepeat(docs, "doc_id", "text",
+        k = 5).count())
+
+    // Interval-merge axis (p115, round 9): per-key ordered sweep — one
+    // window exchange on the key, rows/sec must track the scan.
+    val (imSec, imRows) = timed {
+      // mergeIntervals takes epoch-micros longs
+      val ivals = big.select(col("user_id"),
+        unix_micros(col("record.ts")).as("start_us"),
+        (unix_micros(col("record.ts")) + 1800L * 1000000L).as("end_us"))
+      graft.pipeline.Sessions.mergeIntervals(ivals, "user_id",
+        "start_us", "end_us").count()
+    }
+
     val json =
       s"""{"metric":"stress","mult":$mult,"rows":$n,""" +
       s""""coalesce_sec":$coalesceSec,"coalesce_rows_per_sec":${(n / coalesceSec).toLong},""" +
@@ -426,6 +486,16 @@ object Stress {
       s""""fleet_idle_tick_sec":${fleetSec._2},""" +
       s""""plain_join_sec":$plainJoinSec,"bloom_join_sec":$bloomSec,""" +
       s""""join_rows":$plainJoinRows,"bloom_rows_match":${plainJoinRows == bloomRows},""" +
+      s""""rrf_sec":$rrfSec,"rrf_windowed_sec":$rrfWinSec,""" +
+      s""""rrf_docs_per_sec":${(nDocs / rrfSec).toLong},""" +
+      s""""vocab_sec":$vocabSec,"vocab_rows":$vocabRows,""" +
+      s""""prefix_sec":$pfxSec,"prefix_pairs":$pfxPairs,""" +
+      s""""prefix_docs_per_sec":${(nDocs / pfxSec).toLong},""" +
+      s""""profile_sec":$profSec,"profile_cols":$profCols,""" +
+      s""""profile_rows_per_sec":${(n / profSec).toLong},""" +
+      s""""selfrep_sec":$selfSec,"selfrep_docs_per_sec":${(selfDocs / selfSec).toLong},""" +
+      s""""imerge_sec":$imSec,"imerge_rows_per_sec":${(n / imSec).toLong},""" +
+      s""""imerge_merged":$imRows,""" +
       s""""sf":"$sfDir"}"""
     spark.stop()
     println(json)
