@@ -57,17 +57,20 @@ object Bench {
     // Median, not min: this box shows a 153.7-228.5 s same-code band
     // across identical runs (NOTES.md r8), so a single sample is
     // unjudgeable and a min systematically flatters contended runs;
-    // the median is the stable round-over-round comparator. Queries at
-    // ≥ 5 s first-run are dominated by real work (the rep would cost
-    // more than the noise it removes) and keep that single sample.
-    // ENGINE ROUND-TRIPS run once: each drives 20+ Spark jobs through
-    // full snapshot->aggregate->readback lifecycles, so scheduler noise
-    // averages out internally and a second full engine run would only
-    // re-pay multi-second tick orchestration for no extra signal.
+    // the median is the stable round-over-round comparator. No query
+    // commits a single sample above 5 s (r9 verdict item 2): a first
+    // run at ≥ 5 s — engine round-trip, streaming lifecycle, or plain
+    // query — gets one more rep and keeps the median of the two; that
+    // is ~70 s of extra bench time (8 queries ≥ 5 s at r9), bounded,
+    // and it is exactly the band (q34 5.9↔9.9 s same-code) where a
+    // lone sample made regressions unjudgeable. Engine round-trips
+    // below 5 s follow the same 3-rep-median rule as everything else —
+    // each rep is a fresh temp-store lifecycle, so reps are
+    // independent samples, not cache replays.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
-    // streaming queries (p34/p35/p40) count as round-trips too: each
-    // runs a full StreamingQuery lifecycle (many micro-batch jobs)
+    // round-trip/streaming headline queries: inlined into the stdout
+    // line (the full map only fits in the file sink, see below)
     val roundTrips = Set("q31", "q32", "q33", "q34", "q35", "q36", "q37",
       "q38", "q40", "q43", "p34", "p35", "p40", "p42", "p53", "p61", "p65",
       "p69", "p74", "p78", "p79")
@@ -89,20 +92,12 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-      val isRoundTrip = roundTrips.exists(name.startsWith)
-      if (isRoundTrip) {
-        // a round-trip first-run above 10 s is usually box noise
-        // (measured 3x swings on identical code) — retry once, keep min
-        var runs = List(once())
-        if (runs.head._1 > 10.0 && runs.head._2) runs = once() :: runs
-        (name, runs.map(_._1).min, runs.forall(_._2))
-      } else {
-        val first = once()
-        val runs =
-          if (!first._2 || first._1 >= 5.0) List(first)
-          else first :: List.fill(reps - 1)(()).map(_ => once())
-        (name, median(runs.map(_._1)), runs.forall(_._2))
-      }
+      val first = once()
+      val runs =
+        if (!first._2) List(first)
+        else if (first._1 >= 5.0) first :: List(once())
+        else first :: List.fill(reps - 1)(()).map(_ => once())
+      (name, median(runs.map(_._1)), runs.forall(_._2))
     }
     def sec(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }

@@ -43,6 +43,11 @@ object Stress {
     val n = big.count()
 
     def timed(f: => Long): (Double, Long) = {
+      // driver GC first: Spark's ContextCleaner only drops the previous
+      // axes' shuffle files when their RDDs are collected, and with a
+      // large heap that never happens on its own — at mult 50 the
+      // accumulated spill of ~40 axes filled the disk before GC ran
+      System.gc()
       val t0 = System.nanoTime()
       val rows = f
       ((System.nanoTime() - t0) / 1e9, rows)

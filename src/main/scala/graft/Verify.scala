@@ -31,10 +31,18 @@ object Verify {
         // but the DUMP read by the DuckDB comparator must stay INT96:
         // DuckDB reads MICROS(adjustedToUTC) as tz-aware TIMESTAMPTZ
         // while the oracle SQL produces naive timestamps — same values,
-        // failed dtype compare. Engine work ran eagerly inside fn, so
-        // re-pinning here cannot leak into store writes.
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
-        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // failed dtype compare. Scoped save/restore around the dump
+        // write only (round-9 ADVICE): a store write deferred into the
+        // dump action, or the next query's engine work, must never run
+        // under the INT96 pin and silently lose manifest range stats.
+        val tsKey = "spark.sql.parquet.outputTimestampType"
+        val prevTs = spark.conf.getOption(tsKey)
+        spark.conf.set(tsKey, "INT96")
+        try out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally prevTs match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

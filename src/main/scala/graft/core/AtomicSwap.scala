@@ -51,12 +51,25 @@ object AtomicSwap {
   private def manifestName(linkName: String): String = s".m_$linkName"
 
   /** Columns whose per-file min/max are published in the manifest —
-    * the readback range keys, so a history scan can skip whole files
-    * at PLANNING time (the Spark analogue of the reference's GiST
+    * the readback range keys, so a scan can skip whole files at
+    * PLANNING time (the Spark analogue of the reference's GiST
     * `(srvid, queryid, coalesce_range)` index, powa--5.2.0.sql:2123:
     * the index prunes by range before any page is read; here the
-    * manifest prunes by range before any file is opened). */
-  private val statCols = Set("range_start", "range_end")
+    * manifest prunes by range before any file is opened).
+    * `range_start`/`range_end` serve the history tier;
+    * `record.ts` the current tier and `ts` staging — the current-side
+    * analogue of the reference's `*_current (srvid, ts)` btree
+    * (powa--5.2.0.sql:2150). THE single definition: the DSv2 scan
+    * (StoreScan) references this set, so publisher and skipper can
+    * never drift apart (round-9 ADVICE). */
+  val statCols: Set[String] = Set("range_start", "range_end",
+    "ts", "record.ts")
+
+  /** Manifest format version, stamped in the header. Readers REJECT a
+    * newer version loudly instead of mis-parsing it silently (round-9
+    * ADVICE: a pre-stats reader fed suffixed path lines dropped files
+    * silently — a format fence makes every future change loud). */
+  private[core] val ManifestFormat = 2
 
   /** Per-file min/max of the [[statCols]] INT64 chunks, from the
     * parquet footer. A column qualifies only when EVERY row group
@@ -100,15 +113,28 @@ object AtomicSwap {
     } catch { case _: Throwable => Map.empty }
   }
 
-  /** Publish the manifest for the freshly flipped version: header line =
-    * version dir name, then every regular file as a parent-relative
-    * path (minus any `exclude`d paths — the logical-delete hook for
-    * deferred bucket drops). Parquet files carry tab-separated
-    * `col=min:max` stats for the [[statCols]] after the path — the
-    * file-skipping index; readers that only need paths split on the
-    * first tab, so pre-stats manifests parse identically. Written to a
-    * temp name and atomically renamed over the old manifest — readers
-    * see the old complete list or the new one, never a partial write. */
+  /** Publish the manifest for the freshly flipped version.
+    *
+    * Line format (v2): header line = version dir name + tab-separated
+    * `graft.manifest=<version>` and `stats=<col,col,…>` markers; then
+    * every regular file as a VERBATIM parent-relative path (minus any
+    * `exclude`d paths — the logical-delete hook for deferred bucket
+    * drops); then one stats line per parquet file that has stats,
+    * `\t<path>\t<col>=<min>:<max>…` — LEADING tab, so a path-only
+    * reader (`parent.resolve(line)` + `.endsWith(".parquet")`) sees a
+    * non-parquet non-path and ignores it: path lines stay verbatim
+    * across format revisions, and only the stats sidecar evolves
+    * (round-9 ADVICE — the r9 format suffixed stats onto path lines,
+    * which a pre-stats reader silently dropped as files).
+    *
+    * Footer reads are INCREMENTAL: stats for paths already listed in
+    * the previous manifest (same format, same stat-column set) are
+    * carried forward, so a batch append opens only the new batch's
+    * footers, not O(history) per commit (round-9 ADVICE).
+    *
+    * Written to a temp name and atomically renamed over the old
+    * manifest — readers see the old complete list or the new one,
+    * never a partial write. */
   private def writeManifest(parent: Path, linkName: String,
       vdir: Path, exclude: String => Boolean = _ => false): Unit = {
     val files = {
@@ -118,18 +144,33 @@ object AtomicSwap {
         .toList.sorted
       finally s.close()
     }
-    val lines = files.map { rel =>
-      if (!rel.endsWith(".parquet")) rel
+    val statsMarker = s"stats=${statCols.toSeq.sorted.mkString(",")}"
+    // carry-forward source: the previous manifest, but ONLY when it was
+    // written by this exact format + stat-column set — a widened column
+    // set must re-read every footer once, never inherit its absence
+    val prev: Map[String, Map[String, (Long, Long)]] =
+      readManifestRaw(parent, linkName) match {
+        case Some((header, entries))
+            if header.contains(s"graft.manifest=$ManifestFormat") &&
+              header.contains(statsMarker) =>
+          entries.toMap
+        case _ => Map.empty
+      }
+    val statLines = files.flatMap { rel =>
+      if (!rel.endsWith(".parquet")) None
       else {
-        val stats = parquetRangeStats(parent.resolve(rel))
-        if (stats.isEmpty) rel
-        else rel + stats.toSeq.sortBy(_._1)
-          .map { case (c, (mn, mx)) => s"\t$c=$mn:$mx" }.mkString
+        val stats = prev.getOrElse(rel,
+          parquetRangeStats(parent.resolve(rel)))
+        if (stats.isEmpty) None
+        else Some("\t" + rel + stats.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"\t$c=$mn:$mx" }.mkString)
       }
     }
+    val header = Seq(vdir.getFileName.toString,
+      s"graft.manifest=$ManifestFormat", statsMarker).mkString("\t")
     val tmp = parent.resolve(s".mtmp_$linkName")
     Files.write(tmp,
-      (vdir.getFileName.toString +: lines).mkString("\n")
+      ((header +: files) ++ statLines).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, parent.resolve(manifestName(linkName)),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -203,35 +244,71 @@ object AtomicSwap {
     manifestEntries(parent, linkName).map(_.map(_._1))
 
   /** Manifest read with the per-file range stats: each entry is the
-    * absolute path plus a (possibly empty) `col -> (min, max)` map
-    * parsed from the tab-separated `col=min:max` suffixes. Entries from
-    * pre-stats manifests, non-parquet files, or unparseable suffixes
-    * get an empty map — "cannot skip", never wrong. */
+    * absolute path plus a (possibly empty) `col -> (min, max)` map.
+    * Entries from pre-stats manifests, non-parquet files, or
+    * unparseable stats get an empty map — "cannot skip", never wrong. */
   def manifestEntries(parent: Path,
-      linkName: String): Option[Seq[(Path, Map[String, (Long, Long)])]] = {
+      linkName: String): Option[Seq[(Path, Map[String, (Long, Long)])]] =
+    readManifestRaw(parent, linkName).map(_._2.map { case (rel, st) =>
+      (parent.resolve(rel), st)
+    })
+
+  private def parseKvs(
+      kvs: Seq[String]): Map[String, (Long, Long)] =
+    kvs.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(c, range) => range.split(":", 2) match {
+          case Array(mn, mx) =>
+            (scala.util.Try(mn.toLong).toOption,
+              scala.util.Try(mx.toLong).toOption) match {
+              case (Some(a), Some(z)) => Some(c -> (a, z))
+              case _ => None
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
+
+  /** Raw manifest parse: (header tokens, entries as parent-RELATIVE
+    * path + stats). Accepts three vintages — v2 (marker + sidecar
+    * stats lines), the unmarked r9 interim (stats suffixed onto path
+    * lines), and the original path-only form — and REJECTS any marker
+    * newer than [[ManifestFormat]] with a loud error: an unknown
+    * future format must never degrade into a silently partial file
+    * list (round-9 ADVICE). */
+  private def readManifestRaw(parent: Path, linkName: String)
+      : Option[(Seq[String], Seq[(String, Map[String, (Long, Long)])])] = {
     val m = parent.resolve(manifestName(linkName))
     if (!Files.isRegularFile(m)) None
     else {
       val lines = new String(Files.readAllBytes(m),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-      Some(lines.drop(1).filter(_.nonEmpty).map { line =>
+      val header = lines.headOption.toSeq.flatMap(_.split("\t").toSeq)
+      header.collectFirst {
+        case t if t.startsWith("graft.manifest=") =>
+          scala.util.Try(t.stripPrefix("graft.manifest=").toInt)
+            .getOrElse(Int.MaxValue)
+      }.filter(_ > ManifestFormat).foreach { v =>
+        throw new IllegalStateException(
+          s"graft manifest $m declares format $v; this reader " +
+            s"supports <= $ManifestFormat — refusing a silently " +
+            "partial read (upgrade the reader)")
+      }
+      val body = lines.drop(1).filter(_.nonEmpty)
+      // v2 sidecar stats lines: "\t<path>\t<col>=<min>:<max>..."
+      val sidecar = body.filter(_.startsWith("\t")).map { l =>
+        val parts = l.split("\t") // parts(0) is the empty pre-tab field
+        (parts(1), parseKvs(parts.drop(2).toSeq))
+      }.toMap
+      val entries = body.filterNot(_.startsWith("\t")).map { line =>
         val parts = line.split("\t")
-        val stats = parts.drop(1).flatMap { kv =>
-          kv.split("=", 2) match {
-            case Array(c, range) => range.split(":", 2) match {
-              case Array(mn, mx) =>
-                (scala.util.Try(mn.toLong).toOption,
-                  scala.util.Try(mx.toLong).toOption) match {
-                  case (Some(a), Some(z)) => Some(c -> (a, z))
-                  case _ => None
-                }
-              case _ => None
-            }
-            case _ => None
-          }
-        }.toMap
-        (parent.resolve(parts(0)), stats)
-      })
+        val suffix = parseKvs(parts.drop(1).toSeq) // r9 interim format
+        val stats = if (suffix.nonEmpty) suffix
+          else sidecar.getOrElse(parts(0), Map.empty[String, (Long, Long)])
+        (parts(0), stats)
+      }
+      Some((header, entries))
     }
   }
 

@@ -346,9 +346,21 @@ object Sampling {
     *
     * The corpus is scanned S+2 times (S gates + id gate + counting
     * pass) — scan-bound and embarrassingly parallel at 100 TB, vs the
-    * old shape's S full sorts through one task. Degenerate parameters
-    * with `k+topN > 1e6` (points floor 0) fall back to the windowed
-    * form — unreachable for any sane k. */
+    * old shape's S full sorts through one task.
+    *
+    * COMPARISON BOUND (the cost model, stated like the codebook
+    * bounds): |candidates| ≤ S·M + topN with M ≈ S·(k+topN) (M is the
+    * smallest gate width whose outsiders score below the points floor,
+    * so M grows linearly in both S and topN), hence the counting join
+    * does O(S·(S·M+topN)) ≈ O(S³·(k+topN)) comparisons PER CORPUS ROW
+    * and broadcasts S·M+topN candidate rows. Fine for ranking use
+    * (S ≤ ~5, topN ≤ ~10⁴ ⇒ ≤ ~10⁶ comparisons/row worst case, ~MB
+    * broadcast); a corpus-scale topN would silently turn the counting
+    * pass into a near-cartesian with a gigabyte broadcast, so the
+    * candidate bound is `require`d ≤ 1e6 and a pathological topN fails
+    * LOUDLY with the windowed form named as the alternative.
+    * Degenerate parameters with `k+topN > 1e6` (points floor 0) fall
+    * back to the windowed form — unreachable for any sane k. */
   def rrfFusion(df: DataFrame, idCol: String, scores: Seq[Column],
       k: Int = 60, topN: Int = 100): DataFrame = {
     require(scores.nonEmpty, "need at least one score signal")
@@ -360,6 +372,17 @@ object Sampling {
     // smallest M with nSig * (1e6 DIV (k+M+1)) strictly below floorPts:
     // k+M+1 > nSig*1e6/floorPts
     val m = ((nSig * 1000000L) / floorPts + 1L - k).toInt.max(topN)
+    // the candidate ceiling (see scaladoc): beyond this the counting
+    // pass stops being "a small broadcast against a scan" and a
+    // pathological topN must fail loudly, not build a GB broadcast
+    val candBound = nSig.toLong * m + topN
+    require(candBound <= 1000000L,
+      s"rrfFusion candidate bound S*M+topN = $candBound > 1e6 " +
+        s"(signals=$nSig, gate width M=$m, topN=$topN): the exact " +
+        "counting pass would broadcast and compare a candidate set " +
+        "this large against every corpus row. Reduce topN (rrf is a " +
+        "top-N ranking, not a corpus sort) or use rrfFusionWindowed " +
+        "for corpus-scale output.")
     // evaluate each signal once so gate, counting join and points all
     // see identical values
     val base = scores.zipWithIndex.foldLeft(df) { case (acc, (sc, i)) =>

@@ -382,10 +382,12 @@ object PipelineQueries {
     * file so a layout drift fails loudly instead of silently nulling the
     * sentinel batch and defeating the watermark flush. */
   private[graft] def sentinelFrame(s: SparkSession, d: String,
-      rows: Seq[(Long, Long, String)],
-      rawSchema: Option[StructType] = None): DataFrame = {
+      rows: Seq[(Long, Long, String)]): DataFrame = {
     import s.implicits._
-    val raw = rawSchema.getOrElse(Tables.eventsRawSchemaPinNanosConf(s, d))
+    // one footer read per JVM: the getter memoizes per directory
+    // (Tables.rawSchemaCache), so every sentinel/stream call site
+    // shares the single cached events schema
+    val raw = Tables.eventsRawSchemaPinNanosConf(s, d)
     Seq("event_id" -> LongType, "user_id" -> LongType,
         "event_type" -> StringType, "value" -> DoubleType,
         "props" -> StringType).foreach { case (n, t) =>

@@ -123,25 +123,28 @@ final class StoreCatalog extends TableCatalog {
     * pg_depend walk's extension-owned scope. No principal set → open,
     * the engine's own path. */
   private def aclGuard(ds: String, tier: String): String => Unit = {
-    val principal = Option(catalogOptions.get("principal"))
-      .orElse(SparkSession.active.conf
-        .getOption("spark.graft.acl.principal"))
-      .filter(_.nonEmpty)
-    principal match {
-      case None => _ => ()
-      case Some(p) =>
-        val obj = powaObjectName(ds, tier)
-        val known = graft.core.AccessControl
-          .inventory(graft.spec.Specs.all).exists(_.name == obj)
-        if (!known) _ => ()
-        else {
-          val acl = new graft.core.AccessControl(Some(root))
-          priv =>
-            if (!acl.check(p, priv, obj))
-              throw new SecurityException(
-                s"powa ACL: principal '$p' lacks $priv on $obj " +
-                  s"(catalog $catalogName, tier $ds.$tier)")
-        }
+    val obj = powaObjectName(ds, tier)
+    val known = graft.core.AccessControl
+      .inventory(graft.spec.Specs.all).exists(_.name == obj)
+    if (!known) _ => () // not powa's to guard (ad-hoc datasource)
+    else priv => {
+      // Principal and grant matrix resolve AT GUARD TIME, not at
+      // loadTable (round-9 ADVICE): loadTable-time capture snapshots
+      // the wrong session's principal under multi-session use, and a
+      // revoke issued after table resolution kept working until the
+      // next loadTable. Scan/write builds are per-query, so the
+      // re-read is one properties file per build — not per row.
+      val principal = Option(catalogOptions.get("principal"))
+        .orElse(SparkSession.active.conf
+          .getOption("spark.graft.acl.principal"))
+        .filter(_.nonEmpty)
+      principal.foreach { p =>
+        val acl = new graft.core.AccessControl(Some(root))
+        if (!acl.check(p, priv, obj))
+          throw new SecurityException(
+            s"powa ACL: principal '$p' lacks $priv on $obj " +
+              s"(catalog $catalogName, tier $ds.$tier)")
+      }
     }
   }
 

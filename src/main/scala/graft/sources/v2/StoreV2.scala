@@ -193,7 +193,10 @@ final class StoreTable(layout: StoreLayout, tableSchema: StructType,
 /** Pushdown: srvid predicates are consumed here (partition pruning at
   * planning time — satisfied exactly, so Spark never re-evaluates
   * them). Range predicates on the manifest's stat columns
-  * (`range_start`/`range_end`) are pushed as FILE-SKIPPING predicates:
+  * (`range_start`/`range_end` for history, nested `record.ts` for
+  * current, `ts` for staging — Spark translates nested-field
+  * comparisons to dotted V1 Filter names for DSv2 pushdown) are
+  * pushed as FILE-SKIPPING predicates:
   * they prune whole files against the manifest min/max before any file
   * is opened, but stay residual too (Spark re-evaluates them row-wise
   * inside surviving files) — the same partial-pushdown contract as
@@ -275,8 +278,12 @@ final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
 }
 
 object StoreScan {
-  /** Columns with manifest min/max stats (AtomicSwap.statCols). */
-  val statCols: Set[String] = Set("range_start", "range_end")
+  /** Columns with manifest min/max stats — THE definition lives with
+    * the publisher (AtomicSwap.statCols); referencing it here means a
+    * column added to the manifest is automatically skippable and a
+    * column never published is never pushed (round-9 ADVICE: two
+    * hand-synced sets silently stop skipping when they drift). */
+  val statCols: Set[String] = AtomicSwap.statCols
 }
 
 final class StoreScan(layout: StoreLayout, required: StructType,

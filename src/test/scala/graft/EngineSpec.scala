@@ -944,4 +944,68 @@ class EngineSpec extends AnyFunSuite {
     val h2 = store.readBucketed(v2.name, History, historyNoSrvid(v2))
     assert(h2.select(explode(col("records"))).count() === 6)
   }
+
+  test("spec evolution sequencing: v1 files read under the v3 spec " +
+      "(two widenings), per-generation nulls exact; an incompatible " +
+      "type change throws loudly, never null-fills") {
+    import GenericDatasource._
+    val root = java.nio.file.Files.createTempDirectory("graft_evo2").toString
+    val store = new Store(spark, root)
+    val v1 = Specs.byName("powa_stat_bgwriter")
+    val srvid = 21
+    val ds1 = new GenericDatasource(v1)
+    (1 to 3).foreach { t =>
+      store.append(v1.name, Staging, bgwriterBatch(srvid, t))
+      ds1.snapshot(store, srvid, Timestamp.valueOf(f"2024-01-01 00:0$t:30"))
+    }
+    ds1.aggregate(store, srvid) // generation-1 history files
+    // vN+1: +evo_a; one tick, aggregated → generation-2 files
+    val v2 = v1.copy(counterCols = v1.counterCols :+ Specs.big("evo_a"))
+    val ds2 = new GenericDatasource(v2)
+    store.append(v2.name, Staging, bgwriterBatch(srvid, 4)
+      .withColumn("evo_a", lit(4L)))
+    ds2.snapshot(store, srvid, Timestamp.valueOf("2024-01-01 00:04:30"))
+    ds2.aggregate(store, srvid)
+    // vN+2: +evo_b; one un-aggregated tick → generation-3 current file
+    val v3 = v2.copy(counterCols = v2.counterCols :+ Specs.big("evo_b"))
+    val ds3 = new GenericDatasource(v3)
+    store.append(v3.name, Staging, bgwriterBatch(srvid, 5)
+      .withColumn("evo_a", lit(5L)).withColumn("evo_b", lit(50L)))
+    ds3.snapshot(store, srvid, Timestamp.valueOf("2024-01-01 00:05:30"))
+    // all three generations read back together under the v3 spec
+    val rb = graft.operators.Readback.series(
+      store.readPartition(v3.name, Current, srvid, currentNoSrvid(v3)),
+      store.readBucketed(v3.name, History, historyNoSrvid(v3)), v3,
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")),
+      lit(Timestamp.valueOf("2024-01-01 01:00:00")))
+    assert(rb.count() === 5, "v1+v2+v3 generations must union")
+    // per-generation nulls are exact: v1 rows null in BOTH added
+    // columns, the v2 row only in evo_b, the v3 row in neither
+    assert(rb.filter(col("record.evo_a").isNull &&
+      col("record.evo_b").isNull).count() === 3)
+    assert(rb.filter(col("record.evo_a") === 4L &&
+      col("record.evo_b").isNull).count() === 1)
+    assert(rb.filter(col("record.evo_a") === 5L &&
+      col("record.evo_b") === 50L).count() === 1)
+    // and the v3 aggregate commits over the mixed-generation store
+    ds3.aggregate(store, srvid)
+    assert(store.readBucketed(v3.name, History, historyNoSrvid(v3))
+      .select(explode(col("records"))).count() === 5)
+    // INCOMPATIBLE change (the unsupported class): redefining an
+    // existing counter's type must fail LOUDLY at read — a silent
+    // null-fill would corrupt every downstream aggregate. The
+    // reference's upgrade scripts never change a column's type either;
+    // this pins that a type drift is an error, not an evolution.
+    val bad = v1.copy(counterCols = v1.counterCols.map(c =>
+      if (c.name == "buffers_clean")
+        c.copy(dt = org.apache.spark.sql.types.StringType)
+      else c))
+    val e = intercept[Throwable] {
+      store.readBucketed(bad.name, History, historyNoSrvid(bad))
+        .select(explode(col("records")).as("r"))
+        .select(col("r.buffers_clean")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.nonEmpty)
+    graft.core.AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }

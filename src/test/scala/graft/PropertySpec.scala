@@ -597,6 +597,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFusion: large-ish topN stays within the candidate bound; " +
+      "a pathological topN fails loudly, not as a giant broadcast") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, i % 7, (i * 31) % 11))
+      .toDF("id", "s0", "s1")
+    val sigs = Seq(col("s0"), col("s1"))
+    // topN=5000 with S=2, k=60: gate width M ≈ 10k, bound ≈ 25k — fine
+    val got = graft.pipeline.Sampling
+      .rrfFusion(df, "id", sigs, 60, 5000).collect().map(_.toSeq).toSeq
+    val want = graft.pipeline.Sampling
+      .rrfFusionWindowed(df, "id", sigs, 60, 5000)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // topN=200000: S·M+topN ≈ 1.2e6 — the counting pass would
+    // broadcast a million candidates; must fail loudly up front
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.rrfFusion(df, "id", sigs, 60, 200000)
+    }
+    assert(e.getMessage.contains("candidate bound"))
+  }
+
   test("vocabCoverage distributed rank == single-window reference " +
       "on random token streams") {
     import spark.implicits._

@@ -430,4 +430,62 @@ class SwapSpec extends AnyFunSuite {
     assert(!Files.exists(parent.resolve("module_config")))
     AtomicSwap.deleteRecursively(parent)
   }
+
+  test("manifest v2: verbatim path lines + sidecar stats, stat " +
+      "carry-forward on republish, loud future-format rejection") {
+    val (store, root) = mkStore()
+    def histBatch(startSec: Long) = spark.range(10).coalesce(1).select(
+      timestamp_seconds(lit(startSec) + col("id") * 60L).as("range_start"),
+      timestamp_seconds(lit(startSec) + col("id") * 60L + 30L)
+        .as("range_end"),
+      col("id").as("v")).withColumn("srvid", lit(1))
+    val jan = 1704067200L
+    val feb = 1706745600L
+    store.appendPartition("ds", "hist", 1, histBatch(jan))
+    val parent = Paths.get(root, "ds", "hist")
+    val m = parent.resolve(".m_srvid=1")
+    val lines = Files.readString(m).split("\n").toSeq
+    // header carries the format fence + the stat-column set
+    assert(lines.head.contains("graft.manifest=2") &&
+      lines.head.contains("stats="), s"header was: ${lines.head}")
+    val body = lines.drop(1).filter(_.nonEmpty)
+    val pathLines = body.filterNot(_.startsWith("\t"))
+    // path lines are VERBATIM relative paths — a path-only legacy
+    // reader resolves every one (the round-9 ADVICE hazard: stats
+    // suffixed onto path lines made old readers drop files silently)
+    assert(pathLines.nonEmpty && pathLines.forall(l =>
+      !l.contains("\t") && Files.isRegularFile(parent.resolve(l))),
+      s"path lines must be verbatim resolvable paths: $pathLines")
+    // stats live on leading-tab sidecar lines
+    val sidecar = body.filter(_.startsWith("\t"))
+    assert(sidecar.nonEmpty && sidecar.forall(l =>
+      l.contains("range_start=") && l.contains("range_end=")),
+      s"sidecar stats lines missing: $sidecar")
+    // carry-forward proof: doctor a stat value in the manifest, then
+    // append a second batch — the republish must KEEP the doctored
+    // value for the old file (no footer re-read of known paths) while
+    // the new batch's file gets real footer stats
+    val doctored = lines.map(l =>
+      if (l.startsWith("\t"))
+        l.replaceAll("range_start=-?\\d+:-?\\d+", "range_start=42:43")
+      else l)
+    Files.writeString(m, doctored.mkString("\n"))
+    store.appendPartition("ds", "hist", 1, histBatch(feb))
+    val entries = AtomicSwap.manifestEntries(parent, "srvid=1").get
+      .filter(_._1.toString.endsWith(".parquet"))
+    assert(entries.size === 2)
+    val starts = entries.flatMap(_._2.get("range_start")).toSet
+    assert(starts.contains((42L, 43L)),
+      s"carried-forward doctored stat lost (footer was re-read): $starts")
+    assert(starts.exists(_._1 == feb * 1000000L),
+      s"new batch must get real footer stats: $starts")
+    // an unknown FUTURE format must fail loudly, not return a
+    // silently partial list
+    Files.writeString(m, "dir\tgraft.manifest=3\nghost.parquet")
+    val e = intercept[IllegalStateException] {
+      AtomicSwap.manifestEntries(parent, "srvid=1")
+    }
+    assert(e.getMessage.contains("format 3"))
+    AtomicSwap.deleteRecursively(Paths.get(root))
+  }
 }

@@ -348,4 +348,62 @@ class V2SourceSpec extends AnyFunSuite {
         "stat-less files must always survive the skip")
     }
   }
+
+  test("current-tier record.ts stats file-skip at planning time, " +
+      "end to end through Spark's own nested pushdown") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val recType = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    val cSchema = StructType(Seq(
+      StructField("srvid", IntegerType),
+      StructField("u", LongType),
+      StructField("record", recType)))
+    def mkCur(srvid: Int, startSec: Long, n: Int) =
+      spark.range(n).coalesce(2).select(lit(srvid).as("srvid"),
+        col("id").as("u"),
+        struct(
+          timestamp_seconds(lit(startSec) + col("id") * 60L).as("ts"),
+          col("id").as("v")).as("record"))
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    withStore { store =>
+      val jan = 1704067200L // 2024-01-01
+      val feb = 1706745600L // 2024-02-01
+      store.appendPartition("dsC", "current", 1, mkCur(1, jan, 10))
+      store.appendPartition("dsC", "current", 1, mkCur(1, feb, 10))
+      val layout = StoreLayout(store.root, "dsC", "current")
+      // the manifest stats the NESTED record.ts (current tier's range
+      // key — the reference's `*_current (srvid, ts)` btree,
+      // powa--5.2.0.sql:2150)
+      val withStats = layout.filesWithStats(1)
+      assert(withStats.nonEmpty &&
+        withStats.forall(_._2.keySet === Set("record.ts")),
+        s"manifest must stat nested record.ts, got $withStats")
+      val all = {
+        val b = new StoreScanBuilder(layout, cSchema)
+        b.build().asInstanceOf[StoreScan].planInputPartitions().length
+      }
+      // unit level: a dotted-name filter prunes January's files
+      val b = new StoreScanBuilder(layout, cSchema)
+      b.pushFilters(Array(GreaterThanOrEqual("record.ts", ts(feb))))
+      val pruned = b.build().asInstanceOf[StoreScan]
+        .planInputPartitions().length
+      assert(pruned > 0 && pruned < all,
+        s"expected fewer than $all files, planned $pruned")
+      // end to end: Spark itself must translate the nested comparison
+      // to the dotted V1 filter — the planned scan opens only the
+      // surviving files, and residual re-evaluation keeps rows exact
+      val v2 = store.readV2("dsC", "current", cSchema)
+        .filter(col("record.ts") >= lit(ts(feb)))
+      val scanParts = v2.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.inputPartitions.length
+      }
+      assert(scanParts === Seq(pruned),
+        s"Spark-planned scan must skip to $pruned files, got $scanParts")
+      val want = store.read("dsC", "current", cSchema)
+        .filter(col("record.ts") >= lit(ts(feb))).collect().toSet
+      assert(v2.collect().toSet === want && want.size === 10)
+    }
+  }
 }
