@@ -417,12 +417,22 @@ object Stress {
 
     // Prefix-filter set-similarity axis (p113, round 9): the verbatim
     // copies are its worst case — every copied doc shares its WHOLE
-    // prefix, so prefix-token postings are maximally hot. The prefix
-    // lemma + length filter must keep candidates ~output-bounded
-    // (true-duplicate pairs), never all-pairs.
-    val (pfxSec, pfxPairs) = timed(
-      graft.pipeline.Dedup.prefixFilterPairs(docs, "doc_id", "text",
-        3, 0.8).count())
+    // prefix, so prefix-token postings are maximally hot. Candidates
+    // are output-bounded (true-duplicate pairs) — but on THIS corpus
+    // the output itself is quadratic in the copy count, and exact
+    // verification attaches both shingle arrays to every candidate:
+    // at mult 50 (6M+ true pairs × ~2.4 KB arrays × a ~p-fold
+    // pre-distinct amplification) the spill exceeds this box's disk.
+    // Guard the axis so one output-bound blow-up reports -1 instead of
+    // killing the whole run; the standalone growth curve lives in
+    // StressPairs (SPARK_GRAFT_ORDER=prefix).
+    val (pfxSec, pfxPairs) =
+      try timed(graft.pipeline.Dedup.prefixFilterPairs(
+        docs, "doc_id", "text", 3, 0.8).count())
+      catch { case e: Throwable =>
+        System.err.println(s"[stress] prefix axis failed: ${e.getMessage}")
+        (-1.0, -1L)
+      }
 
     // Column-profile axis (p107, round 9): one pass, per-column
     // aggregates map-side combined — must track scan speed on the

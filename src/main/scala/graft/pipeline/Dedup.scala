@@ -251,7 +251,24 @@ object Dedup {
     * in-row array sort; the candidate join shuffles only prefix
     * postings (a ~(1−t) fraction of the full index). No global rank
     * window — the (df, hash) struct IS the order, so nothing
-    * single-partition touches the corpus. */
+    * single-partition touches the corpus.
+    *
+    * On top of the prefix lemma, the candidate join applies PPJoin's
+    * two sound prunes (Xiao et al. §3): the LENGTH filter (J ≥ t
+    * forces t·|x| ≤ |y| ≤ |x|/t — cross-size pairs never qualify) and
+    * the POSITIONAL filter (a match at 1-based prefix positions
+    * (p_x, p_y) caps the reachable overlap at 1 + min(|x|−p_x,
+    * |y|−p_y), which must still reach α = ⌈t/(1+t)·(|x|+|y|)⌉). Both
+    * prune only pairs that provably cannot reach the threshold, so
+    * the output stays identical to [[jaccardPairs]] (PipelineSpec
+    * pins set equality) — but for equal-size near-dups the positional
+    * filter roughly halves the effective prefix (matches past
+    * ~s/(1+1/t) positions cannot reach α), which halves the
+    * pre-distinct candidate stream on exactly the verbatim-copy
+    * corpora where every prefix token is hot (SCALE.md, round-10
+    * prefix axis). Sizes are DISTINCT set sizes (the postings frame
+    * dedups (doc, h) first) — inflated multiset sizes would make the
+    * length filter unsound. */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold < 1)
@@ -260,9 +277,15 @@ object Dedup {
       .select(col("doc"), h60(col("s")).as("h"))
       .localCheckpoint() // df agg + set build + verification reuse it
     val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("hdf"))
+    // in-row array_distinct: shingles() is already distinct per doc,
+    // but an h60 collision could duplicate a hash — and the length
+    // filter below is only sound on exact DISTINCT set sizes
+    // (collision twins share (hdf, h), so the in-row dedup suffices;
+    // no extra exchange)
     val sets = ex.join(dfc, Seq("h"))
       .groupBy(col("doc"))
-      .agg(sort_array(collect_list(struct(col("hdf"), col("h")))).as("rs"))
+      .agg(array_distinct(sort_array(
+        collect_list(struct(col("hdf"), col("h"))))).as("rs"))
       .withColumn("s", size(col("rs")).cast("long"))
       .localCheckpoint() // prefix explode + both verify sides
     // prefix length s − ⌈t·s⌉ + 1, with ⌈t·s⌉ in exact integer math
@@ -275,14 +298,24 @@ object Dedup {
     val pref = sets
       .withColumn("p",
         expr(s"int(s - ($num * s + $den - 1) DIV $den + 1)"))
-      .select(col("doc"), explode(expr("slice(rs, 1, p)")).as("e"))
-      .select(col("doc"), col("e.h").as("h"))
-    val a = pref.select(col("doc").as("i"), col("h"))
-    val b = pref.select(col("doc").as("j"), col("h"))
+      .select(col("doc"), col("s"),
+        posexplode(expr("slice(rs, 1, p)")).as(Seq("pos0", "e")))
+      .select(col("doc"), col("s"), (col("pos0") + 1).as("pos"),
+        col("e.h").as("h"))
+    val a = pref.select(col("doc").as("i"), col("h"),
+      col("s").as("si"), col("pos").as("pi"))
+    val b = pref.select(col("doc").as("j"), col("h"),
+      col("s").as("sj"), col("pos").as("pj"))
     val cands = a.join(b, Seq("h")).filter(col("i") < col("j"))
+      // length filter: t·si ≤ sj ∧ t·sj ≤ si (integer-exact)
+      .filter(expr(s"$num * si <= $den * sj AND $num * sj <= $den * si"))
+      // positional filter: reachable overlap ≥ α = ⌈t/(1+t)·(si+sj)⌉
+      .filter(expr(
+        s"1 + least(si - pi, sj - pj) >= " +
+          s"($num * (si + sj) + ${num + den} - 1) DIV ${num + den}"))
       .select(col("i"), col("j")).distinct()
     val hs = sets.select(col("doc"),
-      array_distinct(transform(col("rs"), x => x("h"))).as("hset"))
+      transform(col("rs"), x => x("h")).as("hset"))
     val withA = cands.join(
       hs.select(col("doc").as("i"), col("hset").as("sha")), Seq("i"))
     val withB = withA.join(

@@ -597,6 +597,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefixFilterPairs (PPJoin length+positional filters) == exact " +
+      "inverted-index join on random hot-shingle corpora") {
+    import spark.implicits._
+    // tiny vocab → every shingle hot, heavy sharing and length spread:
+    // the regime where an unsound length/positional prune would show
+    val words = Vector("a", "b", "c", "d", "e")
+    val gen = for {
+      nDocs <- Gen.choose(4, 24)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(3, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf(words))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAllSeeded(gen, 6) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      Seq(0.5, 0.8).foreach { t =>
+        val exact = graft.pipeline.Dedup
+          .jaccardPairs(df, "doc_id", "text", 2, t)
+          .select("i", "j").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pf = graft.pipeline.Dedup
+          .prefixFilterPairs(df, "doc_id", "text", 2, t)
+          .select("i", "j").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pf === exact, s"t=$t docs=$docs")
+      }
+    }
+  }
+
   test("rrfFusion: large-ish topN stays within the candidate bound; " +
       "a pathological topN fails loudly, not as a giant broadcast") {
     import spark.implicits._
