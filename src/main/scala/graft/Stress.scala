@@ -14,6 +14,43 @@ import graft.operators.{Coalesce, DeltaRate, Readback}
   *
   *   SPARK_GRAFT_MULT=50 sbt "runMain graft.Stress"
   */
+/** Shared corpus builders for the stress mains — one definition of the
+  * multiplied events stream and the verbatim-copy document corpus, so
+  * Stress / StressR9 / StressPairs all measure the same data shape. */
+object StressCorpus {
+  /** N× the sf events stream: rep r shifts the entity id space and the
+    * server id, so cardinality grows with volume (the realistic
+    * fleet-growth shape; pure row-duplication would only deepen
+    * per-key arrays). */
+  def big(spark: SparkSession, sfDir: String, mult: Int,
+      cpus: Int): org.apache.spark.sql.DataFrame = {
+    val ev = EventsSource.current(spark, sfDir)
+    ev.crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(
+        ((col("srvid") + (col("rep") % 16) * 4)).cast("int").as("srvid"),
+        (col("user_id") + col("rep") * 1000000L).as("user_id"),
+        col("event_type"), col("record"))
+      .repartition(cpus * 2)
+      .localCheckpoint()
+  }
+
+  /** The corpus multiplied the web-crawl way — every rep a verbatim
+    * copy (heavy near-dup collisions, the worst case for LSH bucket
+    * sizes and prefix postings) except a third get a rep-specific
+    * token appended so cardinality also grows. */
+  def docs(spark: SparkSession, sfDir: String, mult: Int,
+      cpus: Int): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" rep"), col("rep")))
+          .otherwise(col("text")).as("text"))
+      .repartition(cpus * 2)
+      .localCheckpoint()
+}
+
 object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,17 +66,7 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // N× the stream: rep r shifts the entity id space and the server id,
-    // so cardinality grows with volume (the realistic fleet-growth shape;
-    // a pure row-duplication would just deepen per-key arrays instead)
-    val ev = EventsSource.current(spark, sfDir)
-    val big = ev.crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        ((col("srvid") + (col("rep") % 16) * 4)).cast("int").as("srvid"),
-        (col("user_id") + col("rep") * 1000000L).as("user_id"),
-        col("event_type"), col("record"))
-      .repartition(cpus.toInt * 2)
-      .localCheckpoint()
+    val big = StressCorpus.big(spark, sfDir, mult, cpus.toInt)
     val n = big.count()
 
     def timed(f: => Long): (Double, Long) = {
@@ -67,20 +94,9 @@ object Stress {
           lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))),
         EventsSource.spec).count())
 
-    // Dedup axis: the corpus multiplied the web-crawl way — every rep is
-    // a verbatim copy (heavy near-dup collisions, the worst case for LSH
-    // bucket sizes) except a third get a rep-specific token appended so
-    // cardinality also grows. MinHash+LSH end to end: signatures, banded
-    // candidates, verification.
-    val docs = Tables.documents(spark, sfDir)
-      .crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-        when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit(" rep"), col("rep")))
-          .otherwise(col("text")).as("text"))
-      .repartition(cpus.toInt * 2)
-      .localCheckpoint()
+    // Dedup axis: MinHash+LSH end to end over the verbatim-copy corpus:
+    // signatures, banded candidates, verification.
+    val docs = StressCorpus.docs(spark, sfDir, mult, cpus.toInt)
     val nDocs = docs.count()
     val (minhashSec, dupPairs) = timed(
       graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",

@@ -37,17 +37,7 @@ object StressPairs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the same multiplied corpus as Stress: every rep a verbatim copy,
-    // a third with a rep-specific token appended
-    val docs = Tables.documents(spark, sfDir)
-      .crossJoin(spark.range(mult).select(col("id").as("rep")))
-      .select(
-        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-        when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit(" rep"), col("rep")))
-          .otherwise(col("text")).as("text"))
-      .repartition(cpus.toInt * 2)
-      .localCheckpoint()
+    val docs = StressCorpus.docs(spark, sfDir, mult, cpus.toInt)
     val nDocs = docs.count()
 
     def timed(f: => Long): (Double, Long) = {
