@@ -521,7 +521,7 @@ object Stress {
       s""""rrf_docs_per_sec":${(nDocs / rrfSec).toLong},""" +
       s""""vocab_sec":$vocabSec,"vocab_rows":$vocabRows,""" +
       s""""prefix_sec":$pfxSec,"prefix_pairs":$pfxPairs,""" +
-      s""""prefix_docs_per_sec":${(nDocs / pfxSec).toLong},""" +
+      s""""prefix_docs_per_sec":${if (pfxSec > 0) (nDocs / pfxSec).toLong else -1L},""" +
       s""""profile_sec":$profSec,"profile_cols":$profCols,""" +
       s""""profile_rows_per_sec":${(n / profSec).toLong},""" +
       s""""selfrep_sec":$selfSec,"selfrep_docs_per_sec":${(selfDocs / selfSec).toLong},""" +
