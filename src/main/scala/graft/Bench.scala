@@ -73,7 +73,7 @@ object Bench {
     // line (the full map only fits in the file sink, see below)
     val roundTrips = Set("q31", "q32", "q33", "q34", "q35", "q36", "q37",
       "q38", "q40", "q43", "p34", "p35", "p40", "p42", "p53", "p61", "p65",
-      "p69", "p74", "p78", "p79")
+      "p69", "p74", "p78", "p79", "p143")
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1739,6 +1739,55 @@ object PipelineQueries {
         Seq("view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  // p86's funnel as the watermark-buffered stateful streaming operator
+  // (StateFunnel — the NOTES carry-over built WITH the design it
+  // demanded): the greedy chain is order-sensitive, so events buffer
+  // per user until the watermark finalizes them, fold in event-time
+  // order (discard-safe, see the operator scaladoc), and the
+  // quiescence timeout — here advanced past all real data by the
+  // sentinel batch — emits each user's funnel row. Oracle: p86's
+  // batch funnel SQL verbatim.
+  private def p143(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p143")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p143_sent")
+    sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sentinel = dir.resolve("b_sentinel.parquet")
+    java.nio.file.Files.copy(part, sentinel)
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (t, i)) => when(col("event_type") === t, lit(i))
+        .otherwise(acc) }
+    // NO pre-filter on step: a deterministic filter gets pushed BELOW
+    // the EventTimeWatermark node, so filtering non-step rows here
+    // would drop the sentinel before the watermark operator ever sees
+    // it — the watermark would stall at the real data's max and the
+    // user holding that max would never time out (measured: exactly
+    // one funnel row short). Non-step rows (step = -1, including the
+    // sentinel's key) flow into the operator, which ignores them in
+    // the fold; the sentinel key buffers one ignored event and never
+    // emits (chain never entered).
+    val st = Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        stepCol.as("step"))
+      .as[graft.streaming.FunnelEvent]
+    val out = graft.streaming.StateFunnel.funnel(st, nSteps = 3)
+    runToMemory(s, out.toDF(), mode = "append")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"))
+  }
+
   // training-export shard manifest: per-shard doc/token/char totals +
   // an order-independent content checksum (decimal-fold of the 60-bit
   // doc hashes) — the reproducibility record next to an export
@@ -2539,7 +2588,8 @@ object PipelineQueries {
     "p139_effective_sample_size" -> (p139 _),
     "p140_overlap_at_k" -> (p140 _),
     "p141_key_uniqueness" -> (p141 _),
-    "p142_referential_integrity" -> (p142 _))
+    "p142_referential_integrity" -> (p142 _),
+    "p143_stream_funnel" -> (p143 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -4998,6 +5048,26 @@ object PipelineQueries {
           WHERE ${h60Sql(5, "doc_id::VARCHAR")} % 1000000 < w.weight_ppm
           ORDER BY a.doc_id""",
     "p86_funnel" ->
+      """WITH u1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          u2 AS (SELECT e.user_id, MIN(e.ts) AS s2
+                 FROM events e JOIN u1 USING (user_id)
+                 WHERE e.event_type = 'click' AND e.ts > u1.s1 GROUP BY 1),
+          u3 AS (SELECT e.user_id, MIN(e.ts) AS s3
+                 FROM events e JOIN u2 USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts > u2.s2 GROUP BY 1)
+          SELECT u1.user_id,
+            CAST(1 + CASE WHEN u2.user_id IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN u3.user_id IS NULL THEN 0 ELSE 1 END
+              AS INT) AS stages,
+            u1.s1 AS ts_first,
+            CAST(COALESCE((epoch_us(u3.s3) - epoch_us(u1.s1)) // 1000000,
+              -1) AS BIGINT) AS span_sec
+          FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+          ORDER BY user_id""",
+    // the streaming funnel's finalized quiescent answer IS the batch
+    // funnel — same oracle verbatim
+    "p143_stream_funnel" ->
       """WITH u1 AS (SELECT user_id, MIN(ts) AS s1 FROM events
                      WHERE event_type = 'view' GROUP BY 1),
           u2 AS (SELECT e.user_id, MIN(e.ts) AS s2

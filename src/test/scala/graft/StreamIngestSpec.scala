@@ -245,6 +245,72 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel equals the batch funnel under random batch " +
+      "cuts; same-instant later steps never count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      val types = Vector("view", "click", "purchase", "error", "signup")
+      val offs = rnd.shuffle((1 to 5000).toList).take(200)
+      val base = offs.zipWithIndex.map { case (off, i) =>
+        (rnd.nextInt(6).toLong,
+          new Timestamp(1700000000000L + off * 1000L),
+          1000L + i, types(rnd.nextInt(types.size)))
+      }
+      // the tie rule: user 50's click lands at the SAME instant as its
+      // first view — strict > means it must NOT advance the funnel
+      val tieTs = new Timestamp(1700000000000L + 6000 * 1000L)
+      val ties = Seq(
+        (50L, tieTs, 9001L, "view"), (50L, tieTs, 9002L, "click"),
+        (50L, new Timestamp(tieTs.getTime + 1000L), 9003L, "click"))
+      val events = (base ++ ties).sortBy(e => (e._2.getTime, e._3))
+      val mem = MemoryStream[(Long, Timestamp, Long, String)]
+      val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      val steps = Seq("view", "click", "purchase")
+      val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, (t, i)) => when(col("event_type") === t, lit(i))
+          .otherwise(acc) }
+      val st = df.withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          stepCol.as("step"))
+        .as[graft.streaming.FunnelEvent]
+      val sink = s"funnel_prop_$trial"
+      val q = graft.streaming.StateFunnel.funnel(st, 3).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      var rest = events
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(40)
+        mem.addData(rest.take(n))
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      // two watermark sweeps on an unused key finalize + time out all
+      val far = new Timestamp(4102444800000L)
+      mem.addData((99L, far, 0L, "x")); q.processAllAvailable()
+      mem.addData((99L, new Timestamp(far.getTime + 1000L), 0L, "x"))
+      q.processAllAvailable()
+      // a key may emit at several quiescent points (stages monotone,
+      // ts_first/span fixed once set) — the final answer is the
+      // max-stages row per key
+      val got = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+          r.getLong(3)))
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+      q.stop()
+      val want = graft.pipeline.Sessions.funnel(
+          events.toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_type", steps)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getTimestamp(2), r.getLong(3))).toSeq.sortBy(_._1)
+      assert(got === want, s"trial $trial: stream != batch funnel")
+      // the tie is exercised: user 50's chain reached click via the
+      // +1s event, not the same-instant one
+      assert(want.exists(w => w._1 == 50L && w._2 >= 2))
+    }
+  }
+
   test("streaming as-of: watermark-finalized backward match, however-old " +
       "quotes, left nulls, exactly once") {
     import spark.implicits._
