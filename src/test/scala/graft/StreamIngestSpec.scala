@@ -311,6 +311,51 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel horizon: an expired chain is emitted and " +
+      "dropped; steps after the horizon start a NEW funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(userId: Long, offSec: Long, id: Long, tpe: String) =
+      (userId, new Timestamp(t0 + offSec * 1000L), id, tpe)
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (t, i)) => when(col("event_type") === t, lit(i))
+        .otherwise(acc) }
+    val st = df.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        stepCol.as("step"))
+      .as[graft.streaming.FunnelEvent]
+    // horizon 100 s: user 1's view at t=0 expires before its click at
+    // t=200 arrives — the click must open a FRESH chain (stage 0
+    // unset), not extend the expired one
+    val q = graft.streaming.StateFunnel.funnel(st, 3, horizonSec = 100L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("funnel_horizon").start()
+    mem.addData(ev(1L, 0L, 1L, "view")); q.processAllAvailable()
+    // quiesce past the horizon: sweep key advances the watermark so
+    // user 1 times out with wm > ts_first + 100 s → emit + drop state
+    mem.addData(ev(9L, 150L, 2L, "signup")); q.processAllAvailable()
+    mem.addData(ev(9L, 151L, 3L, "signup")); q.processAllAvailable()
+    // post-horizon click: with the chain dropped this cannot claim
+    // stage 1 (no stage 0) — and with a later view it starts over
+    mem.addData(ev(1L, 200L, 4L, "click")); q.processAllAvailable()
+    mem.addData(ev(1L, 210L, 5L, "view")); q.processAllAvailable()
+    mem.addData(ev(9L, 400L, 6L, "signup")); q.processAllAvailable()
+    mem.addData(ev(9L, 401L, 7L, "signup")); q.processAllAvailable()
+    val rows = spark.table("funnel_horizon").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+        r.getLong(3))).filter(_._1 == 1L).sortBy(_._3.getTime)
+    q.stop()
+    // two emissions for user 1: the expired 1-stage chain anchored at
+    // t=0, then the fresh 1-stage chain anchored at t=210 (the t=200
+    // click claimed nothing)
+    assert(rows.map(r => (r._2, r._3.getTime, r._4)).toSeq ===
+      Seq((1, t0, -1L), (1, t0 + 210000L, -1L)), rows.mkString(", "))
+  }
+
   test("streaming as-of: watermark-finalized backward match, however-old " +
       "quotes, left nulls, exactly once") {
     import spark.implicits._
