@@ -178,20 +178,29 @@ class SwapSpec extends AnyFunSuite {
       Seq((8L, 50L)))
   }
 
-  test("manifest read path: tight-loop reader across 100 swaps, zero FileNotFound") {
+  test("manifest read path: tight-loop reader across 100 swaps, zero " +
+      "FileNotFound within the retention contract") {
     // the VERDICT-4 list-vs-open residual: a directory reader that
     // listed before a flip and opened after it fails loudly. The
     // manifest path removes the window: listing IS one atomic manifest
     // read, and the listed paths are version-pinned immutable files
-    // retained for a full swap cycle.
+    // retained for a full swap cycle. The contract is exactly ONE
+    // cycle (the predecessor outlives one more swap) — so a read that
+    // spans ≥2 swaps may legitimately FNF, and the tolerance below
+    // counts swaps spanned, not wall-clock: a fixed sleep margin
+    // flaked once when a mult-50 stress run on the same box
+    // descheduled the reader past two 5 ms cycles (NOTES round-10).
     val parent = Files.createTempDirectory("graft_manifest")
     val link = "srvid=7"
-    val fnf = new java.util.concurrent.atomic.AtomicInteger
+    val swaps = new java.util.concurrent.atomic.AtomicInteger
+    val fnfInContract = new java.util.concurrent.atomic.AtomicInteger
+    val outlived = new java.util.concurrent.atomic.AtomicInteger
     val mixed = new java.util.concurrent.atomic.AtomicInteger
     val reads = new java.util.concurrent.atomic.AtomicInteger
     @volatile var stop = false
     val reader = new Thread(() => {
       while (!stop) {
+        val s0 = swaps.get()
         AtomicSwap.manifestFiles(parent, link).foreach { files =>
           try {
             // every file of a manifest read must carry ONE version tag:
@@ -202,7 +211,13 @@ class SwapSpec extends AnyFunSuite {
             reads.incrementAndGet()
           } catch {
             case _: java.nio.file.NoSuchFileException |
-                 _: java.io.FileNotFoundException => fnf.incrementAndGet()
+                 _: java.io.FileNotFoundException =>
+              // within one swap of the pin, retention still covers the
+              // pinned version → any FNF is a real atomicity hole;
+              // past that the read outlived retention (deschedule on a
+              // loaded box), the same vacuum contract Delta documents
+              if (swaps.get() - s0 < 2) fnfInContract.incrementAndGet()
+              else outlived.incrementAndGet()
           }
         }
       }
@@ -214,15 +229,17 @@ class SwapSpec extends AnyFunSuite {
         (0 until 3).foreach(i =>
           Files.write(vdir.resolve(s"part-$i.parquet"), s"v$v".getBytes))
       }
-      // the swap-cycle floor the retention contract assumes: a reader's
-      // three tiny file reads must fit inside one cycle even when the
-      // thread is briefly descheduled on a loaded box (1 ms was a
-      // flake-width margin; production cycles are 300 s)
+      swaps.incrementAndGet()
+      // a short cycle keeps the swap pressure high; the contract check
+      // above is what makes the test load-independent (production
+      // cycles are 300 s)
       Thread.sleep(5)
     }
     stop = true
     reader.join()
-    assert(fnf.get === 0, s"${fnf.get} FileNotFound reads — window not closed")
+    assert(fnfInContract.get === 0,
+      s"${fnfInContract.get} FileNotFound reads within one swap of the " +
+        "pin — the manifest window is not closed")
     assert(mixed.get === 0, s"${mixed.get} mixed-version reads")
     assert(reads.get > 0, "reader loop never completed a read")
     AtomicSwap.deleteRecursively(parent)
