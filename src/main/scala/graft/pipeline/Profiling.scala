@@ -131,4 +131,53 @@ object Profiling {
       (c, n, n - row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
     }.toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
+
+  /** Classifier calibration audit — the reliability diagram + expected
+    * calibration error behind "can we trust the quality classifier's
+    * scores as probabilities before filtering on them?". Rows carry a
+    * predicted probability in ppm (`scorePpm` ∈ [0, 10⁶)) and a 0/1
+    * outcome `label`; each falls in bin `min(bins-1, score·bins div
+    * 10⁶)`, and per bin the audit reports the observed positive rate
+    * `acc_ppm = Σlabel·10⁶ div n`, the mean claimed confidence
+    * `conf_ppm = Σscore div n`, and their gap. `ece_ppm` — the
+    * n-weighted mean gap `Σ(gap·n) div N` — repeats on every row so
+    * the single-number verdict travels with the table. All integer
+    * arithmetic (sums through DECIMAL(38,0) headroom: 10⁹ rows ×
+    * 10⁶ ppm ≈ 10¹⁵ fits Long, the gap·n products are re-summed in
+    * decimal), engine-exact.
+    *
+    * Plan shape: one partial-aggregated groupBy onto ≤ `bins` rows,
+    * then a `bins`-row window for N and the ECE — nothing after the
+    * aggregation touches data volume, so at 100 TB this is a scan +
+    * one map-side-combined exchange of `bins` rows per partition. */
+  def calibrationBins(df: DataFrame, scorePpm: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    // out-of-range scores or non-binary labels would silently skew a
+    // bin (or land in a phantom bin) — fail loudly, riding the
+    // aggregated expressions so pruning cannot drop the guards
+    val sc = when(scorePpm.isNull || scorePpm < 0 || scorePpm >= 1000000L,
+        raise_error(lit("calibrationBins: scorePpm must be in [0, 1e6)")))
+      .otherwise(scorePpm.cast("long"))
+    val lb = when(label.isNull || (label =!= 0 && label =!= 1),
+        raise_error(lit("calibrationBins: label must be 0 or 1")))
+      .otherwise(label.cast("long"))
+    df.select(sc.as("__s"), lb.as("__l"))
+      .select(expr(s"least(CAST(${bins - 1} AS BIGINT), " +
+          s"__s * $bins DIV 1000000)").as("bin"),
+        col("__s").cast("decimal(38,0)").as("__s"),
+        col("__l").cast("decimal(38,0)").as("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("__pos"),
+        sum(col("__s")).as("__conf"))
+      .withColumn("acc_ppm",
+        expr("CAST(__pos * 1000000 DIV n AS BIGINT)"))
+      .withColumn("conf_ppm", expr("CAST(__conf DIV n AS BIGINT)"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+      .withColumn("ece_ppm",
+        expr("CAST(sum(CAST(gap_ppm AS DECIMAL(38,0)) * n) OVER ()" +
+          " DIV sum(n) OVER () AS BIGINT)"))
+      .select(col("bin"), col("n"), col("acc_ppm"), col("conf_ppm"),
+        col("gap_ppm"), col("ece_ppm"))
+  }
 }

@@ -426,6 +426,73 @@ object Sampling {
       .limit(topN)
   }
 
+  /** Temperature-flattened TOKEN mixture under an explicit token
+    * budget — the multilingual/domain re-balancing step ("sample each
+    * source at a rate ∝ its flattened token share, spend at most
+    * `budgetTokens` tokens"; the T5/mT5 temperature-sampling recipe
+    * with α supplied by the caller's weight expression). Per-source
+    * token totals `tok_total` are aggregated once; `weight` is
+    * evaluated on that totals frame (so size-derived flattenings like
+    * `floor(sqrt(col("tok_total")) * 1e6)` for α = 0.5 are in scope)
+    * and sets the mixture share w_s/ΣW; each source's token target is
+    * `budgetTokens·w_s div ΣW` and its keep probability
+    * `min(10⁶, tok_target·10⁶ div tok_total)` ppm — an
+    * over-budgeted source caps at 1 (the [[sourceMix]] never-upsample
+    * rule, tokens instead of rows). Rows are selected by the seeded
+    * portable-hash bernoulli, so the kept set is engine- and
+    * re-run-exact. The quota arithmetic runs in DECIMAL(38,0) —
+    * `budget·weight` at 10¹² tokens × ppm-scaled weights is ~10³⁰,
+    * far past Long.
+    *
+    * Plan shape: one partial-aggregated groupBy for the totals
+    * (#sources rows), a #sources-row window, a broadcast join back
+    * onto the corpus, a narrow hash filter — the corpus side never
+    * shuffles, so at 100 TB this runs at scan speed exactly like
+    * [[sourceMix]]. Adds `tok_total`, `weight`, `tok_target`,
+    * `keep_ppm`, `keep`. */
+  def tokenMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tokens: Column, budgetTokens: Long, weight: Column,
+      seed: Int = 0): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    // a null/negative per-row count would null the source total and
+    // silently zero its quota — fail loudly; the guard rides the
+    // summed expression so pruning cannot drop it
+    val t = when(tokens.isNull || tokens < 0,
+        raise_error(lit("tokenMixture: token count must be " +
+          "non-negative and non-null")))
+      .otherwise(tokens.cast("long"))
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(t).as("tok_total"))
+      .withColumn("weight", weight.cast("long"))
+    val w = Window.partitionBy() // #sources rows — a trivial frame
+    val quotas = totals
+      .withColumn("__W", sum(col("weight")).over(w))
+      .withColumn("tok_target",
+        expr(s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * weight" +
+          " DIV __W AS BIGINT)"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L),
+          expr("CAST(CAST(tok_target AS DECIMAL(38,0)) * 1000000" +
+            " DIV tok_total AS BIGINT)")))
+      // zero/negative weight or an empty source would null the DIVs
+      // and silently drop the source — loud, riding the join key like
+      // sourceMix's guard
+      .select(
+        when(col("weight").isNull || col("weight") <= 0 ||
+            col("tok_total") <= 0,
+          raise_error(concat(
+            lit("tokenMixture: weight and token total must be " +
+              "positive for source "),
+            col(sourceCol).cast("string"))))
+          .otherwise(col(sourceCol)).as(sourceCol),
+        col("tok_total"), col("weight"), col("tok_target"),
+        col("keep_ppm"))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("keep",
+        Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
+          col("keep_ppm"))
+  }
+
   /** The pre-gate fallback for degenerate `k+topN > 1e6` (every rank's
     * points floor to 0, so no candidate bound exists): the original
     * corpus-global window form. Never taken for real parameters. */

@@ -955,6 +955,38 @@ object PipelineQueries {
       .orderBy(col("fk"))
   }
 
+  // temperature-flattened token mixture: α=0.5 flattening of the
+  // per-source TOKEN shares under an explicit token budget (the
+  // T5/mT5 multilingual sampling recipe); the summary hashes the
+  // quota arithmetic AND the hash-selected doc/token counts
+  private def p144(s: SparkSession, d: String): DataFrame = {
+    val ntok = size(TextOps.tokens(col("text"))).cast("long")
+    Sampling.tokenMixture(Tables.documents(s, d), "doc_id", "source",
+        tokens = ntok, budgetTokens = 12000L,
+        weight = floor(sqrt(col("tok_total")) * 1000000.0d),
+        seed = 5)
+      .groupBy(col("source"), col("tok_total"), col("weight"),
+        col("tok_target"), col("keep_ppm"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), ntok).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  // classifier calibration audit: reliability bins + ECE over a
+  // deterministic ppm score from the embedding's first coordinate vs
+  // the class label's parity — "can the quality classifier's scores
+  // be trusted as probabilities before filtering on them?"
+  private def p145(s: SparkSession, d: String): DataFrame = {
+    val score = greatest(lit(0L), least(lit(999999L),
+      floor((element_at(col("embedding"), 1).cast("double") + 0.5d)
+        * 1000000.0d)))
+    Profiling.calibrationBins(
+        Tables.embeddings(s, d)
+          .select(score.as("score_ppm"), (col("label") % 2).as("label")),
+        col("score_ppm"), col("label"), bins = 10)
+      .orderBy(col("bin"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2589,7 +2621,9 @@ object PipelineQueries {
     "p140_overlap_at_k" -> (p140 _),
     "p141_key_uniqueness" -> (p141 _),
     "p142_referential_integrity" -> (p142 _),
-    "p143_stream_funnel" -> (p143 _))
+    "p143_stream_funnel" -> (p143 _),
+    "p144_token_mixture" -> (p144 _),
+    "p145_calibration_audit" -> (p145 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5085,6 +5119,63 @@ object PipelineQueries {
               -1) AS BIGINT) AS span_sec
           FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
           ORDER BY user_id""",
+    "p144_token_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+                   AS ntok
+               FROM documents),
+          tot AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS tok_total
+                  FROM t GROUP BY 1),
+          wts AS (SELECT source, tok_total,
+                    CAST(floor(sqrt(tok_total) * 1000000.0) AS BIGINT)
+                      AS weight
+                  FROM tot),
+          q AS (SELECT source, tok_total, weight,
+                  CAST(CAST(12000 AS HUGEINT) * weight
+                    // (SELECT SUM(weight) FROM wts) AS BIGINT)
+                    AS tok_target
+                FROM wts),
+          k AS (SELECT source, tok_total, weight, tok_target,
+                  LEAST(CAST(1000000 AS BIGINT),
+                    CAST(CAST(tok_target AS HUGEINT) * 1000000
+                      // tok_total AS BIGINT)) AS keep_ppm
+                FROM q),
+          h AS (SELECT doc_id, source, ntok,
+                  ${h60Sql(5, "CAST(doc_id AS VARCHAR)")} % 1000000 AS hh
+                FROM t)
+          SELECT k.source, k.tok_total, k.weight, k.tok_target,
+                 k.keep_ppm,
+                 CAST(SUM(CASE WHEN hh < keep_ppm THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN hh < keep_ppm THEN ntok ELSE 0 END)
+                   AS BIGINT) AS tokens_kept
+          FROM k JOIN h USING (source)
+          GROUP BY 1, 2, 3, 4, 5
+          ORDER BY k.source""",
+    "p145_calibration_audit" ->
+      """WITH s AS (SELECT
+               GREATEST(CAST(0 AS BIGINT), LEAST(CAST(999999 AS BIGINT),
+                 CAST(floor((CAST(embedding[1] AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) * 1000000.0) AS BIGINT)))
+                 AS score_ppm,
+               CAST(label % 2 AS BIGINT) AS label
+             FROM embeddings),
+          b AS (SELECT LEAST(CAST(9 AS BIGINT),
+                  score_ppm * 10 // 1000000) AS bin,
+                  score_ppm, label
+                FROM s),
+          g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(label) AS pos, SUM(score_ppm) AS conf
+                FROM b GROUP BY bin),
+          m AS (SELECT bin, n,
+                       CAST(pos * 1000000 // n AS BIGINT) AS acc_ppm,
+                       CAST(conf // n AS BIGINT) AS conf_ppm
+                FROM g)
+          SELECT bin, n, acc_ppm, conf_ppm,
+                 ABS(acc_ppm - conf_ppm) AS gap_ppm,
+                 CAST(SUM(ABS(acc_ppm - conf_ppm) * n) OVER ()
+                   // SUM(n) OVER () AS BIGINT) AS ece_ppm
+          FROM m ORDER BY bin""",
     "p85_export_manifest" ->
       s"""WITH sh AS (SELECT doc_id, text,
                  CAST(${h60Sql(3, "doc_id::VARCHAR")} % 8 AS INT) AS shard

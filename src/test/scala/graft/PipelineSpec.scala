@@ -493,6 +493,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(chain(nul).contains("weight must be a positive integer"))
   }
 
+  test("tokenMixture: α=1 weight gives one flat rate, α=0 caps the " +
+      "scarce source at 1, budget arithmetic exact") {
+    import spark.implicits._
+    // a: 4 docs x 100 tokens = 400; b: 1 doc x 100 tokens = 100
+    val df = ((0 until 4).map(i => (i.toLong, "a", 100L)) :+
+      ((9L, "b", 100L))).toDF("doc_id", "source", "ntok")
+    def quotas(weight: org.apache.spark.sql.Column) =
+      Sampling.tokenMixture(df, "doc_id", "source", col("ntok"),
+          budgetTokens = 250L, weight = weight)
+        .select("source", "tok_total", "weight", "tok_target", "keep_ppm")
+        .distinct().collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+          r.getLong(4)))).toMap
+    // α=1 (weight = token total): proportional sampling IS one global
+    // rate — budget/total = 250/500 → 500000 ppm for every source
+    val prop = quotas(col("tok_total"))
+    assert(prop("a") === ((400L, 200L, 500000L)), prop.toString)
+    assert(prop("b") === ((100L, 50L, 500000L)), prop.toString)
+    // α=0 (uniform weight): equal token targets, and the scarce source
+    // over-spends its share → capped at 1e6, never upsampled
+    val flat = quotas(lit(1L))
+    assert(flat("a") === ((400L, 125L, 312500L)), flat.toString)
+    assert(flat("b") === ((100L, 125L, 1000000L)), flat.toString)
+    // kept rows are the hash-selected subset, bounded by the population
+    val kept = Sampling.tokenMixture(df, "doc_id", "source", col("ntok"),
+        budgetTokens = 250L, weight = col("tok_total"))
+      .filter(col("keep")).count()
+    assert(kept <= 5L)
+  }
+
+  test("tokenMixture: zero weight and negative tokens fail loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "b", -5L))
+      .toDF("doc_id", "source", "ntok")
+    def chain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    val neg = intercept[Exception] {
+      Sampling.tokenMixture(df, "doc_id", "source", col("ntok"),
+        budgetTokens = 10L, weight = lit(1L)).count()
+    }
+    assert(chain(neg).contains("token count must be non-negative"))
+    val pos = df.filter(col("ntok") > 0)
+    val zero = intercept[Exception] {
+      Sampling.tokenMixture(pos, "doc_id", "source", col("ntok"),
+        budgetTokens = 10L,
+        weight = when(col("source") === "a", 0L).otherwise(1L)).count()
+    }
+    assert(chain(zero).contains("weight and token total must be positive"))
+  }
+
+  test("calibrationBins: hand-computed reliability bins and ECE; " +
+      "out-of-range score and non-binary label fail loudly") {
+    import spark.implicits._
+    val df = Seq((100000L, 0), (150000L, 1), (950000L, 1))
+      .toDF("score_ppm", "label")
+    val out = Profiling.calibrationBins(df, col("score_ppm"),
+        col("label"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // bin 1: n=2, acc=1/2=500000, conf=(100000+150000)/2=125000, gap=375000
+    // bin 9: n=1, acc=1000000, conf=950000, gap=50000
+    // ECE = (375000*2 + 50000*1) div 3 = 266666
+    assert(out.toSeq === Seq(
+      (1L, 2L, 500000L, 125000L, 375000L, 266666L),
+      (9L, 1L, 1000000L, 950000L, 50000L, 266666L)))
+    def chain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    val over = intercept[Exception] {
+      Profiling.calibrationBins(Seq((1000000L, 0)).toDF("s", "l"),
+        col("s"), col("l")).count()
+    }
+    assert(chain(over).contains("scorePpm must be in [0, 1e6)"))
+    val lab = intercept[Exception] {
+      Profiling.calibrationBins(Seq((5L, 2)).toDF("s", "l"),
+        col("s"), col("l")).count()
+    }
+    assert(chain(lab).contains("label must be 0 or 1"))
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(

@@ -325,6 +325,24 @@ class PlanSpec extends AnyFunSuite {
       s"shuffleShard must be one shard exchange + in-shard sort, plan:\n$shard")
   }
 
+  test("tokenMixture: quotas broadcast back, corpus side never shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val plan = finalPlan(Sampling.tokenMixture(docs, "doc_id", "source",
+      size(TextOps.tokens(col("text"))).cast("long"),
+      budgetTokens = 1000L,
+      weight = floor(sqrt(col("tok_total")) * 1000000.0d)))
+    // one hash exchange: the per-source totals aggregate (#sources
+    // rows); the quota window's SinglePartition frame also holds only
+    // #sources rows. The corpus re-join must be broadcast — a
+    // sort-merge join here would shuffle 100 TB on the source key.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"tokenMixture must shuffle only the totals agg, plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota re-join must broadcast, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must never sort-merge, plan:\n$plan")
+  }
+
   test("binned interval join: equi-join on the bin, never a nested loop") {
     val ev = Tables.events(spark, sf)
     val ivals = ev.filter(col("event_type") === "purchase")
