@@ -427,11 +427,17 @@ object PipelineQueries {
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_sink_${memSeq.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    // state partitions sized to state volume, not the session's batch
+    // scan parallelism (StreamTuning scaladoc) — each micro-batch pays
+    // a fixed per-partition state-store cost, so a batch-sized 32/200
+    // multiplies the stream's floor for nothing
+    graft.streaming.StreamTuning.scoped(s) {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     s.table(name)
   }
 

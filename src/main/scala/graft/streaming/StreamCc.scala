@@ -40,9 +40,14 @@ object StreamCc {
       }
       ()
     }
-    val q = edges.writeStream.foreachBatch(fold)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    // state partitions sized to the fold's label frames, not the batch
+    // session's scan parallelism (StreamTuning scaladoc); the inner
+    // ccIncremental jobs plan per micro-batch, so the scope covers them
+    StreamTuning.scoped(spark) {
+      val q = edges.writeStream.foreachBatch(fold)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     labels.select(col("id"), col("cluster"),
       (col("id") === col("cluster")).as("is_keeper"))
   }

@@ -40,9 +40,13 @@ object StreamNearDedup {
       }
       ()
     }
-    val q = arrivals.writeStream.foreachBatch(fold)
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    // state partitions sized to the batch-sized probes, not the batch
+    // session's scan parallelism (StreamTuning scaladoc)
+    StreamTuning.scoped(spark) {
+      val q = arrivals.writeStream.foreachBatch(fold)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     acc.map(_.dropDuplicates("i", "j")).getOrElse {
       import spark.implicits._
       Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]

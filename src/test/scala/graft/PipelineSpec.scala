@@ -575,6 +575,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(chain(lab).contains("label must be 0 or 1"))
   }
 
+  test("StreamTuning.scoped: sets state-sized partitions for the body, " +
+      "restores the batch setting, honors the override, rejects < 1") {
+    val key = graft.streaming.StreamTuning.ShufflePartitions
+    val before = spark.conf.get(key)
+    graft.streaming.StreamTuning.scoped(spark) {
+      assert(spark.conf.get(key) === "8")
+    }
+    assert(spark.conf.get(key) === before)
+    spark.conf.set(graft.streaming.StreamTuning.Key, "3")
+    try {
+      graft.streaming.StreamTuning.scoped(spark) {
+        assert(spark.conf.get(key) === "3")
+      }
+      assert(spark.conf.get(key) === before)
+      spark.conf.set(graft.streaming.StreamTuning.Key, "0")
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamTuning.scoped(spark) { () }
+      }
+      // restored even when the body (or the guard) throws
+      assert(spark.conf.get(key) === before)
+    } finally spark.conf.unset(graft.streaming.StreamTuning.Key)
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(
