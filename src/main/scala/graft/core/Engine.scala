@@ -240,7 +240,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     * long-running fleet. Set <= 0 to disable. */
   @volatile var compactMinFiles: Int = 64
 
-  val registry = new Registry(Some(new RegistryStore(storageRoot)))
+  private val registryStore = new RegistryStore(storageRoot)
+  // ordered layout upgrades (or the loud newer-root refusal) happen
+  // BEFORE any registry read — the ALTER EXTENSION ... UPDATE moment
+  SchemaUpgrade.ensure(registryStore)
+  val registry = new Registry(Some(registryStore))
   val store = new Store(spark, storageRoot)
   val catalogs = new CatalogMirror(spark, storageRoot)
   val datasources: Seq[GenericDatasource] =

@@ -92,19 +92,48 @@ final class RegistryStore(root: String) {
       } finally s.close()
     }
 
-  def saveMetas(scope: Set[Int], rows: Seq[MetaRow]): Unit = withLock {
-    // one-time migration: spill legacy single-file rows into the
-    // per-server layout, then retire the legacy table
+  /** Spill legacy single-file metas into the per-server layout and
+    * retire the legacy table — schema-upgrade step 1→2
+    * ([[SchemaUpgrade]]); also run lazily by [[saveMetas]] so a root
+    * mutated without an engine (direct RegistryStore use) stays safe.
+    * Migrates EVERY unowned row — including ones a scoped save is
+    * about to overwrite: dropping the legacy table with a scoped row
+    * not yet spilled would lose that server's meta if the process died
+    * before its writeMetaRow. Idempotent; returns rows spilled. */
+  def migrateLegacyMetas(): Int = withLock {
     val legacy = legacyMetas()
-    if (legacy.nonEmpty) {
+    if (legacy.isEmpty) 0
+    else {
       val owned = perServerMetaIds().toSet
-      // migrate EVERY unowned row — including ones in scope, which the
-      // loop below immediately overwrites: dropping the legacy table
-      // with a scoped row not yet spilled would lose that server's meta
-      // if the process died before its writeMetaRow
-      legacy.filterNot(r => owned(r.srvid)).foreach(writeMetaRow)
+      val todo = legacy.filterNot(r => owned(r.srvid))
+      todo.foreach(writeMetaRow)
       AtomicSwap.drop(dir, "snapshot_metas")
+      todo.size
     }
+  }
+
+  /** Persisted registry schema version — the fence [[SchemaUpgrade]]
+    * sequences on. Absent marker = 1 (every pre-runner root). */
+  def schemaVersion(): Int = {
+    val m = dir.resolve("schema_version")
+    if (!Files.isRegularFile(m)) 1
+    else new String(Files.readAllBytes(m),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
+  private[graft] def writeSchemaVersion(v: Int): Unit = withLock {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(".schema_version_tmp")
+    Files.write(tmp, v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("schema_version"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def saveMetas(scope: Set[Int], rows: Seq[MetaRow]): Unit = withLock {
+    // lazy safety net for roots never upgraded by an engine
+    migrateLegacyMetas()
     val byId = rows.map(r => r.srvid -> r).toMap
     scope.toSeq.sorted.foreach { id =>
       byId.get(id) match {

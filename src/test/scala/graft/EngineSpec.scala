@@ -1008,4 +1008,63 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.nonEmpty)
     graft.core.AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("schema upgrade runner: ordered steps from the persisted marker, " +
+      "crash-resume, newer-root refusal, gap detection") {
+    import RegistryStore._
+    val root = java.nio.file.Files.createTempDirectory("graft_up").toString
+    val dir = java.nio.file.Paths.get(root, "_registry")
+    // a v1 root: legacy single-file snapshot_metas, no marker
+    val rows = Seq(
+      MetaRow(1, 3L, Some(Timestamp.valueOf("2024-01-01 00:03:00")),
+        None, None, Seq.empty),
+      MetaRow(2, 7L, None, None, None, Seq("err")))
+    AtomicSwap.replace(dir, "snapshot_metas")(v =>
+      RegistryIo.write(v, RegistryIo.metasSchema)(
+        f => rows.map(RegistryIo.metaGroup(f, _))))
+    val reg = new RegistryStore(root)
+    assert(reg.schemaVersion() === 1)
+    // ensure applies 1->2: metas spilled per-server, legacy retired,
+    // marker bumped; a re-run applies nothing
+    assert(SchemaUpgrade.ensure(reg) === 1)
+    assert(reg.schemaVersion() === 2)
+    assert(java.nio.file.Files.isSymbolicLink(dir.resolve("meta_srvid=1")))
+    assert(!java.nio.file.Files.exists(dir.resolve("snapshot_metas")))
+    assert(reg.loadMetas().map(m => (m.srvid, m.coalesce_seq)) ===
+      Seq((1, 3L), (2, 7L)))
+    assert(SchemaUpgrade.ensure(reg) === 0)
+    // an engine on the upgraded root starts normally (and an engine on
+    // a FRESH root stamps the marker through the same path)
+    new Engine(spark, root)
+    assert(new RegistryStore(mkEngine().store.root).schemaVersion()
+      === SchemaUpgrade.CurrentVersion)
+    // newer root: a binary at version 2 must refuse a version-99 root
+    reg.writeSchemaVersion(99)
+    val down = intercept[IllegalStateException] {
+      SchemaUpgrade.ensure(reg)
+    }
+    assert(down.getMessage.contains("refusing"))
+    intercept[IllegalStateException] { new Engine(spark, root) }
+    reg.writeSchemaVersion(2)
+    // synthetic chain: crash mid-sequence resumes at the unapplied step
+    val applied = scala.collection.mutable.ArrayBuffer[Int]()
+    def step(from: Int, fail: Boolean = false) =
+      SchemaUpgrade.Step(from, from + 1, s"test $from")(
+        _ => { if (fail) sys.error(s"boom $from"); applied += from })
+    intercept[RuntimeException] {
+      SchemaUpgrade.ensure(reg, binary = 4,
+        chain = Seq(step(2), step(3, fail = true)))
+    }
+    assert(applied.toSeq === Seq(2) && reg.schemaVersion() === 3,
+      "marker must record the completed prefix")
+    assert(SchemaUpgrade.ensure(reg, binary = 4,
+      chain = Seq(step(2), step(3))) === 1)
+    assert(applied.toSeq === Seq(2, 3) && reg.schemaVersion() === 4)
+    // gap detection fails the upgrade BEFORE any step runs
+    val gap = intercept[IllegalStateException] {
+      SchemaUpgrade.ensure(reg, binary = 6, chain = Seq(step(5)))
+    }
+    assert(gap.getMessage.contains("gap") && applied.size === 2)
+    AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
