@@ -343,6 +343,22 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side must never sort-merge, plan:\n$plan")
   }
 
+  test("calibrationBins: one agg exchange to <= bins rows, no join; " +
+      "the window runs on the aggregated frame only") {
+    val e = Tables.embeddings(spark, sf)
+    val score = greatest(lit(0L), least(lit(999999L),
+      floor((element_at(col("embedding"), 1).cast("double") + 0.5d)
+        * 1000000.0d)))
+    val plan = finalPlan(Profiling.calibrationBins(
+      e.select(score.as("s"), (col("label") % 2).as("l")),
+      col("s"), col("l"), bins = 10))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"calibration must shuffle once (the bin agg), plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"ECE must come from a window over <= bins rows, not a join, " +
+        s"plan:\n$plan")
+  }
+
   test("binned interval join: equi-join on the bin, never a nested loop") {
     val ev = Tables.events(spark, sf)
     val ivals = ev.filter(col("event_type") === "purchase")
