@@ -493,6 +493,69 @@ object Sampling {
           col("keep_ppm"))
   }
 
+  /** Epoch-repetition mixture — the data-constrained counterpart of
+    * [[tokenMixture]]: when a source's token target EXCEEDS its corpus,
+    * real pipelines repeat the source for whole epochs (up to
+    * `maxEpochs` — the "up to ~4 epochs of a scarce high-quality
+    * source" regime) plus one deterministic partial epoch, rather than
+    * refusing to upsample or duplicating rows stochastically. Per
+    * source: `epochs_full = min(maxEpochs, tok_target div tok_total)`,
+    * and the remainder `tok_target − epochs_full·tok_total` becomes a
+    * partial-epoch keep probability in ppm (zero when the epoch cap
+    * binds — the cap is a hard ceiling, not a rounding hint). Every
+    * row gets `n_copies = epochs_full + (h < rem_ppm ? 1 : 0)` with
+    * the seeded portable hash, so the assignment is engine- and
+    * re-run-exact, and a downstream export explodes
+    * `sequence(1, n_copies)` to materialize the repeats. Quota
+    * arithmetic in DECIMAL(38,0) like [[tokenMixture]].
+    *
+    * Plan shape: identical to [[tokenMixture]] — one #sources totals
+    * aggregate, a #sources-row window, a broadcast join back, a narrow
+    * projection; the corpus never shuffles. Adds `tok_total`,
+    * `weight`, `tok_target`, `epochs_full`, `rem_ppm`, `n_copies`. */
+  def epochMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tokens: Column, budgetTokens: Long, weight: Column,
+      maxEpochs: Int = 4, seed: Int = 0): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val t = when(tokens.isNull || tokens < 0,
+        raise_error(lit("epochMixture: token count must be " +
+          "non-negative and non-null")))
+      .otherwise(tokens.cast("long"))
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(t).as("tok_total"))
+      .withColumn("weight", weight.cast("long"))
+    val w = Window.partitionBy() // #sources rows — a trivial frame
+    val quotas = totals
+      .withColumn("__W", sum(col("weight")).over(w))
+      .withColumn("tok_target",
+        expr(s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * weight" +
+          " DIV __W AS BIGINT)"))
+      .withColumn("epochs_full",
+        least(lit(maxEpochs.toLong),
+          expr("tok_target DIV tok_total")))
+      .withColumn("rem_ppm",
+        when(col("epochs_full") === maxEpochs.toLong, lit(0L))
+          .otherwise(expr("CAST(CAST(tok_target - epochs_full * " +
+            "tok_total AS DECIMAL(38,0)) * 1000000 DIV tok_total" +
+            " AS BIGINT)")))
+      .select(
+        when(col("weight").isNull || col("weight") <= 0 ||
+            col("tok_total") <= 0,
+          raise_error(concat(
+            lit("epochMixture: weight and token total must be " +
+              "positive for source "),
+            col(sourceCol).cast("string"))))
+          .otherwise(col(sourceCol)).as(sourceCol),
+        col("tok_total"), col("weight"), col("tok_target"),
+        col("epochs_full"), col("rem_ppm"))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("n_copies",
+        col("epochs_full") +
+          when(Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
+            col("rem_ppm"), 1L).otherwise(0L))
+  }
+
   /** The pre-gate fallback for degenerate `k+topN > 1e6` (every rank's
     * points floor to 0, so no candidate bound exists): the original
     * corpus-global window form. Never taken for real parameters. */

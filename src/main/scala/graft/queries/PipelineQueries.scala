@@ -993,6 +993,24 @@ object PipelineQueries {
       .orderBy(col("bin"))
   }
 
+  // epoch-repetition mixture (data-constrained regime): uniform token
+  // targets overshoot every source, so scarce sources repeat for whole
+  // epochs up to the cap (rem_ppm 0 where it binds) plus one
+  // hash-deterministic partial epoch; the summary hashes the quota
+  // algebra AND the per-row copy assignment
+  private def p146(s: SparkSession, d: String): DataFrame = {
+    val ntok = size(TextOps.tokens(col("text"))).cast("long")
+    Sampling.epochMixture(Tables.documents(s, d), "doc_id", "source",
+        tokens = ntok, budgetTokens = 60000L, weight = lit(1L),
+        maxEpochs = 2, seed = 11)
+      .groupBy(col("source"), col("tok_total"), col("tok_target"),
+        col("epochs_full"), col("rem_ppm"))
+      .agg(sum(when(col("n_copies") > col("epochs_full"), 1L)
+          .otherwise(0L)).as("n_docs_extra"),
+        sum(ntok * col("n_copies")).as("tokens_assigned"))
+      .orderBy(col("source"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2629,7 +2647,8 @@ object PipelineQueries {
     "p142_referential_integrity" -> (p142 _),
     "p143_stream_funnel" -> (p143 _),
     "p144_token_mixture" -> (p144 _),
-    "p145_calibration_audit" -> (p145 _))
+    "p145_calibration_audit" -> (p145 _),
+    "p146_epoch_mixture" -> (p146 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5158,6 +5177,40 @@ object PipelineQueries {
           FROM k JOIN h USING (source)
           GROUP BY 1, 2, 3, 4, 5
           ORDER BY k.source""",
+    "p146_epoch_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+                   AS ntok
+               FROM documents),
+          tot AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS tok_total
+                  FROM t GROUP BY 1),
+          q AS (SELECT source, tok_total,
+                  CAST(CAST(60000 AS HUGEINT)
+                    // (SELECT COUNT(*) FROM tot) AS BIGINT) AS tok_target
+                FROM tot),
+          e AS (SELECT source, tok_total, tok_target,
+                  LEAST(CAST(2 AS BIGINT), tok_target // tok_total)
+                    AS epochs_full
+                FROM q),
+          r AS (SELECT source, tok_total, tok_target, epochs_full,
+                  CASE WHEN epochs_full = 2 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(CAST(tok_target - epochs_full * tok_total
+                         AS HUGEINT) * 1000000 // tok_total AS BIGINT)
+                  END AS rem_ppm
+                FROM e),
+          h AS (SELECT doc_id, source, ntok,
+                  ${h60Sql(11, "CAST(doc_id AS VARCHAR)")} % 1000000 AS hh
+                FROM t)
+          SELECT r.source, r.tok_total, r.tok_target, r.epochs_full,
+                 r.rem_ppm,
+                 CAST(SUM(CASE WHEN hh < rem_ppm THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_docs_extra,
+                 CAST(SUM(ntok * (epochs_full +
+                   CASE WHEN hh < rem_ppm THEN 1 ELSE 0 END))
+                   AS BIGINT) AS tokens_assigned
+          FROM r JOIN h USING (source)
+          GROUP BY 1, 2, 3, 4, 5
+          ORDER BY r.source""",
     "p145_calibration_audit" ->
       """WITH s AS (SELECT
                GREATEST(CAST(0 AS BIGINT), LEAST(CAST(999999 AS BIGINT),

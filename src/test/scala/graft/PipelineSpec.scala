@@ -544,6 +544,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(chain(zero).contains("weight and token total must be positive"))
   }
 
+  test("epochMixture: whole epochs + deterministic partial epoch, " +
+      "cap binds with zero remainder, downsample case epochs=0") {
+    import spark.implicits._
+    // a: 400 tokens, b: 100 tokens; uniform weight, budget 500 →
+    // target 250 each. a: 250/400 = 0 full epochs, rem 250 → 625000
+    // ppm. b: 250/100 = 2 full epochs, capped at 2 → rem_ppm 0.
+    val df = ((0 until 4).map(i => (i.toLong, "a", 100L)) :+
+      ((9L, "b", 100L))).toDF("doc_id", "source", "ntok")
+    val out = Sampling.epochMixture(df, "doc_id", "source", col("ntok"),
+        budgetTokens = 500L, weight = lit(1L), maxEpochs = 2)
+      .select("source", "tok_total", "tok_target", "epochs_full",
+        "rem_ppm").distinct().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((400L, 250L, 0L, 625000L)), out.toString)
+    assert(out("b") === ((100L, 250L, 2L, 0L)), out.toString)
+    // n_copies: b rows are exactly epochs_full (cap bound, no partial);
+    // a rows are 0 or 1 by the hash — never more
+    val copies = Sampling.epochMixture(df, "doc_id", "source",
+        col("ntok"), budgetTokens = 500L, weight = lit(1L),
+        maxEpochs = 2)
+      .select(col("source"), col("n_copies")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(copies.filter(_._1 == "b").map(_._2).toSeq === Seq(2L))
+    assert(copies.filter(_._1 == "a").forall(c => c._2 == 0L || c._2 == 1L))
+    // uncapped: maxEpochs 5 lets b take its true 2 epochs + 50% partial
+    val un = Sampling.epochMixture(df, "doc_id", "source", col("ntok"),
+        budgetTokens = 500L, weight = lit(1L), maxEpochs = 5)
+      .filter(col("source") === "b")
+      .select("epochs_full", "rem_ppm").distinct().collect()
+    assert(un.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((2L, 500000L)))
+  }
+
   test("calibrationBins: hand-computed reliability bins and ECE; " +
       "out-of-range score and non-binary label fail loudly") {
     import spark.implicits._

@@ -343,6 +343,18 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side must never sort-merge, plan:\n$plan")
   }
 
+  test("epochMixture: quotas broadcast back, corpus side never shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val plan = finalPlan(Sampling.epochMixture(docs, "doc_id", "source",
+      size(TextOps.tokens(col("text"))).cast("long"),
+      budgetTokens = 1000L, weight = lit(1L), maxEpochs = 3))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"epochMixture must shuffle only the totals agg, plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"quota re-join must broadcast, plan:\n$plan")
+  }
+
   test("calibrationBins: one agg exchange to <= bins rows, no join; " +
       "the window runs on the aggregated frame only") {
     val e = Tables.embeddings(spark, sf)
