@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-10 stress axes: the four operators added after the round-10
+  * SCALE.md refresh (token mixture p144, epoch mixture p146,
+  * calibration bins p145, streaming funnel p143), measured on the
+  * shared StressCorpus shapes so the growth curves are comparable to
+  * every earlier axis.
+  *
+  * Claims under measurement:
+  *  - tokenMixture / epochMixture: the corpus side is shuffle-free
+  *    (one #sources-row aggregate + broadcast quota join + per-row
+  *    keep math), so time should track the scan linearly with mult;
+  *  - calibrationBins: one partial-agg exchange to <= bins rows —
+  *    constant-volume shuffle, linear scan time;
+  *  - StateFunnel: per-key state is the undrained buffer only
+  *    (watermark folds each micro-batch), so a mult-multiplied
+  *    corpus streams in time linear in volume, not in keys x history;
+  *    the batch funnel on the same frame is the comparator.
+  *
+  *   SPARK_GRAFT_MULT=50 java -cp ... graft.StressR10
+  */
+object StressR10 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = StressCorpus.big(spark, sfDir, mult, cpus.toInt)
+    val n = big.count()
+    val docs = StressCorpus.docs(spark, sfDir, mult, cpus.toInt)
+    val nDocs = docs.count()
+
+    def timed(f: => Long): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // source = doc bucket, tokens pre-split and pinned so the axes
+    // time the mixture operators, not the tokenizer
+    val srcDocs = docs.select(col("doc_id"),
+        concat(lit("src"), pmod(col("doc_id"), lit(8))).as("source"),
+        size(graft.pipeline.TextOps.tokens(col("text"))).cast("long")
+          .as("tok"))
+      .localCheckpoint()
+    val totalTok = srcDocs.agg(sum(col("tok"))).head().getLong(0)
+
+    val (tokSec, tokKept) = timed(
+      graft.pipeline.Sampling.tokenMixture(srcDocs, "doc_id", "source",
+          tokens = col("tok"), budgetTokens = totalTok / 2,
+          weight = floor(sqrt(col("tok_total")) * 1000000.0d), seed = 5)
+        .filter(col("keep")).count())
+
+    // budget 3x total with maxEpochs 2: every source caps at 2 full
+    // epochs + no partial — the repeat-explode path is exercised
+    val (epochSec, epochCopies) = timed(
+      graft.pipeline.Sampling.epochMixture(srcDocs, "doc_id", "source",
+          tokens = col("tok"), budgetTokens = totalTok * 3L,
+          weight = lit(1L), maxEpochs = 2, seed = 11)
+        .agg(sum(col("n_copies"))).head().getLong(0))
+
+    val scored = big.select(
+      pmod(graft.pipeline.Hashing.h60(col("user_id").cast("string")),
+        lit(1000000L)).as("score_ppm"),
+      pmod(graft.pipeline.Hashing.h60(col("event_type")), lit(2L))
+        .as("label"))
+    val (calSec, calBins) = timed(
+      graft.pipeline.Profiling.calibrationBins(scored,
+        col("score_ppm"), col("label"), bins = 10).count())
+
+    // streaming funnel: the multiplied events written as 4 data files
+    // + the far-future sentinel, streamed 1 file per trigger so the
+    // watermark advances and state drains between batches
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_stress_funnel")
+    val steps = Seq("view", "click", "purchase")
+    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (t, i)) => when(col("event_type") === t, lit(i))
+        .otherwise(acc) }
+    // the corpus carries no event id — a deterministic per-row hash
+    // stands in (the funnel fold uses it only as a tie-break)
+    val funnelIn = big.select(col("user_id"), col("record.ts").as("ts"),
+      graft.pipeline.Hashing.h60(concat_ws("|", col("user_id"),
+        col("record.ts").cast("long"), col("event_type"))).as("event_id"),
+      stepCol.as("step"))
+    val batchDir = dir.resolve("data")
+    funnelIn.repartitionByRange(4, col("ts"))
+      .write.parquet(batchDir.toString)
+    val parts = Files.list(batchDir).filter(p =>
+        p.getFileName.toString.startsWith("part-")).sorted()
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    val streamDir = dir.resolve("stream")
+    Files.createDirectory(streamDir)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = streamDir.resolve(f"a_$i%02d.parquet")
+      Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 1000L))
+    }
+    // far-future sentinel row flushes the final watermark
+    import spark.implicits._
+    val sentinel = streamDir.resolve("b_sentinel.parquet")
+    val sentTmp = dir.resolve("sent")
+    funnelIn.filter(lit(false))
+      .unionByName(Seq((-1L,
+          java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), -1L, -1))
+        .toDF("user_id", "ts", "event_id", "step"))
+      .coalesce(1).write.parquet(sentTmp.toString)
+    val sentPart = Files.list(sentTmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.copy(sentPart, sentinel)
+    Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+
+    val (streamSec, streamRows) = timed {
+      graft.streaming.StreamTuning.scoped(spark) {
+        val st = spark.readStream
+          .schema(funnelIn.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.FunnelEvent]
+        val out = graft.streaming.StateFunnel.funnel(st, nSteps = 3)
+        val sink = s"stress_funnel_${System.nanoTime()}"
+        val q = out.toDF().writeStream.format("memory")
+          .queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(sink).filter(col("user_id") >= 0).count()
+      }
+    }
+
+    val (batchFunnelSec, batchRows) = timed(
+      graft.pipeline.Sessions.funnel(
+        big.select(col("user_id"), col("record.ts").as("ts"),
+          col("event_type")),
+        "user_id", "ts", "event_type", steps).count())
+
+    val json =
+      s"""{"metric":"stress_r10","mult":$mult,"rows":$n,"n_docs":$nDocs,""" +
+        s""""tokmix_sec":$tokSec,"tokmix_kept":$tokKept,""" +
+        s""""epochmix_sec":$epochSec,"epochmix_copies":$epochCopies,""" +
+        s""""calib_sec":$calSec,"calib_bins":$calBins,""" +
+        s""""stream_funnel_sec":$streamSec,"stream_users":$streamRows,""" +
+        s""""batch_funnel_sec":$batchFunnelSec,"batch_users":$batchRows,""" +
+        s""""sf":"$sfDir"}"""
+    spark.stop()
+    println(json)
+  }
+}

@@ -1011,6 +1011,25 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  // distributed BPE tokenizer training (Sennrich'16): 4 sequential
+  // merges learned over the word-vocabulary frame — corpus touched
+  // once, rounds are vocab-sized; the oracle replays the exact loop
+  // unrolled round by round (same wrapper representation, same
+  // replace, same (n DESC, a, b) tie-break)
+  private def p147(s: SparkSession, d: String): DataFrame =
+    Bpe.train(Tables.documents(s, d), "text", merges = 4)
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("a"), col("b"), col("merged"), col("pair_n"))
+      .orderBy(col("merge_rank"))
+
+  // subword segmentation under the learned merge table: per doc the
+  // subword count + the '+'-marked segmentation in original word order
+  private def p148(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Bpe.segment(docs, "doc_id", "text", Bpe.train(docs, "text", 4))
+      .orderBy(col("doc_id"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2648,7 +2667,9 @@ object PipelineQueries {
     "p143_stream_funnel" -> (p143 _),
     "p144_token_mixture" -> (p144 _),
     "p145_calibration_audit" -> (p145 _),
-    "p146_epoch_mixture" -> (p146 _))
+    "p146_epoch_mixture" -> (p146 _),
+    "p147_bpe_train" -> (p147 _),
+    "p148_bpe_segment" -> (p148 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5306,5 +5327,81 @@ object PipelineQueries {
           SELECT range_start, CAST(rank AS BIGINT) AS rank,
                  event_type, n
           FROM r WHERE rank <= 3
-          ORDER BY range_start, rank""")
+          ORDER BY range_start, rank""",
+    "p147_bpe_train" ->
+      s"""WITH ${bpeCtes(4)}
+          SELECT merge_rank, a, b, merged, pair_n FROM m1
+          UNION ALL SELECT merge_rank, a, b, merged, pair_n FROM m2
+          UNION ALL SELECT merge_rank, a, b, merged, pair_n FROM m3
+          UNION ALL SELECT merge_rank, a, b, merged, pair_n FROM m4
+          ORDER BY merge_rank""",
+    "p148_bpe_segment" ->
+      s"""WITH ${bpeCtes(4)},
+          segmap AS (SELECT word,
+              replace(trim(rep, chr(1)), chr(1)||chr(1), '+') AS seg,
+              CAST(len(string_split(trim(rep, chr(1)),
+                chr(1)||chr(1))) AS BIGINT) AS nsub
+            FROM r4),
+          d0 AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS tk
+                 FROM documents),
+          d1 AS (SELECT doc_id, tk,
+                   unnest(range(0, len(tk))) AS pos
+                 FROM d0),
+          dt AS (SELECT doc_id, pos,
+                   tk[CAST(pos + 1 AS INTEGER)] AS word
+                 FROM d1
+                 WHERE tk[CAST(pos + 1 AS INTEGER)] <> ''
+                   AND NOT contains(tk[CAST(pos + 1 AS INTEGER)], chr(1)))
+          SELECT doc_id, CAST(SUM(nsub) AS BIGINT) AS n_subwords,
+                 string_agg(seg, ' ' ORDER BY pos) AS seg_text
+          FROM dt JOIN segmap USING (word)
+          GROUP BY doc_id
+          ORDER BY doc_id""")
+
+  /** Unrolled DuckDB replay of `Bpe.train`'s sequential loop (the
+    * mergesPerRound=1 reference): the shared CTE prefix yields
+    * m1..mN (one learned merge per round, `(n DESC, a, b)` ranked,
+    * only pairs occurring twice) and rN (the final per-word reps,
+    * each symbol wrapped in chr(1) exactly like Bpe.Sep). */
+  private def bpeCtes(rounds: Int): String = {
+    val sep = "chr(1)"
+    val sep2 = "chr(1)||chr(1)"
+    val head =
+      s"""toks AS (SELECT unnest(regexp_split_to_array(text, ' +'))
+                     AS word
+                   FROM documents),
+          w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM toks
+                 WHERE word <> '' AND NOT contains(word, $sep)
+                 GROUP BY word),
+          r0 AS (SELECT word, cnt,
+                   $sep || array_to_string(
+                     list_transform(range(0, length(word)),
+                       i -> substring(word, CAST(i + 1 AS INTEGER), 1)),
+                     $sep2) || $sep AS rep
+                 FROM w0)"""
+    val roundSql = (1 to rounds).map { k =>
+      s""",
+          s$k AS (SELECT cnt,
+                   string_split(trim(rep, $sep), $sep2) AS syms
+                 FROM r${k - 1}),
+          p$k AS (SELECT pr[1] AS a, pr[2] AS b,
+                   CAST(SUM(cnt) AS BIGINT) AS n
+                 FROM (SELECT cnt,
+                         unnest(list_transform(range(0, len(syms) - 1),
+                           i -> [syms[CAST(i + 1 AS INTEGER)],
+                                 syms[CAST(i + 2 AS INTEGER)]])) AS pr
+                       FROM s$k WHERE len(syms) >= 2)
+                 GROUP BY a, b),
+          m$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, a, b,
+                   a || b AS merged, n AS pair_n
+                 FROM p$k WHERE n >= 2
+                 ORDER BY n DESC, a, b LIMIT 1),
+          r$k AS (SELECT word, cnt,
+                   replace(rep, $sep || a || $sep2 || b || $sep,
+                     $sep || a || b || $sep) AS rep
+                 FROM r${k - 1} CROSS JOIN m$k)"""
+    }.mkString
+    head + roundSql
+  }
 }

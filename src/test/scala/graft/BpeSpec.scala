@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docsOf(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def merges(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("merge_rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  test("hand corpus: single mergeable pair, early stop below count 2") {
+    val m = merges(Bpe.train(docsOf("ab ab ac"), "text", merges = 4))
+    // (a,b) occurs twice -> merged; (a,c) occurs once -> never merged
+    assert(m.toSeq === Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("greedy left-to-right within a run: aaa merges as (aa)a") {
+    val m = merges(Bpe.train(docsOf("aaa aaa"), "text", merges = 4))
+    // round 1: pair (a,a) appears twice per word x2 words = 4; the
+    // left-to-right merge leaves [aa, a], so round 2 learns (aa, a)
+    assert(m.toSeq === Seq(
+      (1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+  }
+
+  test("tie-break is (n DESC, a ASC, b ASC)") {
+    val m = merges(Bpe.train(docsOf("ab cd ab cd"), "text", merges = 2))
+    assert(m.toSeq === Seq(
+      (1, "a", "b", "ab", 2L), (2, "c", "d", "cd", 2L)))
+  }
+
+  test("batched round never applies two pairs sharing a symbol") {
+    // (a,b) and (b,c) tie at 2 but share b: round 1 applies only
+    // (a,b); (b,c) survives to round 2 with its count intact
+    val m = merges(Bpe.train(docsOf("ab bc ab bc"), "text",
+      merges = 2, mergesPerRound = 2))
+    assert(m.toSeq === Seq(
+      (1, "a", "b", "ab", 2L), (2, "b", "c", "bc", 2L)))
+  }
+
+  test("batched == sequential when the top pairs are disjoint") {
+    val corpus = docsOf("ab cd ef ab cd ef gh gh")
+    val seq1 = merges(Bpe.train(corpus, "text", merges = 4))
+    val bat2 = merges(Bpe.train(corpus, "text", merges = 4,
+      mergesPerRound = 2))
+    assert(seq1.toSeq === bat2.toSeq)
+  }
+
+  test("segment: hand-checked subword split and counts") {
+    val corpus = docsOf("ab ab ac aaa")
+    val m = Bpe.train(corpus, "text", merges = 2)
+    // learned: (a,a) then (a,b) — ties rank (a,a) < (a,b)
+    assert(merges(m).map(t => (t._2, t._3)).toSeq ===
+      Seq(("a", "a"), ("a", "b")))
+    val seg = Bpe.segment(docsOf("ab ac aaa"), "doc_id", "text", m)
+      .collect()
+    assert(seg.length === 1)
+    assert(seg(0).getAs[Long]("n_subwords") === 5L)
+    assert(seg(0).getAs[String]("seg_text") === "ab a+c aa+a")
+  }
+
+  test("segmentation is lossless: dropping '+' restores the tokens") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val m = Bpe.train(docs, "text", merges = 4)
+    val seg = Bpe.segment(docs, "doc_id", "text", m)
+    val restored = seg.select(col("doc_id"),
+      regexp_replace(col("seg_text"), "\\+", "").as("t"))
+    val expected = docs.select(col("doc_id"),
+      array_join(filter(split(col("text"), " +"), x => x =!= ""), " ")
+        .as("t"))
+    assert(restored.except(expected).isEmpty && expected.except(restored).isEmpty)
+  }
+
+  test("more merges never increase the subword count") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    def total(n: Int): Long =
+      Bpe.segment(docs, "doc_id", "text", Bpe.train(docs, "text", n))
+        .agg(sum(col("n_subwords"))).head().getLong(0)
+    val t1 = total(1); val t4 = total(4)
+    assert(t4 <= t1, s"4 merges gave $t4 subwords vs $t1 at 1 merge")
+  }
+}
