@@ -48,6 +48,7 @@ object StressR10 {
       val rows = f
       ((System.nanoTime() - t0) / 1e9, rows)
     }
+    var bpeTrainSec = 0.0
 
     // source = doc bucket, tokens pre-split and pinned so the axes
     // time the mixture operators, not the tokenizer
@@ -71,6 +72,22 @@ object StressR10 {
           tokens = col("tok"), budgetTokens = totalTok * 3L,
           weight = lit(1L), maxEpochs = 2, seed = 11)
         .agg(sum(col("n_copies"))).head().getLong(0))
+
+    // BPE: the corpus is scanned once into the word-vocab frame; the
+    // merge rounds are vocab-sized, so train time should be ~flat in
+    // mult (the verbatim-copy corpus multiplies counts, not words —
+    // only the rep-suffix third grows the vocabulary)
+    val mergesDf = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.Bpe.train(docs, "text", merges = 8,
+        mergesPerRound = 2)
+      bpeTrainSec = (System.nanoTime() - t0) / 1e9
+      m
+    }
+    val (bpeSegSec, bpeSegDocs) = timed(
+      graft.pipeline.Bpe.segment(docs, "doc_id", "text", mergesDf)
+        .count())
 
     val scored = big.select(
       pmod(graft.pipeline.Hashing.h60(col("user_id").cast("string")),
@@ -156,6 +173,8 @@ object StressR10 {
       s"""{"metric":"stress_r10","mult":$mult,"rows":$n,"n_docs":$nDocs,""" +
         s""""tokmix_sec":$tokSec,"tokmix_kept":$tokKept,""" +
         s""""epochmix_sec":$epochSec,"epochmix_copies":$epochCopies,""" +
+        s""""bpe_train_sec":$bpeTrainSec,""" +
+        s""""bpe_seg_sec":$bpeSegSec,"bpe_seg_docs":$bpeSegDocs,""" +
         s""""calib_sec":$calSec,"calib_bins":$calBins,""" +
         s""""stream_funnel_sec":$streamSec,"stream_users":$streamRows,""" +
         s""""batch_funnel_sec":$batchFunnelSec,"batch_users":$batchRows,""" +
