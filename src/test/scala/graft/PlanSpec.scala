@@ -586,4 +586,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("windowspecdefinition(_slice"),
       s"the rank window must be partitioned by the slice id, plan:\n$plan")
   }
+
+  test("BPE: word-vocab build is one hash-agg exchange; segmentation " +
+      "never cartesians and stays within its three keyed shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val vocabPlan = finalPlan(Bpe.wordReps(docs, "text"))
+    assert("Exchange hashpartitioning".r.findAllIn(vocabPlan).size === 1,
+      s"the corpus's one full pass is a single word-keyed agg, plan:\n$vocabPlan")
+    val seg = Bpe.segment(docs, "doc_id", "text",
+      Bpe.train(docs, "text", merges = 2))
+    val plan = finalPlan(seg)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment must join word->seg by key, plan:\n$plan")
+    // distinct-words agg + token->seg join side + doc groupBy: the
+    // merge-chain replaces must all fold into projections, adding zero
+    // exchanges beyond those three
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+      s"replace chain must stay projective, plan:\n$plan")
+  }
 }
