@@ -98,6 +98,22 @@ object StressR10 {
       graft.pipeline.Profiling.calibrationBins(scored,
         col("score_ppm"), col("label"), bins = 10).count())
 
+    // power iteration on a node-scale synthetic graph: every distinct
+    // user gets 4 hash-derived out-edges into the same id space —
+    // nodes/edges grow with mult, iterations are node-keyed joins
+    val users = big.select(col("user_id")).distinct()
+    val prEdges = users
+      .crossJoin(spark.range(4).select(col("id").as("k")))
+      .select(col("user_id").as("src"),
+        pmod(graft.pipeline.Hashing.h60(
+            concat_ws("|", col("user_id"), col("k"))),
+          lit(1000000L * mult)).as("dst"),
+        lit(1L).as("w"))
+      .localCheckpoint()
+    val (prSec, prNodes) = timed(
+      graft.pipeline.Graphs.powerIteration(prEdges, "src", "dst", "w",
+        iters = 3).count())
+
     // streaming funnel: the multiplied events written as 4 data files
     // + the far-future sentinel, streamed 1 file per trigger so the
     // watermark advances and state drains between batches
@@ -176,6 +192,7 @@ object StressR10 {
         s""""bpe_train_sec":$bpeTrainSec,""" +
         s""""bpe_seg_sec":$bpeSegSec,"bpe_seg_docs":$bpeSegDocs,""" +
         s""""calib_sec":$calSec,"calib_bins":$calBins,""" +
+        s""""pagerank_sec":$prSec,"pagerank_nodes":$prNodes,""" +
         s""""stream_funnel_sec":$streamSec,"stream_users":$streamRows,""" +
         s""""batch_funnel_sec":$batchFunnelSec,"batch_users":$batchRows,""" +
         s""""sf":"$sfDir"}"""

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative weighted importance propagation (PageRank-style power
+  * iteration) in EXACT INTEGER ARITHMETIC, so every engine computes
+  * the same scores bit for bit (float damping walks diverge across
+  * libm/summation orders; this one is oracle-replayable).
+  *
+  * Semantics per iteration, all values ppm-scaled longs:
+  *   contrib(u→v) = (r_t(u) · w(u,v)) DIV out(u)     (out = Σ_v w(u,v))
+  *   r_{t+1}(v)   = (1e6 − damp) + (damp · Σ_u contrib(u→v)) DIV 1e6
+  * starting from r_0 = 1e6 everywhere. Dangling nodes (no out-edges)
+  * keep receiving but leak their own mass — the standard simplified
+  * treatment; callers who need strict conservation add self-loops.
+  *
+  * Scale shape: nodes/edges are built once; each iteration is one
+  * src-keyed broadcast-or-shuffle join + one dst-keyed aggregate +
+  * one node-keyed left join — everything keyed, nothing driver-side,
+  * state is the node-sized rank frame (localCheckpoint'd per
+  * iteration so a 50-iteration run neither re-plans the chain nor
+  * re-executes it). Overflow: r ≤ ~2e6 and w·r ≤ 2e6·Σw must fit
+  * int64 — holds to Σw ≈ 4e12 per source node.
+  */
+object Graphs {
+
+  /** Power iteration over a weighted edge list `(srcCol, dstCol,
+    * weightCol)` (long weights ≥ 1). Returns (node, rank_ppm) for
+    * every node appearing as source or destination. */
+  def powerIteration(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPpm >= 0L && dampPpm <= 1000000L,
+      s"dampPpm must be in [0, 1e6], got $dampPpm")
+    val w = when(col(weightCol).isNull || col(weightCol) < 1L,
+        raise_error(lit("powerIteration: edge weight must be >= 1")))
+      .otherwise(col(weightCol).cast("long"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      w.as("w"))
+    val out = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = e.join(out, "src").localCheckpoint() // edges with out-degree
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          call_function("div", col("r") * col("w"), col("outw"))
+            .as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib.withColumnRenamed("dst", "node"),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(1000000L - dampPpm) +
+            call_function("div",
+              lit(dampPpm) * coalesce(col("contrib"), lit(0L)),
+              lit(1000000L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_ppm"))
+  }
+}

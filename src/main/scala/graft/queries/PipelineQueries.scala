@@ -1030,6 +1030,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // importance propagation over the event-type transition graph
+  // (integer power iteration, 3 damped rounds): which stages
+  // accumulate attention — the crawl/stage-prioritization primitive;
+  // the oracle replays the iterations unrolled in exact integer math
+  private def p149(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graphs.powerIteration(edges, "src", "dst", "w", iters = 3)
+      .orderBy(col("node"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2669,7 +2685,8 @@ object PipelineQueries {
     "p145_calibration_audit" -> (p145 _),
     "p146_epoch_mixture" -> (p146 _),
     "p147_bpe_train" -> (p147 _),
-    "p148_bpe_segment" -> (p148 _))
+    "p148_bpe_segment" -> (p148 _),
+    "p149_importance_propagation" -> (p149 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5356,7 +5373,47 @@ object PipelineQueries {
                  string_agg(seg, ' ' ORDER BY pos) AS seg_text
           FROM dt JOIN segmap USING (word)
           GROUP BY doc_id
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "p149_importance_propagation" ->
+      s"""WITH ${prCtes(3)}
+          SELECT node, r AS rank_ppm FROM r3 ORDER BY node""")
+
+  /** Unrolled DuckDB replay of `Graphs.powerIteration` over the
+    * event-type transition graph: per iteration
+    * contrib(v) = Σ (r·w)//outw over in-edges, then
+    * r' = 150000 + 850000·contrib // 1e6 — exact integer math both
+    * engines agree on (NOTES: `//` == Spark's `div` for non-negative
+    * longs; SUM(BIGINT)→HUGEINT needs the CAST). */
+  private def prCtes(iters: Int): String = {
+    val head =
+      """ev AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+                FROM events),
+          e AS (SELECT event_type AS src, next_type AS dst,
+                  CAST(COUNT(*) AS BIGINT) AS w
+                FROM ev WHERE next_type IS NOT NULL
+                GROUP BY 1, 2),
+          o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+                FROM e GROUP BY 1),
+          n AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e
+                  UNION ALL SELECT dst FROM e)),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n)"""
+    val roundSql = (1 to iters).map { k =>
+      s""",
+          c$k AS (SELECT e.dst,
+                   CAST(SUM(r.r * e.w // o.outw) AS BIGINT) AS contrib
+                 FROM e JOIN o USING (src)
+                      JOIN r${k - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+          r$k AS (SELECT n.node,
+                   CAST(150000 + 850000 * COALESCE(c$k.contrib, 0)
+                     // 1000000 AS BIGINT) AS r
+                 FROM n LEFT JOIN c$k ON c$k.dst = n.node)"""
+    }.mkString
+    head + roundSql
+  }
 
   /** Unrolled DuckDB replay of `Bpe.train`'s sequential loop (the
     * mergesPerRound=1 reference): the shared CTE prefix yields
