@@ -49,6 +49,35 @@ object StressCorpus {
           .otherwise(col("text")).as("text"))
       .repartition(cpus * 2)
       .localCheckpoint()
+
+  /** ONE definition of the stress-main session (local[cpus], shuffle
+    * partitions = cpus, AQE, UTC, no UI) shared by the five
+    * measurement mains so their configs cannot drift. (Bench's
+    * SPARK_GRAFT_PARTS knob is deliberately absent here: stress axes
+    * measure operators at scan parallelism, not partition-floor A/Bs.) */
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Timed action with a driver GC first: Spark's ContextCleaner only
+    * drops the previous axes' shuffle files when their RDDs are
+    * collected, and with a large heap that never happens on its own —
+    * at mult 50 the accumulated spill of ~40 axes filled the disk
+    * before GC ran. */
+  def timed(f: => Long): (Double, Long) = {
+    System.gc()
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
 }
 
 object Stress {
@@ -57,28 +86,12 @@ object Stress {
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = StressCorpus.session(cpus)
 
     val big = StressCorpus.big(spark, sfDir, mult, cpus.toInt)
     val n = big.count()
 
-    def timed(f: => Long): (Double, Long) = {
-      // driver GC first: Spark's ContextCleaner only drops the previous
-      // axes' shuffle files when their RDDs are collected, and with a
-      // large heap that never happens on its own — at mult 50 the
-      // accumulated spill of ~40 axes filled the disk before GC ran
-      System.gc()
-      val t0 = System.nanoTime()
-      val rows = f
-      ((System.nanoTime() - t0) / 1e9, rows)
-    }
+    def timed(f: => Long): (Double, Long) = StressCorpus.timed(f)
 
     val (coalesceSec, histRows) =
       timed(Coalesce.aggregate(big, EventsSource.spec).count())

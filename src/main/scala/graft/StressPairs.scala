@@ -28,24 +28,12 @@ object StressPairs {
       s"SPARK_GRAFT_ORDER must be a subset of $known, got $order")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = StressCorpus.session(cpus)
 
     val docs = StressCorpus.docs(spark, sfDir, mult, cpus.toInt)
     val nDocs = docs.count()
 
-    def timed(f: => Long): (Double, Long) = {
-      System.gc()
-      val t0 = System.nanoTime()
-      val rows = f
-      ((System.nanoTime() - t0) / 1e9, rows)
-    }
+    def timed(f: => Long): (Double, Long) = StressCorpus.timed(f)
     def run(which: String): (Double, Long) = which match {
       case "kfam" => timed(graft.pipeline.Dedup.minhashPairs(
         docs, "doc_id", "text", n = 3, k = 16, rowsPerBand = 4,

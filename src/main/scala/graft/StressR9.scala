@@ -18,26 +18,14 @@ object StressR9 {
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = StressCorpus.session(cpus)
 
     val big = StressCorpus.big(spark, sfDir, mult, cpus.toInt)
     val n = big.count()
     val docs = StressCorpus.docs(spark, sfDir, mult, cpus.toInt)
     val nDocs = docs.count()
 
-    def timed(f: => Long): (Double, Long) = {
-      System.gc()
-      val t0 = System.nanoTime()
-      val rows = f
-      ((System.nanoTime() - t0) / 1e9, rows)
-    }
+    def timed(f: => Long): (Double, Long) = StressCorpus.timed(f)
 
     // rrf: gate+count vs the corpus-global window form
     val scored = docs.select(col("doc_id"),

@@ -159,8 +159,15 @@ object AtomicSwap {
     val statLines = files.flatMap { rel =>
       if (!rel.endsWith(".parquet")) None
       else {
-        val stats = prev.getOrElse(rel,
-          parquetRangeStats(parent.resolve(rel)))
+        // a listed path with EMPTY stats is "unknown", not "known to
+        // have none": one transient footer-read failure must not pin
+        // a file stats-less forever (it would silently lose
+        // file-skipping until the next full swap renames paths) — so
+        // only non-empty stats carry forward; legitimately stats-less
+        // files (no stat columns at all, e.g. registry config parquet)
+        // pay a footer re-read per publish, bounded by their count
+        val stats = prev.get(rel).filter(_.nonEmpty)
+          .getOrElse(parquetRangeStats(parent.resolve(rel)))
         if (stats.isEmpty) None
         else Some("\t" + rel + stats.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"\t$c=$mn:$mx" }.mkString)

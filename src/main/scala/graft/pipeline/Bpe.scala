@@ -103,16 +103,10 @@ object Bpe {
         .collect() // <= 8*M rows by construction — config-bounded
       if (top.isEmpty) { rank = merges } // nothing mergeable: stop
       else {
-        // greedy conflict-free selection: a symbol may appear in at
-        // most one applied pair this round, so the stale counts stay
-        // valid for every applied merge
-        val used = scala.collection.mutable.Set.empty[String]
-        val chosen = top.iterator.map { r =>
-          (r.getString(0), r.getString(1), r.getLong(2))
-        }.filter { case (a, b, _) =>
-          if (used(a) || used(b)) false
-          else { used += a; used += b; true }
-        }.take(math.min(mergesPerRound, merges - rank)).toVector
+        val chosen = selectConflictFree(
+          top.toIndexedSeq.map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2))),
+          math.min(mergesPerRound, merges - rank))
         if (chosen.isEmpty) { rank = merges }
         else {
           val newRep = chosen.foldLeft(col("rep")) { case (c, (a, b, _)) =>
@@ -127,6 +121,28 @@ object Bpe {
     }
     import spark.implicits._
     learned.toSeq.toDF("merge_rank", "a", "b", "merged", "pair_n")
+  }
+
+  /** Greedy conflict-free selection for a batched round: a pair is
+    * taken only if its components AND its merged result are disjoint
+    * from every previously taken pair's components and merged result.
+    * Component-only checking is not enough: an earlier pair's merge
+    * can CREATE occurrences of a later pair whose component equals
+    * the earlier merged string (e.g. (a,bc) chosen with (abc,d) —
+    * the first replace manufactures •abc• adjacencies the stale
+    * counts never observed), and symmetrically a later pair's merged
+    * string may equal an earlier component. Tracking the merged
+    * string on both sides keeps every applied merge valid under the
+    * round's stale counts. */
+  private[graft] def selectConflictFree(
+      cands: Seq[(String, String, Long)],
+      max: Int): Vector[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    cands.iterator.filter { case (a, b, _) =>
+      val m = a + b
+      if (used(a) || used(b) || used(m)) false
+      else { used += a; used += b; used += m; true }
+    }.take(max).toVector
   }
 
   /** Segment a corpus with a learned merge table: per document the

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * one node-keyed left join — everything keyed, nothing driver-side,
   * state is the node-sized rank frame (localCheckpoint'd per
   * iteration so a 50-iteration run neither re-plans the chain nor
-  * re-executes it). Overflow: r ≤ ~2e6 and w·r ≤ 2e6·Σw must fit
-  * int64 — holds to Σw ≈ 4e12 per source node.
+  * re-executes it). Overflow: rank mass concentrates (a hub fed by N
+  * nodes reaches r ≈ 0.85·N·1e6), so every product and the contrib
+  * sum ride DECIMAL(38,0); only the final bounded quotients return
+  * to int64.
   */
 object Graphs {
 
@@ -45,18 +47,24 @@ object Graphs {
       .distinct().localCheckpoint()
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
+      // all products ride DECIMAL(38,0) (the ESS/tokenMixture
+      // precedent): rank mass CONCENTRATES — a hub fed by N nodes
+      // holds r ≈ 0.85·N·1e6, so r·w overflows int64 on real graphs
+      // (N=1e6 followers with ~1e7-weight edges already wraps) and a
+      // silent wrap would break the exact-integer contract. The final
+      // quotients are bounded by total mass, so the BIGINT casts back
+      // are safe.
       val contrib = ew.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
-          call_function("div", col("r") * col("w"), col("outw"))
+          expr("CAST(CAST(r AS DECIMAL(38,0)) * w DIV outw AS DECIMAL(38,0))")
             .as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contrib.withColumnRenamed("dst", "node"),
           Seq("node"), "left")
         .select(col("node"),
-          (lit(1000000L - dampPpm) +
-            call_function("div",
-              lit(dampPpm) * coalesce(col("contrib"), lit(0L)),
-              lit(1000000L))).as("r"))
+          expr(s"CAST(${1000000L - dampPpm} + CAST($dampPpm AS " +
+            "DECIMAL(38,0)) * COALESCE(contrib, CAST(0 AS DECIMAL(38,0)))" +
+            " DIV 1000000 AS BIGINT)").as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_ppm"))

@@ -453,27 +453,45 @@ object Sampling {
   def tokenMixture(df: DataFrame, idCol: String, sourceCol: String,
       tokens: Column, budgetTokens: Long, weight: Column,
       seed: Int = 0): DataFrame = {
+    val quotas = sourceTokenQuotas("tokenMixture", df, sourceCol,
+        tokens, budgetTokens, weight)
+      .withColumn("keep_ppm",
+        least(lit(1000000L),
+          expr("CAST(CAST(tok_target AS DECIMAL(38,0)) * 1000000" +
+            " DIV tok_total AS BIGINT)")))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("keep",
+        Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
+          col("keep_ppm"))
+  }
+
+  /** Shared quota scaffolding of the two token mixtures — ONE
+    * definition of the per-row token guard, the #sources totals
+    * aggregate, the caller-evaluated weight, the DECIMAL(38,0)
+    * budget share `tok_target = budget·w_s div ΣW`, and the loud
+    * positivity guard riding the source key, so a fix to any of them
+    * can never diverge the two operators. Returns the #sources-row
+    * frame (sourceCol, tok_total, weight, tok_target). */
+  private def sourceTokenQuotas(op: String, df: DataFrame,
+      sourceCol: String, tokens: Column, budgetTokens: Long,
+      weight: Column): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     // a null/negative per-row count would null the source total and
     // silently zero its quota — fail loudly; the guard rides the
     // summed expression so pruning cannot drop it
     val t = when(tokens.isNull || tokens < 0,
-        raise_error(lit("tokenMixture: token count must be " +
+        raise_error(lit(s"$op: token count must be " +
           "non-negative and non-null")))
       .otherwise(tokens.cast("long"))
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(t).as("tok_total"))
       .withColumn("weight", weight.cast("long"))
     val w = Window.partitionBy() // #sources rows — a trivial frame
-    val quotas = totals
+    totals
       .withColumn("__W", sum(col("weight")).over(w))
       .withColumn("tok_target",
         expr(s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * weight" +
           " DIV __W AS BIGINT)"))
-      .withColumn("keep_ppm",
-        least(lit(1000000L),
-          expr("CAST(CAST(tok_target AS DECIMAL(38,0)) * 1000000" +
-            " DIV tok_total AS BIGINT)")))
       // zero/negative weight or an empty source would null the DIVs
       // and silently drop the source — loud, riding the join key like
       // sourceMix's guard
@@ -481,16 +499,11 @@ object Sampling {
         when(col("weight").isNull || col("weight") <= 0 ||
             col("tok_total") <= 0,
           raise_error(concat(
-            lit("tokenMixture: weight and token total must be " +
+            lit(s"$op: weight and token total must be " +
               "positive for source "),
             col(sourceCol).cast("string"))))
           .otherwise(col(sourceCol)).as(sourceCol),
-        col("tok_total"), col("weight"), col("tok_target"),
-        col("keep_ppm"))
-    df.join(broadcast(quotas), sourceCol)
-      .withColumn("keep",
-        Hashing.h60(seed, col(idCol).cast("string")) % 1000000L <
-          col("keep_ppm"))
+        col("tok_total"), col("weight"), col("tok_target"))
   }
 
   /** Epoch-repetition mixture — the data-constrained counterpart of
@@ -516,21 +529,9 @@ object Sampling {
   def epochMixture(df: DataFrame, idCol: String, sourceCol: String,
       tokens: Column, budgetTokens: Long, weight: Column,
       maxEpochs: Int = 4, seed: Int = 0): DataFrame = {
-    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    val t = when(tokens.isNull || tokens < 0,
-        raise_error(lit("epochMixture: token count must be " +
-          "non-negative and non-null")))
-      .otherwise(tokens.cast("long"))
-    val totals = df.groupBy(col(sourceCol))
-      .agg(sum(t).as("tok_total"))
-      .withColumn("weight", weight.cast("long"))
-    val w = Window.partitionBy() // #sources rows — a trivial frame
-    val quotas = totals
-      .withColumn("__W", sum(col("weight")).over(w))
-      .withColumn("tok_target",
-        expr(s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) * weight" +
-          " DIV __W AS BIGINT)"))
+    val quotas = sourceTokenQuotas("epochMixture", df, sourceCol,
+        tokens, budgetTokens, weight)
       .withColumn("epochs_full",
         least(lit(maxEpochs.toLong),
           expr("tok_target DIV tok_total")))
@@ -539,16 +540,6 @@ object Sampling {
           .otherwise(expr("CAST(CAST(tok_target - epochs_full * " +
             "tok_total AS DECIMAL(38,0)) * 1000000 DIV tok_total" +
             " AS BIGINT)")))
-      .select(
-        when(col("weight").isNull || col("weight") <= 0 ||
-            col("tok_total") <= 0,
-          raise_error(concat(
-            lit("epochMixture: weight and token total must be " +
-              "positive for source "),
-            col(sourceCol).cast("string"))))
-          .otherwise(col(sourceCol)).as(sourceCol),
-        col("tok_total"), col("weight"), col("tok_target"),
-        col("epochs_full"), col("rem_ppm"))
     df.join(broadcast(quotas), sourceCol)
       .withColumn("n_copies",
         col("epochs_full") +

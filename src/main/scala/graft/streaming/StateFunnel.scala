@@ -45,9 +45,12 @@ case class FunnelOut(user_id: Long, stages: Int,
   * in which case a chain whose first touch is older than the horizon
   * at timeout is emitted and dropped (the conversion-window state
   * bound a production deployment runs with; the default ∞ keeps exact
-  * parity with the batch operator / p86 oracle). Late rows (ts below
-  * the watermark at arrival) are dropped like any watermarked
-  * aggregation — flatMapGroupsWithState does not do this for you.
+  * parity with the batch operator / p86 oracle). Late rows are
+  * dropped by the ENGINE before the operator runs, and its bound is
+  * INCLUSIVE — a row at exactly the current watermark is late
+  * (measured, pinned by StreamIngestSpec's boundary test); the
+  * operator's own `>= wm` filter and the never-store-state-without-a-
+  * live-timer rule below are defense in depth, not the primary gate.
   *
   * Semantics pinned two ways: StreamIngestSpec equates it to
   * `Sessions.funnel` on the same events, and p143 runs it under the
@@ -94,10 +97,23 @@ object StateFunnel {
             // so the buffer only ever holds the watermark-lag window
             val (fin, pend) = all.partition(_._1 <= wmUs)
             val chain = fold(st.chain, fin)
-            state.update(FunnelState(pend.toVector, chain.toVector))
-            if (pend.nonEmpty)
-              // fires once the watermark proves the buffer final
-              state.setTimeoutTimestamp(pend.map(_._1).max / 1000L + 1L)
+            if (pend.isEmpty && chain(0) == -1L) {
+              // nothing buffered and nothing claimed (all rows late, or
+              // boundary rows that finalized without entering): an
+              // un-entered chain is all −1s — keeping it would leak a
+              // timer-less state entry forever
+              if (state.exists) state.remove()
+            } else {
+              state.update(FunnelState(pend.toVector, chain.toVector))
+              // fires once the watermark proves the buffer final; with
+              // an EMPTY buffer (everything finalized on arrival — e.g.
+              // a row at exactly the watermark) the next watermark
+              // advance must still trigger the quiescence emission, so
+              // a state entry is NEVER stored without a live timer
+              val fireAtUs =
+                if (pend.nonEmpty) pend.map(_._1).max else wmUs
+              state.setTimeoutTimestamp(fireAtUs / 1000L + 1L)
+            }
             Iterator.empty
           }
       }

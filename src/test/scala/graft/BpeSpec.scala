@@ -48,6 +48,21 @@ class BpeSpec extends AnyFunSuite {
       (1, "a", "b", "ab", 2L), (2, "b", "c", "bc", 2L)))
   }
 
+  test("conflict selection also fences the MERGED string both ways") {
+    // (a,bc) merges to "abc": a later candidate with component "abc"
+    // would consume adjacencies the first replace manufactures inside
+    // the same round — must be rejected even though its plain
+    // components {abc,d} are disjoint from {a,bc}
+    val sel1 = Bpe.selectConflictFree(
+      Seq(("a", "bc", 10L), ("abc", "d", 9L), ("x", "y", 8L)), 3)
+    assert(sel1 === Vector(("a", "bc", 10L), ("x", "y", 8L)))
+    // symmetrically: a later pair whose merged string equals an
+    // earlier component must be rejected ((a,b) -> "ab" vs ("ab","c"))
+    val sel2 = Bpe.selectConflictFree(
+      Seq(("ab", "c", 10L), ("a", "b", 9L), ("u", "v", 8L)), 3)
+    assert(sel2 === Vector(("ab", "c", 10L), ("u", "v", 8L)))
+  }
+
   test("batched == sequential when the top pairs are disjoint") {
     val corpus = docsOf("ab cd ef ab cd ef gh gh")
     val seq1 = merges(Bpe.train(corpus, "text", merges = 4))

@@ -311,6 +311,51 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel: a row landing exactly ON the watermark is " +
+      "late (engine's inclusive bound) — dropped, no emission, no leak") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val stepCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (t, i)) => when(col("event_type") === t, lit(i))
+        .otherwise(acc) }
+    val st = df.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        stepCol.as("step"))
+      .as[graft.streaming.FunnelEvent]
+    val q = graft.streaming.StateFunnel.funnel(st, 3).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_boundary").start()
+    // batch 1 drives the watermark to t0+10s
+    mem.addData((1L, new Timestamp(t0 + 10000L), 1L, "view"))
+    q.processAllAvailable()
+    // batch 2: user 2's ONLY view lands at exactly the watermark.
+    // MEASURED ENGINE FACT this test pins: FlatMapGroupsWithState's
+    // late-row filter is INCLUSIVE (ts <= watermark is dropped), so
+    // the row never reaches the operator — no funnel for user 2, and
+    // no state entry either. The operator additionally defends in
+    // depth (StateFunnel never stores state without a live timer), so
+    // even if the engine's bound were exclusive the row could not
+    // leak a timer-less entry.
+    mem.addData((2L, new Timestamp(t0 + 10000L), 2L, "view"))
+    q.processAllAvailable()
+    // ...while one microsecond later is NOT late and must emit
+    mem.addData((3L, new Timestamp(t0 + 10001L), 3L, "view"))
+    q.processAllAvailable()
+    val far = new Timestamp(4102444800000L)
+    mem.addData((99L, far, 0L, "x")); q.processAllAvailable()
+    mem.addData((99L, new Timestamp(far.getTime + 1000L), 0L, "x"))
+    q.processAllAvailable()
+    val users = spark.table("funnel_boundary").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(users === Set(1L, 3L),
+      s"inclusive late bound: 2 dropped, 3 emitted; got $users")
+  }
+
   test("streaming funnel horizon: an expired chain is emitted and " +
       "dropped; steps after the horizon start a NEW funnel") {
     import spark.implicits._

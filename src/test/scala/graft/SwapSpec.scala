@@ -496,6 +496,19 @@ class SwapSpec extends AnyFunSuite {
       s"carried-forward doctored stat lost (footer was re-read): $starts")
     assert(starts.exists(_._1 == feb * 1000000L),
       s"new batch must get real footer stats: $starts")
+    // a listed file with NO sidecar stats (a previous footer read
+    // failed transiently) is "unknown", not "known stats-less": the
+    // next republish must RE-READ its footer instead of pinning the
+    // absence forever
+    val noSidecar = Files.readString(m).split("\n")
+      .filterNot(_.startsWith("\t")).mkString("\n")
+    Files.writeString(m, noSidecar)
+    val mar = 1709251200L
+    store.appendPartition("ds", "hist", 1, histBatch(mar))
+    val healed = AtomicSwap.manifestEntries(parent, "srvid=1").get
+      .filter(_._1.toString.endsWith(".parquet"))
+    assert(healed.size === 3 && healed.forall(_._2.contains("range_start")),
+      s"stats-less listed files must heal on republish: $healed")
     // an unknown FUTURE format must fail loudly, not return a
     // silently partial list
     Files.writeString(m, "dir\tgraft.manifest=3\nghost.parquet")
