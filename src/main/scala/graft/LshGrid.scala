@@ -43,13 +43,19 @@ object LshGrid {
       k <- Seq(8, 16, 32)
       r <- Seq(2, 4, 8) if r <= k && k % r == 0
     } yield (k, r)
+    // the shingle frame is (k, r)-independent: built once for the
+    // whole sweep; each cell builds its candidate frame ONCE, counts
+    // it, and verifies the SAME frame (pre-refactor every cell ran
+    // the signature+banding pipeline twice)
+    val hsh = graft.pipeline.Dedup.hashedShingles(docs, "doc_id", "text", n)
+      .localCheckpoint()
     val rows = grid.map { case (k, r) =>
-      val hsh = graft.pipeline.Dedup.hashedShingles(docs, "doc_id", "text", n)
       val cands = graft.pipeline.Dedup.candidatesFromSignatures(
         graft.pipeline.Dedup.signaturesFromHashed(hsh, k), k, r)
+        .localCheckpoint()
       val nCands = cands.count()
       val found = graft.pipeline.Dedup
-        .minhashPairs(docs, "doc_id", "text", n, k, r, threshold)
+        .verifyJaccardPairs(hsh, cands, threshold)
         .select(col("i"), col("j")).collect()
         .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
       val hit = (found & exact).size

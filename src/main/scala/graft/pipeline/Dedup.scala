@@ -203,6 +203,17 @@ object Dedup {
     val hsh = hashedShingles(df, idCol, textCol, n)
     val cands = candidatesFromSignatures(
       signaturesFromHashed(hsh, k), k, rowsPerBand)
+    verifyJaccardPairs(hsh, cands, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate (i, j) frame against
+    * the hashed-shingle frame — the shared tail of every LSH pair
+    * pipeline (k-family, OPH, index probes) and of the measurement
+    * harness (LshGrid counts a candidate frame and verifies the SAME
+    * frame instead of rebuilding the pipeline). Two doc-keyed joins to
+    * attach shingle sets, then the in-row intersection ratio. */
+  def verifyJaccardPairs(hsh: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame = {
     val withA = cands.join(
       hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
     val withB = withA.join(
@@ -418,18 +429,7 @@ object Dedup {
       .select(least(col("a"), col("b")).as("i"),
         greatest(col("a"), col("b")).as("j"))
       .distinct()
-    val withA = cands.join(
-      hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
-    val withB = withA.join(
-      hsh.select(col("doc").as("j"), col("sh").as("shb")), Seq("j"))
-    withB.select(col("i"), col("j"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard_ppm", TextOps.ppm(
-        col("inter").cast("double") / col("uni").cast("double")))
-      .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
+    verifyJaccardPairs(hsh, cands, threshold)
   }
 
   /** Exact-substring duplicate pairs — the distributed shape of
@@ -798,18 +798,7 @@ object Dedup {
     val r = banded.select(col("doc").as("j"), col("band"), col("bsig"))
     val cands = l.join(r, Seq("band", "bsig")).filter(col("i") < col("j"))
       .select(col("i"), col("j")).distinct()
-    val withA = cands.join(
-      hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
-    val withB = withA.join(
-      hsh.select(col("doc").as("j"), col("sh").as("shb")), Seq("j"))
-    withB.select(col("i"), col("j"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard_ppm", TextOps.ppm(
-        col("inter").cast("double") / col("uni").cast("double")))
-      .filter(col("jaccard_ppm") >= (threshold * 1e6).toLong)
+    verifyJaccardPairs(hsh, cands, threshold)
   }
 
   /** SimHash over distinct tokens: `bits`-wide (≤ 48 so the value and all

@@ -30,8 +30,15 @@ object StreamTuning {
   /** Run `body` (which must start AND fully drain its streaming query)
     * with shuffle partitions scoped to the stream-state sizing; the
     * session's batch setting is restored afterwards even on failure.
-    * Scoping is driver-side session conf, so concurrently running
-    * batch queries planned outside the scope are unaffected. */
+    * Scoping is driver-side session conf, so batch queries planned
+    * BEFORE or AFTER the scope are unaffected — but a batch query
+    * planned on ANOTHER THREAD of the same session DURING the scope
+    * would silently pick up the stream-sized partition count. The
+    * engine, bench, and verify mains plan single-threaded per
+    * session, which is the assumption this helper makes; a
+    * multi-threaded deployment should instead run its streams on a
+    * dedicated `SparkSession#newSession()` (separate conf, shared
+    * catalog/state) or set the state-store count once at go-live. */
   def scoped[T](s: SparkSession, default: Int = 8)(body: => T): T = {
     val parts = s.conf.getOption(Key).map(_.trim.toInt).getOrElse(default)
     require(parts >= 1, s"$Key must be >= 1, got $parts")
