@@ -180,4 +180,23 @@ object Profiling {
       .select(col("bin"), col("n"), col("acc_ppm"), col("conf_ppm"),
         col("gap_ppm"), col("ece_ppm"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the
+    * re-identification-risk check run before a corpus with
+    * user-derived attributes ships: every quasi-identifier
+    * combination with its group size and a `risky` flag when fewer
+    * than `k` rows share it (such rows are re-identifiable by anyone
+    * who knows the combination). One map-side-combined hash
+    * aggregate; the audit table is |distinct combinations| rows, so
+    * at 100 TB the output is bounded by the quasi-space, not the
+    * corpus. Suppression/generalization of the risky groups is the
+    * caller's policy — this operator is the measurement. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 for the audit to mean anything, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("risky", col("group_n") < k)
+  }
 }

@@ -117,4 +117,36 @@ object Sessions {
         max(col(endCol)).as("span_end"),
         count(lit(1)).as("n_intervals"))
   }
+
+  /** SCD-2 validity intervals from a snapshot/observation stream —
+    * the recrawl-pipeline question "when did this entity hold this
+    * value": consecutive equal-value observations per key collapse
+    * into one row with `valid_from` = first observation and
+    * `valid_to` = the NEXT run's start (null while current — the
+    * half-open superseded-by convention). Gaps-and-islands: a lag
+    * change flag, a running island id, one group-by, and a lead for
+    * the handover — every window and the aggregate keyed on
+    * `keyCol`, so the whole operator is ONE key exchange. Ties on
+    * `tsCol` are resolved by `tieBreak` (supply one when observation
+    * timestamps can repeat per key — an unordered tie would make the
+    * island ids nondeterministic). */
+  def validityIntervals(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc +: tieBreak.map(_.asc): _*)
+    val changed = when(lag(col(valueCol), 1).over(w).isNull ||
+      lag(col(valueCol), 1).over(w) =!= col(valueCol), 1L).otherwise(0L)
+    val islands = df
+      .withColumn("__isl", sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(first(col(valueCol)).as("value"),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val wi = Window.partitionBy(col(keyCol)).orderBy(col("__isl").asc)
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .select(col(keyCol), col("value"), col("valid_from"),
+        col("valid_to"), col("n_obs"))
+  }
 }

@@ -1046,6 +1046,31 @@ object PipelineQueries {
       .orderBy(col("node"))
   }
 
+  // k-anonymity audit over (event_type, day): group sizes + the
+  // re-identification risk flag — the privacy check before shipping
+  // a corpus with user-derived attributes
+  private def p150(s: SparkSession, d: String): DataFrame =
+    Profiling.kAnonymity(
+      Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day")),
+      Seq("event_type", "day"), k = 100L)
+      .orderBy(col("event_type"), col("day"))
+
+  // SCD-2 validity intervals per user over the event-type stream —
+  // "when did this entity hold this value", the recrawl/content-hash
+  // history consolidation; one deterministic observation per (user,
+  // ts) first (min event_id wins), then gaps-and-islands
+  private def p151(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))
+    val obs = Tables.events(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    Sessions.validityIntervals(obs, "user_id", "ts", "event_type")
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2686,7 +2711,9 @@ object PipelineQueries {
     "p146_epoch_mixture" -> (p146 _),
     "p147_bpe_train" -> (p147 _),
     "p148_bpe_segment" -> (p148 _),
-    "p149_importance_propagation" -> (p149 _))
+    "p149_importance_propagation" -> (p149 _),
+    "p150_k_anonymity" -> (p150 _),
+    "p151_validity_intervals" -> (p151 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5376,7 +5403,39 @@ object PipelineQueries {
           ORDER BY doc_id""",
     "p149_importance_propagation" ->
       s"""WITH ${prCtes(3)}
-          SELECT node, r AS rank_ppm FROM r3 ORDER BY node""")
+          SELECT node, r AS rank_ppm FROM r3 ORDER BY node""",
+    "p150_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS group_n,
+               COUNT(*) < 100 AS risky
+          FROM events GROUP BY 1, 2
+          ORDER BY event_type, day""",
+    "p151_validity_intervals" ->
+      """WITH obs AS (SELECT user_id, ts, event_type
+                      FROM (SELECT user_id, ts, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id) AS rn
+                            FROM events)
+                      WHERE rn = 1),
+          f AS (SELECT user_id, ts, event_type,
+                  CASE WHEN LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts) IS DISTINCT
+                         FROM event_type THEN 1 ELSE 0 END AS chg
+                FROM obs),
+          i AS (SELECT user_id, ts, event_type,
+                  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS isl
+                FROM f),
+          g AS (SELECT user_id, isl, MIN(event_type) AS value,
+                  MIN(ts) AS valid_from,
+                  CAST(COUNT(*) AS BIGINT) AS n_obs
+                FROM i GROUP BY user_id, isl)
+          SELECT user_id, value, valid_from,
+                 LEAD(valid_from) OVER (PARTITION BY user_id
+                   ORDER BY isl) AS valid_to,
+                 n_obs
+          FROM g
+          ORDER BY user_id, valid_from""")
 
   /** Unrolled DuckDB replay of `Graphs.powerIteration` over the
     * event-type transition graph: per iteration

@@ -96,6 +96,67 @@ class BpeSpec extends AnyFunSuite {
     assert(restored.except(expected).isEmpty && expected.except(restored).isEmpty)
   }
 
+  test("random corpora: distributed train equals an in-memory " +
+      "reference implementation of sequential BPE") {
+    // reference: the textbook loop on a driver-side word-count map —
+    // same tie-break (n DESC, a ASC, b ASC), same n >= 2 stop, same
+    // greedy left-to-right merge within a word
+    def refBpe(words: Map[String, Long],
+        merges: Int): Seq[(Int, String, String, String, Long)] = {
+      var reps: Map[Vector[String], Long] = words.map { case (w, c) =>
+        w.toVector.map(_.toString) -> c }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var rank = 0
+      var go = true
+      while (go && rank < merges) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        reps.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Vector(a, b) =>
+              counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+            case _ => ()
+          }
+        }
+        val eligible = counts.filter(_._2 >= 2L)
+        if (eligible.isEmpty) go = false
+        else {
+          val ((a, b), n) = eligible.minBy { case ((x, y), m) =>
+            (-m, x, y) }
+          def mergeGreedy(syms: Vector[String]): Vector[String] = {
+            val r = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                r += (a + b); i += 2
+              } else { r += syms(i); i += 1 }
+            }
+            r.result()
+          }
+          reps = reps.groupMapReduce { case (syms, _) =>
+            mergeGreedy(syms) }(_._2)(_ + _)
+          rank += 1
+          out += ((rank, a, b, a + b, n))
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val alphabet = "abc"
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(5))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val counts = words.groupBy(identity).map { case (w, g) =>
+        w -> g.size.toLong }
+      val text = words.mkString(" ")
+      val got = merges(Bpe.train(docsOf(text), "text", merges = 6))
+      val want = refBpe(counts, 6)
+      assert(got.toSeq === want, s"trial $trial corpus: $text")
+    }
+  }
+
   test("more merges never increase the subword count") {
     val docs = Tables.documents(spark, sf).limit(50)
     def total(n: Int): Long =

@@ -1653,6 +1653,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(picks === Array(1L, 3L), s"got ${picks.toSeq}")
   }
 
+  test("kAnonymity: group sizes and risk flags, loud degenerate k") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "m"), ("en", "m"), ("en", "m"),
+      ("en", "f"), ("de", "m")
+    ).toDF("lang", "grp")
+    val got = Profiling.kAnonymity(df, Seq("lang", "grp"), k = 2L)
+      .orderBy("lang", "grp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("de", "m", 1L, true), ("en", "f", 1L, true),
+      ("en", "m", 3L, false)))
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(df, Seq("lang"), k = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(df, Seq.empty, k = 2L)
+    }
+  }
+
+  test("validityIntervals: runs collapse, valid_to hands over, " +
+      "current run stays open; a re-visited value starts a NEW row") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val df = Seq(
+      (1L, ts(1), "x"), (1L, ts(2), "x"), (1L, ts(3), "y"),
+      (1L, ts(4), "x"), // x AGAIN: SCD-2 keeps history, new interval
+      (2L, ts(5), "z")
+    ).toDF("user_id", "ts", "v")
+    val got = Sessions.validityIntervals(df, "user_id", "ts", "v")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "x", ts(1), Some(ts(3)), 2L),
+      (1L, "y", ts(3), Some(ts(4)), 1L),
+      (1L, "x", ts(4), None, 1L),
+      (2L, "z", ts(5), None, 1L)))
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)

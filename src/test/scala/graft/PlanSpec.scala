@@ -587,6 +587,21 @@ class PlanSpec extends AnyFunSuite {
       s"the rank window must be partitioned by the slice id, plan:\n$plan")
   }
 
+  test("validityIntervals is ONE key exchange: both windows and the " +
+      "island group-by reuse the user partitioning") {
+    val obs = Tables.events(spark, sf)
+      .dropDuplicates("user_id", "ts")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .localCheckpoint() // isolate the operator from the dedup's shuffle
+    val out = Sessions.validityIntervals(obs, "user_id", "ts",
+      "event_type")
+    val plan = finalPlan(out)
+    // window(user) -> groupBy(user, isl) (subset rule: hash(user)
+    // co-locates (user, isl)) -> window(user): zero re-shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"islands must reuse the key exchange end to end, plan:\n$plan")
+  }
+
   test("BPE: word-vocab build is one hash-agg exchange; segmentation " +
       "never cartesians and stays within its three keyed shuffles") {
     val docs = Tables.documents(spark, sf)
