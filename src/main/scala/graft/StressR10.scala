@@ -102,6 +102,21 @@ object StressR10 {
       graft.pipeline.Graphs.powerIteration(prEdges, "src", "dst", "w",
         iters = 3).count())
 
+    // k-anonymity: one map-side-combined aggregate — flat
+    val (kanonSec, kanonGroups) = timed(
+      graft.pipeline.Profiling.kAnonymity(
+        big.select(col("event_type"),
+          to_date(col("record.ts")).as("day")),
+        Seq("event_type", "day"), k = 100L).count())
+
+    // SCD-2 validity intervals: one key exchange end to end — linear
+    val (scdSec, scdRows) = timed(
+      graft.pipeline.Sessions.validityIntervals(
+        big.select(col("user_id"), col("record.ts").as("ts"),
+            col("event_type"))
+          .dropDuplicates("user_id", "ts"),
+        "user_id", "ts", "event_type").count())
+
     // streaming funnel: the multiplied events written as 4 data files
     // + the far-future sentinel, streamed 1 file per trigger so the
     // watermark advances and state drains between batches
@@ -181,6 +196,8 @@ object StressR10 {
         s""""bpe_seg_sec":$bpeSegSec,"bpe_seg_docs":$bpeSegDocs,""" +
         s""""calib_sec":$calSec,"calib_bins":$calBins,""" +
         s""""pagerank_sec":$prSec,"pagerank_nodes":$prNodes,""" +
+        s""""kanon_sec":$kanonSec,"kanon_groups":$kanonGroups,""" +
+        s""""scd_sec":$scdSec,"scd_rows":$scdRows,""" +
         s""""stream_funnel_sec":$streamSec,"stream_users":$streamRows,""" +
         s""""batch_funnel_sec":$batchFunnelSec,"batch_users":$batchRows,""" +
         s""""sf":"$sfDir"}"""
