@@ -123,6 +123,33 @@ object Bpe {
     learned.toSeq.toDF("merge_rank", "a", "b", "merged", "pair_n")
   }
 
+  /** Residual pair counts after applying a standing merge table to a
+    * (new) corpus — the incremental/vocab-drift form: "with the
+    * tokenizer we already shipped, which merges would the NEXT
+    * training rounds learn on this batch?" A residual pair surging
+    * past the shipped merges' counts is drift (new domain, new
+    * language, new boilerplate). Exactly train's next-round candidate
+    * frame: one corpus pass into word counts, the merge chain applied
+    * over the vocab frame, one pair-count aggregate — top `topK` by
+    * the training order (n DESC, a, b). */
+  def residualPairs(docs: DataFrame, textCol: String,
+      mergesDf: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val merges = mergesDf.select(col("merge_rank"), col("a"), col("b"))
+      .orderBy(col("merge_rank"))
+      .collect() // <= configured merge count — bounded
+      .map(r => (r.getString(1), r.getString(2)))
+    var reps = wordReps(docs, textCol)
+    merges.grouped(64).foreach { batch =>
+      val folded = batch.foldLeft(col("rep")) { case (c, (a, b)) =>
+        applyMerge(c, a, b) }
+      reps = reps.withColumn("rep", folded).localCheckpoint()
+    }
+    pairCounts(reps)
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Greedy conflict-free selection for a batched round: a pair is
     * taken only if its components AND its merged result are disjoint
     * from every previously taken pair's components and merged result.

@@ -1071,6 +1071,53 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  // incremental-BPE drift analysis: residual pair counts after the
+  // shipped 4-merge table applies — exactly the candidate frame the
+  // 5th training round would rank (a surging residual pair = vocab
+  // drift); oracle = the unrolled chain's round-5 pair counts
+  private def p152(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Bpe.residualPairs(docs, "text", Bpe.train(docs, "text", 4),
+        topK = 20)
+      .orderBy(col("n").desc, col("a"), col("b"))
+  }
+
+  // STREAMING SCD-2: validityIntervals as the watermark-buffered
+  // StateScd fold under the sentinel-flush harness — closed rows
+  // emitted as values change, the open current row at quiescence;
+  // closed-wins per (user, valid_from) reconstructs exactly the
+  // batch history, so p151's oracle applies verbatim
+  private def p153(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p153")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p153_sent")
+    sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val sentinel = dir.resolve("b_sentinel.parquet")
+    java.nio.file.Files.copy(part, sentinel)
+    java.nio.file.Files.setLastModifiedTime(sentinel,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000L))
+    import s.implicits._
+    val st = Tables.normalizeEventTs(
+        s.readStream.schema(Tables.eventsRawSchemaPinNanosConf(s, d))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("value"))
+      .as[graft.streaming.ScdEvent]
+    val out = graft.streaming.StateScd.intervals(st)
+    runToMemory(s, out.toDF(), mode = "append")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"), col("value"), col("valid_from"))
+      .agg(max(col("valid_to")).as("valid_to"),
+        max(col("n_obs")).as("n_obs"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2713,7 +2760,9 @@ object PipelineQueries {
     "p148_bpe_segment" -> (p148 _),
     "p149_importance_propagation" -> (p149 _),
     "p150_k_anonymity" -> (p150 _),
-    "p151_validity_intervals" -> (p151 _))
+    "p151_validity_intervals" -> (p151 _),
+    "p152_bpe_residual_drift" -> (p152 _),
+    "p153_stream_scd" -> (p153 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5410,7 +5459,18 @@ object PipelineQueries {
                COUNT(*) < 100 AS risky
           FROM events GROUP BY 1, 2
           ORDER BY event_type, day""",
-    "p151_validity_intervals" ->
+    "p151_validity_intervals" -> scdOracle,
+    // the streaming fold's closed-wins reconstruction IS the batch
+    // history — same oracle verbatim (p143/p86 precedent)
+    "p153_stream_scd" -> scdOracle,
+    "p152_bpe_residual_drift" ->
+      s"""WITH ${bpeCtes(5)}
+          SELECT a, b, n FROM p5
+          ORDER BY n DESC, a, b LIMIT 20""")
+
+  // a def, not a val: the oracleSql map initializes before later vals
+  // would, and a null entry fails silently at dump time
+  private def scdOracle: String =
       """WITH obs AS (SELECT user_id, ts, event_type
                       FROM (SELECT user_id, ts, event_type,
                               ROW_NUMBER() OVER (PARTITION BY user_id, ts
@@ -5435,7 +5495,7 @@ object PipelineQueries {
                    ORDER BY isl) AS valid_to,
                  n_obs
           FROM g
-          ORDER BY user_id, valid_from""")
+          ORDER BY user_id, valid_from"""
 
   /** Unrolled DuckDB replay of `Graphs.powerIteration` over the
     * event-type transition graph: per iteration

@@ -157,6 +157,19 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("residualPairs ranks exactly what the next training round " +
+      "would learn") {
+    val corpus = docsOf("ab ab ab cd cd")
+    val m1 = Bpe.train(corpus, "text", merges = 1)
+    val top = Bpe.residualPairs(corpus, "text", m1, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // after (a,b) merges, the top residual pair is (c,d) at count 2 —
+    // and training one more round learns exactly that merge
+    assert(top.headOption === Some(("c", "d", 2L)))
+    val m2 = merges(Bpe.train(corpus, "text", merges = 2))
+    assert(m2.last === (2, "c", "d", "cd", 2L))
+  }
+
   test("more merges never increase the subword count") {
     val docs = Tables.documents(spark, sf).limit(50)
     def total(n: Int): Long =

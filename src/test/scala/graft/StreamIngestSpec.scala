@@ -356,6 +356,62 @@ class StreamIngestSpec extends AnyFunSuite {
       s"inclusive late bound: 2 dropped, 3 emitted; got $users")
   }
 
+  test("streaming SCD-2 equals the batch validity intervals under " +
+      "random batch cuts (closed-wins reconstruction)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val values = Vector("red", "green", "blue")
+      // unique timestamps per user (the batch operator's tie contract
+      // is handled by the pre-dedup; here the cleaner fixture)
+      val offs = rnd.shuffle((1 to 5000).toList).take(180)
+      val events = offs.zipWithIndex.map { case (off, i) =>
+        (rnd.nextInt(5).toLong,
+          new Timestamp(1700000000000L + off * 1000L),
+          1000L + i, values(rnd.nextInt(values.size)))
+      }.sortBy(_._2.getTime)
+      val mem = MemoryStream[(Long, Timestamp, Long, String)]
+      val df = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+      val st = df.withWatermark("ts", "0 seconds")
+        .as[graft.streaming.ScdEvent]
+      val sink = s"scd_prop_$trial"
+      val q = graft.streaming.StateScd.intervals(st).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      var rest = events
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(40)
+        mem.addData(rest.take(n))
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      val far = new Timestamp(4102444800000L)
+      mem.addData((99L, far, 0L, "x")); q.processAllAvailable()
+      mem.addData((99L, new Timestamp(far.getTime + 1000L), 0L, "x"))
+      q.processAllAvailable()
+      // a key may emit an open row at a mid-stream quiescence and the
+      // closing row later — closed (non-null valid_to) wins per
+      // (user, valid_from), n_obs is the max observed
+      val got = spark.table(sink).filter(col("user_id") =!= 99L)
+        .groupBy(col("user_id"), col("value"), col("valid_from"))
+        .agg(max(col("valid_to")).as("valid_to"),
+          max(col("n_obs")).as("n_obs"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getLong(4))).toSet
+      q.stop()
+      val want = graft.pipeline.Sessions.validityIntervals(
+          events.toDF("user_id", "ts", "event_id", "value")
+            .select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getLong(4))).toSet
+      assert(got === want, s"trial $trial: stream != batch SCD")
+    }
+  }
+
   test("streaming funnel horizon: an expired chain is emitted and " +
       "dropped; steps after the horizon start a NEW funnel") {
     import spark.implicits._
