@@ -166,6 +166,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index as a CELL-PARTITIONED table (plus the tiny
+    * codebook table) — the durable form of [[ivfTopKWith]]'s
+    * assignment, mirroring [[Dedup.saveSignatureIndex]]'s claim for
+    * the other index family: with the corpus laid out by cell, a
+    * probe reads ONLY its cells' partitions (Spark partition pruning
+    * at scan planning), so at a 100 TB standing corpus the per-query
+    * I/O is cell-sized, never corpus-sized. */
+  def saveIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Long, Seq[Double])], name: String): Unit = {
+    val spark = embeddings.sparkSession
+    NativeFunctions.register(spark)
+    val best = array_max(array(codebook.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("ccos"),
+        lit(-cid).as("ncid")) }: _*))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_cells")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_codebook")
+    embeddings.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", -best.getField("ncid"))
+      .write.partitionBy("cell").format("parquet")
+      .saveAsTable(s"${name}_cells")
+    import spark.implicits._
+    codebook.toDF("cell", "cv").write.format("parquet")
+      .saveAsTable(s"${name}_codebook")
+  }
+
+  /** Reload a persisted IVF index for [[probeIvfIndex]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val cb = spark.table(s"${name}_codebook").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    (spark.table(s"${name}_cells"), cb)
+  }
+
+  /** Probe a persisted IVF index with a query batch: each query is
+    * assigned to its cell by the same broadcast-codebook argmax the
+    * build used, the DISTINCT probed cells (batch-bounded) become an
+    * `IN` partition filter on the cells table — the scan opens only
+    * those partitions — and the in-cell candidates re-rank by exact
+    * cosine, top-k per query. Only batch-sized frames ever move. */
+  def probeIvfIndex(cells: DataFrame, codebook: Seq[(Long, Seq[Double])],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    NativeFunctions.register(cells.sparkSession)
+    val best = array_max(array(codebook.map { case (cid, cv) =>
+      struct(cosine(col("qv"), typedLit(cv)).as("ccos"),
+        lit(-cid).as("ncid")) }: _*))
+    val q = queries.select(col(idCol).as("qid"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qcell", -best.getField("ncid"))
+      .localCheckpoint() // batch-sized by contract
+    val qCells = q.select(col("qcell")).distinct().collect()
+      .map(_.getLong(0)) // <= |batch| cells — bounded driver collect
+    graft.operators.TopK.topKPerGroup(
+      cells.filter(col("cell").isin(qCells.toIndexedSeq: _*))
+        .join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("cos")),
+      groupKeys = Seq(col("qid")),
+      orderBy = Seq(col("cos").desc, col("vec_id").asc),
+      k = k)
+  }
+
   /** Squared L2 distance between an integer vector column and a literal
     * integer centroid — the native codegen'd expression
     * (graft.functions.Dist2): integer sums are associative and exact,

@@ -1118,6 +1118,28 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  // PERSISTED IVF index: the p14 assignment saved as a cell-
+  // partitioned table, probed by a two-query batch — probe I/O is
+  // cell-sized (partition pruning), never corpus-sized; the oracle
+  // replays assignment + in-cell re-rank per query
+  private def p154(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // p14's sampled codebook: the 8 lowest-id vectors
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val name = s"graft_ivf_idx_${memSeq.incrementAndGet()}"
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", cb, name)
+    val (cells, cb2) = Similarity.loadIvfIndex(s, name)
+    Similarity.probeIvfIndex(cells, cb2,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2762,7 +2784,8 @@ object PipelineQueries {
     "p150_k_anonymity" -> (p150 _),
     "p151_validity_intervals" -> (p151 _),
     "p152_bpe_residual_drift" -> (p152 _),
-    "p153_stream_scd" -> (p153 _))
+    "p153_stream_scd" -> (p153 _),
+    "p154_ivf_index_probe" -> (p154 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5466,7 +5489,33 @@ object PipelineQueries {
     "p152_bpe_residual_drift" ->
       s"""WITH ${bpeCtes(5)}
           SELECT a, b, n FROM p5
-          ORDER BY n DESC, a, b LIMIT 20""")
+          ORDER BY n DESC, a, b LIMIT 20""",
+    "p154_ivf_index_probe" -> {
+      def cosSql(a: String, b: String): String =
+        s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+            (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+             sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                   FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, v, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                  FROM asg0),
+          cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell
+                FROM cell WHERE vec_id IN (100, 200)),
+          sc AS (SELECT q.qid, cell.vec_id, ${cosSql("cell.v", "q.qv")} AS cos
+                 FROM cell JOIN q ON cell.cell = q.qcell
+                 WHERE cell.vec_id != q.qid),
+          r AS (SELECT qid, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+                FROM sc)
+          SELECT qid, vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM r WHERE rn <= 5
+          ORDER BY qid, cos DESC, vec_id ASC"""
+    })
 
   // a def, not a val: the oracleSql map initializes before later vals
   // would, and a null entry fails silently at dump time

@@ -602,6 +602,48 @@ class PlanSpec extends AnyFunSuite {
       s"islands must reuse the key exchange end to end, plan:\n$plan")
   }
 
+  test("persisted IVF probe: the cells scan opens only the probed " +
+      "cells' partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables.embeddings(spark, sf)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", cb, "plan_ivf")
+    val (cells, cb2) = Similarity.loadIvfIndex(spark, "plan_ivf")
+    val nCells = cells.select("cell").distinct().count()
+    assert(nCells > 1, "fixture must spread over several cells")
+    val out = Similarity.probeIvfIndex(cells, cb2,
+      emb.filter(col("vec_id") === 100L), "vec_id", "embedding", 5)
+    out.collect()
+    // AQE wraps stages in leaf-like nodes collect() won't descend into
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(flatten)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => flatten(q.plan)
+        case r: ReusedExchangeExec => flatten(r.child)
+        case _ => Seq.empty
+      })
+    val scans = flatten(out.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("plan_ivf_cells")) => f
+    }
+    assert(scans.nonEmpty,
+      s"cells scan not found:\n${out.queryExecution.executedPlan}")
+    // one query probes exactly one cell: the scan's partition filter
+    // must reduce it to that cell's files, not the whole corpus
+    assert(scans.forall(_.metadata("PartitionFilters").contains("cell")),
+      s"no cell partition filter: ${scans.map(_.metadata("PartitionFilters"))}")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    val total = spark.table("plan_ivf_cells").inputFiles.length
+    assert(scanned < total,
+      s"probe scanned $scanned of $total files — pruning is not happening")
+  }
+
   test("BPE: word-vocab build is one hash-agg exchange; segmentation " +
       "never cartesians and stays within its three keyed shuffles") {
     val docs = Tables.documents(spark, sf)
