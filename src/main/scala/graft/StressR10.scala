@@ -76,6 +76,11 @@ object StressR10 {
     val (bpeSegSec, bpeSegDocs) = timed(
       graft.pipeline.Bpe.segment(docs, "doc_id", "text", mergesDf)
         .count())
+    // residual-drift pass under the learned table: same shape as one
+    // more training round (corpus pass + vocab-sized count) — ~flat
+    val (bpeResSec, _) = timed(
+      graft.pipeline.Bpe.residualPairs(docs, "text", mergesDf,
+        topK = 20).count())
 
     val scored = big.select(
       pmod(graft.pipeline.Hashing.h60(col("user_id").cast("string")),
@@ -101,6 +106,32 @@ object StressR10 {
     val (prSec, prNodes) = timed(
       graft.pipeline.Graphs.powerIteration(prEdges, "src", "dst", "w",
         iters = 3).count())
+
+    // persisted IVF: index build is one corpus pass; the probe's claim
+    // is partition pruning — it opens ONE of the 8 cells, so probe
+    // time tracks the PROBED CELL's growth, never the corpus's
+    val vecs = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(cpus.toInt * 2)
+      .localCheckpoint()
+    val cb = vecs.select(col("vec_id"),
+        graft.pipeline.Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val (ivfSaveSec, _) = timed {
+      graft.pipeline.Similarity.saveIvfIndex(vecs, "vec_id",
+        "embedding", cb, "stress_ivf")
+      spark.table("stress_ivf_cells").count()
+    }
+    val (ivfProbeSec, ivfHits) = timed {
+      val (cells, cb2) =
+        graft.pipeline.Similarity.loadIvfIndex(spark, "stress_ivf")
+      graft.pipeline.Similarity.probeIvfIndex(cells, cb2,
+        vecs.filter(col("vec_id").isin(100L, 200L, 300L)),
+        "vec_id", "embedding", k = 10).count()
+    }
 
     // k-anonymity: one map-side-combined aggregate — flat
     val (kanonSec, kanonGroups) = timed(
@@ -182,6 +213,29 @@ object StressR10 {
       }
     }
 
+    // streaming SCD-2 over the same stream files (step as the value):
+    // per-key state is the O(1) current run + the watermark-lag buffer
+    val (streamScdSec, scdIntervals) = timed {
+      graft.streaming.StreamTuning.scoped(spark) {
+        val st = spark.readStream
+          .schema(funnelIn.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("step").cast("string").as("value"))
+          .as[graft.streaming.ScdEvent]
+        val out = graft.streaming.StateScd.intervals(st)
+        val sink = s"stress_scd_${System.nanoTime()}"
+        val q = out.toDF().writeStream.format("memory")
+          .queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(sink).filter(col("user_id") >= 0).count()
+      }
+    }
+
     val (batchFunnelSec, batchRows) = timed(
       graft.pipeline.Sessions.funnel(
         big.select(col("user_id"), col("record.ts").as("ts"),
@@ -194,6 +248,10 @@ object StressR10 {
         s""""epochmix_sec":$epochSec,"epochmix_copies":$epochCopies,""" +
         s""""bpe_train_sec":$bpeTrainSec,""" +
         s""""bpe_seg_sec":$bpeSegSec,"bpe_seg_docs":$bpeSegDocs,""" +
+        s""""bpe_residual_sec":$bpeResSec,""" +
+        s""""ivf_save_sec":$ivfSaveSec,"ivf_probe_sec":$ivfProbeSec,""" +
+        s""""ivf_hits":$ivfHits,""" +
+        s""""stream_scd_sec":$streamScdSec,"scd_intervals":$scdIntervals,""" +
         s""""calib_sec":$calSec,"calib_bins":$calBins,""" +
         s""""pagerank_sec":$prSec,"pagerank_nodes":$prNodes,""" +
         s""""kanon_sec":$kanonSec,"kanon_groups":$kanonGroups,""" +

@@ -399,8 +399,11 @@ object Dedup {
   def saveSignatureIndex(hsh: DataFrame, banded: DataFrame,
       name: String, buckets: Int = 8): Unit = {
     val spark = hsh.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_sh")
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_bands")
+    // drop locations too: DROP alone is not rerun-safe across JVMs
+    // (a fresh in-memory catalog doesn't know the prior run's table,
+    // the orphaned dir survives, saveAsTable fails loudly)
+    Seq(s"${name}_sh", s"${name}_bands")
+      .foreach(t => Similarity.dropManagedTable(spark, t))
     hsh.write.bucketBy(buckets, "doc").sortBy("doc")
       .format("parquet").saveAsTable(s"${name}_sh")
     banded.write.bucketBy(buckets, "bsig").sortBy("bsig")

@@ -180,8 +180,8 @@ object Similarity {
     val best = array_max(array(codebook.map { case (cid, cv) =>
       struct(cosine(col("v"), typedLit(cv)).as("ccos"),
         lit(-cid).as("ncid")) }: _*))
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_cells")
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_codebook")
+    Seq(s"${name}_cells", s"${name}_codebook")
+      .foreach(t => dropManagedTable(spark, t))
     embeddings.select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("cell", -best.getField("ncid"))
@@ -190,6 +190,20 @@ object Similarity {
     import spark.implicits._
     codebook.toDF("cell", "cv").write.format("parquet")
       .saveAsTable(s"${name}_codebook")
+  }
+
+  /** Drop a managed table AND its warehouse location: `DROP TABLE IF
+    * EXISTS` alone is not rerun-safe across JVMs — a fresh session's
+    * in-memory catalog does not know the previous run's table, so the
+    * orphaned location survives the drop and the next `saveAsTable`
+    * fails with LOCATION_ALREADY_EXISTS. */
+  private[pipeline] def dropManagedTable(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(loc, true)
   }
 
   /** Reload a persisted IVF index for [[probeIvfIndex]]. */

@@ -1129,7 +1129,9 @@ object PipelineQueries {
         Similarity.asDouble(col("embedding")).as("v"))
       .filter(col("vec_id") < 8).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val name = s"graft_ivf_idx_${memSeq.incrementAndGet()}"
+    // fixed name: saveIvfIndex drops table AND location, so reruns
+    // (bench reps, a second driver verify in the same cwd) are safe
+    val name = "graft_ivf_p154"
     Similarity.saveIvfIndex(emb, "vec_id", "embedding", cb, name)
     val (cells, cb2) = Similarity.loadIvfIndex(s, name)
     Similarity.probeIvfIndex(cells, cb2,
