@@ -140,12 +140,16 @@ object StressR10 {
           to_date(col("record.ts")).as("day")),
         Seq("event_type", "day"), k = 100L).count())
 
-    // SCD-2 validity intervals: one key exchange end to end — linear
+    // SCD-2 validity intervals: one key exchange end to end — linear.
+    // Deterministic per-instant dedup (p151's min rule): a bare
+    // dropDuplicates keeps an arbitrary row, which would make the
+    // recorded interval count drift across identical runs
     val (scdSec, scdRows) = timed(
       graft.pipeline.Sessions.validityIntervals(
         big.select(col("user_id"), col("record.ts").as("ts"),
             col("event_type"))
-          .dropDuplicates("user_id", "ts"),
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("event_type")).as("event_type")),
         "user_id", "ts", "event_type").count())
 
     // streaming funnel: the multiplied events written as 4 data files

@@ -134,8 +134,17 @@ object Sessions {
       valueCol: String, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc +: tieBreak.map(_.asc): _*)
-    val changed = when(lag(col(valueCol), 1).over(w).isNull ||
-      lag(col(valueCol), 1).over(w) =!= col(valueCol), 1L).otherwise(0L)
+    // NULL-SAFE change detection (<=>): a null observation must close
+    // the running island and open its own, exactly like the oracle's
+    // IS DISTINCT FROM — a bare =!= evaluates to null against NULL and
+    // would silently fold null observations into the preceding run.
+    // The first row's lag is null-vs-value -> distinct -> 1, so the
+    // separate isNull arm is subsumed (a leading NULL value still
+    // opens an island: null <=> null on later rows is true -> 0).
+    val prev = lag(col(valueCol), 1).over(w)
+    val isFirst = lag(lit(1), 1).over(w).isNull
+    val changed = when(isFirst || !(prev <=> col(valueCol)), 1L)
+      .otherwise(0L)
     val islands = df
       .withColumn("__isl", sum(changed).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -175,6 +175,9 @@ object Similarity {
     * I/O is cell-sized, never corpus-sized. */
   def saveIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       codebook: Seq[(Long, Seq[Double])], name: String): Unit = {
+    // an empty codebook would null every cell (null-partition writes,
+    // garbage probes) instead of failing — guard loudly
+    require(codebook.nonEmpty, "saveIvfIndex: codebook must be non-empty")
     val spark = embeddings.sparkSession
     NativeFunctions.register(spark)
     val best = array_max(array(codebook.map { case (cid, cv) =>
@@ -199,6 +202,12 @@ object Similarity {
     * fails with LOCATION_ALREADY_EXISTS. */
   private[pipeline] def dropManagedTable(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    // the location arithmetic below only holds for unqualified
+    // default-database names (<warehouse>/<name>); a db-qualified name
+    // lives at <warehouse>/<db>.db/<name> and would silently keep its
+    // orphan — refuse rather than half-clean
+    require(!table.contains("."),
+      s"dropManagedTable handles unqualified default-db names only, got $table")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
@@ -223,6 +232,7 @@ object Similarity {
   def probeIvfIndex(cells: DataFrame, codebook: Seq[(Long, Seq[Double])],
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    require(codebook.nonEmpty, "probeIvfIndex: codebook must be non-empty")
     NativeFunctions.register(cells.sparkSession)
     val best = array_max(array(codebook.map { case (cid, cv) =>
       struct(cosine(col("qv"), typedLit(cv)).as("ccos"),

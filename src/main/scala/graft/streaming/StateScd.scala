@@ -41,7 +41,13 @@ case class ScdOut(user_id: Long, value: String,
   * Buffering mirrors [[StateFunnel]]: observations fold strictly in
   * (ts, event_id) order once the watermark proves no earlier
   * observation can arrive; duplicate instants per key are skipped
-  * (first wins — the batch form's min-event_id rule); state is never
+  * (first in (ts, event_id) order wins — the batch form's
+  * min-event_id rule AMONG ROWS THAT REACH THE OPERATOR: an
+  * equal-instant straggler split into a batch where the watermark has
+  * already reached its instant is dropped by the ENGINE's inclusive
+  * late filter like any late row, so a 0-second watermark trades that
+  * boundary sliver for state; size the delay to the source's
+  * disorder, exactly as with every watermarked operator); state is never
   * stored without either a live timer or a current run to resume.
   * Timers are registered only from the data branch, so a quiet key
   * emits its open row exactly once per quiet period instead of on

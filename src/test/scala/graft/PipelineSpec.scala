@@ -1694,6 +1694,26 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "z", ts(5), None, 1L)))
   }
 
+  test("validityIntervals: NULL observations close the run and form " +
+      "their own island (null-safe change detection)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val df = Seq(
+      (1L, ts(1), Some("x")), (1L, ts(2), None), (1L, ts(3), None),
+      (1L, ts(4), Some("x")),
+      (2L, ts(5), None) // a key whose FIRST observation is null
+    ).toDF("user_id", "ts", "v")
+    val got = Sessions.validityIntervals(df, "user_id", "ts", "v")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, Some("x"), ts(1), Some(ts(2)), 1L),
+      (1L, None, ts(2), Some(ts(4)), 2L),
+      (1L, Some("x"), ts(4), None, 1L),
+      (2L, None, ts(5), None, 1L)))
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
