@@ -43,6 +43,35 @@ class GraphsSpec extends AnyFunSuite {
     assert(r("l2") === r("l3"))
   }
 
+  test("random graphs: distributed power iteration equals an " +
+      "in-memory integer reference") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val nNodes = 12
+      val es = (for (_ <- 1 to 30) yield
+        (s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}",
+          1L + rnd.nextInt(5))).distinct
+      def ref(iters: Int): Map[String, Long] = {
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        val outw = es.groupBy(_._1).map { case (s, g) =>
+          s -> g.map(_._3).sum }
+        var r = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to iters) {
+          val contrib = scala.collection.mutable.Map
+            .empty[String, Long].withDefaultValue(0L)
+          es.foreach { case (s, d, w) =>
+            contrib(d) += r(s) * w / outw(s) }
+          r = nodes.map(n =>
+            n -> (150000L + 850000L * contrib(n) / 1000000L)).toMap
+        }
+        r
+      }
+      val got = ranks(Graphs.powerIteration(edges(es: _*),
+        "src", "dst", "w", 4))
+      assert(got === ref(4), s"trial $trial edges: $es")
+    }
+  }
+
   test("non-positive edge weights fail loudly") {
     val e = edges(("a", "b", 0L))
     val ex = intercept[Exception] {

@@ -1714,6 +1714,43 @@ class PipelineSpec extends AnyFunSuite {
       (2L, None, ts(5), None, 1L)))
   }
 
+  test("random sequences: validityIntervals equals an in-memory fold " +
+      "(nulls and repeats included)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val rows = for {
+        u <- 0L to 3L
+        i <- 0 to (5 + rnd.nextInt(15))
+      } yield (u, ts(u * 1000L + i),
+        if (rnd.nextInt(5) == 0) None
+        else Some(Vector("a", "b", "c")(rnd.nextInt(3))))
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (u, obs) =>
+        val sorted = obs.sortBy(_._2.getTime).map(o => (o._2, o._3))
+        // fold runs with null-safe equality, then hand over valid_to
+        val runs = sorted.foldLeft(
+          Vector.empty[(Option[String], java.sql.Timestamp, Long)]) {
+          case (acc, (t, v)) =>
+            if (acc.nonEmpty && acc.last._1 == v)
+              acc.init :+ ((v, acc.last._2, acc.last._3 + 1L))
+            else acc :+ ((v, t, 1L))
+        }
+        runs.zipWithIndex.map { case ((v, from, n), i) =>
+          (u, v, from,
+            if (i + 1 < runs.size) Some(runs(i + 1)._2) else None, n)
+        }
+      }.toSet
+      val got = Sessions.validityIntervals(
+          rows.toDF("user_id", "ts", "v"), "user_id", "ts", "v")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+        .toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("ophPairs: verified subset of exact jaccard with high recall") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
