@@ -41,7 +41,15 @@ object Graphs {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       w.as("w"))
     val out = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val ew = e.join(out, "src").localCheckpoint() // edges with out-degree
+    // pre-partition the edge frame by src ONCE: localCheckpoint
+    // preserves the partitioning, so every iteration's rank join
+    // reuses it and only the NODE-sized rank frame moves — without
+    // this, each of the N iterations re-shuffles the EDGE frame
+    // (edges >> nodes on real graphs; the classic PageRank waste).
+    // The contrib aggregate's dst-keyed exchange remains — that one
+    // is the transpose and is inherent to the algorithm.
+    val ew = e.join(out, "src")
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()

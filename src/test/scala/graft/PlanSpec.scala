@@ -602,6 +602,25 @@ class PlanSpec extends AnyFunSuite {
       s"islands must reuse the key exchange end to end, plan:\n$plan")
   }
 
+  test("powerIteration: an iteration re-shuffles only the node-sized " +
+      "rank frame — the pre-partitioned edge frame is never re-moved") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Tables.events(spark, sf).limit(2000)
+        .select(col("user_id").as("src"),
+          pmod(col("event_id"), lit(50L)).as("dst"), lit(1L).as("w"))
+      val out = Graphs.powerIteration(edges, "src", "dst", "w", iters = 2)
+      val plan = finalPlan(out)
+      // final-iteration plan (earlier iterations are checkpointed
+      // away): rank-side join exchange + the dst-keyed contrib
+      // aggregate; the edge frame's checkpoint-preserved src
+      // partitioning must satisfy the join, adding NO third exchange
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+        s"edge frame re-shuffled inside the iteration, plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("persisted IVF probe: the cells scan opens only the probed " +
       "cells' partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
