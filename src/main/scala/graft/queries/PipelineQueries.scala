@@ -1142,6 +1142,29 @@ object PipelineQueries {
         TextOps.ppm(col("cos")).as("cos_ppm"))
   }
 
+  // tokenizer-aware curation chain — the round-10 composition
+  // receipt (p100's sibling): learn the tokenizer (p147), segment the
+  // corpus under it (p148), then budget the mixture in LEARNED
+  // SUBWORDS rather than whitespace tokens (p144) — "how much of
+  // each source ships, measured in the units the model will actually
+  // see". Pure composition, no glue code.
+  private def p155(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.train(docs, "text", merges = 4)
+    val seg = Bpe.segment(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_subwords"))
+    val withTok = docs.join(seg, "doc_id")
+    Sampling.tokenMixture(withTok, "doc_id", "source",
+        tokens = col("n_subwords"), budgetTokens = 30000L,
+        weight = floor(sqrt(col("tok_total")) * 1000000.0d), seed = 5)
+      .groupBy(col("source"), col("tok_total"), col("weight"),
+        col("tok_target"), col("keep_ppm"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_subwords")).otherwise(0L))
+          .as("subwords_kept"))
+      .orderBy(col("source"))
+  }
+
   // ranking-agreement audit: overlap@k between the two quality
   // rankings p105 fuses — how much the heuristic score and the
   // fluency score agree about the top of the corpus before anyone
@@ -2787,7 +2810,8 @@ object PipelineQueries {
     "p151_validity_intervals" -> (p151 _),
     "p152_bpe_residual_drift" -> (p152 _),
     "p153_stream_scd" -> (p153 _),
-    "p154_ivf_index_probe" -> (p154 _))
+    "p154_ivf_index_probe" -> (p154 _),
+    "p155_tokenizer_mixture_chain" -> (p155 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5517,7 +5541,56 @@ object PipelineQueries {
           SELECT qid, vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
           FROM r WHERE rn <= 5
           ORDER BY qid, cos DESC, vec_id ASC"""
-    })
+    },
+    "p155_tokenizer_mixture_chain" ->
+      s"""WITH ${bpeCtes(4)},
+          segmap AS (SELECT word,
+              CAST(len(string_split(trim(rep, chr(1)),
+                chr(1)||chr(1))) AS BIGINT) AS nsub
+            FROM r4),
+          d0 AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS tk
+                 FROM documents),
+          d1 AS (SELECT doc_id, tk,
+                   unnest(range(0, len(tk))) AS pos
+                 FROM d0),
+          dt AS (SELECT doc_id,
+                   tk[CAST(pos + 1 AS INTEGER)] AS word
+                 FROM d1
+                 WHERE tk[CAST(pos + 1 AS INTEGER)] <> ''
+                   AND NOT contains(tk[CAST(pos + 1 AS INTEGER)], chr(1))),
+          docsub AS (SELECT doc_id, CAST(SUM(nsub) AS BIGINT) AS ntok
+                     FROM dt JOIN segmap USING (word)
+                     GROUP BY doc_id),
+          t AS (SELECT d.doc_id, d.source, s.ntok
+                FROM documents d JOIN docsub s USING (doc_id)),
+          tot AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS tok_total
+                  FROM t GROUP BY 1),
+          wts AS (SELECT source, tok_total,
+                    CAST(floor(sqrt(tok_total) * 1000000.0) AS BIGINT)
+                      AS weight
+                  FROM tot),
+          q AS (SELECT source, tok_total, weight,
+                  CAST(CAST(30000 AS HUGEINT) * weight
+                    // (SELECT SUM(weight) FROM wts) AS BIGINT)
+                    AS tok_target
+                FROM wts),
+          k AS (SELECT source, tok_total, weight, tok_target,
+                  LEAST(CAST(1000000 AS BIGINT),
+                    CAST(CAST(tok_target AS HUGEINT) * 1000000
+                      // tok_total AS BIGINT)) AS keep_ppm
+                FROM q),
+          h AS (SELECT doc_id, source, ntok,
+                  ${h60Sql(5, "CAST(doc_id AS VARCHAR)")} % 1000000 AS hh
+                FROM t)
+          SELECT k.source, k.tok_total, k.weight, k.tok_target,
+                 k.keep_ppm,
+                 CAST(SUM(CASE WHEN hh < keep_ppm THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN hh < keep_ppm THEN ntok ELSE 0 END)
+                   AS BIGINT) AS subwords_kept
+          FROM k JOIN h USING (source)
+          GROUP BY 1, 2, 3, 4, 5
+          ORDER BY k.source""")
 
   // a def, not a val: the oracleSql map initializes before later vals
   // would, and a null entry fails silently at dump time
