@@ -170,6 +170,17 @@ class BpeSpec extends AnyFunSuite {
     assert(m2.last === (2, "c", "d", "cd", 2L))
   }
 
+  test("degenerate corpus: nothing repeats -> empty merge table -> " +
+      "segmentation is the plain character split") {
+    val corpus = docsOf("ab cd ef") // every pair occurs once
+    val m = Bpe.train(corpus, "text", merges = 4)
+    assert(m.count() === 0L)
+    val seg = Bpe.segment(corpus, "doc_id", "text", m).collect()
+    assert(seg.length === 1)
+    assert(seg(0).getAs[String]("seg_text") === "a+b c+d e+f")
+    assert(seg(0).getAs[Long]("n_subwords") === 6L)
+  }
+
   test("more merges never increase the subword count") {
     val docs = Tables.documents(spark, sf).limit(50)
     def total(n: Int): Long =
