@@ -681,4 +681,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
       s"replace chain must stay projective, plan:\n$plan")
   }
+
+  test("PQ training + probe compile under whole-stage codegen at the " +
+      "fleet shape (no Janino 64 KB interpreted fallback)") {
+    // The round-10 Stress run's one codegen overflow: pqCodebook's
+    // Lloyd pass fused all m·k dist2 argmins into the Generate's
+    // doConsume, where method splitting is disabled. The fix hoists
+    // them into a row-input projection (Similarity.pqCodebook). With
+    // fallback disabled, a recurrence of the overflow THROWS instead
+    // of silently degrading to interpreted execution.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val top = Similarity.pqTopK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", queryId = 0L, dim = 64, m = 8, k = 16,
+        iters = 1, topK = 10)
+      assert(top.count() === 10)
+      val ivfpq = Similarity.ivfPqTopK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", queryId = 0L, dim = 64, nCentroids = 16,
+        m = 8, k = 16, iters = 1, candidates = 100, topK = 5)
+      assert(ivfpq.count() === 5)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
