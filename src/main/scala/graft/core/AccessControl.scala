@@ -181,6 +181,18 @@ object AccessControl {
   def grants(specs: Seq[graft.spec.DatasourceSpec] = graft.spec.Specs.all)
       : Seq[Grant] =
     inventory(specs).flatMap(grantsFor)
+
+  /** Store-resident index relations (`powa_index_<name>_<tier>` — the
+    * persisted IVF / signature indexes written through the governed
+    * store) are engine-owned DATA tables: the reference's grant matrix
+    * is computed over EVERY extension-owned relation via a pg_depend
+    * walk (powa--5.2.0.sql:7574-7581), which covers relations created
+    * after install too — the name-pattern rule is that walk's analogue
+    * for dynamically created index tiers. They get the plain
+    * data-table rows from [[grantsFor]] (read roles SELECT, snapshot/
+    * write/admin DML); index content derives from corpus data, not
+    * from qualstats constvalues, so no metrics-reader exclusion. */
+  def isIndexObject(obj: String): Boolean = obj.startsWith("powa_index_")
 }
 
 /** Mutable role state: the powa_role → concrete-principal mapping plus
@@ -324,8 +336,11 @@ final class AccessControl(root: Option[String] = None) {
       case (p, Some(c)) if concrete(c) => p
     }.toSet
     if (pseudo.isEmpty) false
-    else AccessControl.inventory(specs).find(_.name == obj).exists(o =>
-      AccessControl.grantsFor(o).exists(g =>
+    else AccessControl.inventory(specs).find(_.name == obj)
+      .orElse(if (AccessControl.isIndexObject(obj))
+        Some(AccessControl.StoreObject(obj, AccessControl.Table))
+      else None)
+      .exists(o => AccessControl.grantsFor(o).exists(g =>
         pseudo(g.role) && g.privilege == privilege))
   }
 }

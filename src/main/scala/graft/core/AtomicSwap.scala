@@ -59,11 +59,13 @@ object AtomicSwap {
     * `range_start`/`range_end` serve the history tier;
     * `record.ts` the current tier and `ts` staging — the current-side
     * analogue of the reference's `*_current (srvid, ts)` btree
-    * (powa--5.2.0.sql:2150). THE single definition: the DSv2 scan
-    * (StoreScan) references this set, so publisher and skipper can
-    * never drift apart (round-9 ADVICE). */
+    * (powa--5.2.0.sql:2150); `cell` the store-resident IVF index tier
+    * (Similarity.saveIvfIndexStore lays files out by cell range, so a
+    * probe's `cell IN (...)` opens only its cells' files). THE single
+    * definition: the DSv2 scan (StoreScan) references this set, so
+    * publisher and skipper can never drift apart (round-9 ADVICE). */
   val statCols: Set[String] = Set("range_start", "range_end",
-    "ts", "record.ts")
+    "ts", "record.ts", "cell")
 
   /** Manifest format version, stamped in the header. Readers REJECT a
     * newer version loudly instead of mis-parsing it silently (round-9
@@ -159,17 +161,32 @@ object AtomicSwap {
     val statLines = files.flatMap { rel =>
       if (!rel.endsWith(".parquet")) None
       else {
-        // a listed path with EMPTY stats is "unknown", not "known to
-        // have none": one transient footer-read failure must not pin
-        // a file stats-less forever (it would silently lose
-        // file-skipping until the next full swap renames paths) — so
-        // only non-empty stats carry forward; legitimately stats-less
-        // files (no stat columns at all, e.g. registry config parquet)
-        // pay a footer re-read per publish, bounded by their count
-        val stats = prev.get(rel).filter(_.nonEmpty)
+        // Carry-forward is keyed on (relative path, FILE SIZE): every
+        // stats line records the file's byte length under the reserved
+        // `_len` pseudo-column (same kv syntax; readers strip it —
+        // manifestEntries), and stats from the previous manifest are
+        // reused only when the recorded length matches the current
+        // listing. Path alone was unsound against a future writer
+        // rewriting a path in place (compaction reusing a name): stale
+        // ranges would silently mis-skip files (round-10 ADVICE). A
+        // listed path with EMPTY real stats is still "unknown", not
+        // "known to have none": one transient footer-read failure must
+        // not pin a file stats-less forever — so only non-empty real
+        // stats carry forward; legitimately stats-less files (no stat
+        // columns at all, e.g. registry config parquet) pay a footer
+        // re-read per publish, bounded by their count.
+        val curLen: Long =
+          try Files.size(parent.resolve(rel)) catch { case _: Throwable => -1L }
+        val carried = prev.get(rel)
+          .filter(m => curLen >= 0L &&
+            m.get("_len").exists { case (a, _) => a == curLen })
+          .map(_ - "_len").filter(_.nonEmpty)
+        val stats = carried
           .getOrElse(parquetRangeStats(parent.resolve(rel)))
-        if (stats.isEmpty) None
-        else Some("\t" + rel + stats.toSeq.sortBy(_._1)
+        val withLen = stats ++
+          (if (curLen >= 0L) Map("_len" -> (curLen, curLen)) else Map.empty)
+        if (withLen.isEmpty) None
+        else Some("\t" + rel + withLen.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"\t$c=$mn:$mx" }.mkString)
       }
     }
@@ -257,7 +274,9 @@ object AtomicSwap {
   def manifestEntries(parent: Path,
       linkName: String): Option[Seq[(Path, Map[String, (Long, Long)])]] =
     readManifestRaw(parent, linkName).map(_._2.map { case (rel, st) =>
-      (parent.resolve(rel), st)
+      // `_len` is the carry-forward key (writeManifest), not a stat
+      // column — internal to the publisher, stripped for readers
+      (parent.resolve(rel), st - "_len")
     })
 
   private def parseKvs(

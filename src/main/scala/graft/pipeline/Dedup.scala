@@ -415,6 +415,91 @@ object Dedup {
       name: String): (DataFrame, DataFrame) =
     (spark.table(s"${name}_sh"), spark.table(s"${name}_bands"))
 
+  private val shSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sh",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+  private val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bsig",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Persist a [[signatureIndex]] THROUGH THE GOVERNED STORE
+    * (datasource `powa_index_<name>`, tiers `sh` + `bands`) — the
+    * governed sibling of [[saveSignatureIndex]]: AtomicSwap-committed
+    * per-srvid replacement, manifest-pinned reads, srvid tenancy, and
+    * the powa_grant ACL at the catalog surface
+    * (`AccessControl.isIndexObject`; the reference grants every
+    * extension-owned relation, powa--5.2.0.sql:7533-7655). The store
+    * has no bucketed layout, so [[probeIndexStore]] replaces the
+    * co-bucketed join with a broadcast of the batch-bounded probe
+    * side — the index is SCANNED once and never shuffled, the same
+    * no-index-exchange bound by a different mechanism. */
+  def saveSignatureIndexStore(hsh: DataFrame, banded: DataFrame,
+      root: String, name: String, srvid: Int): Unit = {
+    val store = new graft.core.Store(hsh.sparkSession, root)
+    val ds = s"powa_index_$name"
+    store.overwritePartition(ds, "sh", srvid,
+      hsh.select(col("doc").cast("long").as("doc"), col("sh")))
+    store.overwritePartition(ds, "bands", srvid,
+      banded.select(col("doc").cast("long").as("doc"),
+        col("band").cast("int").as("band"), col("bsig")))
+  }
+
+  /** Reload a store-resident signature index ([[saveSignatureIndexStore]])
+    * for [[probeIndexStore]]: both tiers come through the DSv2 scan —
+    * manifest-pinned listing, srvid pruned at planning time. */
+  def loadSignatureIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): (DataFrame, DataFrame) = {
+    val store = new graft.core.Store(spark, root)
+    val ds = s"powa_index_$name"
+    (store.readV2(ds, "sh", shSchema)
+       .filter(col("srvid") === srvid).select(col("doc"), col("sh")),
+     store.readV2(ds, "bands", bandsSchema)
+       .filter(col("srvid") === srvid)
+       .select(col("doc"), col("band"), col("bsig")))
+  }
+
+  /** Probe a STORE-RESIDENT signature index with a batch of arriving
+    * doc ids — [[probeIndex]]'s semantics with the unbucketed store
+    * layout's scale shape: the probe side (the batch's own bucket
+    * rows) and the candidate pair set are batch-bounded, so both are
+    * BROADCAST and the corpus-sized index frames are scanned exactly
+    * once each with zero exchanges — at a 100 TB standing corpus the
+    * per-ingest cost is one index scan + batch-sized joins, matching
+    * the bucketed variant's no-index-shuffle bound. */
+  def probeIndexStore(hsh: DataFrame, banded: DataFrame,
+      newDocs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val probe = banded.join(
+        broadcast(newDocs.select(col(idCol).cast("long").as("doc"))),
+        Seq("doc"), "left_semi")
+      .select(col("doc").as("a"), col("band"), col("bsig"))
+      .localCheckpoint() // batch-bounded by contract
+    val build = banded.select(col("doc").as("b"), col("band"), col("bsig"))
+    val cands = build.join(broadcast(probe), Seq("band", "bsig"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .distinct()
+      .localCheckpoint() // candidate pairs: batch-bounded
+    // verification touches only candidate docs: semi-join the shingle
+    // frame down to them (broadcast — candidate-bounded) so the
+    // corpus-sized sh tier is scanned once, never shuffled
+    val candDocs = cands.select(col("i").as("doc"))
+      .union(cands.select(col("j").as("doc"))).distinct()
+    val hshSmall = hsh.join(broadcast(candDocs), Seq("doc"), "left_semi")
+    verifyJaccardPairs(hshSmall, cands, threshold)
+  }
+
   /** Probe a [[signatureIndex]] with a batch of arriving doc ids:
     * LSH-bucket candidates touching the batch, verified with exact
     * Jaccard — the per-ingest step of incremental dedup. The probe

@@ -365,7 +365,7 @@ object PipelineQueries {
     * `Tables.normalizeEventTs` reconciles both to a micros `ts`). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     // the file-stream source requires a DIRECTORY; link the table in
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    val dir = graft.TempDirs.scoped("graft_events_stream")
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
     Tables.normalizeEventTs(
@@ -430,14 +430,16 @@ object PipelineQueries {
     // state partitions sized to state volume, not the session's batch
     // scan parallelism (StreamTuning scaladoc) — each micro-batch pays
     // a fixed per-partition state-store cost, so a batch-sized 32/200
-    // multiplies the stream's floor for nothing
-    graft.streaming.StreamTuning.scoped(s) {
-      val q = df.writeStream.outputMode(mode).format("memory")
+    // multiplies the stream's floor for nothing. startScoped: the pin
+    // covers only query construction; the drain below runs with the
+    // session conf already restored (no cross-thread leak window)
+    val q = graft.streaming.StreamTuning.startScoped(s) {
+      df.writeStream.outputMode(mode).format("memory")
         .queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
     }
+    try q.awaitTermination() finally q.stop()
     s.table(name)
   }
 
@@ -515,12 +517,12 @@ object PipelineQueries {
   // no-data batch flushes them, and the sentinel's own windows can
   // never flush — append mode drops them for free.
   private def p42(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p42")
+    val dir = graft.TempDirs.scoped("graft_p42")
     val events = dir.resolve("a_events.parquet")
     java.nio.file.Files.createSymbolicLink(events,
       java.nio.file.Paths.get(s"$d/events.parquet"))
     // sentinel: one row far in the future (raw schema layout)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p42_sent")
+    val tmp = graft.TempDirs.scoped("graft_p42_sent")
     sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -673,7 +675,7 @@ object PipelineQueries {
   // same sentinel-batch technique as p42 flushes the tail; the oracle
   // is DuckDB's native ASOF LEFT JOIN (p31's shape)
   private def p53(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p53")
+    val dir = graft.TempDirs.scoped("graft_p53")
     val events = dir.resolve("a_events.parquet")
     java.nio.file.Files.createSymbolicLink(events,
       java.nio.file.Paths.get(s"$d/events.parquet"))
@@ -681,7 +683,7 @@ object PipelineQueries {
     // watermark past every real probe so the final no-data batch fires
     // the remaining event-time timeouts; it enters the operator as a
     // quote for the unused key -1, so it can never affect output
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p53_sent")
+    val tmp = graft.TempDirs.scoped("graft_p53_sent")
     sentinelFrame(s, d, Seq((-1L, -1L, "view")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -744,10 +746,10 @@ object PipelineQueries {
   // sentinel's own key -1 never times out and is filtered besides).
   // Oracle: p32's batch sessionization SQL verbatim.
   private def p79(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p79")
+    val dir = graft.TempDirs.scoped("graft_p79")
     java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p79_sent")
+    val tmp = graft.TempDirs.scoped("graft_p79_sent")
     sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -783,11 +785,11 @@ object PipelineQueries {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.streaming.TwsSessions.RocksProvider)
     try {
-      val dir = java.nio.file.Files.createTempDirectory("graft_p81")
+      val dir = graft.TempDirs.scoped("graft_p81")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("a_events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_p81_sent")
+      val tmp = graft.TempDirs.scoped("graft_p81_sent")
       sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -830,11 +832,11 @@ object PipelineQueries {
     val prev = s.conf.getOption(key)
     s.conf.set(key, graft.streaming.TwsSessions.RocksProvider)
     try {
-      val dir = java.nio.file.Files.createTempDirectory("graft_p82")
+      val dir = graft.TempDirs.scoped("graft_p82")
       val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
       def writeBatch(pred: org.apache.spark.sql.Column, name: String,
           mtimePlus: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_p82_$name")
+        val tmp = graft.TempDirs.scoped(s"graft_p82_$name")
         docs.filter(pred).coalesce(1).write.mode("overwrite")
           .parquet(tmp.toString)
         val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -1088,10 +1090,10 @@ object PipelineQueries {
   // closed-wins per (user, valid_from) reconstructs exactly the
   // batch history, so p151's oracle applies verbatim
   private def p153(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p153")
+    val dir = graft.TempDirs.scoped("graft_p153")
     java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p153_sent")
+    val tmp = graft.TempDirs.scoped("graft_p153_sent")
     sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -1140,6 +1142,55 @@ object PipelineQueries {
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
       .select(col("qid"), col("vec_id"),
         TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
+  // GOVERNED persisted IVF index — p154's assignment written THROUGH
+  // THE STORE (datasource powa_index_ivf, tiers cells/codebook, the
+  // AtomicSwap per-srvid commit), read back via the DSv2 scan with
+  // srvid tenancy, probed with the same two-query batch. The probe's
+  // `cell IN (...)` now file-skips against the manifest's cell
+  // min/max instead of hive partition pruning (PlanSpec pins scanned
+  // < total); the result set is identical, so p154's oracle applies
+  // verbatim. ACL: the index tiers are powa-guarded objects at the
+  // catalog surface (AclSpec pins the denial).
+  private def p156(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p156_store").toString
+    Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb, root,
+      "ivf", srvid = 1)
+    val (cells, cb2) = Similarity.loadIvfIndexStore(s, root, "ivf",
+      srvid = 1)
+    Similarity.probeIvfIndex(cells, cb2,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
+  // governed incremental dedup — p98's batch probe against the
+  // signature index persisted THROUGH THE STORE: index tiers written
+  // with the AtomicSwap commit, read back via DSv2, probed with the
+  // broadcast-probe join (the corpus-sized index frames are scanned
+  // once each and never shuffled — probeIndexStore). Same pair set,
+  // so p98's oracle applies verbatim.
+  private def p157(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4)
+    val root = graft.TempDirs.scoped("graft_p157_store").toString
+    Dedup.saveSignatureIndexStore(hsh, banded, root, "sig", srvid = 1)
+    val (hsh2, banded2) = Dedup.loadSignatureIndexStore(s, root, "sig",
+      srvid = 1)
+    Dedup.probeIndexStore(hsh2, banded2, batch, "doc_id", threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
   }
 
   // tokenizer-aware curation chain — the round-10 composition
@@ -1789,8 +1840,8 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text",
       n = 3, k = 16, rowsPerBand = 4)
-    val dir = java.nio.file.Files.createTempDirectory("graft_p101")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p101_parts")
+    val dir = graft.TempDirs.scoped("graft_p101")
+    val tmp = graft.TempDirs.scoped("graft_p101_parts")
     val arrivals = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), (col("doc_id") % 4).as("b"))
     (0 to 3).foreach { b =>
@@ -1958,10 +2009,10 @@ object PipelineQueries {
   // sentinel batch — emits each user's funnel row. Oracle: p86's
   // batch funnel SQL verbatim.
   private def p143(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p143")
+    val dir = graft.TempDirs.scoped("graft_p143")
     java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p143_sent")
+    val tmp = graft.TempDirs.scoped("graft_p143_sent")
     sentinelFrame(s, d, Seq((-1L, -1L, "sentinel")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -2084,10 +2135,10 @@ object PipelineQueries {
   // unmatched purchases would never surface. Emitted set == batch
   // LEFT JOIN with the same interval predicate (the oracle).
   private def p61(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p61")
+    val dir = graft.TempDirs.scoped("graft_p61")
     java.nio.file.Files.createSymbolicLink(dir.resolve("a_events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p61_sent")
+    val tmp = graft.TempDirs.scoped("graft_p61_sent")
     sentinelFrame(s, d, Seq((-1L, -1L, "view"), (-2L, -1L, "purchase")))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).filter(p =>
@@ -2339,12 +2390,12 @@ object PipelineQueries {
   // batching-independent == the batch CC over all edges, which is what
   // the recursive-closure oracle checks.
   private def p69(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_p69")
+    val dir = graft.TempDirs.scoped("graft_p69")
     val edges = Tables.events(s, d).filter(col("user_id") % 4 === 1)
       .select(col("user_id").as("i"),
         (lit(1000000L) + col("event_id") % 100).as("j"),
         (col("event_id") % 4).as("b"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_p69_parts")
+    val tmp = graft.TempDirs.scoped("graft_p69_parts")
     (0 to 3).foreach { b =>
       val part = tmp.resolve(s"b$b")
       edges.filter(col("b") === b).select(col("i"), col("j"))
@@ -2595,6 +2646,37 @@ object PipelineQueries {
               * 1000000.0) >= 800000
         ORDER BY i, j"""
 
+  /** Shared by p154 (session-catalog persisted IVF index) and p156
+    * (the governed store-resident form) — persistence must be
+    * invisible to the probe math, so both hash-match this replay of
+    * assignment + in-cell re-rank. */
+  private lazy val ivfProbeOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+          (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+           sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, v, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM asg0),
+        cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell
+              FROM cell WHERE vec_id IN (100, 200)),
+        sc AS (SELECT q.qid, cell.vec_id, ${cosSql("cell.v", "q.qv")} AS cos
+               FROM cell JOIN q ON cell.cell = q.qcell
+               WHERE cell.vec_id != q.qid),
+        r AS (SELECT qid, vec_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM sc)
+        SELECT qid, vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+        FROM r WHERE rn <= 5
+        ORDER BY qid, cos DESC, vec_id ASC"""
+  }
+
   /** Seeded per-table variant (Similarity.planeWeights(table, plane)). */
   private def lshProjSqlSeeded(table: Int, planes: Int): String =
     (0 until planes).map { p =>
@@ -2811,7 +2893,9 @@ object PipelineQueries {
     "p152_bpe_residual_drift" -> (p152 _),
     "p153_stream_scd" -> (p153 _),
     "p154_ivf_index_probe" -> (p154 _),
-    "p155_tokenizer_mixture_chain" -> (p155 _))
+    "p155_tokenizer_mixture_chain" -> (p155 _),
+    "p156_ivf_index_store" -> (p156 _),
+    "p157_signature_index_store" -> (p157 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5516,32 +5600,11 @@ object PipelineQueries {
       s"""WITH ${bpeCtes(5)}
           SELECT a, b, n FROM p5
           ORDER BY n DESC, a, b LIMIT 20""",
-    "p154_ivf_index_probe" -> {
-      def cosSql(a: String, b: String): String =
-        s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
-            (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
-             sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-          asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
-                   FROM e CROSS JOIN c),
-          asg AS (SELECT vec_id, v, cid,
-                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
-                  FROM asg0),
-          cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
-          q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell
-                FROM cell WHERE vec_id IN (100, 200)),
-          sc AS (SELECT q.qid, cell.vec_id, ${cosSql("cell.v", "q.qv")} AS cos
-                 FROM cell JOIN q ON cell.cell = q.qcell
-                 WHERE cell.vec_id != q.qid),
-          r AS (SELECT qid, vec_id, cos,
-                  ROW_NUMBER() OVER (PARTITION BY qid
-                    ORDER BY cos DESC, vec_id ASC) AS rn
-                FROM sc)
-          SELECT qid, vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
-          FROM r WHERE rn <= 5
-          ORDER BY qid, cos DESC, vec_id ASC"""
-    },
+    "p154_ivf_index_probe" -> ivfProbeOracle,
+    // the governed store-resident forms return the SAME result sets —
+    // the persistence/ACL layer must be invisible to the math
+    "p156_ivf_index_store" -> ivfProbeOracle,
+    "p157_signature_index_store" -> incrementalDedupSql,
     "p155_tokenizer_mixture_chain" ->
       s"""WITH ${bpeCtes(4)},
           segmap AS (SELECT word,

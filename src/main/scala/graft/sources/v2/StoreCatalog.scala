@@ -124,8 +124,12 @@ final class StoreCatalog extends TableCatalog {
     * the engine's own path. */
   private def aclGuard(ds: String, tier: String): String => Unit = {
     val obj = powaObjectName(ds, tier)
+    // index tiers (powa_index_<name>/{cells,codebook,sh,bands}) are
+    // engine-owned data and guarded like any history tier — at fleet
+    // scale indexes are data too (AccessControl.isIndexObject)
     val known = graft.core.AccessControl
-      .inventory(graft.spec.Specs.all).exists(_.name == obj)
+      .inventory(graft.spec.Specs.all).exists(_.name == obj) ||
+      graft.core.AccessControl.isIndexObject(obj)
     if (!known) _ => () // not powa's to guard (ad-hoc datasource)
     else priv => {
       // Principal and grant matrix resolve AT GUARD TIME, not at

@@ -255,6 +255,17 @@ final class StoreScanBuilder(layout: StoreLayout, tableSchema: StructType)
       tsMicros(v).map(x => (c, (mn: Long, _: Long) => mn < x))
     case EqualTo(c, v) if StoreScan.statCols(c) =>
       tsMicros(v).map(x => (c, (mn: Long, mx: Long) => mn <= x && mx >= x))
+    case In(c, vs) if StoreScan.statCols(c) =>
+      // the IVF-probe shape: `cell IN (<probed cells>)` skips every
+      // file whose [min, max] contains none of the probed values. Only
+      // sound when EVERY value translated (an untranslatable member
+      // could match a skipped file) — else no skip.
+      val xs = vs.toSeq.map(tsMicros)
+      if (xs.isEmpty || xs.exists(_.isEmpty)) None
+      else {
+        val vals = xs.flatten
+        Some((c, (mn: Long, mx: Long) => vals.exists(x => mn <= x && x <= mx)))
+      }
     case _ => None
   }
 

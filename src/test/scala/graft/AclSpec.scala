@@ -210,4 +210,62 @@ class AclSpec extends AnyFunSuite {
       spark.conf.unset(s"spark.sql.catalog.$cat.root")
     }
   }
+
+  test("governed index tiers: powa_index_* relations are guarded at " +
+      "the catalog — reader role SELECTs, stranger denied, writes denied") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val acl = new AccessControl(Some(root))
+    acl.setupRoles(readAllMetricsRole = "metrics_readers")
+    acl.addMember("mallory", "metrics_readers")
+    // a real store-resident IVF index (the p156 shape)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = emb.select(col("vec_id").cast("long"),
+        graft.pipeline.Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    graft.pipeline.Similarity.saveIvfIndexStore(emb, "vec_id",
+      "embedding", cb, root, "aclivf", srvid = 1)
+    val cat = "graft_acl_idx"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.StoreCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    try {
+      // a metrics reader SELECTs index data (index content derives
+      // from corpus data, not constvalues)
+      spark.conf.set("spark.graft.acl.principal", "mallory")
+      assert(spark.sql(
+        s"SELECT * FROM $cat.powa_index_aclivf.cells").count() > 0L)
+      // ...but may not WRITE an index tier
+      val w = intercept[Throwable] {
+        emb.select(col("vec_id").cast("long").as("vec_id"),
+            graft.pipeline.Similarity.asDouble(col("embedding")).as("v"),
+            (col("vec_id") % 4).cast("long").as("cell"),
+            org.apache.spark.sql.functions.lit(1).as("srvid"))
+          .writeTo(s"$cat.powa_index_aclivf.cells").append()
+      }
+      assert(messages(w).exists(_.contains("lacks INSERT")),
+        s"got: ${messages(w)}")
+      // a principal with no powa role at all is denied the read
+      spark.conf.set("spark.graft.acl.principal", "stranger")
+      val e = intercept[Throwable] {
+        spark.sql(s"SELECT * FROM $cat.powa_index_aclivf.cells").count()
+      }
+      assert(messages(e).exists(_.contains(
+        "lacks SELECT on powa_index_aclivf_cells")),
+        s"got: ${messages(e)}")
+      // no principal -> open (the engine's own path)
+      spark.conf.unset("spark.graft.acl.principal")
+      assert(spark.sql(
+        s"SELECT * FROM $cat.powa_index_aclivf.codebook").count() === 4L)
+    } finally {
+      spark.conf.unset("spark.graft.acl.principal")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
 }

@@ -406,4 +406,113 @@ class V2SourceSpec extends AnyFunSuite {
       assert(v2.collect().toSet === want && want.size === 10)
     }
   }
+
+  test("store-resident IVF index: cell IN file-skip at planning time; " +
+      "probe rows match the session-catalog variant") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = Tables.embeddings(spark, sfDir)
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+        store.root, "v2ivf", srvid = 3)
+      val layout = StoreLayout(store.root, "powa_index_v2ivf", "cells")
+      // the manifest stats the cell column (AtomicSwap.statCols)
+      val stats = layout.filesWithStats(3)
+      assert(stats.nonEmpty && stats.forall(_._2.contains("cell")),
+        s"manifest must stat cell, got $stats")
+      val cSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("cell", LongType),
+        StructField("srvid", IntegerType)))
+      val all = {
+        val b = new StoreScanBuilder(layout, cSchema)
+        b.pushFilters(Array(EqualTo("srvid", 3)))
+        b.build().asInstanceOf[StoreScan].planInputPartitions().length
+      }
+      assert(all > 1, "fixture must spread cells over several files")
+      val (cells, cb2) =
+        Similarity.loadIvfIndexStore(spark, store.root, "v2ivf", srvid = 3)
+      val oneCell = cells.select(col("cell")).distinct()
+        .orderBy(col("cell")).limit(1).collect()(0).getLong(0)
+      // unit: `cell IN (<one cell>)` opens only that cell's files
+      val b = new StoreScanBuilder(layout, cSchema)
+      b.pushFilters(Array(EqualTo("srvid", 3),
+        In("cell", Array[Any](oneCell))))
+      val pruned = b.build().asInstanceOf[StoreScan]
+        .planInputPartitions().length
+      assert(pruned > 0 && pruned < all,
+        s"expected fewer than $all files, planned $pruned")
+      // end to end: the probe's isin filter reaches the DSv2 scan and
+      // the planned scan opens fewer files than the full index
+      val probe = Similarity.probeIvfIndex(cells, cb2,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5)
+      val got = probe.collect().toSet
+      val scanParts = probe.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if s.scan.isInstanceOf[StoreScan] => s.inputPartitions.length
+      }
+      assert(scanParts.nonEmpty && scanParts.forall(p => p < all),
+        s"planned cells scan must skip files: $scanParts of $all")
+      // same rows as the session-catalog (hive-partitioned) variant
+      Similarity.saveIvfIndex(emb, "vec_id", "embedding", cb, "v2spec_ivf")
+      val (c1, cb1) = Similarity.loadIvfIndex(spark, "v2spec_ivf")
+      val want = Similarity.probeIvfIndex(c1, cb1,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5).collect().toSet
+      assert(got === want && got.nonEmpty)
+    }
+  }
+
+  test("store-resident signature index: probeIndexStore matches " +
+      "probeIndex, with the corpus-side frames never shuffled") {
+    import graft.pipeline.Dedup
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val docs = Tables.documents(spark, sfDir)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"))
+      val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4)
+      Dedup.saveSignatureIndexStore(hsh, banded, store.root, "v2sig",
+        srvid = 2)
+      val (hsh2, banded2) =
+        Dedup.loadSignatureIndexStore(spark, store.root, "v2sig", srvid = 2)
+      val got = Dedup.probeIndexStore(hsh2, banded2, batch, "doc_id", 0.8)
+      val want = Dedup.probeIndex(hsh, banded, batch, "doc_id", 0.8)
+        .collect().toSet
+      assert(got.collect().toSet === want && want.nonEmpty)
+      // scale shape: every join that touches a corpus-sized index scan
+      // must BROADCAST its other (batch-bounded) side — a sort-merge
+      // join over a store scan would reshuffle the index per probe.
+      // (Hash exchanges of the batch-bounded candidate frames are fine.)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def flatten(p: SparkPlan): Seq[SparkPlan] =
+        (p +: p.children.flatMap(flatten)) ++ (p match {
+          case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: QueryStageExec => flatten(q.plan)
+          case r: ReusedExchangeExec => flatten(r.child)
+          case _ => Seq.empty
+        })
+      def touchesIndex(p: SparkPlan): Boolean = flatten(p).exists {
+        case b: BatchScanExec => b.scan.isInstanceOf[StoreScan]
+        case _ => false
+      }
+      val smjOverIndex = flatten(got.queryExecution.executedPlan).collect {
+        case j: SortMergeJoinExec if touchesIndex(j) => j
+      }
+      assert(smjOverIndex.isEmpty,
+        s"index-side joins must broadcast the batch side:\n" +
+          got.queryExecution.executedPlan)
+    }
+  }
 }
