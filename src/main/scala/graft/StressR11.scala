@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-11 stress axes.
+  *
+  * FLEET AT 1000 SERVERS: the 100-TB story claims 1000-executor
+  * deployments, and SCALE's fleet table previously stopped at 100
+  * registered servers. The risk at 10× is the DRIVER-side work: the
+  * due-server list is computed from the registry every tick, and each
+  * due server pays a per-(server, datasource) staging probe plus a
+  * per-server meta write even when idle. Claim under measurement:
+  *   - an IDLE tick plans ZERO Spark jobs (the directory-probe fast
+  *     path skips every idle pair), so its cost is pure filesystem
+  *     probes + meta writes — linear in fleet size with a tiny
+  *     constant, no job-scheduling floor;
+  *   - a tick with data staged on a 5-server subset costs O(staged),
+  *     with the idle remainder adding only the probe floor — the
+  *     staged-tick time at 1000 servers should track the 100-server
+  *     row plus the measured idle floor, NOT 10× the work.
+  *
+  *   SPARK_GRAFT_FLEET=1000 sbt "runMain graft.StressR11"
+  */
+object StressR11 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val nFleet = sys.env.getOrElse("SPARK_GRAFT_FLEET", "1000").toInt
+    val spark: SparkSession = StressCorpus.session(cpus)
+    import spark.implicits._
+
+    val fleetRoot = java.nio.file.Files.createTempDirectory("graft_fleet11")
+    val fleet = new graft.core.Engine(spark, fleetRoot.toString)
+    val t0reg = System.nanoTime()
+    (1 to nFleet).foreach(i => fleet.registry.registerServer(
+      graft.core.ServerConfig(id = i, hostname = s"h$i",
+        powaCoalesce = 1000, retentionSec = 3650L * 86400)))
+    val registerSec = (System.nanoTime() - t0reg) / 1e9
+
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var tick = 0
+    def oneTick(staged: Seq[Int]): Double = {
+      tick += 1
+      if (staged.nonEmpty)
+        fleet.ingest("powa_stat_bgwriter",
+          staged.map(sv => (sv,
+            new java.sql.Timestamp(base + tick * 300000L),
+            100L * tick, 10L * tick, 5L * tick, 2L * tick, 1L * tick))
+            .toDF("srvid", "ts", "buffers_clean", "maxwritten_clean",
+              "buffers_backend", "buffers_backend_fsync", "buffers_alloc"))
+      val now = new java.sql.Timestamp(base + tick * 300000L)
+      val t0 = System.nanoTime()
+      fleet.tickDue(now)
+      (System.nanoTime() - t0) / 1e9
+    }
+    oneTick(1 to 5) // warm: first-touch layout + codegen
+    val stagedSec = (oneTick(1 to 5) + oneTick(1 to 5)) / 2
+    val idleSec = (oneTick(Nil) + oneTick(Nil)) / 2
+    // jobs planned during an idle tick — the O(staged) claim made loud
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val idleSec2 = oneTick(Nil)
+    val idleJobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
+    graft.core.AtomicSwap.deleteRecursively(fleetRoot)
+
+    val json =
+      s"""{"metric":"stress_r11","fleet":$nFleet,""" +
+        s""""register_sec":$registerSec,""" +
+        s""""staged_tick_sec":$stagedSec,"idle_tick_sec":$idleSec,""" +
+        s""""idle_tick_sec2":$idleSec2,"idle_tick_jobs":$idleJobs}"""
+    spark.stop()
+    println(json)
+  }
+}

@@ -79,6 +79,31 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** Temp directories for query fixtures, swept at JVM exit — repeated
+  * bench reps / verify runs in one process otherwise accumulate
+  * tmp-dir litter (round-10 ADVICE). Deletion is a shutdown hook, NOT
+  * a finally block: the returned DataFrames read these dirs lazily
+  * after the query function returns, so an eager delete would break
+  * the driver's collect. `AtomicSwap.deleteRecursively` removes
+  * symlinks without following them, so a fixture link INTO the source
+  * data (p143/p153's streaming-dir shape) never deletes its target. */
+object TempDirs {
+  private val created =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookOnce: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach { p =>
+        try graft.core.AtomicSwap.deleteRecursively(p)
+        catch { case _: Throwable => () }
+      }))
+  def scoped(prefix: String): java.nio.file.Path = {
+    hookOnce
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    created.add(p)
+    p
+  }
+}
+
 /** The `events` table viewed as a powa-style datasource: servers are
   * `user_id % 4`, the entity key is (user_id, event_type), and `value` is
   * the tracked metric. This is the engine-shape fixture every

@@ -519,7 +519,7 @@ object PowaQueries {
   //      directly from events — proving the snapshot→aggregate→
   //      readback lifecycle is value-preserving end to end.
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q31")
+    val root = graft.TempDirs.scoped("graft_q31")
     try {
       val e = new graft.core.Engine(s, root.toString)
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
@@ -568,7 +568,7 @@ object PowaQueries {
   //      round-trip shape as q31 on the activity spec: daily batches of
   //      session rows, coalesce at tick 5, readback = raw records.
   private def q32(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q32")
+    val root = graft.TempDirs.scoped("graft_q32")
     try {
       val e = new graft.core.Engine(s, root.toString)
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
@@ -628,7 +628,7 @@ object PowaQueries {
   //      recomputes the packing from events over the aggregated window
   //      (everything staged before the tick-5 aggregate).
   private def q33(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q33")
+    val root = graft.TempDirs.scoped("graft_q33")
     try {
       val e = new graft.core.Engine(s, root.toString)
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
@@ -700,7 +700,7 @@ object PowaQueries {
   //      rollup sinks all preserve values through snapshot→aggregate→
   //      readback. The oracle recomputes everything from events.
   private def q34(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q34")
+    val root = graft.TempDirs.scoped("graft_q34")
     try {
       val e = new graft.core.Engine(s, root.toString)
       // srvid 23 de-phases the coalesce-5 cadence (phase = (seq + 23%20)
@@ -787,7 +787,7 @@ object PowaQueries {
   //      skip + stale-refresh; the oracle recomputes the surviving
   //      mirror contents directly.
   private def q35(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q35")
+    val root = graft.TempDirs.scoped("graft_q35")
     try {
       val e = new graft.core.Engine(s, root.toString)
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
@@ -845,7 +845,7 @@ object PowaQueries {
   //      server's own slice — value preservation AND tenant isolation
   //      in one oracle-checked frame.
   private def q36(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q36")
+    val root = graft.TempDirs.scoped("graft_q36")
     try {
       val e = new graft.core.Engine(s, root.toString)
       // srvid%20 de-phasing chosen so the 3 multi-batch ticks leave
@@ -919,7 +919,7 @@ object PowaQueries {
   //      recomputing directly from events. Proves the streaming path is
   //      value-identical to the batch path.
   private def q37(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q37")
+    val root = graft.TempDirs.scoped("graft_q37")
     try {
       val e = new graft.core.Engine(s, root.toString)
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
@@ -982,7 +982,7 @@ object PowaQueries {
   //      bgwriter's January history. The readback sums prove the purge
   //      divergence and that the survivor is untouched.
   private def q38(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q38")
+    val root = graft.TempDirs.scoped("graft_q38")
     try {
       val e = new graft.core.Engine(s, root.toString)
       val srvid = e.registry.registerServer(graft.core.ServerConfig(
@@ -1084,7 +1084,7 @@ object PowaQueries {
   //      durability gap) would shift every aggregate boundary and
   //      hash-mismatch against the oracle's floor(n/5)*5 split.
   private def q40(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q40")
+    val root = graft.TempDirs.scoped("graft_q40")
     try {
       val weekly = Tables.events(s, d).filter(col("user_id") % 4 === 3)
         .groupBy(date_trunc("week", col("ts")).as("ts"))
@@ -1150,7 +1150,7 @@ object PowaQueries {
   //      in-memory state — is what's hashed. The oracle recomputes the
   //      final membership set-algebraically from the nation table.
   private def q41(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q41")
+    val root = graft.TempDirs.scoped("graft_q41")
     try {
       val nations = Tables.table(s, d, "nation")
         .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("name"))
@@ -1195,7 +1195,7 @@ object PowaQueries {
   //      then the persisted powa_servers parquet is read back through a
   //      fresh Registry and hashed against the oracle's recomputation.
   private def q42(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q42")
+    val root = graft.TempDirs.scoped("graft_q42")
     try {
       val regions = Tables.table(s, d, "region")
         .select(col("r_regionkey").cast("int").as("k"), col("r_name").as("name"))
@@ -1243,7 +1243,7 @@ object PowaQueries {
   //      1 and 3 are never manifest-read, the 100-TB/1000-server
   //      shape of a per-server readback (StoreV2 scaladoc).
   private def q43(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q43")
+    val root = graft.TempDirs.scoped("graft_q43")
     try {
       val store = new graft.core.Store(s, root.toString)
       val ev = Tables.events(s, d).select(
@@ -1281,7 +1281,7 @@ object PowaQueries {
   //      REPLACES every partition with the filtered set — if a single
   //      appended file leaked past the swap, the sums would double.
   private def q44(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q44")
+    val root = graft.TempDirs.scoped("graft_q44")
     try {
       val ev = Tables.events(s, d).select(
           (col("user_id") % 3 + 1).cast("int").as("srvid"),
@@ -1324,7 +1324,7 @@ object PowaQueries {
   //      literal constants, independently-expressed logic — the q40
   //      convention).
   private def q45(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q45")
+    val root = graft.TempDirs.scoped("graft_q45")
     try {
       val acl = new graft.core.AccessControl(Some(root.toString))
       acl.setupRoles() // create mode, default role names
@@ -1361,7 +1361,7 @@ object PowaQueries {
   //      untouched everywhere. The oracle recomputes server 92's
   //      remaining rows directly from events.
   private def q46(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q46")
+    val root = graft.TempDirs.scoped("graft_q46")
     try {
       val e = new graft.core.Engine(s, root.toString)
       Seq(91, 92).foreach(id => e.registry.registerServer(
@@ -1433,7 +1433,7 @@ object PowaQueries {
   //      tables being directly queryable by any SQL client.
   private val catSeq = new java.util.concurrent.atomic.AtomicInteger()
   private def q47(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q47")
+    val root = graft.TempDirs.scoped("graft_q47")
     // a catalog instance is cached per name once referenced — unique
     // name per run so the root option is never stale
     val cat = s"graftcat${catSeq.incrementAndGet()}"

@@ -54,10 +54,27 @@ case class ScdOut(user_id: Long, value: String,
   * every later watermark advance. Semantics pinned two ways:
   * StreamIngestSpec equates the finalized rows to the batch operator
   * under random cuts, and p153 runs the sentinel-flush harness
-  * against p151's DuckDB oracle verbatim. */
+  * against p151's DuckDB oracle verbatim.
+  *
+  * COST CONTRACT (the rrfFusion-style O-bound): work and shuffle are
+  * linear in EMITTED intervals — one closed row per value change —
+  * so a change-every-event corpus pays O(events) no matter what
+  * (SCALE round-10: 6.5→32.2 s as emitted intervals grow 0.7M→7.3M;
+  * that is output volume, not operator overhead). State is
+  * O(watermark-lag buffer) + O(1) current run per key; with the
+  * default `horizonSec = ∞` a key that EVER appeared retains its
+  * current run forever so a much-later observation can close it —
+  * exact parity with the batch operator. A long-running stream over
+  * churning key spaces should set `horizonSec`: a run whose last
+  * observation is older than the horizon at quiescence is dropped
+  * after its open row is emitted, bounding state to active keys. The
+  * trade, identical to [[StateFunnel]]'s horizon: a key returning
+  * after the horizon starts a NEW run (fresh valid_from) even if its
+  * value never changed, instead of extending the dropped one. */
 object StateScd {
 
-  def intervals(events: Dataset[ScdEvent]): Dataset[ScdOut] = {
+  def intervals(events: Dataset[ScdEvent],
+      horizonSec: Long = Long.MaxValue): Dataset[ScdOut] = {
     implicit val stateEnc = Encoders.product[ScdState]
     implicit val outEnc = Encoders.product[ScdOut]
     implicit val keyEnc = Encoders.scalaLong
@@ -78,8 +95,22 @@ object StateScd {
                 Seq(ScdOut(user, nxt.curValue,
                   tsFromMicros(nxt.curFromUs), null, nxt.curN))
               else Seq.empty
-            if (nxt.curFromUs == -1L) state.remove()
-            else state.update(nxt.copy(ev = Vector.empty))
+            // horizon: a run whose last observation is older than the
+            // horizon at quiescence has had its open row emitted — drop
+            // the state (retired key). Otherwise keep the O(1) run; with
+            // a finite horizon re-arm the timer so retirement fires even
+            // if the key never returns.
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val expired = horizonSec != Long.MaxValue &&
+              nxt.curFromUs != -1L &&
+              wmUs > nxt.lastTsUs + horizonSec * 1000000L
+            if (nxt.curFromUs == -1L || expired) state.remove()
+            else {
+              state.update(nxt.copy(ev = Vector.empty))
+              if (horizonSec != Long.MaxValue)
+                state.setTimeoutTimestamp(
+                  (nxt.lastTsUs + horizonSec * 1000000L) / 1000L + 1L)
+            }
             (closed ++ open).iterator
           } else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L

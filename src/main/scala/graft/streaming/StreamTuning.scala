@@ -38,7 +38,28 @@ object StreamTuning {
     * session, which is the assumption this helper makes; a
     * multi-threaded deployment should instead run its streams on a
     * dedicated `SparkSession#newSession()` (separate conf, shared
-    * catalog/state) or set the state-store count once at go-live. */
+    * catalog/state) or set the state-store count once at go-live.
+    * Prefer [[startScoped]] for plain start-and-drain streams — it
+    * closes the leak window to the start call; the full-body form
+    * remains for foreachBatch folds whose INNER batch jobs must also
+    * plan under the stream sizing. */
+  /** Start a streaming query under the stream-state sizing and restore
+    * the session conf BEFORE returning: StreamExecution clones the
+    * session at construction (its micro-batches plan on the clone's
+    * conf snapshot), so the pin needs to be visible only for the
+    * `start()` call itself, not the stream's whole drain. This shrinks
+    * [[scoped]]'s cross-thread leak window (round-10 ADVICE: a batch
+    * query planned on another thread of the same session DURING the
+    * scope silently picked up the stream-sized partition count) from
+    * the full stream lifetime to the query-construction instant —
+    * callers drain with the session conf already back at its batch
+    * value. PipelineSpec pins both halves: conf restored at return,
+    * running query still using the pinned store count. */
+  def startScoped(s: SparkSession, default: Int = 8)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoped(s, default)(start)
+
   def scoped[T](s: SparkSession, default: Int = 8)(body: => T): T = {
     val parts = s.conf.getOption(Key).map(_.trim.toInt).getOrElse(default)
     require(parts >= 1, s"$Key must be >= 1, got $parts")

@@ -1067,4 +1067,38 @@ class EngineSpec extends AnyFunSuite {
     assert(gap.getMessage.contains("gap") && applied.size === 2)
     AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("schema upgrade vs concurrent registry mutation: ensure WAITS " +
+      "for the registry lock — no step applies while a tick holds it") {
+    // The reference analogue is `ALTER EXTENSION powa UPDATE` being
+    // transactional against concurrent snapshots: its scripts run in
+    // one transaction that conflicts with a snapshot's writes. Here
+    // the registry file lock (plus the per-root JVM monitor) is the
+    // serialization point: a snapshot's metas write holds it, and
+    // SchemaUpgrade.ensure runs its whole step chain under it — so an
+    // upgrade can never interleave with a mid-flight registry
+    // mutation, it queues behind it.
+    val root = java.nio.file.Files.createTempDirectory("graft_uplock")
+      .toString
+    val reg = new RegistryStore(root)
+    reg.writeSchemaVersion(2)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val acquired = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => reg.withLock {
+      events.add("mutation-started"); acquired.countDown()
+      Thread.sleep(400) // a slow registry mutation (metas save mid-tick)
+      events.add("mutation-finished")
+    })
+    holder.start()
+    acquired.await()
+    val n = SchemaUpgrade.ensure(reg, binary = 3,
+      chain = Seq(SchemaUpgrade.Step(2, 3, "concurrency probe")(
+        _ => events.add("step-applied"))))
+    holder.join()
+    assert(n === 1 && reg.schemaVersion() === 3)
+    assert(events.toArray.toSeq ===
+      Seq("mutation-started", "mutation-finished", "step-applied"),
+      s"upgrade must queue behind the held lock, got ${events.toArray.toSeq}")
+    AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }

@@ -632,6 +632,34 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.streaming.StreamTuning.Key)
   }
 
+  test("StreamTuning.startScoped: conf restored the moment start() " +
+      "returns, while the RUNNING stream keeps the pinned store count") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = graft.streaming.StreamTuning.ShufflePartitions
+    val before = spark.conf.get(key)
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("k", "v")
+      .groupBy(col("k")).count()
+    val q = graft.streaming.StreamTuning.startScoped(spark) {
+      df.writeStream.outputMode("complete").format("memory")
+        .queryName("tuning_start_probe").start()
+    }
+    try {
+      // the leak window is closed before the drain even begins
+      assert(spark.conf.get(key) === before)
+      mem.addData((1L, 1L), (2L, 1L))
+      q.processAllAvailable()
+      // ...and the stream's own cloned session kept the pin: the
+      // stateful operator runs 8 state stores, not the batch setting
+      val stateParts =
+        q.lastProgress.stateOperators.head.numShufflePartitions
+      assert(stateParts === 8L,
+        s"stream must keep the pinned store count, got $stateParts")
+    } finally q.stop()
+  }
+
   test("quantizeInt8: range bound, max element saturates, zero vector safe") {
     import spark.implicits._
     val df = Seq(

@@ -457,6 +457,54 @@ class StreamIngestSpec extends AnyFunSuite {
       Seq((1, t0, -1L), (1, t0 + 210000L, -1L)), rows.mkString(", "))
   }
 
+  test("streaming SCD-2 horizon: a retired key's run is emitted and " +
+      "dropped; a post-horizon return starts a NEW run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(userId: Long, offSec: Long, id: Long, v: String) =
+      (userId, new Timestamp(t0 + offSec * 1000L), id, v)
+    def run(horizon: Long, sink: String)
+        : Seq[(String, Long, Option[Long], Long)] = {
+      val mem = MemoryStream[(Long, Timestamp, Long, String)]
+      val st = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.ScdEvent]
+      val q = graft.streaming.StateScd.intervals(st, horizonSec = horizon)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      mem.addData(ev(1L, 0L, 1L, "red")); q.processAllAvailable()
+      // sweep key: two batches so the watermark passes user 1's
+      // quiescence timer, then (with horizon 100 s) the retirement
+      mem.addData(ev(9L, 300L, 2L, "x")); q.processAllAvailable()
+      mem.addData(ev(9L, 301L, 3L, "x")); q.processAllAvailable()
+      // user 1 returns AFTER the horizon with the SAME value
+      mem.addData(ev(1L, 400L, 4L, "red")); q.processAllAvailable()
+      mem.addData(ev(9L, 800L, 5L, "x")); q.processAllAvailable()
+      mem.addData(ev(9L, 801L, 6L, "x")); q.processAllAvailable()
+      val rows = spark.table(sink).filter(col("user_id") === 1L)
+        // closed-wins reconstruction, like every SCD consumer
+        .groupBy(col("value"), col("valid_from"))
+        .agg(max(col("valid_to")).as("valid_to"),
+          max(col("n_obs")).as("n_obs"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          Option(r.getTimestamp(2)).map(_.getTime), r.getLong(3)))
+        .sortBy(_._2).toSeq
+      q.stop()
+      rows
+    }
+    // horizon 100 s: the t=0 run retires at the t=300 quiescence
+    // (open row emitted, state dropped), so the t=400 return opens a
+    // FRESH run — two open rows, n_obs 1 each
+    assert(run(100L, "scd_horizon") ===
+      Seq(("red", t0, None, 1L), ("red", t0 + 400000L, None, 1L)))
+    // default ∞ keeps batch parity: the same observations extend ONE
+    // run (n_obs 2, anchored at t=0)
+    assert(run(Long.MaxValue, "scd_nohorizon") ===
+      Seq(("red", t0, None, 2L)))
+  }
+
   test("streaming as-of: watermark-finalized backward match, however-old " +
       "quotes, left nulls, exactly once") {
     import spark.implicits._
