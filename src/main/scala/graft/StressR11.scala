@@ -56,6 +56,23 @@ object StressR11 {
     oneTick(1 to 5) // warm: first-touch layout + codegen
     val stagedSec = (oneTick(1 to 5) + oneTick(1 to 5)) / 2
     val idleSec = (oneTick(Nil) + oneTick(Nil)) / 2
+
+    // Batched-BPE speedup axis (round-10 VERDICT item 5's SCALE half):
+    // merge rounds dominate training once the corpus pass is paid, so
+    // top-M conflict-free batching should cut wall-clock ~x(applied
+    // merges per round); BpeSpec bounds the quality side (vocab
+    // overlap + holdout segmentation agreement vs M=1).
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val docs = StressCorpus.docs(spark, sfDir, mult, cpus.toInt)
+    val nMerges = 16
+    def timeBpe(m: Int): (Double, Long) = StressCorpus.timed(
+      graft.pipeline.Bpe.train(docs, "text", merges = nMerges,
+        mergesPerRound = m).count())
+    timeBpe(1) // warm
+    val (bpeM1Sec, bpeM1) = timeBpe(1)
+    val (bpeM4Sec, bpeM4) = timeBpe(4)
     // jobs planned during an idle tick — the O(staged) claim made loud
     val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val idleSec2 = oneTick(Nil)
@@ -64,10 +81,12 @@ object StressR11 {
     graft.core.AtomicSwap.deleteRecursively(fleetRoot)
 
     val json =
-      s"""{"metric":"stress_r11","fleet":$nFleet,""" +
+      s"""{"metric":"stress_r11","fleet":$nFleet,"mult":$mult,""" +
         s""""register_sec":$registerSec,""" +
         s""""staged_tick_sec":$stagedSec,"idle_tick_sec":$idleSec,""" +
-        s""""idle_tick_sec2":$idleSec2,"idle_tick_jobs":$idleJobs}"""
+        s""""idle_tick_sec2":$idleSec2,"idle_tick_jobs":$idleJobs,""" +
+        s""""bpe_m1_sec":$bpeM1Sec,"bpe_m1_merges":$bpeM1,""" +
+        s""""bpe_m4_sec":$bpeM4Sec,"bpe_m4_merges":$bpeM4}"""
     spark.stop()
     println(json)
   }

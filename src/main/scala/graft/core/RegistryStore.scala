@@ -57,28 +57,112 @@ final class RegistryStore(root: String) {
       .map(RegistryIo.serverRowOf)
 
   // Snapshot metas are the per-tick hot row: EVERY server tick is a
-  // read-modify-write of its own meta (coalesce_seq bump). Storing the
-  // fleet in one file made each tick re-read and REWRITE the whole
-  // table — O(fleet²) bytes per scheduler pass, and the dominant cost
-  // of an otherwise idle 100-server tick (measured 26 ms/server in the
-  // Stress fleet axis). Metas are therefore PHYSICALLY row-scoped: one
-  // single-row file per server (`meta_srvid=N`), so a tick writes O(1)
-  // bytes and two engines sharing a root touch disjoint files. A
-  // legacy single-file table from an older root is migrated to the
-  // per-server layout on the first scoped save.
+  // read-modify-write of its own meta (coalesce_seq bump). Three layout
+  // generations led here (sequenced by SchemaUpgrade):
+  //   v1: one parquet table for the fleet — each tick re-read and
+  //       REWROTE the whole table, O(fleet²) bytes per scheduler pass;
+  //   v2: one single-row PARQUET file per server behind an AtomicSwap
+  //       link in the flat `_registry` dir — O(1) bytes per tick, but
+  //       each write still paid a parquet writer init (~7 ms) plus TWO
+  //       full listings of the shared `_registry` dir (version
+  //       allocation + gc), O(fleet) entries each — at 1000 servers an
+  //       IDLE scheduler pass spent ~32 s in driver filesystem work
+  //       (StressR11 fleet axis, round 11);
+  //   v3 (current): one single-LINE text row at `_registry/metas/<id>`,
+  //       replaced by write-temp + atomic rename — no version dirs, no
+  //       manifests, no shared-dir listings; ~0.1 ms per write, and the
+  //       rename gives the same reader guarantee (one complete row,
+  //       never torn). Errors are base64-encoded (free text), tses are
+  //       epoch micros. Two engines sharing a root touch disjoint files.
+  // Reads fall back v3 → v2 link → v1 table so an un-upgraded root is
+  // readable; writes always produce v3 and retire the row's v2 link
+  // with an O(1) existence probe (the bulk sweep is SchemaUpgrade
+  // step 2→3, migrateMetaRows).
 
+  private def metasDir = dir.resolve("metas")
+  private def metaFile(srvid: Int) = metasDir.resolve(srvid.toString)
   private def metaLink(srvid: Int) = s"meta_srvid=$srvid"
 
-  private def writeMetaRow(r: MetaRow): Unit =
-    AtomicSwap.replace(dir, metaLink(r.srvid))(v =>
-      RegistryIo.write(v, RegistryIo.metasSchema)(
-        f => Seq(RegistryIo.metaGroup(f, r))))
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def writeMetaRow(r: MetaRow): Unit = {
+    Files.createDirectories(metasDir)
+    def opt(o: Option[java.sql.Timestamp]) =
+      o.map(t => usOf(t).toString).getOrElse("")
+    val line = Seq(
+      s"coalesce_seq=${r.coalesce_seq}",
+      s"snapts=${opt(r.snapts)}",
+      s"aggts=${opt(r.aggts)}",
+      s"purgets=${opt(r.purgets)}",
+      s"errors=${r.errors.map(b64).mkString(",")}").mkString("\t")
+    val tmp = metasDir.resolve(s".${r.srvid}.tmp")
+    Files.write(tmp,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, metaFile(r.srvid),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // retire this row's v2 link if present — O(1) probe on the hot path
+    if (Files.exists(dir.resolve(metaLink(r.srvid)),
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      AtomicSwap.drop(dir, metaLink(r.srvid))
+  }
+
+  private def readTextMeta(srvid: Int): Option[MetaRow] = {
+    val f = metaFile(srvid)
+    if (!Files.isRegularFile(f)) None
+    else {
+      val kv = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\t").flatMap { tok =>
+          tok.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      def ts(k: String) =
+        kv.get(k).filter(_.nonEmpty).map(v => tsOf(v.toLong))
+      Some(MetaRow(srvid,
+        kv.get("coalesce_seq").map(_.toLong).getOrElse(0L),
+        ts("snapts"), ts("aggts"), ts("purgets"),
+        kv.get("errors").toSeq.flatMap(_.split(","))
+          .filter(_.nonEmpty).map(unb64)))
+    }
+  }
 
   private def legacyMetas(): Seq[MetaRow] =
     RegistryIo.read(dir.resolve("snapshot_metas"), RegistryIo.metasSchema)
       .map(RegistryIo.metaRowOf)
 
-  private def perServerMetaIds(): Seq[Int] =
+  private def v2LinkMeta(srvid: Int): Option[MetaRow] =
+    RegistryIo.read(dir.resolve(metaLink(srvid)), RegistryIo.metasSchema)
+      .map(RegistryIo.metaRowOf).headOption
+
+  private def textMetaIds(): Seq[Int] =
+    if (!Files.isDirectory(metasDir)) Seq.empty
+    else {
+      val s = Files.list(metasDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(_.startsWith("."))
+          .flatMap(n => scala.util.Try(n.toInt).toOption)
+          .toList.sorted
+      } finally s.close()
+    }
+
+  private def v2LinkIds(): Seq[Int] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
@@ -91,6 +175,9 @@ final class RegistryStore(root: String) {
           .toList.sorted
       } finally s.close()
     }
+
+  private def perServerMetaIds(): Seq[Int] =
+    (textMetaIds() ++ v2LinkIds()).distinct.sorted
 
   /** Spill legacy single-file metas into the per-server layout and
     * retire the legacy table — schema-upgrade step 1→2
@@ -138,7 +225,9 @@ final class RegistryStore(root: String) {
     scope.toSeq.sorted.foreach { id =>
       byId.get(id) match {
         case Some(r) => writeMetaRow(r)
-        case None => AtomicSwap.drop(dir, metaLink(id)) // scoped delete
+        case None => // scoped delete: v3 row and (pre-upgrade) v2 link
+          Files.deleteIfExists(metaFile(id))
+          AtomicSwap.drop(dir, metaLink(id))
       }
     }
   }
@@ -148,10 +237,30 @@ final class RegistryStore(root: String) {
     (legacyMetas().filterNot(r => owned(r.srvid)) ++ perServer)
       .sortBy(_.srvid)
   }
-  def loadMeta(srvid: Int): Option[MetaRow] = {
-    val own = RegistryIo.read(dir.resolve(metaLink(srvid)),
-      RegistryIo.metasSchema).map(RegistryIo.metaRowOf)
-    own.headOption.orElse(legacyMetas().find(_.srvid == srvid))
+  def loadMeta(srvid: Int): Option[MetaRow] =
+    readTextMeta(srvid)
+      .orElse(v2LinkMeta(srvid))
+      .orElse(legacyMetas().find(_.srvid == srvid))
+
+  /** Spill v2 per-server parquet meta links into v3 text rows and
+    * retire the links — schema-upgrade step 2→3 ([[SchemaUpgrade]]).
+    * Runs migrateLegacyMetas first so a v1 root upgrades through both
+    * hops even if step 1→2's marker write was lost. Idempotent: a text
+    * row already present wins (it is newer — every v3 write retires
+    * its link, so a surviving link means the text row post-dates it);
+    * returns rows spilled. */
+  def migrateMetaRows(): Int = withLock {
+    migrateLegacyMetas()
+    val text = textMetaIds().toSet
+    var spilled = 0
+    v2LinkIds().foreach { id =>
+      if (text(id)) AtomicSwap.drop(dir, metaLink(id))
+      else v2LinkMeta(id).foreach { r =>
+        writeMetaRow(r) // also drops the link
+        spilled += 1
+      }
+    }
+    spilled
   }
 
   def saveModules(scope: Set[Int], rows: Seq[ModuleRow]): Unit = withLock {

@@ -41,14 +41,21 @@ object SchemaUpgrade {
 
   /** The binary's registry-layout version. Bump together with a new
     * [[steps]] entry. */
-  val CurrentVersion = 2
+  val CurrentVersion = 3
 
   /** The declared chain, ascending. */
   def steps: Seq[Step] = Seq(
     Step(1, 2, "spill legacy single-file snapshot metas into the " +
         "per-server row-scoped layout (idempotent: spilling checks " +
         "per-server ownership; the legacy drop is a no-op once gone)")(
-      reg => reg.migrateLegacyMetas())
+      reg => reg.migrateLegacyMetas()),
+    Step(2, 3, "spill per-server parquet meta links into single-line " +
+        "text rows under _registry/metas/ and retire the links — the " +
+        "hot per-tick row must not pay parquet-writer init plus two " +
+        "O(fleet) directory listings per write (StressR11: ~32 s idle " +
+        "pass at 1000 servers on v2). Idempotent: an existing text " +
+        "row wins; re-running only drops leftover links")(
+      reg => reg.migrateMetaRows())
   )
 
   /** Bring `reg`'s root up to `binary`. Returns the number of steps

@@ -189,4 +189,43 @@ class BpeSpec extends AnyFunSuite {
     val t1 = total(1); val t4 = total(4)
     assert(t4 <= t1, s"4 merges gave $t4 subwords vs $t1 at 1 merge")
   }
+
+  test("batched M=4 vs sequential M=1 on the real corpus: vocab " +
+      "overlap and holdout segmentation-agreement bounds") {
+    // The production path (mergesPerRound > 1) applies the round's
+    // top-M conflict-free pairs under stale counts; M=1 is the exact
+    // sequential reference. The approximation's committed quality
+    // evidence (round-10 VERDICT item 5): on the real sf0.001 corpus
+    // with an 80/20 train/holdout split, the learned vocabularies and
+    // the holdout segmentations must agree within the stated bounds.
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val holdout = docs.filter(col("doc_id") % 5 === 0)
+    val nMerges = 16
+    val m1 = Bpe.train(train, "text", merges = nMerges)
+    val m4 = Bpe.train(train, "text", merges = nMerges,
+      mergesPerRound = 4)
+    val v1 = merges(m1).map(_._4).toSet
+    val v4 = merges(m4).map(_._4).toSet
+    val overlap = (v1 intersect v4).size.toDouble / nMerges
+    assert(overlap >= 0.75,
+      f"vocab overlap $overlap%.2f < 0.75 (v1 -- v4 = ${v1 -- v4}, " +
+        s"v4 -- v1 = ${v4 -- v1})")
+    // holdout: per-doc subword counts from both tokenizers
+    def seg(m: org.apache.spark.sql.DataFrame) =
+      Bpe.segment(holdout, "doc_id", "text", m)
+        .select(col("doc_id"), col("n_subwords")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = seg(m1); val s4 = seg(m4)
+    assert(s1.keySet === s4.keySet)
+    val agreeDocs = s1.count { case (d, n) => s4(d) == n }.toDouble /
+      s1.size
+    assert(agreeDocs >= 0.90,
+      f"only $agreeDocs%.2f of holdout docs segment to the same " +
+        "subword count")
+    val t1 = s1.values.sum.toDouble
+    val t4 = s4.values.sum.toDouble
+    assert(math.abs(t1 - t4) / t1 <= 0.02,
+      f"total holdout subwords differ by ${math.abs(t1 - t4) / t1}%.4f")
+  }
 }

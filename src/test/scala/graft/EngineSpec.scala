@@ -1024,11 +1024,15 @@ class EngineSpec extends AnyFunSuite {
         f => rows.map(RegistryIo.metaGroup(f, _))))
     val reg = new RegistryStore(root)
     assert(reg.schemaVersion() === 1)
-    // ensure applies 1->2: metas spilled per-server, legacy retired,
-    // marker bumped; a re-run applies nothing
-    assert(SchemaUpgrade.ensure(reg) === 1)
-    assert(reg.schemaVersion() === 2)
-    assert(java.nio.file.Files.isSymbolicLink(dir.resolve("meta_srvid=1")))
+    // ensure applies 1->2->3: metas spilled into the per-server
+    // row-scoped TEXT layout, legacy table and v2 links retired,
+    // marker bumped per hop; a re-run applies nothing
+    assert(SchemaUpgrade.ensure(reg) === 2)
+    assert(reg.schemaVersion() === 3)
+    assert(java.nio.file.Files.isRegularFile(
+      dir.resolve("metas").resolve("1")))
+    assert(!java.nio.file.Files.exists(dir.resolve("meta_srvid=1"),
+      java.nio.file.LinkOption.NOFOLLOW_LINKS))
     assert(!java.nio.file.Files.exists(dir.resolve("snapshot_metas")))
     assert(reg.loadMetas().map(m => (m.srvid, m.coalesce_seq)) ===
       Seq((1, 3L), (2, 7L)))
