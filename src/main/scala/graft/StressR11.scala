@@ -37,6 +37,17 @@ object StressR11 {
         powaCoalesce = 1000, retentionSec = 3650L * 86400)))
     val registerSec = (System.nanoTime() - t0reg) / 1e9
 
+    // batch-registration comparator on a second root: one merged table
+    // write + per-server text meta rows vs one-at-a-time's O(fleet²)
+    val batchRoot = java.nio.file.Files.createTempDirectory("graft_fleet11b")
+    val batchEng = new graft.core.Engine(spark, batchRoot.toString)
+    val t0batch = System.nanoTime()
+    batchEng.registry.registerServers((1 to nFleet).map(i =>
+      graft.core.ServerConfig(id = i, hostname = s"h$i",
+        powaCoalesce = 1000, retentionSec = 3650L * 86400)))
+    val registerBatchSec = (System.nanoTime() - t0batch) / 1e9
+    graft.core.AtomicSwap.deleteRecursively(batchRoot)
+
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     var tick = 0
     def oneTick(staged: Seq[Int]): Double = {
@@ -83,6 +94,7 @@ object StressR11 {
     val json =
       s"""{"metric":"stress_r11","fleet":$nFleet,"mult":$mult,""" +
         s""""register_sec":$registerSec,""" +
+        s""""register_batch_sec":$registerBatchSec,""" +
         s""""staged_tick_sec":$stagedSec,"idle_tick_sec":$idleSec,""" +
         s""""idle_tick_sec2":$idleSec2,"idle_tick_jobs":$idleJobs,""" +
         s""""bpe_m1_sec":$bpeM1Sec,"bpe_m1_merges":$bpeM1,""" +

@@ -501,11 +501,47 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
   def deleteServer(srvid: Int): Unit = {
     datasources.foreach(_.reset(store, srvid))
     catalogs.reset(srvid)
+    // store-resident index relations (powa_index_<name>/<tier>) are
+    // per-server data too: a deleted server's index partitions must go
+    // with it, exactly like its history tiers — the reference's
+    // delete_and_purge removes EVERY per-server row of every
+    // extension-owned relation (powa--5.2.0.sql:2864-2888). Discovered
+    // from the root (indexes are created ad hoc, not spec-registered).
+    indexDatasourceTiers().foreach { case (ds, tier) =>
+      try AtomicSwap.drop(
+        java.nio.file.Paths.get(storageRoot, ds, tier), s"srvid=$srvid")
+      catch { case e: Exception =>
+        registry.meta(srvid).errors :+= s"sweep $ds.$tier: ${e.getMessage}" }
+    }
     externalSweeps.foreach { case (ext, sweep) =>
       try sweep(srvid)
       catch { case e: Exception =>
         registry.meta(srvid).errors :+= s"sweep $ext: ${e.getMessage}" }
     }
     registry.dropServer(srvid)
+  }
+
+  /** (datasource, tier) pairs of every store-resident index under the
+    * root — one shallow listing per delete, admin-path only. */
+  private def indexDatasourceTiers(): Seq[(String, String)] = {
+    val root = java.nio.file.Paths.get(storageRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val dss = {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("powa_index_")).toList
+      finally s.close()
+    }
+    dss.flatMap { ds =>
+      val d = root.resolve(ds)
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+        .map(ds -> _).toList
+      finally s.close()
+    }
   }
 }

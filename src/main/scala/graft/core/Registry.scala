@@ -136,6 +136,42 @@ final class Registry(persistence: Option[RegistryStore] = None) {
     id
   }
 
+  /** Bulk registration: per-server semantics identical to
+    * [[registerServer]] (auto-id allocation, duplicate rejection,
+    * fresh meta), but ONE persisted-set refresh and ONE merged
+    * servers-table write for the whole batch — onboarding a fleet is
+    * O(fleet) bytes instead of the one-at-a-time path's O(fleet²)
+    * (StressR11: 44 s for 1000 registerServer calls; the batch form
+    * is one table write + 1000 text meta rows). Atomic under the
+    * registry lock: a duplicate anywhere in the batch rejects the
+    * WHOLE batch before anything persists. */
+  def registerServers(cfgs: Seq[ServerConfig]): Seq[Int] = locked {
+    persistence.foreach(_.loadServers().foreach { r =>
+      if (!servers.contains(r.srvid)) servers(r.srvid) = r.toConfig
+      nextId = math.max(nextId, r.srvid + 1)
+    })
+    // two-phase: allocate + validate WITHOUT touching live state, so a
+    // duplicate rejects the whole batch with memory and disk untouched;
+    // auto-id allocation tracks staged ids exactly like the sequential
+    // calls would (register(5) then auto -> 6)
+    var nid = nextId
+    val staged = mutable.LinkedHashMap[Int, ServerConfig]()
+    cfgs.foreach { cfg =>
+      val id = if (cfg.id > 0) cfg.id else nid
+      require(!servers.contains(id) && !staged.contains(id),
+        s"server $id already registered")
+      staged(id) = cfg.copy(id = id)
+      nid = math.max(nid, id + 1)
+    }
+    staged.foreach { case (id, cfg) =>
+      servers(id) = cfg
+      metas(id) = SnapshotMeta()
+    }
+    nextId = math.max(nextId, nid)
+    saveServers(staged.keySet.toSet); persistMetas(staged.keySet.toSet)
+    staged.keys.toSeq
+  }
+
   /** powa_configure_server: field-whitelisted patch (:2768-2783). */
   def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit = {
     servers(srvid) = patch(server(srvid))

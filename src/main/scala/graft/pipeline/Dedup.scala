@@ -455,6 +455,30 @@ object Dedup {
         col("band").cast("int").as("band"), col("bsig")))
   }
 
+  /** ADMIT a new document batch into a standing store-resident
+    * signature index — the daily-ingest form the [[signatureIndex]]
+    * scaladoc promises ("appended as docs are admitted"): the batch's
+    * hashed-shingle and banded frames are computed with the SAME
+    * (n, k, rowsPerBand) parameters as the build (the index's geometry
+    * — a different banding would make old and new signatures
+    * incomparable) and committed through the store's batch-append
+    * protocol (atomic rename + manifest republish: concurrent probes
+    * see the complete pre- or post-batch index). Cost is batch-sized;
+    * nothing existing is rewritten. */
+  def appendSignatureIndexStore(newDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, rowsPerBand: Int,
+      root: String, name: String, srvid: Int): Unit = {
+    val (hsh, banded) = signatureIndex(newDocs, idCol, textCol,
+      n, k, rowsPerBand)
+    val store = new graft.core.Store(newDocs.sparkSession, root)
+    val ds = s"powa_index_$name"
+    store.appendPartition(ds, "sh", srvid,
+      hsh.select(col("doc").cast("long").as("doc"), col("sh")))
+    store.appendPartition(ds, "bands", srvid,
+      banded.select(col("doc").cast("long").as("doc"),
+        col("band").cast("int").as("band"), col("bsig")))
+  }
+
   /** Reload a store-resident signature index ([[saveSignatureIndexStore]])
     * for [[probeIndexStore]]: both tiers come through the DSv2 scan —
     * manifest-pinned listing, srvid pruned at planning time. */

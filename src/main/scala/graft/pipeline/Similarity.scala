@@ -301,6 +301,36 @@ object Similarity {
       codebook.toDF("cell", "cv"))
   }
 
+  /** ADMIT a new vector batch into a standing store-resident IVF index
+    * — the daily-ingest form: the batch is assigned with the index's
+    * OWN persisted codebook (an index's geometry is fixed at build
+    * time; re-training would silently re-shape every existing cell),
+    * laid out by cell range like the build, and committed through the
+    * store's batch-append protocol (AtomicSwap.appendInto: one atomic
+    * rename + manifest republish — concurrent probes see the complete
+    * pre-batch or complete post-batch index, never a torn one). The
+    * appended files carry their own `cell` min/max in the manifest, so
+    * probe file-skipping keeps working across generations; cost is
+    * batch-sized, never index-sized — nothing is rewritten. */
+  def appendIvfIndexStore(embeddings: DataFrame, idCol: String,
+      vecCol: String, root: String, name: String, srvid: Int): Unit = {
+    val spark = embeddings.sparkSession
+    val (_, codebook) = loadIvfIndexStore(spark, root, name, srvid)
+    require(codebook.nonEmpty,
+      s"appendIvfIndexStore: no codebook for index '$name' srvid $srvid" +
+        " — build with saveIvfIndexStore first")
+    NativeFunctions.register(spark)
+    val best = array_max(array(codebook.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("ccos"),
+        lit(-cid).as("ncid")) }: _*))
+    val store = new graft.core.Store(spark, root)
+    val batch = embeddings.select(col(idCol).cast("long").as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", -best.getField("ncid"))
+      .repartitionByRange(math.max(codebook.size, 1), col("cell"))
+    store.appendPartition(s"powa_index_$name", "cells", srvid, batch)
+  }
+
   /** Reload a store-resident IVF index ([[saveIvfIndexStore]]) for
     * [[probeIvfIndex]]: the cells frame comes through the DSv2 scan
     * (manifest-pinned, srvid partition-pruned at planning; the probe's

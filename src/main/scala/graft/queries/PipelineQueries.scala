@@ -1193,6 +1193,56 @@ object PipelineQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  // INCREMENTAL admission into the governed IVF index: build on the
+  // even half, append the odd half through the store's batch-append
+  // commit (assignment reuses the index's persisted codebook), probe
+  // the combined index — build+append must equal the one-shot build,
+  // so p154's oracle applies verbatim. The daily-ingest shape: a new
+  // vector batch costs batch-sized work, never an index rebuild.
+  private def p158(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p158_store").toString
+    Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cb, root, "ivf", srvid = 1)
+    Similarity.appendIvfIndexStore(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", root, "ivf", srvid = 1)
+    val (cells, cb2) = Similarity.loadIvfIndexStore(s, root, "ivf",
+      srvid = 1)
+    Similarity.probeIvfIndex(cells, cb2,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
+  // incremental admission into the governed signature index: build on
+  // the even docs, append the odd docs (same banding geometry), probe
+  // with p98's batch — build+append ≡ one-shot index, p98's oracle
+  // verbatim
+  private def p159(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val root = graft.TempDirs.scoped("graft_p159_store").toString
+    val (h1, b1) = Dedup.signatureIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4)
+    Dedup.saveSignatureIndexStore(h1, b1, root, "sig", srvid = 1)
+    Dedup.appendSignatureIndexStore(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", n = 3, k = 16, rowsPerBand = 4, root, "sig",
+      srvid = 1)
+    val (hsh, banded) = Dedup.loadSignatureIndexStore(s, root, "sig",
+      srvid = 1)
+    Dedup.probeIndexStore(hsh, banded, batch, "doc_id", threshold = 0.8)
+      .select(col("i"), col("j"), col("na"), col("nb"),
+        col("inter"), col("uni"), col("jaccard_ppm"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -2895,7 +2945,9 @@ object PipelineQueries {
     "p154_ivf_index_probe" -> (p154 _),
     "p155_tokenizer_mixture_chain" -> (p155 _),
     "p156_ivf_index_store" -> (p156 _),
-    "p157_signature_index_store" -> (p157 _))
+    "p157_signature_index_store" -> (p157 _),
+    "p158_ivf_index_append" -> (p158 _),
+    "p159_signature_index_append" -> (p159 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5605,6 +5657,9 @@ object PipelineQueries {
     // the persistence/ACL layer must be invisible to the math
     "p156_ivf_index_store" -> ivfProbeOracle,
     "p157_signature_index_store" -> incrementalDedupSql,
+    // build+append must be indistinguishable from the one-shot build
+    "p158_ivf_index_append" -> ivfProbeOracle,
+    "p159_signature_index_append" -> incrementalDedupSql,
     "p155_tokenizer_mixture_chain" ->
       s"""WITH ${bpeCtes(4)},
           segmap AS (SELECT word,

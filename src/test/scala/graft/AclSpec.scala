@@ -135,6 +135,7 @@ class AclSpec extends AnyFunSuite {
     val root = tmpRoot()
     val spark = TestSpark.spark
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val e = new graft.core.Engine(spark, root)
     Seq(71, 72).foreach(id => e.registry.registerServer(
       graft.core.ServerConfig(id = id, hostname = s"h$id")))
@@ -144,11 +145,26 @@ class AclSpec extends AnyFunSuite {
     }
     e.registerExternalSweep("ext")(
       e.sweepSrvidPartitions(Seq("ext_settings")))
+    // store-resident index partitions are per-server data: a deleted
+    // server's index goes with it, other tenants' stays (the
+    // delete_and_purge contract extended to powa_index_* relations)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(32)
+    val cb = emb.select(col("vec_id").cast("long"),
+        graft.pipeline.Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    Seq(71, 72).foreach(id => graft.pipeline.Similarity
+      .saveIvfIndexStore(emb, "vec_id", "embedding", cb, root, "del", id))
     e.deleteServer(71)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "ext_settings", "srvid=71")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "ext_settings", "srvid=72")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "powa_index_del", "cells", "srvid=71"),
+      java.nio.file.LinkOption.NOFOLLOW_LINKS))
+    assert(graft.pipeline.Similarity
+      .loadIvfIndexStore(spark, root, "del", 72)._1.count() === 32L)
     assert(e.registry.serverIds.sorted == Seq(0, 72)) // 0 = local server
     // a sweep that throws must not block the delete (per-extension guard)
     e.registerExternalSweep("broken")(_ =>

@@ -1072,6 +1072,72 @@ class EngineSpec extends AnyFunSuite {
     AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("registerServers batch: auto-ids interleave with explicit ids, " +
+      "a duplicate rejects the WHOLE batch, restart sees the batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bulkreg")
+      .toString
+    val a = new Engine(spark, root)
+    val ids = a.registry.registerServers(Seq(
+      ServerConfig(id = 5, hostname = "e5"),
+      ServerConfig(id = 0, hostname = "auto1"), // -> 6 (next after 5)
+      ServerConfig(id = 9, hostname = "e9"),
+      ServerConfig(id = 0, hostname = "auto2"))) // -> 10
+    assert(ids === Seq(5, 6, 9, 10))
+    // duplicate anywhere -> whole batch rejected, nothing persisted
+    intercept[IllegalArgumentException] {
+      a.registry.registerServers(Seq(
+        ServerConfig(id = 0, hostname = "ok"), // would be 11
+        ServerConfig(id = 6, hostname = "dup")))
+    }
+    val b = new Engine(spark, root)
+    assert(b.registry.serverIds.filter(_ > 0).sorted === Seq(5, 6, 9, 10))
+    assert(b.registry.server(6).hostname === "auto1")
+    assert(b.registry.serverIds.forall(id => b.registry.meta(id) != null))
+    AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("v3 meta text rows: round-trip is exact for hostile error " +
+      "strings; crash-mid-migration re-runs idempotently") {
+    import RegistryStore._
+    val root = java.nio.file.Files.createTempDirectory("graft_v3meta")
+      .toString
+    val reg = new RegistryStore(root)
+    // the errors text[] carries free-form engine messages — tabs,
+    // newlines, commas, '=', unicode, and the empty-adjacent cases the
+    // line format must not be confused by (base64 isolation)
+    val hostile = Seq(
+      "plain", "tab\there", "nl\nline", "a,b,c", "k=v\tx=y",
+      "unié中文", " spaced  ")
+    val row = MetaRow(7, 42L,
+      Some(Timestamp.valueOf("2024-03-01 12:34:56")),
+      None,
+      Some(new Timestamp(1700000000123L)), // sub-second millis survive
+      hostile)
+    reg.saveMetas(Set(7), Seq(row))
+    assert(reg.loadMeta(7) === Some(row))
+    assert(new RegistryStore(root).loadMetas() === Seq(row))
+    // crash-mid-migration shape: server 8 still v2-link-only (the
+    // crash hit before its spill), server 7 has BOTH a stale v2 link
+    // and the newer text row (crash between text write and link drop
+    // cannot happen — writeMetaRow drops after — but a re-run may see
+    // a link REAPPEAR from a pre-upgrade engine writing concurrently;
+    // text must win and the link must be swept)
+    val dir = java.nio.file.Paths.get(root, "_registry")
+    def v2Link(r: MetaRow): Unit =
+      AtomicSwap.replace(dir, s"meta_srvid=${r.srvid}")(v =>
+        RegistryIo.write(v, RegistryIo.metasSchema)(
+          f => Seq(RegistryIo.metaGroup(f, r))))
+    v2Link(MetaRow(7, 1L, None, None, None, Seq("stale"))) // loser
+    v2Link(MetaRow(8, 9L, None, None, None, Seq.empty))    // unspilled
+    assert(reg.migrateMetaRows() === 1) // only 8 spills; 7's text wins
+    assert(reg.loadMeta(7) === Some(row))
+    assert(reg.loadMeta(8).map(_.coalesce_seq) === Some(9L))
+    assert(!java.nio.file.Files.exists(dir.resolve("meta_srvid=7"),
+      java.nio.file.LinkOption.NOFOLLOW_LINKS))
+    assert(reg.migrateMetaRows() === 0) // idempotent re-run
+    AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("schema upgrade vs concurrent registry mutation: ensure WAITS " +
       "for the registry lock — no step applies while a tick holds it") {
     // The reference analogue is `ALTER EXTENSION powa UPDATE` being
