@@ -479,6 +479,31 @@ object Dedup {
         col("band").cast("int").as("band"), col("bsig")))
   }
 
+  /** Compact a store-resident signature index partition: repeated
+    * admissions ([[appendSignatureIndexStore]]) leave one small file
+    * per (append × tier); fold each tier back to
+    * ceil(rows / targetRowsPerFile) range-partitioned files with ONE
+    * atomic swap per tier — rows unchanged, probes see the complete
+    * old or new generation. The doc/bsig range layout keeps each
+    * file's key range tight for future skip indexes; sizing by rows
+    * (one count per tier, admin-path) approximates the
+    * one-file-per-~128 MB rule. */
+  def compactSignatureIndexStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, srvid: Int,
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    val (hsh, banded) = loadSignatureIndexStore(spark, root, name, srvid)
+    val store = new graft.core.Store(spark, root)
+    val ds = s"powa_index_$name"
+    def parts(n: Long): Int =
+      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    store.overwritePartition(ds, "sh", srvid,
+      hsh.repartitionByRange(parts(hsh.count()), col("doc")))
+    store.overwritePartition(ds, "bands", srvid,
+      banded.repartitionByRange(parts(banded.count()), col("bsig")))
+  }
+
   /** Reload a store-resident signature index ([[saveSignatureIndexStore]])
     * for [[probeIndexStore]]: both tiers come through the DSv2 scan —
     * manifest-pinned listing, srvid pruned at planning time. */

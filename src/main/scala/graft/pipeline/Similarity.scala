@@ -354,25 +354,38 @@ object Similarity {
   }
 
   /** Probe a persisted IVF index with a query batch: each query is
-    * assigned to its cell by the same broadcast-codebook argmax the
-    * build used, the DISTINCT probed cells (batch-bounded) become an
-    * `IN` partition filter on the cells table — the scan opens only
-    * those partitions — and the in-cell candidates re-rank by exact
-    * cosine, top-k per query. Only batch-sized frames ever move. */
+    * assigned to its `nprobe` BEST cells by the same broadcast-codebook
+    * ranking the build's argmax used (ties prefer the lower cell id,
+    * identical to the build rule; nprobe = 1 is exactly the original
+    * single-cell probe), the DISTINCT probed cells (≤ nprobe·batch —
+    * bounded) become an `IN` partition filter on the cells table — the
+    * scan opens only those partitions/files — and the in-cell
+    * candidates re-rank by exact cosine, top-k per query. Cells
+    * partition the corpus, so multi-probe candidates are disjoint
+    * across a query's probed cells — no dedup stage needed. `nprobe`
+    * is the standard IVF recall/IO dial: each +1 opens one more
+    * cell's files per query. Only batch-sized frames ever move. */
   def probeIvfIndex(cells: DataFrame, codebook: Seq[(Long, Seq[Double])],
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
     require(codebook.nonEmpty, "probeIvfIndex: codebook must be non-empty")
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe must be in [1, ${codebook.size}], got $nprobe")
     NativeFunctions.register(cells.sparkSession)
-    val best = array_max(array(codebook.map { case (cid, cv) =>
+    val ranked = array(codebook.map { case (cid, cv) =>
       struct(cosine(col("qv"), typedLit(cv)).as("ccos"),
-        lit(-cid).as("ncid")) }: _*))
+        lit(-cid).as("ncid")) }: _*)
+    // sort asc then reverse → (ccos desc, ncid desc) = ties to the
+    // LOWER cell id, the argmax rule generalized to a ranking
+    val probed = transform(
+      slice(reverse(array_sort(ranked)), 1, nprobe),
+      x => -x.getField("ncid"))
     val q = queries.select(col(idCol).as("qid"),
         asDouble(col(vecCol)).as("qv"))
-      .withColumn("qcell", -best.getField("ncid"))
-      .localCheckpoint() // batch-sized by contract
+      .withColumn("qcell", explode(probed))
+      .localCheckpoint() // batch-sized by contract (nprobe·batch rows)
     val qCells = q.select(col("qcell")).distinct().collect()
-      .map(_.getLong(0)) // <= |batch| cells — bounded driver collect
+      .map(_.getLong(0)) // <= nprobe·|batch| cells — bounded collect
     graft.operators.TopK.topKPerGroup(
       cells.filter(col("cell").isin(qCells.toIndexedSeq: _*))
         .join(broadcast(q),
@@ -382,6 +395,24 @@ object Similarity {
       groupKeys = Seq(col("qid")),
       orderBy = Seq(col("cos").desc, col("vec_id").asc),
       k = k)
+  }
+
+  /** Compact a store-resident IVF index partition: repeated batch
+    * admissions ([[appendIvfIndexStore]]) leave one file per
+    * (append × cell-range), degrading probe file-skipping toward
+    * opening O(appends) small files per cell. This folds the partition
+    * back to ~one file per cell with ONE atomic swap — rows unchanged
+    * (a pure layout fold; the index sibling of the engine's history
+    * compaction), probes see the complete old or complete new
+    * generation, and the predecessor is retained one cycle for pinned
+    * readers. Run on the admission cadence, like the engine's
+    * purge-phase compaction. */
+  def compactIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): Unit = {
+    val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
+    val store = new graft.core.Store(spark, root)
+    store.overwritePartition(s"powa_index_$name", "cells", srvid,
+      cells.repartitionByRange(math.max(cb.size, 1), col("cell")))
   }
 
   /** Squared L2 distance between an integer vector column and a literal

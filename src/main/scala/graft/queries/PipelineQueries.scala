@@ -1243,6 +1243,35 @@ object PipelineQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  // IVF MULTI-PROBE on the governed index (the standard recall/IO
+  // dial): each query probes its nprobe=2 best cells — double the
+  // opened files per query, strictly better recall, candidates
+  // disjoint by construction (cells partition the corpus). Compaction
+  // folds the appended generations back to ~one file per cell first:
+  // the full index lifecycle (build → append → compact → multi-probe)
+  // in one oracle-gated query.
+  private def p160(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p160_store").toString
+    Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cb, root, "ivf", srvid = 1)
+    Similarity.appendIvfIndexStore(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", root, "ivf", srvid = 1)
+    Similarity.compactIvfIndexStore(s, root, "ivf", srvid = 1)
+    val (cells, cb2) = Similarity.loadIvfIndexStore(s, root, "ivf",
+      srvid = 1)
+    Similarity.probeIvfIndex(cells, cb2,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -2696,11 +2725,13 @@ object PipelineQueries {
               * 1000000.0) >= 800000
         ORDER BY i, j"""
 
-  /** Shared by p154 (session-catalog persisted IVF index) and p156
-    * (the governed store-resident form) — persistence must be
-    * invisible to the probe math, so both hash-match this replay of
-    * assignment + in-cell re-rank. */
-  private lazy val ivfProbeOracle: String = {
+  /** Shared by p154 (session-catalog persisted IVF index), p156/p158
+    * (the governed store-resident forms) and p160 (multi-probe) —
+    * persistence must be invisible to the probe math, so all
+    * hash-match this replay of assignment + in-cell(s) re-rank;
+    * `nprobe` ranks each query's cells like the corpus assignment
+    * (ccos DESC, cid ASC) and probes the best n. */
+  private def ivfProbeOracleN(nprobe: Int): String = {
     def cosSql(a: String, b: String): String =
       s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
           (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
@@ -2713,8 +2744,8 @@ object PipelineQueries {
                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
                 FROM asg0),
         cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell
-              FROM cell WHERE vec_id IN (100, 200)),
+        q AS (SELECT vec_id AS qid, v AS qv, cid AS qcell
+              FROM asg WHERE vec_id IN (100, 200) AND rn <= $nprobe),
         sc AS (SELECT q.qid, cell.vec_id, ${cosSql("cell.v", "q.qv")} AS cos
                FROM cell JOIN q ON cell.cell = q.qcell
                WHERE cell.vec_id != q.qid),
@@ -2726,6 +2757,7 @@ object PipelineQueries {
         FROM r WHERE rn <= 5
         ORDER BY qid, cos DESC, vec_id ASC"""
   }
+  private lazy val ivfProbeOracle: String = ivfProbeOracleN(1)
 
   /** Seeded per-table variant (Similarity.planeWeights(table, plane)). */
   private def lshProjSqlSeeded(table: Int, planes: Int): String =
@@ -2947,7 +2979,8 @@ object PipelineQueries {
     "p156_ivf_index_store" -> (p156 _),
     "p157_signature_index_store" -> (p157 _),
     "p158_ivf_index_append" -> (p158 _),
-    "p159_signature_index_append" -> (p159 _))
+    "p159_signature_index_append" -> (p159 _),
+    "p160_ivf_multiprobe" -> (p160 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5660,6 +5693,7 @@ object PipelineQueries {
     // build+append must be indistinguishable from the one-shot build
     "p158_ivf_index_append" -> ivfProbeOracle,
     "p159_signature_index_append" -> incrementalDedupSql,
+    "p160_ivf_multiprobe" -> ivfProbeOracleN(2),
     "p155_tokenizer_mixture_chain" ->
       s"""WITH ${bpeCtes(4)},
           segmap AS (SELECT word,

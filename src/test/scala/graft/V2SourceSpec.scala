@@ -469,6 +469,74 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("store-resident IVF index lifecycle: append grows files " +
+      "row-exactly, compact folds them back, probes identical " +
+      "throughout, multi-probe opens more files than single") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = Tables.embeddings(spark, sfDir)
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      // one-shot reference build
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+        store.root, "ref", srvid = 1)
+      val (refCells, refCb) =
+        Similarity.loadIvfIndexStore(spark, store.root, "ref", 1)
+      def probe(cells: org.apache.spark.sql.DataFrame,
+          c: Seq[(Long, Seq[Double])], np: Int) =
+        Similarity.probeIvfIndex(cells, c,
+          emb.filter(col("vec_id").isin(100L, 200L)),
+          "vec_id", "embedding", k = 5, nprobe = np).collect().toSet
+      val want1 = probe(refCells, refCb, 1)
+      // incremental build: thirds admitted as batches
+      Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", cb, store.root, "inc", srvid = 1)
+      Seq(1, 2).foreach(r => Similarity.appendIvfIndexStore(
+        emb.filter(col("vec_id") % 3 === r), "vec_id", "embedding",
+        store.root, "inc", srvid = 1))
+      val layout = StoreLayout(store.root, "powa_index_inc", "cells")
+      val filesBefore = layout.files(1).size
+      val (incCells, incCb) =
+        Similarity.loadIvfIndexStore(spark, store.root, "inc", 1)
+      assert(probe(incCells, incCb, 1) === want1,
+        "append generations must probe like the one-shot build")
+      assert(incCells.count() === refCells.count())
+      // compact: files fold toward one per cell, rows and probes exact
+      Similarity.compactIvfIndexStore(spark, store.root, "inc", 1)
+      val filesAfter = layout.files(1).size
+      assert(filesAfter < filesBefore && filesAfter <= cb.size,
+        s"compact must fold $filesBefore files to <= ${cb.size}, " +
+          s"got $filesAfter")
+      assert(layout.filesWithStats(1).forall(_._2.contains("cell")),
+        "compacted files must re-publish cell stats")
+      val (cCells, cCb) =
+        Similarity.loadIvfIndexStore(spark, store.root, "inc", 1)
+      assert(cCells.count() === refCells.count())
+      assert(probe(cCells, cCb, 1) === want1)
+      // multi-probe: more candidates considered => results form a
+      // superset-or-equal top-k quality-wise; planned files grow
+      val want2 = probe(cCells, cCb, 2)
+      assert(want2.nonEmpty)
+      def plannedFiles(np: Int): Int = {
+        val df = Similarity.probeIvfIndex(cCells, cCb,
+          emb.filter(col("vec_id") === 100L),
+          "vec_id", "embedding", k = 5, nprobe = np)
+        df.collect()
+        df.queryExecution.sparkPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if s.scan.isInstanceOf[StoreScan] => s.inputPartitions.length
+        }.sum
+      }
+      val f1 = plannedFiles(1); val f2 = plannedFiles(2)
+      assert(f1 < f2 && f2 < filesAfter * 2,
+        s"nprobe=2 must open more cells than 1 but not the index: " +
+          s"$f1 vs $f2 of $filesAfter")
+    }
+  }
+
   test("store-resident signature index: probeIndexStore matches " +
       "probeIndex, with the corpus-side frames never shuffled") {
     import graft.pipeline.Dedup
@@ -513,6 +581,26 @@ class V2SourceSpec extends AnyFunSuite {
       assert(smjOverIndex.isEmpty,
         s"index-side joins must broadcast the batch side:\n" +
           got.queryExecution.executedPlan)
+      // lifecycle: admit the same docs again as appends on a fresh
+      // index (halves), compact both tiers to single files, and the
+      // probe must still be pair-identical
+      Dedup.saveSignatureIndexStore(
+        hsh.filter(col("doc") % 2 === 0),
+        banded.filter(col("doc") % 2 === 0), store.root, "v2sig2",
+        srvid = 2)
+      Dedup.appendSignatureIndexStore(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, store.root, "v2sig2", srvid = 2)
+      Dedup.compactSignatureIndexStore(spark, store.root, "v2sig2", 2)
+      val shLay = StoreLayout(store.root, "powa_index_v2sig2", "sh")
+      val bandLay = StoreLayout(store.root, "powa_index_v2sig2", "bands")
+      assert(shLay.files(2).size === 1 && bandLay.files(2).size === 1,
+        s"compaction must fold to one file per tier at this volume, " +
+          s"got ${shLay.files(2).size}/${bandLay.files(2).size}")
+      val (h2, b2) =
+        Dedup.loadSignatureIndexStore(spark, store.root, "v2sig2", 2)
+      assert(Dedup.probeIndexStore(h2, b2, batch, "doc_id", 0.8)
+        .collect().toSet === want)
     }
   }
 }
