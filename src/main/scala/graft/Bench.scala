@@ -109,13 +109,17 @@ object Bench {
       val spread = if (ts.size > 1 && ts.min > 0) ts.max / ts.min else 1.0
       (name, median(ts), runs.forall(_._2), spread)
     }
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-dependent and a
+    // comma-decimal locale would emit unparseable JSON
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok, _) => s"\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val spreads = results
-      .map { case (k, _, _, sp) => s"\"" + k + "\":" + f"$sp%.2f" }
+      .map { case (k, _, _, sp) => s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(sp)) }
       .mkString("{", ",", "}")
     val nFailed = results.count(!_._3)
     val total = results.map(_._2).sum

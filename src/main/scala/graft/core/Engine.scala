@@ -508,8 +508,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     // extension-owned relation (powa--5.2.0.sql:2864-2888). Discovered
     // from the root (indexes are created ad hoc, not spec-registered).
     indexDatasourceTiers().foreach { case (ds, tier) =>
-      try AtomicSwap.drop(
-        java.nio.file.Paths.get(storageRoot, ds, tier), s"srvid=$srvid")
+      // Store.dropPartition, not a bare AtomicSwap.drop: it retains the
+      // newest version one cycle so a probe that pinned the manifest
+      // just before the delete finishes undisturbed — the store's
+      // standard drop-retention contract applies to index data too
+      try store.dropPartition(ds, tier, srvid)
       catch { case e: Exception =>
         registry.meta(srvid).errors :+= s"sweep $ds.$tier: ${e.getMessage}" }
     }

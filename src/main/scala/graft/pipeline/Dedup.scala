@@ -433,45 +433,74 @@ object Dedup {
     org.apache.spark.sql.types.StructField("srvid",
       org.apache.spark.sql.types.IntegerType)))
 
-  /** Persist a [[signatureIndex]] THROUGH THE GOVERNED STORE
-    * (datasource `powa_index_<name>`, tiers `sh` + `bands`) — the
+  private val sigParamsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("rows_per_band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Persist a signature index THROUGH THE GOVERNED STORE (datasource
+    * `powa_index_<name>`, tiers `sh` + `bands` + `params`) — the
     * governed sibling of [[saveSignatureIndex]]: AtomicSwap-committed
     * per-srvid replacement, manifest-pinned reads, srvid tenancy, and
     * the powa_grant ACL at the catalog surface
     * (`AccessControl.isIndexObject`; the reference grants every
-    * extension-owned relation, powa--5.2.0.sql:7533-7655). The store
-    * has no bucketed layout, so [[probeIndexStore]] replaces the
-    * co-bucketed join with a broadcast of the batch-bounded probe
-    * side — the index is SCANNED once and never shuffled, the same
-    * no-index-exchange bound by a different mechanism. */
-  def saveSignatureIndexStore(hsh: DataFrame, banded: DataFrame,
+    * extension-owned relation, powa--5.2.0.sql:7533-7655). The index
+    * GEOMETRY (n, k, rowsPerBand) is persisted in the `params` tier —
+    * it is a property of the index, not of the ingest job, and
+    * [[appendSignatureIndexStore]] reads it back so a drifting caller
+    * cannot silently append incomparable signatures (the codebook
+    * rule of the IVF sibling). The store has no bucketed layout, so
+    * [[probeIndexStore]] replaces the co-bucketed join with a
+    * broadcast of the batch-bounded probe side — the index is SCANNED
+    * once and never shuffled, the same no-index-exchange bound by a
+    * different mechanism. */
+  def saveSignatureIndexStore(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, rowsPerBand: Int,
       root: String, name: String, srvid: Int): Unit = {
-    val store = new graft.core.Store(hsh.sparkSession, root)
+    val spark = docs.sparkSession
+    val (hsh, banded) = signatureIndex(docs, idCol, textCol,
+      n, k, rowsPerBand)
+    val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
     store.overwritePartition(ds, "sh", srvid,
       hsh.select(col("doc").cast("long").as("doc"), col("sh")))
     store.overwritePartition(ds, "bands", srvid,
       banded.select(col("doc").cast("long").as("doc"),
         col("band").cast("int").as("band"), col("bsig")))
+    import spark.implicits._
+    store.overwritePartition(ds, "params", srvid,
+      Seq((n, k, rowsPerBand)).toDF("n", "k", "rows_per_band"))
   }
 
   /** ADMIT a new document batch into a standing store-resident
     * signature index — the daily-ingest form the [[signatureIndex]]
     * scaladoc promises ("appended as docs are admitted"): the batch's
-    * hashed-shingle and banded frames are computed with the SAME
-    * (n, k, rowsPerBand) parameters as the build (the index's geometry
-    * — a different banding would make old and new signatures
-    * incomparable) and committed through the store's batch-append
+    * hashed-shingle and banded frames are computed with the index's
+    * PERSISTED (n, k, rowsPerBand) geometry (a different banding would
+    * make old and new signatures silently incomparable — the
+    * parameters are read from the `params` tier, never trusted from
+    * the caller) and committed through the store's batch-append
     * protocol (atomic rename + manifest republish: concurrent probes
     * see the complete pre- or post-batch index). Cost is batch-sized;
     * nothing existing is rewritten. */
   def appendSignatureIndexStore(newDocs: DataFrame, idCol: String,
-      textCol: String, n: Int, k: Int, rowsPerBand: Int,
-      root: String, name: String, srvid: Int): Unit = {
-    val (hsh, banded) = signatureIndex(newDocs, idCol, textCol,
-      n, k, rowsPerBand)
-    val store = new graft.core.Store(newDocs.sparkSession, root)
+      textCol: String, root: String, name: String, srvid: Int): Unit = {
+    val spark = newDocs.sparkSession
+    val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
+    val params = store.readV2(ds, "params", sigParamsSchema)
+      .filter(col("srvid") === srvid).collect()
+    require(params.nonEmpty,
+      s"appendSignatureIndexStore: no params for index '$name' srvid " +
+        s"$srvid — build with saveSignatureIndexStore first")
+    val p = params.head
+    val (hsh, banded) = signatureIndex(newDocs, idCol, textCol,
+      p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"))
     store.appendPartition(ds, "sh", srvid,
       hsh.select(col("doc").cast("long").as("doc"), col("sh")))
     store.appendPartition(ds, "bands", srvid,

@@ -1181,10 +1181,9 @@ object PipelineQueries {
   private def p157(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
-    val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text",
-      n = 3, k = 16, rowsPerBand = 4)
     val root = graft.TempDirs.scoped("graft_p157_store").toString
-    Dedup.saveSignatureIndexStore(hsh, banded, root, "sig", srvid = 1)
+    Dedup.saveSignatureIndexStore(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, root, "sig", srvid = 1)
     val (hsh2, banded2) = Dedup.loadSignatureIndexStore(s, root, "sig",
       srvid = 1)
     Dedup.probeIndexStore(hsh2, banded2, batch, "doc_id", threshold = 0.8)
@@ -1228,13 +1227,13 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
     val root = graft.TempDirs.scoped("graft_p159_store").toString
-    val (h1, b1) = Dedup.signatureIndex(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      n = 3, k = 16, rowsPerBand = 4)
-    Dedup.saveSignatureIndexStore(h1, b1, root, "sig", srvid = 1)
-    Dedup.appendSignatureIndexStore(docs.filter(col("doc_id") % 2 =!= 0),
+    Dedup.saveSignatureIndexStore(docs.filter(col("doc_id") % 2 === 0),
       "doc_id", "text", n = 3, k = 16, rowsPerBand = 4, root, "sig",
       srvid = 1)
+    // the append reads the index's persisted geometry — the caller
+    // cannot drift it
+    Dedup.appendSignatureIndexStore(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", root, "sig", srvid = 1)
     val (hsh, banded) = Dedup.loadSignatureIndexStore(s, root, "sig",
       srvid = 1)
     Dedup.probeIndexStore(hsh, banded, batch, "doc_id", threshold = 0.8)

@@ -19,7 +19,8 @@ case class ScdEvent(user_id: Long, ts: java.sql.Timestamp,
   * O(1) current-run — the per-entity "current value" registry an SCD
   * consumer keeps anyway. */
 case class ScdState(ev: Seq[(Long, Long, String)], curValue: String,
-  curFromUs: Long, curN: Long, lastTsUs: Long)
+  curFromUs: Long, curN: Long, lastTsUs: Long,
+  openFromUs: Long, openN: Long)
 
 /** One validity row: `valid_to` null while the run is still current
   * (the open interval emitted at quiescence; a later change emits the
@@ -67,10 +68,15 @@ case class ScdOut(user_id: Long, value: String,
   * exact parity with the batch operator. A long-running stream over
   * churning key spaces should set `horizonSec`: a run whose last
   * observation is older than the horizon at quiescence is dropped
-  * after its open row is emitted, bounding state to active keys. The
-  * trade, identical to [[StateFunnel]]'s horizon: a key returning
-  * after the horizon starts a NEW run (fresh valid_from) even if its
-  * value never changed, instead of extending the dropped one. */
+  * after its open row has been emitted, bounding state to active
+  * keys. Open-row emission is content-keyed (state tracks the last
+  * emitted (valid_from, n_obs)), so the retirement fire never
+  * duplicates an unchanged open row for raw append consumers; an
+  * unrepresentably large finite horizon saturates to ∞ instead of
+  * overflowing. The trade, identical to [[StateFunnel]]'s horizon: a
+  * key returning after the horizon starts a NEW run (fresh
+  * valid_from) even if its value never changed, instead of extending
+  * the dropped one. */
 object StateScd {
 
   def intervals(events: Dataset[ScdEvent],
@@ -89,9 +95,15 @@ object StateScd {
             val (closed, nxt) = fold(user, st)
             // quiescence: everything buffered is final — emit the
             // closed history plus the open current row, keep the O(1)
-            // run (a much-later observation continues or closes it)
+            // run (a much-later observation continues or closes it).
+            // The open row is emitted only when its CONTENT changed
+            // since the last emission ((valid_from, n_obs) tracked in
+            // state) — a later horizon-retirement fire on an unchanged
+            // run must not duplicate it for raw append consumers.
+            val openChanged = nxt.curFromUs != -1L &&
+              !(nxt.curFromUs == st.openFromUs && nxt.curN == st.openN)
             val open =
-              if (nxt.curFromUs != -1L)
+              if (openChanged)
                 Seq(ScdOut(user, nxt.curValue,
                   tsFromMicros(nxt.curFromUs), null, nxt.curN))
               else Seq.empty
@@ -99,23 +111,29 @@ object StateScd {
             // horizon at quiescence has had its open row emitted — drop
             // the state (retired key). Otherwise keep the O(1) run; with
             // a finite horizon re-arm the timer so retirement fires even
-            // if the key never returns.
+            // if the key never returns. Deadline math saturates: a
+            // finite horizon too large to represent behaves as ∞
+            // (never expires, no retirement timer) instead of
+            // overflowing into retire-immediately.
             val wmUs = state.getCurrentWatermarkMs() * 1000L
-            val expired = horizonSec != Long.MaxValue &&
-              nxt.curFromUs != -1L &&
-              wmUs > nxt.lastTsUs + horizonSec * 1000000L
+            val deadline =
+              if (horizonSec == Long.MaxValue || nxt.curFromUs == -1L)
+                Long.MaxValue
+              else horizonDeadlineUs(nxt.lastTsUs, horizonSec)
+            val expired = deadline != Long.MaxValue && wmUs > deadline
             if (nxt.curFromUs == -1L || expired) state.remove()
             else {
-              state.update(nxt.copy(ev = Vector.empty))
-              if (horizonSec != Long.MaxValue)
-                state.setTimeoutTimestamp(
-                  (nxt.lastTsUs + horizonSec * 1000000L) / 1000L + 1L)
+              state.update(nxt.copy(ev = Vector.empty,
+                openFromUs = nxt.curFromUs, openN = nxt.curN))
+              if (deadline != Long.MaxValue)
+                state.setTimeoutTimestamp(deadline / 1000L + 1L)
             }
             (closed ++ open).iterator
           } else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val st = state.getOption
-              .getOrElse(ScdState(Vector.empty, null, -1L, 0L, -1L))
+              .getOrElse(ScdState(Vector.empty, null, -1L, 0L, -1L,
+                -1L, -1L))
             val incoming = evs
               .map(e => (micros(e.ts), e.event_id, e.value))
               .filter(_._1 >= wmUs)
@@ -160,6 +178,14 @@ object StateScd {
     }
     (out.result(), cur)
   }
+
+  /** lastUs + horizonSec·10⁶ with saturation: a finite horizon whose
+    * deadline would overflow Long behaves as ∞ rather than wrapping
+    * negative (which would retire every run at first quiescence). */
+  private def horizonDeadlineUs(lastUs: Long, horizonSec: Long): Long =
+    if (horizonSec >= (Long.MaxValue - math.max(lastUs, 0L)) / 1000000L)
+      Long.MaxValue
+    else lastUs + horizonSec * 1000000L
 
   private def micros(t: java.sql.Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L

@@ -43,6 +43,18 @@ object StreamTuning {
     * closes the leak window to the start call; the full-body form
     * remains for foreachBatch folds whose INNER batch jobs must also
     * plan under the stream sizing. */
+  def scoped[T](s: SparkSession, default: Int = 8)(body: => T): T = {
+    val parts = s.conf.getOption(Key).map(_.trim.toInt).getOrElse(default)
+    require(parts >= 1, s"$Key must be >= 1, got $parts")
+    val prev = s.conf.getOption(ShufflePartitions)
+    s.conf.set(ShufflePartitions, parts.toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(ShufflePartitions, v)
+      case None => s.conf.unset(ShufflePartitions)
+    }
+  }
+
   /** Start a streaming query under the stream-state sizing and restore
     * the session conf BEFORE returning: StreamExecution clones the
     * session at construction (its micro-batches plan on the clone's
@@ -59,16 +71,4 @@ object StreamTuning {
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery =
     scoped(s, default)(start)
-
-  def scoped[T](s: SparkSession, default: Int = 8)(body: => T): T = {
-    val parts = s.conf.getOption(Key).map(_.trim.toInt).getOrElse(default)
-    require(parts >= 1, s"$Key must be >= 1, got $parts")
-    val prev = s.conf.getOption(ShufflePartitions)
-    s.conf.set(ShufflePartitions, parts.toString)
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(ShufflePartitions, v)
-      case None => s.conf.unset(ShufflePartitions)
-    }
-  }
 }

@@ -482,15 +482,20 @@ class StreamIngestSpec extends AnyFunSuite {
       mem.addData(ev(1L, 400L, 4L, "red")); q.processAllAvailable()
       mem.addData(ev(9L, 800L, 5L, "x")); q.processAllAvailable()
       mem.addData(ev(9L, 801L, 6L, "x")); q.processAllAvailable()
-      val rows = spark.table(sink).filter(col("user_id") === 1L)
-        // closed-wins reconstruction, like every SCD consumer
-        .groupBy(col("value"), col("valid_from"))
-        .agg(max(col("valid_to")).as("valid_to"),
-          max(col("n_obs")).as("n_obs"))
+      // RAW rows, no dedup: an open row must be emitted once per
+      // CONTENT — the horizon-retirement fire on an unchanged run must
+      // not duplicate it (a raw append consumer would double-count)
+      val raw = spark.table(sink).filter(col("user_id") === 1L)
         .collect()
-        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
-          Option(r.getTimestamp(2)).map(_.getTime), r.getLong(3)))
-        .sortBy(_._2).toSeq
+        .map(r => (r.getString(1), r.getTimestamp(2).getTime,
+          Option(r.getTimestamp(3)).map(_.getTime), r.getLong(4)))
+        .toSeq
+      assert(raw.size === raw.distinct.size,
+        s"duplicate emissions in raw output: $raw")
+      val rows = raw.groupBy(r => (r._1, r._2)).map { case (_, g) =>
+        (g.head._1, g.head._2, g.flatMap(_._3).lastOption,
+          g.map(_._4).max)
+      }.toSeq.sortBy(_._2)
       q.stop()
       rows
     }

@@ -547,8 +547,8 @@ class V2SourceSpec extends AnyFunSuite {
         .select(col("doc_id"))
       val (hsh, banded) = Dedup.signatureIndex(docs, "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4)
-      Dedup.saveSignatureIndexStore(hsh, banded, store.root, "v2sig",
-        srvid = 2)
+      Dedup.saveSignatureIndexStore(docs, "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, store.root, "v2sig", srvid = 2)
       val (hsh2, banded2) =
         Dedup.loadSignatureIndexStore(spark, store.root, "v2sig", srvid = 2)
       val got = Dedup.probeIndexStore(hsh2, banded2, batch, "doc_id", 0.8)
@@ -585,12 +585,18 @@ class V2SourceSpec extends AnyFunSuite {
       // index (halves), compact both tiers to single files, and the
       // probe must still be pair-identical
       Dedup.saveSignatureIndexStore(
-        hsh.filter(col("doc") % 2 === 0),
-        banded.filter(col("doc") % 2 === 0), store.root, "v2sig2",
-        srvid = 2)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, k = 16, rowsPerBand = 4, store.root, "v2sig2", srvid = 2)
+      // the append reads the persisted geometry; a missing index
+      // fails loudly instead of silently mixing bandings
+      intercept[IllegalArgumentException] {
+        Dedup.appendSignatureIndexStore(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          store.root, "no_such_index", srvid = 2)
+      }
       Dedup.appendSignatureIndexStore(
         docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
-        n = 3, k = 16, rowsPerBand = 4, store.root, "v2sig2", srvid = 2)
+        store.root, "v2sig2", srvid = 2)
       Dedup.compactSignatureIndexStore(spark, store.root, "v2sig2", 2)
       val shLay = StoreLayout(store.root, "powa_index_v2sig2", "sh")
       val bandLay = StoreLayout(store.root, "powa_index_v2sig2", "bands")
