@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Round-11 stress axes.
   *
@@ -91,8 +92,55 @@ object StressR11 {
       spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
     graft.core.AtomicSwap.deleteRecursively(fleetRoot)
 
+    // Governed-index lifecycle axis: one-shot build vs 4-batch
+    // admission + compaction, probed after each. Claims: per-batch
+    // admission cost is batch-sized (the 4 appends sum to roughly the
+    // one-shot build — nothing is rewritten), compaction is one
+    // partition rewrite, and the probe is cell-sized regardless of
+    // how the index was produced.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        col("embedding"))
+      .repartition(cpus.toInt * 2).localCheckpoint()
+    val nVecs = vecs.count()
+    val cbIdx = vecs.select(col("vec_id").cast("long"),
+        graft.pipeline.Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_idx11")
+    val (ivfBuildSec, _) = StressCorpus.timed {
+      graft.pipeline.Similarity.saveIvfIndexStore(vecs, "vec_id",
+        "embedding", cbIdx, idxRoot.toString, "one", 1); nVecs
+    }
+    val (ivfAdmitSec, _) = StressCorpus.timed {
+      graft.pipeline.Similarity.saveIvfIndexStore(
+        vecs.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        cbIdx, idxRoot.toString, "inc", 1)
+      (1 to 3).foreach(r => graft.pipeline.Similarity.appendIvfIndexStore(
+        vecs.filter(col("vec_id") % 4 === r), "vec_id", "embedding",
+        idxRoot.toString, "inc", 1))
+      nVecs
+    }
+    val (ivfCompactSec, _) = StressCorpus.timed {
+      graft.pipeline.Similarity.compactIvfIndexStore(spark,
+        idxRoot.toString, "inc", 1); nVecs
+    }
+    val (ivfProbeSec, ivfProbeRows) = StressCorpus.timed {
+      val (cells, cb2) = graft.pipeline.Similarity.loadIvfIndexStore(
+        spark, idxRoot.toString, "inc", 1)
+      graft.pipeline.Similarity.probeIvfIndex(cells, cb2,
+        vecs.filter(col("vec_id").isin(100L, 200L, 300L, 400L)),
+        "vec_id", "embedding", k = 10, nprobe = 2).count()
+    }
+    graft.core.AtomicSwap.deleteRecursively(idxRoot)
+
     val json =
       s"""{"metric":"stress_r11","fleet":$nFleet,"mult":$mult,""" +
+        s""""n_vecs":$nVecs,"ivf_build_sec":$ivfBuildSec,""" +
+        s""""ivf_admit4_sec":$ivfAdmitSec,""" +
+        s""""ivf_compact_sec":$ivfCompactSec,""" +
+        s""""ivf_probe_sec":$ivfProbeSec,"ivf_probe_rows":$ivfProbeRows,""" +
         s""""register_sec":$registerSec,""" +
         s""""register_batch_sec":$registerBatchSec,""" +
         s""""staged_tick_sec":$stagedSec,"idle_tick_sec":$idleSec,""" +
