@@ -498,7 +498,16 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
 
   /** powa_delete_and_purge_server (:2842-2888): config rows + all data,
     * plus any registered autonomous-extension sweeps. */
-  def deleteServer(srvid: Int): Unit = {
+  /** Delete a server and purge every trace of it. Sweep failures never
+    * block the delete (per-sweep guard, like the per-datasource tick
+    * guard) — but the server's meta row is dropped WITH the server, so
+    * an error recorded there would vanish: failures are therefore
+    * RETURNED to the caller and logged, the only surfaces that outlive
+    * the deletion. A non-empty result means orphaned per-server data
+    * (an index partition or extension table that failed to drop) that
+    * the operator must re-sweep by hand. */
+  def deleteServer(srvid: Int): Seq[String] = {
+    var failures = Vector.empty[String]
     datasources.foreach(_.reset(store, srvid))
     catalogs.reset(srvid)
     // store-resident index relations (powa_index_<name>/<tier>) are
@@ -514,14 +523,16 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       // standard drop-retention contract applies to index data too
       try store.dropPartition(ds, tier, srvid)
       catch { case e: Exception =>
-        registry.meta(srvid).errors :+= s"sweep $ds.$tier: ${e.getMessage}" }
+        failures :+= s"sweep $ds.$tier: ${e.getMessage}" }
     }
     externalSweeps.foreach { case (ext, sweep) =>
       try sweep(srvid)
       catch { case e: Exception =>
-        registry.meta(srvid).errors :+= s"sweep $ext: ${e.getMessage}" }
+        failures :+= s"sweep $ext: ${e.getMessage}" }
     }
     registry.dropServer(srvid)
+    failures.foreach(f => log(s"deleteServer($srvid) left orphans: $f"))
+    failures
   }
 
   /** (datasource, tier) pairs of every store-resident index under the

@@ -166,10 +166,13 @@ class AclSpec extends AnyFunSuite {
     assert(graft.pipeline.Similarity
       .loadIvfIndexStore(spark, root, "del", 72)._1.count() === 32L)
     assert(e.registry.serverIds.sorted == Seq(0, 72)) // 0 = local server
-    // a sweep that throws must not block the delete (per-extension guard)
+    // a sweep that throws must not block the delete (per-extension
+    // guard) — but the failure must be RETURNED (the server's meta row
+    // dies with the server, so it is the only surviving surface)
     e.registerExternalSweep("broken")(_ =>
       throw new RuntimeException("ext down"))
-    e.deleteServer(72)
+    val fails = e.deleteServer(72)
+    assert(fails.exists(_.contains("ext down")), fails.mkString(", "))
     assert(e.registry.serverIds == Seq(0))
   }
 

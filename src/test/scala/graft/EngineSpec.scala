@@ -1092,7 +1092,11 @@ class EngineSpec extends AnyFunSuite {
     val b = new Engine(spark, root)
     assert(b.registry.serverIds.filter(_ > 0).sorted === Seq(5, 6, 9, 10))
     assert(b.registry.server(6).hostname === "auto1")
-    assert(b.registry.serverIds.forall(id => b.registry.meta(id) != null))
+    // the metas PERSISTED (Registry.meta would synthesize a fresh row
+    // on access, so check the store directly)
+    val rs = new RegistryStore(root)
+    assert(Seq(5, 6, 9, 10).forall(id => rs.loadMeta(id).isDefined),
+      "registerServers must persist a meta row per registered server")
     AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
