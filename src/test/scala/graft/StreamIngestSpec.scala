@@ -510,6 +510,74 @@ class StreamIngestSpec extends AnyFunSuite {
       Seq(("red", t0, None, 2L)))
   }
 
+  test("state-schema fence: resuming a checkpoint with a changed state " +
+      "shape fails loudly (the engine-side guard our state evolution " +
+      "leans on)") {
+    // StateScd/StateFunnel state case classes gained fields this round
+    // (openFromUs/openN). A NEW stream is unaffected; the question is
+    // what happens to an EXISTING checkpoint: this pins that Spark's
+    // state-store schema check rejects the resume loudly (an operator
+    // silently misreading old state bytes would be the silent-wrong
+    // path). The production upgrade story is therefore: drain the old
+    // stream to quiescence, then start fresh — same contract as a
+    // shuffle-partition change.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = graft.TempDirs.scoped("graft_state_fence").toString
+    val out = graft.TempDirs.scoped("graft_state_fence_out").toString
+    def runWith[S <: Product : org.apache.spark.sql.Encoder](
+        mk: Long => S, get: S => Long, batches: Int): Unit = {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = mem.toDF().toDF("k", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[S, Long](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+          (k, evs, st: org.apache.spark.sql.streaming.GroupState[S]) =>
+            val n = st.getOption.map(get).getOrElse(0L) + evs.size
+            st.update(mk(n))
+            Iterator.single(n)
+        }
+        .toDF("n")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      // a resumed checkpoint replays this source's committed offsets
+      // as no-ops (fresh MemoryStream, same positions), so a resume
+      // must enqueue PAST them for its last batch to be genuinely new
+      try {
+        (1 to batches).foreach { b =>
+          mem.addData((1L, new Timestamp(1700000000000L + b * 1000L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.toString + "\n" + msgs(x.getCause)
+    runWith[(Long, Long)](n => (n, n), _._1, batches = 1) // v1 state
+    // BOTH a widened state (field added) and a type change are
+    // rejected with STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE before
+    // any old state byte is misread — measured engine fact on
+    // Spark 4.1 (this is the fence; there is no silent-read path)
+    val widened = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      runWith[(Long, Long, Long)](n => (n, n, n), _._1, batches = 2)
+    }
+    assert(msgs(widened).contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+      msgs(widened).take(500))
+    val typed = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      runWith[(Long, String)](n => (n, "x"), _._1, batches = 3)
+    }
+    assert(msgs(typed).contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+      msgs(typed).take(500))
+    // and the v1 output row is intact — nothing was corrupted
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
   test("streaming as-of: watermark-finalized backward match, however-old " +
       "quotes, left nulls, exactly once") {
     import spark.implicits._
