@@ -72,6 +72,7 @@ object NativeFunctions {
   val DotName = "graft_dot"
   val H60Name = "graft_h60"
   val Dist2Name = "graft_dist2"
+  val ArgminDist2Name = "graft_argmin_dist2"
 
   /** Register the expressions in the session's function registry (the
     * supported route to a `Column` over a custom Expression). Idempotent.
@@ -83,6 +84,9 @@ object NativeFunctions {
       H60Name, exprs => Md5Prefix60Expr(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Dist2Name, exprs => Dist2(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ArgminDist2Name, exprs => ArgminDist2(exprs(0), exprs(1)),
+      "scala_udf")
   }
 
   /** Column-level dot product; caller must have registered the session. */
@@ -93,6 +97,11 @@ object NativeFunctions {
 
   /** Column-level integer squared-L2; caller must have registered. */
   def dist2(a: Column, b: Column): Column = call_function(Dist2Name, a, b)
+
+  /** Column-level integer-L2 argmin position over a literal codebook;
+    * caller must have registered. */
+  def argminDist2(v: Column, cents: Column): Column =
+    call_function(ArgminDist2Name, v, cents)
 }
 
 /** SparkSessionExtensions hook: makes the engine's native functions
@@ -119,6 +128,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[Dist2].getName, NativeFunctions.Dist2Name),
       (exprs: Seq[Expression]) => Dist2(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(
+        NativeFunctions.ArgminDist2Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ArgminDist2].getName, NativeFunctions.ArgminDist2Name),
+      (exprs: Seq[Expression]) => ArgminDist2(exprs(0), exprs(1))))
     // keyless range-predicate joins → binned equi-joins (inert until
     // spark.graft.rangeJoin.binSeconds is set; see the rule's scaladoc)
     e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)

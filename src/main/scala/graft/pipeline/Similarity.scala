@@ -459,10 +459,13 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      val best = array_max(array(cents.map { case (cid, cv) =>
-        struct((-dist2Int(col("qv"), cv)).as("ndist"), lit(-cid).as("ncid"))
-      }: _*))
-      val sums = q.withColumn("cell", -best.getField("ncid"))
+      // native argmin loop + id lookup (see pqCodebook's cellCol note:
+      // the struct-argmax form's generated code exceeded JIT limits at
+      // larger k; identical tie rule — centroids sorted ascending)
+      val cell = element_at(typedLit(cents.map(_._1)),
+        NativeFunctions.argminDist2(col("qv"),
+          typedLit(cents.map(_._2))) + 1)
+      val sums = q.withColumn("cell", cell)
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "val")))
         .groupBy(col("cell"), col("pos"))
         .agg(expr("sum(val) DIV count(1)").as("cval"))
@@ -496,13 +499,15 @@ object Similarity {
   def assignCellsInt(embeddings: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
     NativeFunctions.register(embeddings.sparkSession)
-    val best = array_max(array(cents.map { case (cid, cv) =>
-      struct((-dist2Int(col("qv"), cv)).as("ndist"), lit(-cid).as("ncid"))
-    }: _*))
+    // native argmin loop + id lookup (pqCodebook's cellCol note);
+    // identical tie rule — centroids sorted ascending by id
+    val cell = element_at(typedLit(cents.map(_._1)),
+      NativeFunctions.argminDist2(col("qv"),
+        typedLit(cents.map(_._2))) + 1)
     embeddings
       .withColumn("qv", transform(col(vecCol),
         x => floor(x.cast("double") * 10000).cast("long")))
-      .withColumn("cell", -best.getField("ncid"))
+      .withColumn("cell", cell)
       .drop("qv")
   }
 
@@ -870,26 +875,26 @@ object Similarity {
       (0 until m).map(s => s -> seeds.map { case (id, v) =>
         (id, v.slice(s * subDim, (s + 1) * subDim)) }).toMap
     }
-    def cellCol(s: Int): Column = -array_max(array(cents(s).map {
-      case (cid, cv) =>
-        struct((-dist2Int(sub(s), cv)).as("nd"), lit(-cid).as("nc"))
-    }: _*)).getField("nc")
+    // The per-subspace assignment is ONE native argmin loop
+    // (graft.functions.ArgminDist2) mapped to the centroid id via
+    // element_at over the parallel id literal. The composed
+    // array_max-of-structs form generated method-sized code per
+    // assignment: inside the Generate's consume it overflowed Janino's
+    // 64 KB limit (interpreted fallback, round-10 NOTES), and hoisted
+    // into a projection it compiled but blew the JIT's ~8 KB bytecode
+    // threshold — measured 2× SLOWER than the fallback (Scratch A/B,
+    // round 11). The compact loop JITs and runs at scan speed; ties
+    // break to the lowest centroid id exactly like the struct rule
+    // (centroids are sorted ascending). PlanSpec pins the
+    // no-codegen-fallback shape.
+    def cellCol(s: Int): Column =
+      element_at(typedLit(cents(s).map(_._1)),
+        NativeFunctions.argminDist2(sub(s),
+          typedLit(cents(s).map(_._2))) + 1)
     for (_ <- 1 to iters) {
-      // The m per-subspace argmins are evaluated in a ROW-INPUT
-      // projection (stage head over the checkpoint scan), where codegen
-      // splits oversized expression code into helper methods. Fusing
-      // them into the explode's element array put all m·k dist2 calls
-      // inside the Generate's doConsume, whose inputs are locals —
-      // method splitting is disabled there, and at fleet-size m·k the
-      // generated method overflowed Janino's 64 KB limit and the whole
-      // stage fell back to interpreted execution (round-10 NOTES;
-      // retired round 11 — PlanSpec pins the no-fallback shape). The
-      // explode below carries only column refs + cheap slices.
-      val withCells = q.select(col("qv") +:
-        (0 until m).map(s => cellCol(s).as(s"cell_$s")): _*)
-      val sums = withCells
+      val sums = q
         .select(explode(array((0 until m).map(s => struct(
-          lit(s).as("sub"), col(s"cell_$s").as("cell"), sub(s).as("sv"))): _*))
+          lit(s).as("sub"), cellCol(s).as("cell"), sub(s).as("sv"))): _*))
           .as("x"))
         .select(col("x.sub"), col("x.cell"),
           posexplode(col("x.sv")).as(Seq("pos", "val")))
@@ -931,12 +936,15 @@ object Similarity {
     def sub(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // encode+lookup still fuse into one projection, now as the native
+    // argmin + an element_at over the query's per-cell distance table
+    // (same tie rule — see pqCodebook's cellCol note)
     val adc = (0 until m).map { s =>
       val qs = qv.slice(s * subDim, (s + 1) * subDim)
-      array_max(array(cents(s).map { case (cid, cv) =>
-        struct((-dist2Int(sub(s), cv)).as("nd"), lit(-cid).as("nc"),
-          lit(d2(qs, cv)).as("qd"))
-      }: _*)).getField("qd")
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2(qs, cv) }
+      element_at(typedLit(qds),
+        NativeFunctions.argminDist2(sub(s),
+          typedLit(cents(s).map(_._2))) + 1)
     }.reduce(_ + _)
     q.filter(col("id") =!= queryId)
       .select(col("id").as("vec_id"), adc.as("adc_dist"))
@@ -999,10 +1007,10 @@ object Similarity {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val adc = (0 until m).map { s =>
       val qs = qvE4v.slice(s * subDim, (s + 1) * subDim)
-      array_max(array(cents(s).map { case (cid, cv) =>
-        struct((-dist2Int(subCol(s), cv)).as("nd"), lit(-cid).as("nc"),
-          lit(d2(qs, cv)).as("qd"))
-      }: _*)).getField("qd")
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2(qs, cv) }
+      element_at(typedLit(qds),
+        NativeFunctions.argminDist2(subCol(s),
+          typedLit(cents(s).map(_._2))) + 1)
     }.reduce(_ + _)
     val inCell = e.filter(col("id") =!= queryId)
       .withColumn("cell", cellOf).filter(col("cell") === qcell)
