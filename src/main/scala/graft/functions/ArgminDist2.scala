@@ -28,8 +28,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * by ascending id (every call site sorts), this is exactly the
   * `array_max(struct(-d, -id))` rule it replaces (min d, ties min id).
   * Callers map the position to ids/ADC terms with `element_at` over
-  * the parallel literal arrays. Empty codebook → -1 (call sites
-  * `require` non-empty). Dimension mismatch THROWS like [[Dist2]]. */
+  * the parallel literal arrays. Empty codebook → -1 (library call
+  * sites `require` non-empty before building the expression, so the
+  * sentinel is only reachable from ad-hoc SQL). A NULL centroid
+  * element and a dimension mismatch both THROW with a named error
+  * like [[Dist2]] — either would silently poison every assignment. */
 case class ArgminDist2(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -56,6 +59,9 @@ case class ArgminDist2(left: Expression, right: Expression)
     var c = 0
     val k = cs.numElements()
     while (c < k) {
+      if (cs.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"graft_argmin_dist2: null centroid at position $c")
       val cv = cs.getArray(c)
       if (cv.numElements() != n)
         throw new IllegalArgumentException(
@@ -91,6 +97,10 @@ case class ArgminDist2(left: Expression, right: Expression)
          |long $best = Long.MAX_VALUE;
          |int $bi = -1;
          |for (int $c = 0; $c < $k; $c++) {
+         |  if ($b.isNullAt($c)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_argmin_dist2: null centroid at position " + $c);
+         |  }
          |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $b.getArray($c);
          |  if ($cv.numElements() != $n) {
          |    throw new IllegalArgumentException(

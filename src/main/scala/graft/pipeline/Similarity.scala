@@ -458,6 +458,8 @@ object Similarity {
     var cents: Seq[(Long, Seq[Long])] = q.orderBy(col("id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       .toSeq.sortBy(_._1)
+    require(cents.nonEmpty,
+      "kmeansCentroidsInt: empty corpus yields no seed centroids")
     for (_ <- 1 to iters) {
       // native argmin loop + id lookup (see pqCodebook's cellCol note:
       // the struct-argmax form's generated code exceeded JIT limits at
@@ -498,12 +500,17 @@ object Similarity {
     * list-assignment pass, scan speed at any corpus size. */
   def assignCellsInt(embeddings: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    require(cents.nonEmpty, "assignCellsInt: codebook must be non-empty")
     NativeFunctions.register(embeddings.sparkSession)
-    // native argmin loop + id lookup (pqCodebook's cellCol note);
-    // identical tie rule — centroids sorted ascending by id
-    val cell = element_at(typedLit(cents.map(_._1)),
+    // native argmin loop + id lookup (pqCodebook's cellCol note).
+    // The argmin's first-minimum rule realizes the documented
+    // tie -> lowest-id contract only over an id-ASCENDING codebook, so
+    // sort here rather than assume the caller did (the old
+    // array_max(struct(-d,-id)) form was order-independent)
+    val sorted = cents.sortBy(_._1)
+    val cell = element_at(typedLit(sorted.map(_._1)),
       NativeFunctions.argminDist2(col("qv"),
-        typedLit(cents.map(_._2))) + 1)
+        typedLit(sorted.map(_._2))) + 1)
     embeddings
       .withColumn("qv", transform(col(vecCol),
         x => floor(x.cast("double") * 10000).cast("long")))
@@ -872,6 +879,8 @@ object Similarity {
       // or sparse low range would otherwise under-seed the codebook)
       val seeds = q.orderBy(col("id")).limit(k).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+      require(seeds.nonEmpty,
+        "pqCodebook: empty corpus yields no seed centroids")
       (0 until m).map(s => s -> seeds.map { case (id, v) =>
         (id, v.slice(s * subDim, (s + 1) * subDim)) }).toMap
     }

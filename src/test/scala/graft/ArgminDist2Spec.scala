@@ -32,7 +32,9 @@ class ArgminDist2Spec extends AnyFunSuite {
       NativeFunctions.argminDist2(col("qv"), typedLit(cents))
         .as("native"),
       (-composed.getField("nc")).cast("int").as("composed"))
-    assert(both.filter(col("native") =!= col("composed")).isEmpty)
+    // null-safe comparison: =!= evaluates to null (filtered away) if a
+    // nullability regression made either side null — <=> cannot hide it
+    assert(both.filter(not(col("native") <=> col("composed"))).isEmpty)
     assert(both.count() === 500)
     // a vector AT centroid 11 must still assign to the tied twin 5
     import spark.implicits._
@@ -51,13 +53,20 @@ class ArgminDist2Spec extends AnyFunSuite {
     assert(Seq(Tuple1(Seq(1L, 2L))).toDF("v")
       .select(NativeFunctions.argminDist2(col("v"),
         typedLit(Seq.empty[Seq[Long]]))).head().getInt(0) === -1)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
     val err = intercept[Exception] {
       Seq(Tuple1(Seq(1L, 2L))).toDF("v")
         .select(NativeFunctions.argminDist2(col("v"),
           typedLit(Seq(Seq(1L))))).collect()
     }
-    def chain(t: Throwable): String =
-      if (t == null) "" else t.toString + chain(t.getCause)
     assert(chain(err).contains("mismatch"))
+    // a NULL centroid is a named error, never a bare NPE (it would
+    // silently poison every assignment if tolerated)
+    val nul = intercept[Exception] {
+      spark.sql("SELECT graft_argmin_dist2(array(1L), " +
+        "array(array(1L), CAST(NULL AS ARRAY<BIGINT>)))").collect()
+    }
+    assert(chain(nul).contains("null centroid"), chain(nul).take(300))
   }
 }

@@ -685,11 +685,15 @@ class PlanSpec extends AnyFunSuite {
   test("PQ training + probe compile under whole-stage codegen at the " +
       "fleet shape (no Janino 64 KB interpreted fallback)") {
     // The round-10 Stress run's one codegen overflow: pqCodebook's
-    // Lloyd pass fused all m·k dist2 argmins into the Generate's
-    // doConsume, where method splitting is disabled. The fix hoists
-    // them into a row-input projection (Similarity.pqCodebook). With
-    // fallback disabled, a recurrence of the overflow THROWS instead
-    // of silently degrading to interpreted execution.
+    // Lloyd pass fused all m·k composed dist2 argmins into the
+    // Generate's doConsume, where method splitting is disabled. The
+    // fix collapses each per-subspace assignment into the native
+    // graft_argmin_dist2 loop (+ element_at id lookup) — a few
+    // hundred bytecodes that JIT, vs the struct-argmax form whose
+    // generated code overflowed Janino fused and blew the JIT method
+    // budget hoisted (SCALE round-11 three-state A/B). With fallback
+    // disabled, a recurrence of either failure THROWS instead of
+    // silently degrading to interpreted execution.
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
