@@ -80,6 +80,17 @@ object Bench {
       "p69", "p74", "p78", "p79", "p143")
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // Queries whose committed rep spread exceeded ~3x on this box
+    // (r11 spread map: p88 5.5x, p04 3.3x, p29 3.3x, p08 3.3x,
+    // q10 3.1x): all are sub-2 s medians whose FIRST rep pays
+    // query-specific planning + codegen comparable to the query
+    // itself, so the spread is startup noise, not workload variance.
+    // One UNTIMED warmup rep pins the committed median to steady
+    // state and sharpens the round-over-round trend signal (round-11
+    // VERDICT item 5). Slow queries stay un-warmed: their first rep
+    // IS representative work, and doubling a 7 s engine lifecycle to
+    // shave spread would cost more bench time than it informs.
+    val warmFirst = Set("p88", "p04", "p29", "p08", "q10")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -96,6 +107,7 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
+      if (warmFirst.exists(name.startsWith)) once() // untimed warmup
       val first = once()
       val runs =
         if (!first._2) List(first)

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 stress axes — the fleet-admin seams the round-11 verdict
+  * left open.
+  *
+  * CONFIG SWEEP AT 1000 SERVERS (verdict item 3): configureServer is a
+  * read-merge-rewrite of the whole servers table per call, so an
+  * admin sweep retuning N servers costs O(N × fleet) bytes — the same
+  * quadratic shape registerServer had before registerServers. The
+  * batched configureServers must make the sweep ONE table rewrite:
+  * claim under measurement is sweep_batch ≈ one configureServer call,
+  * and sweep_seq / sweep_batch growing with the sweep size. Same
+  * comparison for dropServers (4 table rewrites total vs 4 per id).
+  *
+  * FLEET AT 10,000 SERVERS (verdict item 7): registry layout v3
+  * claims ~1 ms/server idle ticks, measured to 1000 last round. One
+  * 10× probe confirms no NEW superlinear term (a 10k-entry metas
+  * directory, lock contention, due-list scan) before the design is
+  * declared fleet-complete: idle_ms_per_server at 10k should match
+  * the 1000-server row's, and registration stays one table write.
+  *
+  *   SPARK_GRAFT_FLEET=1000 SPARK_GRAFT_FLEET10K=10000 \
+  *     sbt "runMain graft.StressR12"
+  */
+object StressR12 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val nFleet = sys.env.getOrElse("SPARK_GRAFT_FLEET", "1000").toInt
+    val nSweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "100").toInt
+    val nBig = sys.env.getOrElse("SPARK_GRAFT_FLEET10K", "10000").toInt
+    val spark: SparkSession = StressCorpus.session(cpus)
+
+    def cfg(i: Int) = graft.core.ServerConfig(id = i, hostname = s"h$i",
+      powaCoalesce = 1000, retentionSec = 3650L * 86400)
+
+    // ---- config-sweep axis at nFleet servers ----
+    val root = java.nio.file.Files.createTempDirectory("graft_fleet12")
+    val eng = new graft.core.Engine(spark, root.toString)
+    eng.registry.registerServers((1 to nFleet).map(cfg))
+    val sweepIds = 1 to nSweep
+    val t0seq = System.nanoTime()
+    sweepIds.foreach(i =>
+      eng.registry.configureServer(i, _.copy(frequencySec = 600)))
+    val sweepSeqSec = (System.nanoTime() - t0seq) / 1e9
+    val t0bat = System.nanoTime()
+    eng.registry.configureServers(sweepIds.map(i =>
+      i -> ((c: graft.core.ServerConfig) => c.copy(frequencySec = 900))))
+    val sweepBatchSec = (System.nanoTime() - t0bat) / 1e9
+    // one single-server call for the "batch ≈ one call" claim
+    val t0one = System.nanoTime()
+    eng.registry.configureServer(1, _.copy(frequencySec = 1200))
+    val oneCfgSec = (System.nanoTime() - t0one) / 1e9
+
+    // drop sweep: batched = 4 table rewrites total, sequential = 4 per id
+    val dropIds = (nFleet - nSweep + 1) to nFleet
+    val half = dropIds.splitAt(dropIds.size / 2)
+    val t0dseq = System.nanoTime()
+    half._1.foreach(eng.registry.dropServer)
+    val dropSeqSec = (System.nanoTime() - t0dseq) / 1e9
+    val t0dbat = System.nanoTime()
+    eng.registry.dropServers(half._2.toSet)
+    val dropBatchSec = (System.nanoTime() - t0dbat) / 1e9
+    graft.core.AtomicSwap.deleteRecursively(root)
+
+    // ---- 10k-server fleet axis ----
+    val bigRoot = java.nio.file.Files.createTempDirectory("graft_fleet12b")
+    val big = new graft.core.Engine(spark, bigRoot.toString)
+    val t0reg = System.nanoTime()
+    big.registry.registerServers((1 to nBig).map(cfg))
+    val registerBigSec = (System.nanoTime() - t0reg) / 1e9
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var tick = 0
+    def idleTick(): Double = {
+      tick += 1
+      val now = new java.sql.Timestamp(base + tick * 300000L)
+      val t0 = System.nanoTime()
+      big.tickDue(now)
+      (System.nanoTime() - t0) / 1e9
+    }
+    idleTick() // warm: first-touch layout + codegen
+    val idleBigSec = (idleTick() + idleTick()) / 2
+    val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val idleBigSec2 = idleTick()
+    val idleBigJobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
+    graft.core.AtomicSwap.deleteRecursively(bigRoot)
+
+    val json =
+      s"""{"metric":"stress_r12","fleet":$nFleet,"sweep":$nSweep,""" +
+        s""""sweep_seq_sec":$sweepSeqSec,""" +
+        s""""sweep_batch_sec":$sweepBatchSec,""" +
+        s""""one_config_sec":$oneCfgSec,""" +
+        s""""drop_seq_sec":$dropSeqSec,"drop_seq_n":${half._1.size},""" +
+        s""""drop_batch_sec":$dropBatchSec,"drop_batch_n":${half._2.size},""" +
+        s""""fleet_big":$nBig,"register_big_sec":$registerBigSec,""" +
+        s""""idle_big_sec":$idleBigSec,"idle_big_sec2":$idleBigSec2,""" +
+        s""""idle_big_jobs":$idleBigJobs,""" +
+        s""""idle_big_ms_per_server":${idleBigSec / nBig * 1000}}"""
+    spark.stop()
+    println(json)
+  }
+}

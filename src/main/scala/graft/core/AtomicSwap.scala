@@ -161,30 +161,44 @@ object AtomicSwap {
     val statLines = files.flatMap { rel =>
       if (!rel.endsWith(".parquet")) None
       else {
-        // Carry-forward is keyed on (relative path, FILE SIZE): every
-        // stats line records the file's byte length under the reserved
-        // `_len` pseudo-column (same kv syntax; readers strip it —
+        // Carry-forward is keyed on (relative path, FILE SIZE, MTIME):
+        // every stats line records the file's byte length and
+        // modification time under the reserved `_len` / `_mtime`
+        // pseudo-columns (same kv syntax; readers strip them —
         // manifestEntries), and stats from the previous manifest are
-        // reused only when the recorded length matches the current
-        // listing. Path alone was unsound against a future writer
-        // rewriting a path in place (compaction reusing a name): stale
-        // ranges would silently mis-skip files (round-10 ADVICE). A
-        // listed path with EMPTY real stats is still "unknown", not
-        // "known to have none": one transient footer-read failure must
-        // not pin a file stats-less forever — so only non-empty real
-        // stats carry forward; legitimately stats-less files (no stat
-        // columns at all, e.g. registry config parquet) pay a footer
-        // re-read per publish, bounded by their count.
+        // reused only when BOTH match the current listing. Path alone
+        // was unsound against a future writer rewriting a path in
+        // place (compaction reusing a name; round-10 ADVICE), and
+        // (path, length) alone was still unsound against a same-length
+        // in-place rewrite — plausible for fixed-width re-encodes —
+        // which would inherit stale min/max and mis-skip files
+        // (round-11 ADVICE); mtime closes that window. A pre-`_mtime`
+        // manifest (no `_mtime` key) never carries forward — it pays
+        // one full footer re-read, the same rule as a widened stat
+        // column set. A listed path with EMPTY real stats is still
+        // "unknown", not "known to have none": one transient
+        // footer-read failure must not pin a file stats-less forever —
+        // so only non-empty real stats carry forward; legitimately
+        // stats-less files (no stat columns at all, e.g. registry
+        // config parquet) pay a footer re-read per publish, bounded by
+        // their count.
+        val abs = parent.resolve(rel)
         val curLen: Long =
-          try Files.size(parent.resolve(rel)) catch { case _: Throwable => -1L }
+          try Files.size(abs) catch { case _: Throwable => -1L }
+        val curMtime: Long =
+          try Files.getLastModifiedTime(abs).toMillis
+          catch { case _: Throwable => -1L }
         val carried = prev.get(rel)
-          .filter(m => curLen >= 0L &&
-            m.get("_len").exists { case (a, _) => a == curLen })
-          .map(_ - "_len").filter(_.nonEmpty)
+          .filter(m => curLen >= 0L && curMtime >= 0L &&
+            m.get("_len").exists { case (a, _) => a == curLen } &&
+            m.get("_mtime").exists { case (a, _) => a == curMtime })
+          .map(_ - "_len" - "_mtime").filter(_.nonEmpty)
         val stats = carried
-          .getOrElse(parquetRangeStats(parent.resolve(rel)))
+          .getOrElse(parquetRangeStats(abs))
         val withLen = stats ++
-          (if (curLen >= 0L) Map("_len" -> (curLen, curLen)) else Map.empty)
+          (if (curLen >= 0L) Map("_len" -> (curLen, curLen)) else Map.empty) ++
+          (if (curMtime >= 0L) Map("_mtime" -> (curMtime, curMtime))
+           else Map.empty)
         if (withLen.isEmpty) None
         else Some("\t" + rel + withLen.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"\t$c=$mn:$mx" }.mkString)
@@ -274,9 +288,9 @@ object AtomicSwap {
   def manifestEntries(parent: Path,
       linkName: String): Option[Seq[(Path, Map[String, (Long, Long)])]] =
     readManifestRaw(parent, linkName).map(_._2.map { case (rel, st) =>
-      // `_len` is the carry-forward key (writeManifest), not a stat
-      // column — internal to the publisher, stripped for readers
-      (parent.resolve(rel), st - "_len")
+      // `_len`/`_mtime` are the carry-forward key (writeManifest), not
+      // stat columns — internal to the publisher, stripped for readers
+      (parent.resolve(rel), st - "_len" - "_mtime")
     })
 
   private def parseKvs(

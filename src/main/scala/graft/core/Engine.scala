@@ -496,9 +496,11 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       }
     }
 
-  /** powa_delete_and_purge_server (:2842-2888): config rows + all data,
-    * plus any registered autonomous-extension sweeps. */
-  /** Delete a server and purge every trace of it. Sweep failures never
+  /** Delete a server and purge every trace of it —
+    * powa_delete_and_purge_server (:2842-2888): config rows + all
+    * data, plus any registered autonomous-extension sweeps.
+    *
+    * Sweep failures never
     * block the delete (per-sweep guard, like the per-datasource tick
     * guard) — but the server's meta row is dropped WITH the server, so
     * an error recorded there would vanish: failures are therefore

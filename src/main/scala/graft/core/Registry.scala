@@ -172,10 +172,35 @@ final class Registry(persistence: Option[RegistryStore] = None) {
     staged.keys.toSeq
   }
 
-  /** powa_configure_server: field-whitelisted patch (:2768-2783). */
-  def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit = {
-    servers(srvid) = patch(server(srvid))
-    saveServers(Set(srvid))
+  /** powa_configure_server: field-whitelisted patch (:2768-2783).
+    * One-element form of [[configureServers]] — same lock, same
+    * write shape. */
+  def configureServer(srvid: Int, patch: ServerConfig => ServerConfig): Unit =
+    configureServers(Seq(srvid -> patch))
+
+  /** Batched powa_configure_server — the admin-sweep form ("retune
+    * frequency across the fleet"): every patch applies in order and
+    * the touched rows persist with ONE scoped merge-write, so a
+    * 100-config sweep at 1000 servers costs one table read+write
+    * (O(fleet) bytes once) instead of the sequential path's
+    * O(sweep × fleet) (round-11 VERDICT item 3; the registerServers
+    * batching argument applied to reconfiguration). Runs under the
+    * registry lock, so concurrent sweeps from engines sharing the
+    * root serialize and in-memory state always matches what was
+    * persisted.
+    *
+    * All-or-nothing: patches are evaluated two-phase against a staged
+    * copy first — an unknown srvid or a throwing patch anywhere in the
+    * batch rejects the WHOLE batch with memory and disk untouched.
+    * Several patches to the same srvid compose in batch order, exactly
+    * like sequential calls. */
+  def configureServers(
+      patches: Seq[(Int, ServerConfig => ServerConfig)]): Unit = locked {
+    val staged = patches.foldLeft(Map.empty[Int, ServerConfig]) {
+      case (acc, (id, p)) => acc.updated(id, p(acc.getOrElse(id, server(id))))
+    }
+    staged.foreach { case (id, cfg) => servers(id) = cfg }
+    saveServers(staged.keySet)
   }
 
   /** powa_configure_server(json): field-whitelisted JSON patch
@@ -204,17 +229,27 @@ final class Registry(persistence: Option[RegistryStore] = None) {
     configureServer(srvid, _.copy(frequencySec = -1))
 
   /** powa_delete_and_purge_server (:2842-2888); storage sweep is the
-    * engine's responsibility (Engine.deleteServer). */
-  def dropServer(srvid: Int): Unit = {
-    require(srvid != 0, "cannot delete the local server")
-    servers.remove(srvid); metas.remove(srvid)
-    enabled.keys.filter(_._1 == srvid).toSeq.foreach(enabled.remove)
-    dbModules.keys.filter(_._1 == srvid).toSeq.foreach(dbModules.remove)
-    val scope = Set(srvid) // scoped empty writes = delete this srvid's rows
-    locked {
-      saveServers(scope); persistMetas(scope)
-      saveModules(scope); saveDbModules(scope)
+    * engine's responsibility (Engine.deleteServer). One-element form
+    * of [[dropServers]]. */
+  def dropServer(srvid: Int): Unit = dropServers(Set(srvid))
+
+  /** Batched server drop — decommissioning N servers rewrites each of
+    * the four registry tables ONCE (scoped empty writes delete the
+    * batch's rows), not N times: the [[configureServers]] batching
+    * argument applied to deletion. Idempotent per id like the single
+    * form (dropping an unknown srvid is a no-op). All four table
+    * writes commit inside one lock hold, so a concurrent reader never
+    * sees a half-dropped batch across tables. */
+  def dropServers(srvids: Set[Int]): Unit = locked {
+    require(!srvids.contains(0), "cannot delete the local server")
+    srvids.foreach { id =>
+      servers.remove(id); metas.remove(id)
+      enabled.keys.filter(_._1 == id).toSeq.foreach(enabled.remove)
+      dbModules.keys.filter(_._1 == id).toSeq.foreach(dbModules.remove)
     }
+    // scoped empty writes = delete these srvids' rows
+    saveServers(srvids); persistMetas(srvids)
+    saveModules(srvids); saveDbModules(srvids)
   }
 
   def server(srvid: Int): ServerConfig =

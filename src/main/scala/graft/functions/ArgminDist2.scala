@@ -30,21 +30,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * Callers map the position to ids/ADC terms with `element_at` over
   * the parallel literal arrays. Empty codebook → -1 (library call
   * sites `require` non-empty before building the expression, so the
-  * sentinel is only reachable from ad-hoc SQL). A NULL centroid
-  * element and a dimension mismatch both THROW with a named error
-  * like [[Dist2]] — either would silently poison every assignment. */
+  * sentinel is only reachable from ad-hoc SQL).
+  *
+  * Null fencing — every hole is closed, each at its cheapest layer
+  * (a null anywhere would otherwise read 0 through getLong under
+  * codegen and silently poison every assignment):
+  *   - a wholly-NULL centroid sub-array THROWS a named runtime error
+  *     (it is type-legal — the outer array may be nullable);
+  *   - a nullable centroid ELEMENT type is rejected at ANALYSIS time
+  *     (checkInputDataTypes): library codebooks are `typedLit`
+  *     literals with containsNull=false, so only ad-hoc SQL can even
+  *     construct one, and it fails before running;
+  *   - a NULL element in the query vector THROWS a named runtime
+  *     error, checked in ONE O(dim) pass per row BEFORE the k·dim
+  *     hot loop (the vector side is `transform()` output over parquet
+  *     arrays, containsNull=true by inheritance, so an analysis-time
+  *     reject would break every legitimate call site);
+  *   - a dimension mismatch THROWS like [[Dist2]]. */
 case class ArgminDist2(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, false), _)) =>
         true
       case _ => false
     }
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<bigint>, array<array<bigint>>), got " +
+      s"$prettyName requires (array<bigint>, array<array<bigint>>) with " +
+        "non-nullable centroid elements (a nullable element would read 0 " +
+        "under codegen and poison the argmin), got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
   override def dataType: DataType = IntegerType
@@ -54,6 +70,14 @@ case class ArgminDist2(left: Expression, right: Expression)
     val v = a.asInstanceOf[ArrayData]
     val cs = b.asInstanceOf[ArrayData]
     val n = v.numElements()
+    var j = 0
+    while (j < n) {
+      if (v.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"graft_argmin_dist2: null element at position $j of the " +
+            "query vector")
+      j += 1
+    }
     var best = Long.MaxValue
     var bi = -1
     var c = 0
@@ -91,9 +115,17 @@ case class ArgminDist2(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val best = ctx.freshName("best")
       val bi = ctx.freshName("bi")
+      val j = ctx.freshName("j")
       s"""
          |int $n = $a.numElements();
          |int $k = $b.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_argmin_dist2: null element at position " + $j +
+         |      " of the query vector");
+         |  }
+         |}
          |long $best = Long.MAX_VALUE;
          |int $bi = -1;
          |for (int $c = 0; $c < $k; $c++) {

@@ -22,7 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Length mismatch THROWS (the HOF form nulls via zip_with padding):
   * a dimension mismatch between a vector and a codebook centroid is
   * always a bug, and a silent null would poison argmin comparisons.
-  */
+  *
+  * Null fencing (same rationale as [[ArgminDist2]] — getLong on a
+  * null slot reads 0 under codegen and silently corrupts the
+  * distance): a null ELEMENT on either side throws a named runtime
+  * error, checked in one O(dim) pass before the arithmetic loop.
+  * Unlike ArgminDist2's codebook (structurally a literal, fenced at
+  * analysis time), BOTH of Dist2's sides are legitimately
+  * `transform()` outputs over parquet arrays — nullable element
+  * types by inheritance — so the fence must be runtime here. */
 case class Dist2(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -46,6 +54,13 @@ case class Dist2(left: Expression, right: Expression)
     if (y.numElements() != n)
       throw new IllegalArgumentException(
         s"graft_dist2: dimension mismatch ($n vs ${y.numElements()})")
+    var j = 0
+    while (j < n) {
+      if (x.isNullAt(j) || y.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"graft_dist2: null element at position $j")
+      j += 1
+    }
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -62,12 +77,19 @@ case class Dist2(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
          |  throw new IllegalArgumentException(
          |    "graft_dist2: dimension mismatch (" + $n + " vs " +
          |    $b.numElements() + ")");
+         |}
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_dist2: null element at position " + $j);
+         |  }
          |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {

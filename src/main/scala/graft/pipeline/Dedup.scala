@@ -462,19 +462,24 @@ object Dedup {
   def saveSignatureIndexStore(docs: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, rowsPerBand: Int,
       root: String, name: String, srvid: Int): Unit = {
+    Similarity.requireIndexName(name)
     val spark = docs.sparkSession
     val (hsh, banded) = signatureIndex(docs, idCol, textCol,
       n, k, rowsPerBand)
     val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
-    store.overwritePartition(ds, "sh", srvid,
-      hsh.select(col("doc").cast("long").as("doc"), col("sh")))
-    store.overwritePartition(ds, "bands", srvid,
-      banded.select(col("doc").cast("long").as("doc"),
-        col("band").cast("int").as("band"), col("bsig")))
-    import spark.implicits._
-    store.overwritePartition(ds, "params", srvid,
-      Seq((n, k, rowsPerBand)).toDF("n", "k", "rows_per_band"))
+    // single-mutator fence — see graft.core.MutationLock: every index
+    // mutation entry point serializes per (index, srvid)
+    graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
+      store.overwritePartition(ds, "sh", srvid,
+        hsh.select(col("doc").cast("long").as("doc"), col("sh")))
+      store.overwritePartition(ds, "bands", srvid,
+        banded.select(col("doc").cast("long").as("doc"),
+          col("band").cast("int").as("band"), col("bsig")))
+      import spark.implicits._
+      store.overwritePartition(ds, "params", srvid,
+        Seq((n, k, rowsPerBand)).toDF("n", "k", "rows_per_band"))
+    }
   }
 
   /** ADMIT a new document batch into a standing store-resident
@@ -490,22 +495,28 @@ object Dedup {
     * nothing existing is rewritten. */
   def appendSignatureIndexStore(newDocs: DataFrame, idCol: String,
       textCol: String, root: String, name: String, srvid: Int): Unit = {
+    Similarity.requireIndexName(name)
     val spark = newDocs.sparkSession
-    val store = new graft.core.Store(spark, root)
-    val ds = s"powa_index_$name"
-    val params = store.readV2(ds, "params", sigParamsSchema)
-      .filter(col("srvid") === srvid).collect()
-    require(params.nonEmpty,
-      s"appendSignatureIndexStore: no params for index '$name' srvid " +
-        s"$srvid — build with saveSignatureIndexStore first")
-    val p = params.head
-    val (hsh, banded) = signatureIndex(newDocs, idCol, textCol,
-      p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"))
-    store.appendPartition(ds, "sh", srvid,
-      hsh.select(col("doc").cast("long").as("doc"), col("sh")))
-    store.appendPartition(ds, "bands", srvid,
-      banded.select(col("doc").cast("long").as("doc"),
-        col("band").cast("int").as("band"), col("bsig")))
+    // the whole admission — params read through batch commit — holds
+    // the index's mutation lock (lost-batch race: MutationLock scaladoc)
+    graft.core.MutationLock.withPartitionLock(
+        root, s"powa_index_$name", srvid) {
+      val store = new graft.core.Store(spark, root)
+      val ds = s"powa_index_$name"
+      val params = store.readV2(ds, "params", sigParamsSchema)
+        .filter(col("srvid") === srvid).collect()
+      require(params.nonEmpty,
+        s"appendSignatureIndexStore: no params for index '$name' srvid " +
+          s"$srvid — build with saveSignatureIndexStore first")
+      val p = params.head
+      val (hsh, banded) = signatureIndex(newDocs, idCol, textCol,
+        p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("rows_per_band"))
+      store.appendPartition(ds, "sh", srvid,
+        hsh.select(col("doc").cast("long").as("doc"), col("sh")))
+      store.appendPartition(ds, "bands", srvid,
+        banded.select(col("doc").cast("long").as("doc"),
+          col("band").cast("int").as("band"), col("bsig")))
+    }
   }
 
   /** Compact a store-resident signature index partition: repeated
@@ -522,15 +533,20 @@ object Dedup {
       name: String, srvid: Int,
       targetRowsPerFile: Long = 4000000L): Unit = {
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
-    val (hsh, banded) = loadSignatureIndexStore(spark, root, name, srvid)
-    val store = new graft.core.Store(spark, root)
-    val ds = s"powa_index_$name"
-    def parts(n: Long): Int =
-      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    store.overwritePartition(ds, "sh", srvid,
-      hsh.repartitionByRange(parts(hsh.count()), col("doc")))
-    store.overwritePartition(ds, "bands", srvid,
-      banded.repartitionByRange(parts(banded.count()), col("bsig")))
+    // lock BEFORE the pinned read — the fold and its swap are one
+    // critical section (MutationLock scaladoc)
+    graft.core.MutationLock.withPartitionLock(
+        root, s"powa_index_$name", srvid) {
+      val (hsh, banded) = loadSignatureIndexStore(spark, root, name, srvid)
+      val store = new graft.core.Store(spark, root)
+      val ds = s"powa_index_$name"
+      def parts(n: Long): Int =
+        math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      store.overwritePartition(ds, "sh", srvid,
+        hsh.repartitionByRange(parts(hsh.count()), col("doc")))
+      store.overwritePartition(ds, "bands", srvid,
+        banded.repartitionByRange(parts(banded.count()), col("bsig")))
+    }
   }
 
   /** Reload a store-resident signature index ([[saveSignatureIndexStore]])
@@ -538,6 +554,7 @@ object Dedup {
     * manifest-pinned listing, srvid pruned at planning time. */
   def loadSignatureIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int): (DataFrame, DataFrame) = {
+    Similarity.requireIndexName(name)
     val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
     (store.readV2(ds, "sh", shSchema)

@@ -241,6 +241,17 @@ object Similarity {
     (spark.table(s"${name}_cells"), cb)
   }
 
+  /** Index names are interpolated into the datasource name
+    * (`powa_index_<name>`) and therefore into the governed store's
+    * directory layout and the ACL namespace — an unvalidated name
+    * containing '/', '..', or a leading '_'/'.' would write outside
+    * the layout or create tiers the per-server delete sweep and the
+    * `powa_index_*` ACL guard silently skip. Fail loudly instead
+    * (round-11 ADVICE). Shared with [[Dedup]]'s signature index. */
+  private[pipeline] def requireIndexName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_]*"),
+      s"index name must match [A-Za-z0-9][A-Za-z0-9_]*, got '$name'")
+
   private val ivfCellsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType),
@@ -259,6 +270,29 @@ object Similarity {
         org.apache.spark.sql.types.DoubleType)),
     org.apache.spark.sql.types.StructField("srvid",
       org.apache.spark.sql.types.IntegerType)))
+
+  private val ivfParamsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dim",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("nprobe_default",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("metric",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** The geometry an IVF index was BUILT with — persisted in the
+    * `params` tier alongside the codebook (the signature index's
+    * `params` rule applied to this family): `k` centroids over `dim`
+    * dimensions, the default probe width, and the metric the codebook
+    * ranks by. Probes read these from the store, never from call
+    * sites, so probing with drifted geometry is impossible rather than
+    * discouraged. Reference analogue: versioned config-as-data,
+    * powa--5.2.0.sql:328-400. */
+  final case class IvfParams(k: Int, dim: Int, nprobeDefault: Int,
+      metric: String)
 
   /** Persist an IVF index THROUGH THE GOVERNED STORE — the index as a
     * first-class store relation (datasource `powa_index_<name>`, tiers
@@ -282,8 +316,15 @@ object Similarity {
     * I/O, now inside the governed store. */
   def saveIvfIndexStore(embeddings: DataFrame, idCol: String,
       vecCol: String, codebook: Seq[(Long, Seq[Double])], root: String,
-      name: String, srvid: Int): Unit = {
+      name: String, srvid: Int, nprobeDefault: Int = 1): Unit = {
+    requireIndexName(name)
     require(codebook.nonEmpty, "saveIvfIndexStore: codebook must be non-empty")
+    val dims = codebook.map(_._2.size).distinct
+    require(dims.size == 1 && dims.head > 0,
+      s"saveIvfIndexStore: centroids must share one non-zero dim, got $dims")
+    require(nprobeDefault >= 1 && nprobeDefault <= codebook.size,
+      s"saveIvfIndexStore: nprobeDefault must be in [1, ${codebook.size}]," +
+        s" got $nprobeDefault")
     val spark = embeddings.sparkSession
     NativeFunctions.register(spark)
     val best = array_max(array(codebook.map { case (cid, cv) =>
@@ -295,10 +336,41 @@ object Similarity {
         asDouble(col(vecCol)).as("v"))
       .withColumn("cell", -best.getField("ncid"))
       .repartitionByRange(math.max(codebook.size, 1), col("cell"))
-    store.overwritePartition(ds, "cells", srvid, cells)
-    import spark.implicits._
-    store.overwritePartition(ds, "codebook", srvid,
-      codebook.toDF("cell", "cv"))
+    // single-mutator fence: every index mutation entry point
+    // serializes on the per-(index, srvid) lock — see MutationLock for
+    // the lost-batch race a build/append/compact interleaving opens
+    graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
+      store.overwritePartition(ds, "cells", srvid, cells)
+      import spark.implicits._
+      store.overwritePartition(ds, "codebook", srvid,
+        codebook.toDF("cell", "cv"))
+      // geometry is a property of the INDEX, not of the build call —
+      // persist it so every later probe/append reads it from the store
+      store.overwritePartition(ds, "params", srvid,
+        Seq((codebook.size, dims.head, nprobeDefault, "cosine"))
+          .toDF("k", "dim", "nprobe_default", "metric"))
+    }
+  }
+
+  /** Read back an IVF index's persisted build geometry
+    * ([[IvfParams]]) — one bounded `params`-tier read. Fails loudly
+    * for a pre-params-era or foreign store: geometry must come from
+    * the index itself, never a caller's memory of the build. */
+  def loadIvfParams(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): IvfParams = {
+    requireIndexName(name)
+    val store = new graft.core.Store(spark, root)
+    val rows = store.readV2(s"powa_index_$name", "params", ivfParamsSchema)
+      .filter(col("srvid") === srvid).collect()
+    require(rows.nonEmpty,
+      s"loadIvfParams: no params tier for index '$name' srvid $srvid" +
+        " — build with saveIvfIndexStore first")
+    require(rows.length == 1,
+      s"loadIvfParams: ${rows.length} params rows for index '$name' " +
+        s"srvid $srvid — corrupt params tier")
+    val r = rows.head
+    IvfParams(r.getAs[Int]("k"), r.getAs[Int]("dim"),
+      r.getAs[Int]("nprobe_default"), r.getAs[String]("metric"))
   }
 
   /** ADMIT a new vector batch into a standing store-resident IVF index
@@ -315,20 +387,27 @@ object Similarity {
   def appendIvfIndexStore(embeddings: DataFrame, idCol: String,
       vecCol: String, root: String, name: String, srvid: Int): Unit = {
     val spark = embeddings.sparkSession
-    val (_, codebook) = loadIvfIndexStore(spark, root, name, srvid)
-    require(codebook.nonEmpty,
-      s"appendIvfIndexStore: no codebook for index '$name' srvid $srvid" +
-        " — build with saveIvfIndexStore first")
-    NativeFunctions.register(spark)
-    val best = array_max(array(codebook.map { case (cid, cv) =>
-      struct(cosine(col("v"), typedLit(cv)).as("ccos"),
-        lit(-cid).as("ncid")) }: _*))
-    val store = new graft.core.Store(spark, root)
-    val batch = embeddings.select(col(idCol).cast("long").as("vec_id"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", -best.getField("ncid"))
-      .repartitionByRange(math.max(codebook.size, 1), col("cell"))
-    store.appendPartition(s"powa_index_$name", "cells", srvid, batch)
+    // the WHOLE admission — codebook read through batch commit — holds
+    // the index's mutation lock: an unlocked append racing a compact
+    // is the lost-batch window (MutationLock scaladoc), and the
+    // codebook read must pin the same generation the commit lands in
+    graft.core.MutationLock.withPartitionLock(
+        root, s"powa_index_$name", srvid) {
+      val (_, codebook) = loadIvfIndexStore(spark, root, name, srvid)
+      require(codebook.nonEmpty,
+        s"appendIvfIndexStore: no codebook for index '$name' srvid $srvid" +
+          " — build with saveIvfIndexStore first")
+      NativeFunctions.register(spark)
+      val best = array_max(array(codebook.map { case (cid, cv) =>
+        struct(cosine(col("v"), typedLit(cv)).as("ccos"),
+          lit(-cid).as("ncid")) }: _*))
+      val store = new graft.core.Store(spark, root)
+      val batch = embeddings.select(col(idCol).cast("long").as("vec_id"),
+          asDouble(col(vecCol)).as("v"))
+        .withColumn("cell", -best.getField("ncid"))
+        .repartitionByRange(math.max(codebook.size, 1), col("cell"))
+      store.appendPartition(s"powa_index_$name", "cells", srvid, batch)
+    }
   }
 
   /** Reload a store-resident IVF index ([[saveIvfIndexStore]]) for
@@ -339,6 +418,7 @@ object Similarity {
   def loadIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String,
       srvid: Int): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    requireIndexName(name)
     val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
     val cb = store.readV2(ds, "codebook", ivfCodebookSchema)
@@ -347,10 +427,39 @@ object Similarity {
       .map(r => (r.getAs[Long]("cell"),
         r.getSeq[Double](r.fieldIndex("cv")).toVector: Seq[Double]))
       .sortBy(_._1).toSeq
+    // cross-check the codebook against the persisted geometry: a
+    // params/codebook mismatch means the store was hand-edited or a
+    // writer drifted — every probe on it would be silently wrong
+    val p = loadIvfParams(spark, root, name, srvid)
+    require(cb.size == p.k,
+      s"loadIvfIndexStore: index '$name' srvid $srvid params claim " +
+        s"k=${p.k} but the codebook has ${cb.size} centroids — " +
+        "geometry drift, refusing to probe")
+    val cbDims = cb.map(_._2.size).distinct
+    require(cbDims == Seq(p.dim),
+      s"loadIvfIndexStore: index '$name' srvid $srvid params claim " +
+        s"dim=${p.dim} but the codebook has dims $cbDims — " +
+        "geometry drift, refusing to probe")
     val cells = store.readV2(ds, "cells", ivfCellsSchema)
       .filter(col("srvid") === srvid)
       .select(col("vec_id"), col("v"), col("cell"))
     (cells, cb)
+  }
+
+  /** Probe a store-resident IVF index with ZERO caller-supplied build
+    * constants: the codebook, the cell layout, AND the probe width all
+    * come from the index's own persisted tiers
+    * ([[loadIvfIndexStore]] + the `params` tier's `nprobe_default`) —
+    * the operational probe entry point. A caller can widen recall per
+    * query batch via `nprobe`; it can never re-shape the geometry. */
+  def probeIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nprobe: Option[Int] = None): DataFrame = {
+    val params = loadIvfParams(spark, root, name, srvid)
+    val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
+    probeIvfIndex(cells, cb, queries, idCol, vecCol, k,
+      nprobe.getOrElse(params.nprobeDefault))
   }
 
   /** Probe a persisted IVF index with a query batch: each query is
@@ -408,12 +517,17 @@ object Similarity {
     * readers. Run on the admission cadence, like the engine's
     * purge-phase compaction. */
   def compactIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
-      root: String, name: String, srvid: Int): Unit = {
-    val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
-    val store = new graft.core.Store(spark, root)
-    store.overwritePartition(s"powa_index_$name", "cells", srvid,
-      cells.repartitionByRange(math.max(cb.size, 1), col("cell")))
-  }
+      root: String, name: String, srvid: Int): Unit =
+    // lock BEFORE the pinned read: the fold's input manifest and its
+    // replacing swap must be one critical section, or a batch admitted
+    // between them is rebuilt away (MutationLock scaladoc)
+    graft.core.MutationLock.withPartitionLock(
+        root, s"powa_index_$name", srvid) {
+      val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
+      val store = new graft.core.Store(spark, root)
+      store.overwritePartition(s"powa_index_$name", "cells", srvid,
+        cells.repartitionByRange(math.max(cb.size, 1), col("cell")))
+    }
 
   /** Squared L2 distance between an integer vector column and a literal
     * integer centroid — the native codegen'd expression

@@ -1271,6 +1271,38 @@ object PipelineQueries {
         TextOps.ppm(col("cos")).as("cos_ppm"))
   }
 
+  // IVF PROBE WITH ZERO CALLER-SUPPLIED BUILD CONSTANTS — the round-11
+  // verdict's top item: the index geometry (k, dim, metric) AND the
+  // probe width (nprobe_default = 2) are persisted in the index's own
+  // `params` tier at build time and read back by probeIvfIndexStore;
+  // the probe call names only the index and the query batch. Same
+  // lifecycle as p160 (build → append → compact → probe), so its
+  // nprobe=2 oracle applies verbatim — proving the store-read
+  // geometry reproduces exactly what a trusted caller used to pass.
+  // Drifted-geometry probes are impossible (loadIvfIndexStore
+  // cross-checks the codebook against params; EngineSpec pins the
+  // rejection).
+  private def p161(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p161_store").toString
+    Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cb, root, "ivf", srvid = 1,
+      nprobeDefault = 2)
+    Similarity.appendIvfIndexStore(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", root, "ivf", srvid = 1)
+    Similarity.compactIvfIndexStore(s, root, "ivf", srvid = 1)
+    Similarity.probeIvfIndexStore(s, root, "ivf", srvid = 1,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -2979,7 +3011,8 @@ object PipelineQueries {
     "p157_signature_index_store" -> (p157 _),
     "p158_ivf_index_append" -> (p158 _),
     "p159_signature_index_append" -> (p159 _),
-    "p160_ivf_multiprobe" -> (p160 _))
+    "p160_ivf_multiprobe" -> (p160 _),
+    "p161_ivf_probe_params" -> (p161 _))
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -5693,6 +5726,7 @@ object PipelineQueries {
     "p158_ivf_index_append" -> ivfProbeOracle,
     "p159_signature_index_append" -> incrementalDedupSql,
     "p160_ivf_multiprobe" -> ivfProbeOracleN(2),
+    "p161_ivf_probe_params" -> ivfProbeOracleN(2),
     "p155_tokenizer_mixture_chain" ->
       s"""WITH ${bpeCtes(4)},
           segmap AS (SELECT word,

@@ -62,11 +62,55 @@ class ArgminDist2Spec extends AnyFunSuite {
     }
     assert(chain(err).contains("mismatch"))
     // a NULL centroid is a named error, never a bare NPE (it would
-    // silently poison every assignment if tolerated)
+    // silently poison every assignment if tolerated). Bare NULL: its
+    // element type unifies to the sibling's containsNull=false, so
+    // this stays a RUNTIME case (a DDL-cast ARRAY<BIGINT> would be
+    // element-nullable and die at analysis instead — next case)
     val nul = intercept[Exception] {
       spark.sql("SELECT graft_argmin_dist2(array(1L), " +
-        "array(array(1L), CAST(NULL AS ARRAY<BIGINT>)))").collect()
+        "array(array(1L), NULL))").collect()
     }
     assert(chain(nul).contains("null centroid"), chain(nul).take(300))
+  }
+
+  test("null ELEMENTS are fenced at the cheapest layer per side") {
+    import spark.implicits._
+    NativeFunctions.register(spark)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    // centroid side: a nullable element TYPE is rejected at ANALYSIS
+    // (library codebooks are typedLit containsNull=false literals; only
+    // ad-hoc SQL can build one, and it must not reach execution where
+    // getLong would read the null slot as 0)
+    val analysis = intercept[Exception] {
+      spark.sql("SELECT graft_argmin_dist2(array(1L), " +
+        "array(CAST(array(1L) AS ARRAY<BIGINT>)))").collect()
+    }
+    assert(chain(analysis).contains("non-nullable centroid elements"),
+      chain(analysis).take(300))
+    // query-vector side: nullable TYPE is legitimate (transform() over
+    // parquet arrays), so a null ELEMENT is a named RUNTIME error —
+    // checked before the hot loop, never silently read as 0
+    val nulElem = intercept[Exception] {
+      Seq(Tuple1(Seq[java.lang.Long](1L, null))).toDF("v")
+        .select(NativeFunctions.argminDist2(col("v"),
+          typedLit(Seq(Seq(1L, 2L))))).collect()
+    }
+    assert(chain(nulElem).contains("null element"), chain(nulElem).take(300))
+    // graft_dist2 shares the blind spot (round-11 ADVICE) but BOTH its
+    // sides are legitimately transform() outputs (nullable types), so
+    // its fence is runtime-only — a null element on either side is a
+    // named error, never a silent 0 read
+    val d2r = intercept[Exception] {
+      spark.sql("SELECT graft_dist2(array(1L, 2L), array(1L, NULL))")
+        .collect()
+    }
+    assert(chain(d2r).contains("null element"), chain(d2r).take(300))
+    val d2n = intercept[Exception] {
+      Seq(Tuple1(Seq[java.lang.Long](1L, null))).toDF("v")
+        .select(NativeFunctions.dist2(col("v"), typedLit(Seq(1L, 2L))))
+        .collect()
+    }
+    assert(chain(d2n).contains("null element"), chain(d2n).take(300))
   }
 }

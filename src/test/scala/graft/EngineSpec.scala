@@ -856,6 +856,34 @@ class EngineSpec extends AnyFunSuite {
         Timestamp.valueOf("2024-01-01 00:01:00")) === 0)
       Thread.sleep(1500) // listener bus delivery is async
       assert(jobs.get() === 0, s"idle tick launched ${jobs.get()} Spark jobs")
+      // catalog-mirror freshness at fleet scale (round-11 VERDICT item
+      // 8): the tick's catalog pass probes ONLY this server's staging
+      // directories (catalog_staging/<cat>/srvid=N — one isDirectory
+      // probe per catalog family when idle), never a fleet-wide
+      // listing. Pin it: pile staged catalog content under 40 OTHER
+      // servers' directories; the idle tick must stay zero-jobs (a
+      // listing that walked other servers' staged dbids would have to
+      // read them with Spark to drain them) and must leave every other
+      // server's staging untouched.
+      val stageRoot = java.nio.file.Paths.get(e.store.root,
+        "catalog_staging", "pg_class")
+      (100 to 139).foreach { other =>
+        (1 to 5).foreach { dbid =>
+          java.nio.file.Files.createDirectories(
+            stageRoot.resolve(s"srvid=$other").resolve(s"dbid=$dbid"))
+        }
+      }
+      jobs.set(0)
+      assert(e.takeSnapshot(srvid,
+        Timestamp.valueOf("2024-01-01 00:02:00")) === 0)
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        s"idle tick with other-server staged catalogs launched ${jobs.get()}")
+      (100 to 139).foreach { other =>
+        assert(java.nio.file.Files.isDirectory(
+          stageRoot.resolve(s"srvid=$other").resolve("dbid=1")),
+          s"tick for server $srvid must not drain server $other's staging")
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -1097,6 +1125,82 @@ class EngineSpec extends AnyFunSuite {
     val rs = new RegistryStore(root)
     assert(Seq(5, 6, 9, 10).forall(id => rs.loadMeta(id).isDefined),
       "registerServers must persist a meta row per registered server")
+    AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("configureServers/dropServers batch: one merged write per " +
+      "sweep, all-or-nothing, concurrent per-server configs never " +
+      "lose updates") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cfgsweep")
+      .toString
+    val a = new Engine(spark, root)
+    val ids = a.registry.registerServers((1 to 20).map(i =>
+      ServerConfig(id = i, hostname = s"h$i")))
+    assert(ids === (1 to 20))
+    // batched sweep: patches apply in order, two patches to one srvid
+    // COMPOSE exactly like sequential calls, persisted in one write
+    a.registry.configureServers(
+      (1 to 10).map(i => i ->
+        ((c: ServerConfig) => c.copy(frequencySec = 600))) :+
+      (3 -> ((c: ServerConfig) => c.copy(port = c.frequencySec))))
+    assert(a.registry.server(3).frequencySec === 600 &&
+      a.registry.server(3).port === 600,
+      "second patch must see the first's result")
+    val b = new Engine(spark, root)
+    assert((1 to 10).forall(i => b.registry.server(i).frequencySec === 600))
+    assert((11 to 20).forall(i => b.registry.server(i).frequencySec !== 600))
+    // all-or-nothing: an unknown srvid anywhere rejects the WHOLE
+    // batch — no patch applies, nothing persists
+    intercept[NoSuchElementException] {
+      a.registry.configureServers(Seq(
+        1 -> ((c: ServerConfig) => c.copy(frequencySec = 60)),
+        999 -> ((c: ServerConfig) => c)))
+    }
+    assert(a.registry.server(1).frequencySec === 600,
+      "a rejected batch must not half-apply")
+    // ... same for a throwing patch mid-batch
+    intercept[IllegalStateException] {
+      a.registry.configureServers(Seq(
+        2 -> ((c: ServerConfig) => c.copy(frequencySec = 60)),
+        4 -> ((_: ServerConfig) =>
+          throw new IllegalStateException("boom"))))
+    }
+    assert(a.registry.server(2).frequencySec === 600)
+    assert(new Engine(spark, root).registry.server(2).frequencySec === 600)
+    // concurrent single-server configs to DIFFERENT servers: both
+    // series run under the registry lock — after the dust settles the
+    // PERSISTED table holds both final values (no lost update from
+    // the read-merge-rewrite racing itself)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def thread(body: => Unit) = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    val t1 = thread((1 to 25).foreach(n =>
+      a.registry.configureServer(11, _.copy(frequencySec = 100 + n))))
+    val t2 = thread((1 to 25).foreach(n =>
+      a.registry.configureServer(12, _.copy(frequencySec = 1000 + n))))
+    Seq(t1, t2).foreach(_.join(60000))
+    assert(errs.isEmpty, s"concurrent configure raised: ${errs.peek()}")
+    val c = new Engine(spark, root)
+    assert(c.registry.server(11).frequencySec === 125 &&
+      c.registry.server(12).frequencySec === 1025,
+      "a concurrent config write to another server was lost")
+    // batched drop: one sweep removes the batch from all four tables;
+    // unknown ids are no-ops (idempotent like the single form); the
+    // local server is fenced
+    a.registry.setEnabled(15, "powa_stat_bgwriter", false)
+    a.registry.dropServers(Set(15, 16, 999))
+    intercept[NoSuchElementException](a.registry.server(15))
+    assert(intercept[IllegalArgumentException](
+      a.registry.dropServers(Set(17, 0))).getMessage.contains("local"))
+    assert(a.registry.server(17).hostname === "h17",
+      "a rejected drop batch must not half-apply")
+    val d = new Engine(spark, root)
+    intercept[NoSuchElementException](d.registry.server(15))
+    intercept[NoSuchElementException](d.registry.server(16))
+    assert(d.registry.server(17).hostname === "h17")
     AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
   }
 

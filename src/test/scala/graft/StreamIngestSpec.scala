@@ -578,6 +578,131 @@ class StreamIngestSpec extends AnyFunSuite {
       === Seq(1L))
   }
 
+  test("state-shape upgrade, the blessed path: drain to a quiescent " +
+      "watermark (residual state emits), restart with the new shape " +
+      "on a fresh checkpoint — no loss, no dup across the seam") {
+    // The fence test above pins that RESUMING a checkpoint with a
+    // changed state shape fails loudly. This walks the path operators
+    // must take instead (the production upgrade story the fence's
+    // scaladoc promises): (1) stop feeding, advance the watermark past
+    // every key's timeout so ALL residual state emits and clears —
+    // the stream is quiescent, its state store logically empty;
+    // (2) start the NEW state shape on a FRESH checkpoint and keep
+    // feeding. The seam invariant: every event is counted in exactly
+    // one run's emissions — drained finals in run 1, post-restart
+    // events in run 2 — so the union has no loss and no dup.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckptV1 = graft.TempDirs.scoped("graft_drain_v1").toString
+    val ckptV2 = graft.TempDirs.scoped("graft_drain_v2").toString
+    val gapMs = 10000L
+    // per-key event counts finalized by EVENT-TIME TIMEOUT (emit +
+    // clear once the watermark passes last-seen + gap): the state shape
+    // every drain must flush. S is the state type under upgrade.
+    def runCounts[S <: Product : org.apache.spark.sql.Encoder](
+        mkState: (Long, Long) => S, count: S => Long, last: S => Long,
+        ckpt: String, sink: String,
+        feed: (MemoryStream[(Long, Timestamp)],
+          org.apache.spark.sql.streaming.StreamingQuery) => Unit): String = {
+      val outDir = graft.TempDirs.scoped(s"graft_drain_out_$sink").toString
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = mem.toDF().toDF("k", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[S, (Long, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout
+            .EventTimeTimeout()) {
+          (k, evs, st: org.apache.spark.sql.streaming.GroupState[S]) =>
+            if (st.hasTimedOut) {
+              val s = st.get; st.remove()
+              Iterator.single((k, count(s))) // finalize + clear
+            } else {
+              val es = evs.toSeq
+              val n = st.getOption.map(count).getOrElse(0L) + es.size
+              val lastTs = math.max(
+                st.getOption.map(last).getOrElse(0L),
+                es.map(_._2.getTime).max)
+              st.update(mkState(n, lastTs))
+              st.setTimeoutTimestamp(lastTs + gapMs)
+              Iterator.empty
+            }
+        }
+        .toDF("k", "n")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      try feed(mem, q) finally q.stop()
+      outDir
+    }
+    def readSink(outDir: String): Seq[(Long, Long)] =
+      spark.read.parquet(outDir).filter(col("k") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val t0 = 1700000000000L
+    def drain(mem: MemoryStream[(Long, Timestamp)],
+        q: org.apache.spark.sql.streaming.StreamingQuery,
+        from: Long): Unit = {
+      // two sweep batches: the first advances the watermark past every
+      // timeout, the second triggers the timed-out groups' emission
+      mem.addData((99L, new Timestamp(from))); q.processAllAvailable()
+      mem.addData((99L, new Timestamp(from + 1000L)))
+      q.processAllAvailable()
+    }
+    // RUN 1 — v1 state (count, last): keys 1 and 2, then drain
+    val out1 = runCounts[(Long, Long)]((n, l) => (n, l), _._1, _._2,
+      ckptV1, "drain_run1", { (mem, q) =>
+        mem.addData((1L, new Timestamp(t0 + 1000L)),
+          (1L, new Timestamp(t0 + 2000L)), (2L, new Timestamp(t0 + 1500L)))
+        q.processAllAvailable()
+        mem.addData((1L, new Timestamp(t0 + 3000L)),
+          (2L, new Timestamp(t0 + 2500L)))
+        q.processAllAvailable()
+        drain(mem, q, t0 + 3600000L)
+      })
+    val run1 = readSink(out1)
+    assert(run1.sorted === Seq((1L, 3L), (2L, 2L)),
+      s"drain must flush every key's residual state exactly once: $run1")
+    // the WRONG path — resuming the v1 checkpoint with the v2 shape —
+    // is what the fence rejects (loudly, before any state byte is read)
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.toString + "\n" + msgs(x.getCause)
+    val wrong = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCounts[(Long, Long, Long)]((n, l) => (n, l, 0L), _._1, _._2,
+        ckptV1, "drain_wrong", { (mem, q) =>
+          // the resume replays run 1's committed offsets as no-ops
+          // against this fresh MemoryStream — enqueue PAST them so a
+          // genuinely new stateful batch executes (the fence test's
+          // documented gotcha)
+          (1 to 10).foreach { b =>
+            mem.addData((1L, new Timestamp(t0 + 7200000L + b * 1000L)))
+            q.processAllAvailable()
+          }
+        })
+    }
+    assert(msgs(wrong).contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+      msgs(wrong).take(400))
+    // RUN 2 — v2 state (count, last, extra) on a FRESH checkpoint:
+    // key 1 continues, key 3 is new, then drain again
+    val out2 = runCounts[(Long, Long, Long)]((n, l) => (n, l, 7L), _._1, _._2,
+      ckptV2, "drain_run2", { (mem, q) =>
+        mem.addData((1L, new Timestamp(t0 + 1000L)),
+          (1L, new Timestamp(t0 + 2000L)), (3L, new Timestamp(t0 + 1500L)))
+        q.processAllAvailable()
+        drain(mem, q, t0 + 3600000L)
+      })
+    val run2 = readSink(out2)
+    assert(run2.sorted === Seq((1L, 2L), (3L, 1L)),
+      s"post-upgrade run must count only post-seam events: $run2")
+    // the seam invariant, stated over the union: per-key totals equal
+    // the full event feed — nothing lost at the drain, nothing
+    // double-counted by the restart
+    val totals = (run1 ++ run2).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(totals === Map(1L -> 5L, 2L -> 2L, 3L -> 1L), totals.toString)
+  }
+
   test("streaming as-of: watermark-finalized backward match, however-old " +
       "quotes, left nulls, exactly once") {
     import spark.implicits._

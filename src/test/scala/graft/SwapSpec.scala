@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -496,6 +497,28 @@ class SwapSpec extends AnyFunSuite {
       s"carried-forward doctored stat lost (footer was re-read): $starts")
     assert(starts.exists(_._1 == feb * 1000000L),
       s"new batch must get real footer stats: $starts")
+    // SAME-LENGTH in-place rewrite: bump a parquet file's mtime without
+    // changing its byte length — the carry-forward key must MISS and
+    // the footer must be re-read, healing the doctored stat (a
+    // (path, length)-only key would inherit the stale range and
+    // mis-skip files; round-11 ADVICE)
+    val doctored2 = Files.readString(m).split("\n").map(l =>
+      if (l.startsWith("\t"))
+        l.replaceAll("range_start=-?\\d+:-?\\d+", "range_start=42:43")
+      else l)
+    Files.writeString(m, doctored2.mkString("\n"))
+    val live = AtomicSwap.liveTarget(parent, "srvid=1").get
+    val pq = Files.walk(live).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq.head
+    Files.setLastModifiedTime(pq,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(pq).toMillis + 5000L))
+    AtomicSwap.republish(parent, "srvid=1")
+    val healedStat = AtomicSwap.manifestEntries(parent, "srvid=1").get
+      .find(_._1 == pq).get._2("range_start")
+    assert(healedStat !== ((42L, 43L)),
+      "an mtime-bumped same-length file must re-read its footer, " +
+        s"not inherit the stale stat: $healedStat")
     // a listed file with NO sidecar stats (a previous footer read
     // failed transiently) is "unknown", not "known stats-less": the
     // next republish must RE-READ its footer instead of pinning the

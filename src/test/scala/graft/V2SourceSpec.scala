@@ -560,6 +560,170 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("index admission racing compaction: no admitted batch is lost, " +
+      "reader counts march through committed generations only") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = Tables.embeddings(spark, sfDir)
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val total = emb.count()
+      // base = quarter 0; three appender batches bring in the rest
+      Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", cb, store.root, "churn", srvid = 1)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      def thread(body: => Unit): Thread = {
+        val t = new Thread(() =>
+          try body catch { case e: Throwable => errors.add(e) })
+        t.start(); t
+      }
+      // two appenders admitting disjoint slices, one compactor folding
+      // in a loop — the exact interleaving the round-11 verdict called
+      // out: without the mutation lock, a compact pinning the manifest
+      // pre-batch and swapping post-batch strands the admission in the
+      // dead predecessor version
+      val appA = thread {
+        Seq(1, 2).foreach(rId => Similarity.appendIvfIndexStore(
+          emb.filter(col("vec_id") % 4 === rId), "vec_id", "embedding",
+          store.root, "churn", srvid = 1))
+      }
+      val appB = thread {
+        Similarity.appendIvfIndexStore(
+          emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding",
+          store.root, "churn", srvid = 1)
+      }
+      val compactor = thread {
+        (1 to 4).foreach { _ =>
+          Similarity.compactIvfIndexStore(spark, store.root, "churn", 1)
+        }
+      }
+      // unlocked concurrent reader: every count must be a committed
+      // prefix (base plus whole batches), never a torn generation, and
+      // successive reads never go backwards (each pins the live
+      // manifest; appends only add, compacts preserve rows)
+      val base = emb.filter(col("vec_id") % 4 === 0).count()
+      val b1 = emb.filter(col("vec_id") % 4 === 1).count()
+      val b2 = emb.filter(col("vec_id") % 4 === 2).count()
+      val b3 = emb.filter(col("vec_id") % 4 === 3).count()
+      val validCounts = (for {
+        a <- Seq(0L, b1, b1 + b2); b <- Seq(0L, b3)
+      } yield base + a + b).toSet
+      val reader = thread {
+        var last = 0L
+        while (appA.isAlive || appB.isAlive || compactor.isAlive) {
+          val c = Similarity.loadIvfIndexStore(
+            spark, store.root, "churn", 1)._1.count()
+          assert(validCounts.contains(c),
+            s"reader saw a torn generation: $c not in $validCounts")
+          assert(c >= last, s"reader went backwards: $c after $last")
+          last = c
+        }
+      }
+      Seq(appA, appB, compactor, reader).foreach(_.join(120000))
+      assert(errors.isEmpty, s"churn raised: ${errors.peek()}")
+      // no admitted batch lost, and the index probes exactly like a
+      // one-shot build of the full corpus
+      val (cells, cb2) =
+        Similarity.loadIvfIndexStore(spark, store.root, "churn", 1)
+      assert(cells.count() === total,
+        "an admitted batch was lost under append/compact churn")
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+        store.root, "churnref", srvid = 1)
+      val (refCells, refCb) =
+        Similarity.loadIvfIndexStore(spark, store.root, "churnref", 1)
+      val q = emb.filter(col("vec_id").isin(100L, 200L))
+      assert(
+        Similarity.probeIvfIndex(cells, cb2, q, "vec_id", "embedding", 5)
+          .collect().toSet ===
+        Similarity.probeIvfIndex(refCells, refCb, q, "vec_id",
+          "embedding", 5).collect().toSet)
+    }
+  }
+
+  test("IVF params tier: probes read geometry from the store, " +
+      "drifted geometry is rejected, hostile index names fail loudly") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = Tables.embeddings(spark, sfDir)
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+        store.root, "par", srvid = 1, nprobeDefault = 2)
+      // the params tier records the BUILD's geometry, not the caller's
+      val p = Similarity.loadIvfParams(spark, store.root, "par", 1)
+      assert(p === Similarity.IvfParams(k = 8, dim = 64,
+        nprobeDefault = 2, metric = "cosine"))
+      // zero caller-supplied constants: the store-probe must equal an
+      // explicit probe at the persisted nprobe_default
+      val q = emb.filter(col("vec_id").isin(100L, 200L))
+      val got = Similarity.probeIvfIndexStore(spark, store.root, "par",
+        1, q, "vec_id", "embedding", k = 5).collect().toSet
+      val (cells, cb2) =
+        Similarity.loadIvfIndexStore(spark, store.root, "par", 1)
+      val want = Similarity.probeIvfIndex(cells, cb2, q,
+        "vec_id", "embedding", k = 5, nprobe = 2).collect().toSet
+      assert(got === want && got.nonEmpty)
+      // a per-call override widens recall without touching geometry
+      val wide = Similarity.probeIvfIndexStore(spark, store.root, "par",
+        1, q, "vec_id", "embedding", k = 5, nprobe = Some(1))
+      assert(wide.collect().toSet ===
+        Similarity.probeIvfIndex(cells, cb2, q,
+          "vec_id", "embedding", k = 5, nprobe = 1).collect().toSet)
+      // geometry drift — params claiming a different k than the
+      // codebook has — must make the index UNREADABLE, not mis-probed
+      import spark.implicits._
+      store.overwritePartition("powa_index_par", "params", 1,
+        Seq((7, 64, 2, "cosine"))
+          .toDF("k", "dim", "nprobe_default", "metric"))
+      val drift = intercept[IllegalArgumentException] {
+        Similarity.loadIvfIndexStore(spark, store.root, "par", 1)
+      }
+      assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
+      // ...and a dim drift equally
+      store.overwritePartition("powa_index_par", "params", 1,
+        Seq((8, 63, 2, "cosine"))
+          .toDF("k", "dim", "nprobe_default", "metric"))
+      val dimDrift = intercept[IllegalArgumentException] {
+        Similarity.loadIvfIndexStore(spark, store.root, "par", 1)
+      }
+      assert(dimDrift.getMessage.contains("geometry drift"),
+        dimDrift.getMessage)
+      // a pre-params-era store (params tier missing) fails loudly too
+      val noParams = intercept[IllegalArgumentException] {
+        Similarity.loadIvfParams(spark, store.root, "ghost", 1)
+      }
+      assert(noParams.getMessage.contains("no params tier"),
+        noParams.getMessage)
+      // hostile names would escape the governed layout / the ACL and
+      // delete-sweep namespaces — every store entry point rejects them
+      // before any filesystem traffic (round-11 ADVICE)
+      Seq("../evil", "a/b", "_hidden", ".dot", "").foreach { bad =>
+        intercept[IllegalArgumentException] {
+          Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+            store.root, bad, srvid = 1)
+        }
+        intercept[IllegalArgumentException] {
+          Similarity.loadIvfIndexStore(spark, store.root, bad, 1)
+        }
+        intercept[IllegalArgumentException] {
+          graft.pipeline.Dedup.saveSignatureIndexStore(
+            Tables.documents(spark, sfDir), "doc_id", "text",
+            n = 3, k = 16, rowsPerBand = 4, store.root, bad, srvid = 1)
+        }
+        intercept[IllegalArgumentException] {
+          graft.pipeline.Dedup.loadSignatureIndexStore(
+            spark, store.root, bad, 1)
+        }
+      }
+    }
+  }
+
   test("store-resident signature index: probeIndexStore matches " +
       "probeIndex, with the corpus-side frames never shuffled") {
     import graft.pipeline.Dedup
