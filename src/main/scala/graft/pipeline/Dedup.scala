@@ -797,7 +797,18 @@ object Dedup {
     var done = e.isEmpty
     var fp = if (done) (0L, 0L) else edgeFingerprint(e)
     while (!done) {
-      val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
+      // ONE materialization per round: the composed small(large(e)) plan
+      // references largeStar's output twice (self-join), but those are
+      // identical subplans — exchange reuse computes it once, so fusing
+      // saves a whole checkpoint job per round. At corpus scale the
+      // rounds are shuffle-bound and this is neutral; at the per-batch
+      // incremental-fold scale (StreamCc: label frames of 10^3..10^4
+      // rows) each round is JOB-SCHEDULING-bound and dropping the job
+      // is a measured win (Scratch p69 A/B, round 12: the 4-trigger
+      // stream 9.8→7.1 s, 4 bare folds 6.6→5.8 s, union fold
+      // 2.5→2.0 s; the remaining floor is the seed/fingerprint/label
+      // jobs per fold — see NOTES r12).
+      val next = smallStar(largeStar(e)).localCheckpoint()
       rounds += 1
       // convergence fast path (r6 VERDICT item 7): in the common
       // shrinking case the (count, checksum) fingerprint differs and
