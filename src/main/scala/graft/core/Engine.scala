@@ -518,15 +518,30 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     // delete_and_purge removes EVERY per-server row of every
     // extension-owned relation (powa--5.2.0.sql:2864-2888). Discovered
     // from the root (indexes are created ad hoc, not spec-registered).
-    indexDatasourceTiers().foreach { case (ds, tier) =>
-      // Store.dropPartition, not a bare AtomicSwap.drop: it retains the
-      // newest version one cycle so a probe that pinned the manifest
-      // just before the delete finishes undisturbed — the store's
-      // standard drop-retention contract applies to index data too
-      try store.dropPartition(ds, tier, srvid)
-      catch { case e: Exception =>
-        failures :+= s"sweep $ds.$tier: ${e.getMessage}" }
-    }
+    indexDatasourceTiers().groupBy(_._1).toSeq.sortBy(_._1)
+      .foreach { case (ds, tiers) =>
+        // Store.dropPartition, not a bare AtomicSwap.drop: it retains
+        // the newest version one cycle so a probe that pinned the
+        // manifest just before the delete finishes undisturbed — the
+        // store's standard drop-retention contract applies to index
+        // data too. UNDER the index's mutation lock, held across ALL
+        // of the index's tiers: admission/compaction are library calls
+        // serialized by MutationLock, and an unlocked (or per-tier)
+        // drop racing them would let a compaction republish —
+        // resurrect — the rows this sweep just purged, or let an
+        // append recreate the cells tier between the cells drop and
+        // the codebook drop. With one hold per index, the sweep runs
+        // either before the mutation (which then fails loudly on the
+        // missing codebook) or after it completes — never interleaved
+        // (round-12 review).
+        try MutationLock.withPartitionLock(storageRoot, ds, srvid) {
+          tiers.foreach { case (_, tier) =>
+            store.dropPartition(ds, tier, srvid)
+          }
+        }
+        catch { case e: Exception =>
+          failures :+= s"sweep $ds: ${e.getMessage}" }
+      }
     externalSweeps.foreach { case (ext, sweep) =>
       try sweep(srvid)
       catch { case e: Exception =>

@@ -18,7 +18,10 @@ import java.nio.file.{Files, Path, Paths}
   * the pre-batch pin — the admitted batch is stranded in the retained
   * predecessor and GC'd at the next swap. No reader ever sees a torn
   * generation (every individual commit stays atomic); the batch is
-  * simply, silently, gone.
+  * simply, silently, gone. The same reasoning covers the delete side:
+  * `Engine.deleteServer`'s per-server index sweep takes this lock per
+  * swept partition, so a racing compaction cannot republish (and
+  * thereby resurrect) rows the sweep just purged.
   *
   * Shape: same two-layer discipline as the engine's snapshot lock and
   * the registry's config lock — a per-key JVM monitor first
@@ -29,7 +32,10 @@ import java.nio.file.{Files, Path, Paths}
   * ingest cadence — queueing for the milliseconds a sibling commit
   * takes is the useful semantic, unlike the tick's fail-fast parity
   * with `powa_prevent_concurrent_snapshot`. Re-entrant per key so a
-  * locked caller can compose locked helpers.
+  * locked caller can compose locked helpers. The generic
+  * [[withLockFile]] form is shared with RegistryStore's config lock
+  * (one implementation of the subtle depth/monitor/release ordering,
+  * not two drifting copies — round-12 review).
   *
   * READS never take it: probes pin a manifest atomically and finish on
   * the retained predecessor if a swap lands mid-query — the store's
@@ -37,25 +43,27 @@ import java.nio.file.{Files, Path, Paths}
   *
   * The lock file name embeds datasource AND srvid, so different
   * indexes and different tenants never contend; it is disjoint from
-  * the engine's `srvid=N.lock` tick lock by the `<ds>.` prefix. */
+  * the engine's `srvid=N.lock` tick lock by the `<ds>.` prefix.
+  * The per-key monitor map is never pruned — bounded by the distinct
+  * (root, ds, srvid) keys a JVM touches, a few bytes each. */
 object MutationLock {
 
   private final class LockState { var depth = 0 }
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, LockState]()
 
-  def withPartitionLock[T](root: String, ds: String, srvid: Int)
-      (body: => T): T = {
-    val lockDir: Path = Paths.get(root, "_locks")
-    val key = lockDir.toAbsolutePath.normalize.toString + "/" +
-      s"$ds.srvid=$srvid"
+  /** The shared two-layer lock: JVM monitor keyed on the canonical
+    * lock-file path (re-entrant via depth), then a blocking
+    * cross-process FileChannel lock on the file itself. The file's
+    * parent directory is created if absent. */
+  def withLockFile[T](lockFile: Path)(body: => T): T = {
+    val key = lockFile.toAbsolutePath.normalize.toString
     val st = jvmLocks.computeIfAbsent(key, _ => new LockState)
     st.synchronized {
       if (st.depth > 0) { st.depth += 1; try body finally st.depth -= 1 }
       else {
-        Files.createDirectories(lockDir)
-        val ch = java.nio.channels.FileChannel.open(
-          lockDir.resolve(s"$ds.srvid=$srvid.lock"),
+        Files.createDirectories(lockFile.getParent)
+        val ch = java.nio.channels.FileChannel.open(lockFile,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
         try {
@@ -66,4 +74,8 @@ object MutationLock {
       }
     }
   }
+
+  def withPartitionLock[T](root: String, ds: String, srvid: Int)
+      (body: => T): T =
+    withLockFile(Paths.get(root, "_locks", s"$ds.srvid=$srvid.lock"))(body)
 }

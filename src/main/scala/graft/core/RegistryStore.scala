@@ -325,31 +325,11 @@ object RegistryStore {
       dbnames: Seq[String])
 
   // ---- registry-wide mutation lock ----------------------------------
-  // One monitor per canonical _registry path (FileChannel locks are
-  // held per-PROCESS: a second lock attempt from the same JVM throws
-  // OverlappingFileLockException instead of queueing, so same-JVM
-  // callers must serialize on a monitor first). depth makes it
-  // re-entrant; it is only touched while synchronized on the state.
-  private final class LockState { var depth = 0 }
-  private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, LockState]()
-
-  private def withFileLock[T](dir: Path)(body: => T): T = {
-    val key = dir.toAbsolutePath.normalize.toString
-    val st = jvmLocks.computeIfAbsent(key, _ => new LockState)
-    st.synchronized {
-      if (st.depth > 0) { st.depth += 1; try body finally st.depth -= 1 }
-      else {
-        Files.createDirectories(dir)
-        val ch = java.nio.channels.FileChannel.open(dir.resolve(".lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val l = ch.lock() // blocking: config writes are tiny and rare
-          st.depth = 1
-          try body finally { st.depth = 0; l.release() }
-        } finally ch.close()
-      }
-    }
-  }
+  // The shared two-layer lock (JVM monitor + blocking cross-process
+  // FileChannel lock, re-entrant) lives in MutationLock.withLockFile —
+  // ONE implementation of the subtle depth/monitor/release ordering,
+  // keyed here on the registry dir's `.lock` file. Blocking is right:
+  // config writes are tiny and rare.
+  private def withFileLock[T](dir: Path)(body: => T): T =
+    MutationLock.withLockFile(dir.resolve(".lock"))(body)
 }

@@ -533,6 +533,7 @@ object Dedup {
       name: String, srvid: Int,
       targetRowsPerFile: Long = 4000000L): Unit = {
     require(targetRowsPerFile >= 1, "targetRowsPerFile must be >= 1")
+    Similarity.requireIndexName(name) // before the name-derived lock path
     // lock BEFORE the pinned read — the fold and its swap are one
     // critical section (MutationLock scaladoc)
     graft.core.MutationLock.withPartitionLock(

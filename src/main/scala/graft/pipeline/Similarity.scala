@@ -386,6 +386,10 @@ object Similarity {
     * batch-sized, never index-sized — nothing is rewritten. */
   def appendIvfIndexStore(embeddings: DataFrame, idCol: String,
       vecCol: String, root: String, name: String, srvid: Int): Unit = {
+    requireIndexName(name) // BEFORE the lock — the lock file path
+    // embeds the name, so a hostile name must die with the designed
+    // error, not a NoSuchFileException from _locks/, and must not
+    // leave a stray lock file behind (round-12 review)
     val spark = embeddings.sparkSession
     // the WHOLE admission — codebook read through batch commit — holds
     // the index's mutation lock: an unlocked append racing a compact
@@ -418,6 +422,16 @@ object Similarity {
   def loadIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String,
       srvid: Int): (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val (cells, cb, _) = loadIvfIndexStoreP(spark, root, name, srvid)
+    (cells, cb)
+  }
+
+  /** [[loadIvfIndexStore]] plus the validated [[IvfParams]] — one
+    * params read serves both the geometry cross-check and the caller
+    * (probeIvfIndexStore reads the probe width from it). */
+  private def loadIvfIndexStoreP(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int)
+      : (DataFrame, Seq[(Long, Seq[Double])], IvfParams) = {
     requireIndexName(name)
     val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
@@ -440,10 +454,58 @@ object Similarity {
       s"loadIvfIndexStore: index '$name' srvid $srvid params claim " +
         s"dim=${p.dim} but the codebook has dims $cbDims — " +
         "geometry drift, refusing to probe")
+    // the metric is geometry too: the probe ranks by cosine, so a
+    // params row claiming anything else (hand-edit, future writer)
+    // would make every probe silently rank by the WRONG metric —
+    // refuse like any other drift (round-12 review)
+    require(p.metric == "cosine",
+      s"loadIvfIndexStore: index '$name' srvid $srvid params claim " +
+        s"metric='${p.metric}' but this engine probes cosine only — " +
+        "geometry drift, refusing to probe")
     val cells = store.readV2(ds, "cells", ivfCellsSchema)
       .filter(col("srvid") === srvid)
       .select(col("vec_id"), col("v"), col("cell"))
-    (cells, cb)
+    (cells, cb, p)
+  }
+
+  /** Migration path for a PRE-PARAMS-ERA index (built before the
+    * `params` tier existed): derive (k, dim) from the persisted
+    * codebook — the one artifact the build geometry is fully encoded
+    * in — and write the missing params row, after which every load /
+    * append / compact / probe works again. Refuses to touch an index
+    * that already has params (overwriting live geometry is exactly the
+    * drift the tier exists to prevent; a deliberate re-shape is a
+    * rebuild). Admin-path, one bounded read + one row write, under the
+    * index mutation lock. */
+  def backfillIvfParams(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int,
+      nprobeDefault: Int = 1): IvfParams = {
+    requireIndexName(name)
+    val store = new graft.core.Store(spark, root)
+    val ds = s"powa_index_$name"
+    graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
+      val existing = store.readV2(ds, "params", ivfParamsSchema)
+        .filter(col("srvid") === srvid).collect()
+      require(existing.isEmpty,
+        s"backfillIvfParams: index '$name' srvid $srvid already has a " +
+          "params tier — refusing to overwrite live geometry (re-shape " +
+          "= rebuild)")
+      val cb = store.readV2(ds, "codebook", ivfCodebookSchema)
+        .filter(col("srvid") === srvid).collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("cv")).size)
+      require(cb.nonEmpty,
+        s"backfillIvfParams: no codebook for index '$name' srvid $srvid")
+      val dims = cb.distinct.toSeq
+      require(dims.size == 1 && dims.head > 0,
+        s"backfillIvfParams: codebook dims are not uniform: $dims")
+      require(nprobeDefault >= 1 && nprobeDefault <= cb.length,
+        s"backfillIvfParams: nprobeDefault must be in [1, ${cb.length}]")
+      import spark.implicits._
+      store.overwritePartition(ds, "params", srvid,
+        Seq((cb.length, dims.head, nprobeDefault, "cosine"))
+          .toDF("k", "dim", "nprobe_default", "metric"))
+      IvfParams(cb.length, dims.head, nprobeDefault, "cosine")
+    }
   }
 
   /** Probe a store-resident IVF index with ZERO caller-supplied build
@@ -456,8 +518,7 @@ object Similarity {
       root: String, name: String, srvid: Int, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nprobe: Option[Int] = None): DataFrame = {
-    val params = loadIvfParams(spark, root, name, srvid)
-    val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
+    val (cells, cb, params) = loadIvfIndexStoreP(spark, root, name, srvid)
     probeIvfIndex(cells, cb, queries, idCol, vecCol, k,
       nprobe.getOrElse(params.nprobeDefault))
   }
@@ -517,7 +578,8 @@ object Similarity {
     * readers. Run on the admission cadence, like the engine's
     * purge-phase compaction. */
   def compactIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
-      root: String, name: String, srvid: Int): Unit =
+      root: String, name: String, srvid: Int): Unit = {
+    requireIndexName(name) // before the name-derived lock path
     // lock BEFORE the pinned read: the fold's input manifest and its
     // replacing swap must be one critical section, or a batch admitted
     // between them is rebuilt away (MutationLock scaladoc)
@@ -528,6 +590,7 @@ object Similarity {
       store.overwritePartition(s"powa_index_$name", "cells", srvid,
         cells.repartitionByRange(math.max(cb.size, 1), col("cell")))
     }
+  }
 
   /** Squared L2 distance between an integer vector column and a literal
     * integer centroid — the native codegen'd expression

@@ -700,9 +700,21 @@ class V2SourceSpec extends AnyFunSuite {
       }
       assert(noParams.getMessage.contains("no params tier"),
         noParams.getMessage)
+      // metric is geometry too: a params row claiming a metric the
+      // probe doesn't rank by must refuse like any other drift
+      store.overwritePartition("powa_index_par", "params", 1,
+        Seq((8, 64, 2, "l2"))
+          .toDF("k", "dim", "nprobe_default", "metric"))
+      val metricDrift = intercept[IllegalArgumentException] {
+        Similarity.loadIvfIndexStore(spark, store.root, "par", 1)
+      }
+      assert(metricDrift.getMessage.contains("metric"),
+        metricDrift.getMessage)
       // hostile names would escape the governed layout / the ACL and
-      // delete-sweep namespaces — every store entry point rejects them
-      // before any filesystem traffic (round-11 ADVICE)
+      // delete-sweep namespaces — every store entry point (including
+      // the lock-taking append/compact, whose lock FILE path embeds
+      // the name) rejects them with the designed error before any
+      // filesystem traffic (round-11 ADVICE + round-12 review)
       Seq("../evil", "a/b", "_hidden", ".dot", "").foreach { bad =>
         intercept[IllegalArgumentException] {
           Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
@@ -710,6 +722,13 @@ class V2SourceSpec extends AnyFunSuite {
         }
         intercept[IllegalArgumentException] {
           Similarity.loadIvfIndexStore(spark, store.root, bad, 1)
+        }
+        intercept[IllegalArgumentException] {
+          Similarity.appendIvfIndexStore(emb, "vec_id", "embedding",
+            store.root, bad, srvid = 1)
+        }
+        intercept[IllegalArgumentException] {
+          Similarity.compactIvfIndexStore(spark, store.root, bad, 1)
         }
         intercept[IllegalArgumentException] {
           graft.pipeline.Dedup.saveSignatureIndexStore(
@@ -720,7 +739,75 @@ class V2SourceSpec extends AnyFunSuite {
           graft.pipeline.Dedup.loadSignatureIndexStore(
             spark, store.root, bad, 1)
         }
+        intercept[IllegalArgumentException] {
+          graft.pipeline.Dedup.appendSignatureIndexStore(
+            Tables.documents(spark, sfDir), "doc_id", "text",
+            store.root, bad, srvid = 1)
+        }
+        intercept[IllegalArgumentException] {
+          graft.pipeline.Dedup.compactSignatureIndexStore(
+            spark, store.root, bad, 1)
+        }
       }
+      // ...and no stray lock files were left under _locks by the
+      // rejected lock-taking entry points
+      val locks = java.nio.file.Paths.get(store.root, "_locks")
+      if (java.nio.file.Files.isDirectory(locks)) {
+        val s = java.nio.file.Files.list(locks)
+        try {
+          import scala.jdk.CollectionConverters._
+          val stray = s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.contains("evil") || n.contains("hidden") ||
+              n.contains(".dot") || n.contains("a/b")).toList
+          assert(stray.isEmpty, s"hostile names left lock files: $stray")
+        } finally s.close()
+      }
+    }
+  }
+
+  test("backfillIvfParams migrates a pre-params index; refuses to " +
+      "overwrite live geometry") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = Tables.embeddings(spark, sfDir)
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      // simulate a pre-params-era index: build, then delete the params
+      // tier out from under it (the r11 layout had no params)
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+        store.root, "old", srvid = 1, nprobeDefault = 2)
+      graft.core.AtomicSwap.deleteRecursively(
+        java.nio.file.Paths.get(store.root, "powa_index_old", "params"))
+      // frozen: every maintenance/probe entry point fails loudly...
+      intercept[IllegalArgumentException] {
+        Similarity.loadIvfIndexStore(spark, store.root, "old", 1)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.appendIvfIndexStore(
+          emb.limit(4), "vec_id", "embedding", store.root, "old", 1)
+      }
+      // ...until the backfill derives (k, dim) from the codebook
+      val p = Similarity.backfillIvfParams(spark, store.root, "old", 1,
+        nprobeDefault = 2)
+      assert(p === Similarity.IvfParams(8, 64, 2, "cosine"))
+      // the migrated index probes exactly like a params-era build
+      val q = emb.filter(col("vec_id").isin(100L, 200L))
+      val got = Similarity.probeIvfIndexStore(spark, store.root, "old",
+        1, q, "vec_id", "embedding", k = 5).collect().toSet
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb,
+        store.root, "new", srvid = 1, nprobeDefault = 2)
+      val want = Similarity.probeIvfIndexStore(spark, store.root, "new",
+        1, q, "vec_id", "embedding", k = 5).collect().toSet
+      assert(got === want && got.nonEmpty)
+      // refuses to overwrite LIVE geometry — a re-shape is a rebuild
+      val live = intercept[IllegalArgumentException] {
+        Similarity.backfillIvfParams(spark, store.root, "old", 1)
+      }
+      assert(live.getMessage.contains("already has a params tier"),
+        live.getMessage)
     }
   }
 
