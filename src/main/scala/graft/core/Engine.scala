@@ -534,13 +534,24 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
         // either before the mutation (which then fails loudly on the
         // missing codebook) or after it completes — never interleaved
         // (round-12 review).
-        try MutationLock.withPartitionLock(storageRoot, ds, srvid) {
-          tiers.foreach { case (_, tier) =>
-            store.dropPartition(ds, tier, srvid)
-          }
+        // Per-TIER guards inside the per-INDEX lock hold: one tier's
+        // transient drop failure must not abandon the siblings (the
+        // operator needs the tier name to re-sweep, and surviving
+        // tiers must still be attempted). Tier order matters for the
+        // failure case: `cells` drops LAST, so a partial sweep can
+        // only leave cells WITHOUT params/codebook — every later
+        // append/probe then fails loudly on the missing geometry,
+        // never silently resurrects data for the deleted server
+        // (round-12 review, second pass).
+        MutationLock.withPartitionLock(storageRoot, ds, srvid) {
+          tiers.sortBy { case (_, t) =>
+            (if (t == "cells") 1 else 0, t) }
+            .foreach { case (_, tier) =>
+              try store.dropPartition(ds, tier, srvid)
+              catch { case e: Exception =>
+                failures :+= s"sweep $ds.$tier: ${e.getMessage}" }
+            }
         }
-        catch { case e: Exception =>
-          failures :+= s"sweep $ds: ${e.getMessage}" }
       }
     externalSweeps.foreach { case (ext, sweep) =>
       try sweep(srvid)

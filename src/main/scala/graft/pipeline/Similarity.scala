@@ -346,10 +346,27 @@ object Similarity {
         codebook.toDF("cell", "cv"))
       // geometry is a property of the INDEX, not of the build call —
       // persist it so every later probe/append reads it from the store
-      store.overwritePartition(ds, "params", srvid,
-        Seq((codebook.size, dims.head, nprobeDefault, "cosine"))
-          .toDF("k", "dim", "nprobe_default", "metric"))
+      writeIvfParams(store, ds, srvid, codebook.size, dims, nprobeDefault)
     }
+  }
+
+  /** ONE writer for the params row (save + backfill): validates the
+    * geometry invariants (uniform non-zero dim, nprobe within the
+    * codebook) and writes the row — a schema or invariant change made
+    * in one path but not the other would produce params rows the
+    * drift checks reject at probe time (round-12 review). */
+  private def writeIvfParams(store: graft.core.Store, ds: String,
+      srvid: Int, k: Int, dims: Seq[Int], nprobeDefault: Int): IvfParams = {
+    require(dims.size == 1 && dims.head > 0,
+      s"$ds: centroids must share one non-zero dim, got $dims")
+    require(nprobeDefault >= 1 && nprobeDefault <= k,
+      s"$ds: nprobeDefault must be in [1, $k], got $nprobeDefault")
+    val spark = store.spark
+    import spark.implicits._
+    store.overwritePartition(ds, "params", srvid,
+      Seq((k, dims.head, nprobeDefault, "cosine"))
+        .toDF("k", "dim", "nprobe_default", "metric"))
+    IvfParams(k, dims.head, nprobeDefault, "cosine")
   }
 
   /** Read back an IVF index's persisted build geometry
@@ -369,8 +386,17 @@ object Similarity {
       s"loadIvfParams: ${rows.length} params rows for index '$name' " +
         s"srvid $srvid — corrupt params tier")
     val r = rows.head
-    IvfParams(r.getAs[Int]("k"), r.getAs[Int]("dim"),
+    val p = IvfParams(r.getAs[Int]("k"), r.getAs[Int]("dim"),
       r.getAs[Int]("nprobe_default"), r.getAs[String]("metric"))
+    // the metric is geometry too, and unlike k/dim it needs no
+    // codebook to validate — so EVERY params reader refuses a metric
+    // the probe doesn't rank by (a hand-edited or future-writer row
+    // claiming 'l2' would otherwise silently rank by cosine anyway)
+    require(p.metric == "cosine",
+      s"loadIvfParams: index '$name' srvid $srvid params claim " +
+        s"metric='${p.metric}' but this engine probes cosine only — " +
+        "geometry drift, refusing to probe")
+    p
   }
 
   /** ADMIT a new vector batch into a standing store-resident IVF index
@@ -454,14 +480,8 @@ object Similarity {
       s"loadIvfIndexStore: index '$name' srvid $srvid params claim " +
         s"dim=${p.dim} but the codebook has dims $cbDims — " +
         "geometry drift, refusing to probe")
-    // the metric is geometry too: the probe ranks by cosine, so a
-    // params row claiming anything else (hand-edit, future writer)
-    // would make every probe silently rank by the WRONG metric —
-    // refuse like any other drift (round-12 review)
-    require(p.metric == "cosine",
-      s"loadIvfIndexStore: index '$name' srvid $srvid params claim " +
-        s"metric='${p.metric}' but this engine probes cosine only — " +
-        "geometry drift, refusing to probe")
+    // (metric drift is refused inside loadIvfParams — it needs no
+    // codebook, so it guards EVERY params reader, not just this one)
     val cells = store.readV2(ds, "cells", ivfCellsSchema)
       .filter(col("srvid") === srvid)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -495,16 +515,8 @@ object Similarity {
         .map(r => r.getSeq[Double](r.fieldIndex("cv")).size)
       require(cb.nonEmpty,
         s"backfillIvfParams: no codebook for index '$name' srvid $srvid")
-      val dims = cb.distinct.toSeq
-      require(dims.size == 1 && dims.head > 0,
-        s"backfillIvfParams: codebook dims are not uniform: $dims")
-      require(nprobeDefault >= 1 && nprobeDefault <= cb.length,
-        s"backfillIvfParams: nprobeDefault must be in [1, ${cb.length}]")
-      import spark.implicits._
-      store.overwritePartition(ds, "params", srvid,
-        Seq((cb.length, dims.head, nprobeDefault, "cosine"))
-          .toDF("k", "dim", "nprobe_default", "metric"))
-      IvfParams(cb.length, dims.head, nprobeDefault, "cosine")
+      writeIvfParams(store, ds, srvid, cb.length, cb.distinct.toSeq,
+        nprobeDefault)
     }
   }
 

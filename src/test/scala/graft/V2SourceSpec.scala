@@ -749,17 +749,21 @@ class V2SourceSpec extends AnyFunSuite {
             spark, store.root, bad, 1)
         }
       }
-      // ...and no stray lock files were left under _locks by the
-      // rejected lock-taking entry points
+      // ...and the rejected lock-taking entry points left NOTHING
+      // under _locks: walk it recursively (a '/'-bearing name would
+      // nest its lock file in a subdirectory a flat listing misses)
+      // and assert the only lock file is the legitimate one this
+      // test's own build created
       val locks = java.nio.file.Paths.get(store.root, "_locks")
       if (java.nio.file.Files.isDirectory(locks)) {
-        val s = java.nio.file.Files.list(locks)
+        val s = java.nio.file.Files.walk(locks)
         try {
           import scala.jdk.CollectionConverters._
-          val stray = s.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.contains("evil") || n.contains("hidden") ||
-              n.contains(".dot") || n.contains("a/b")).toList
-          assert(stray.isEmpty, s"hostile names left lock files: $stray")
+          val found = s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => locks.relativize(p).toString).toSet
+          assert(found === Set("powa_index_par.srvid=1.lock"),
+            s"hostile names left stray lock files: $found")
         } finally s.close()
       }
     }
