@@ -45,7 +45,16 @@ import java.nio.file.{Files, Path, Paths}
   * indexes and different tenants never contend; it is disjoint from
   * the engine's `srvid=N.lock` tick lock by the `<ds>.` prefix.
   * The per-key monitor map is never pruned — bounded by the distinct
-  * (root, ds, srvid) keys a JVM touches, a few bytes each. */
+  * (root, ds, srvid) keys a JVM touches, a few bytes each.
+  *
+  * 100 TB note: FileChannel locks require a POSIX filesystem — an
+  * object-store deployment (S3/GCS, no advisory locks) swaps the
+  * mutex behind this one call site for the catalog/commit-service
+  * primitive its table format already has (Delta LogStore
+  * put-if-absent, Iceberg catalog CAS, a DynamoDB/ZK mutex). The
+  * lock SCOPE — single mutator per (relation, tenant), readers never
+  * blocked — is the durable design; the mechanism is deployment
+  * plumbing (SCALE.md, orchestration). */
 object MutationLock {
 
   private final class LockState { var depth = 0 }
