@@ -88,8 +88,52 @@ object StressR12 {
       spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0
     graft.core.AtomicSwap.deleteRecursively(bigRoot)
 
+    // ---- admission under lock contention ----
+    // The index MutationLock is BLOCKING (maintenance writes queue).
+    // Claim: N concurrent appenders to ONE index serialize without
+    // collapse — aggregate wall-clock ≈ the sequential sum (the lock
+    // adds queueing, not convoy overhead), and nothing is lost.
+    val vecs = Tables.embeddings(spark, sys.env.getOrElse(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .localCheckpoint()
+    val cbIdx = vecs.select(
+        org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        graft.pipeline.Similarity.asDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("v"))
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val lockRoot = java.nio.file.Files.createTempDirectory("graft_lock12")
+    def quarter(r: Int) = vecs.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 4 === r)
+    graft.pipeline.Similarity.saveIvfIndexStore(quarter(0), "vec_id",
+      "embedding", cbIdx, lockRoot.toString, "seq", 1)
+    val t0s = System.nanoTime()
+    (1 to 3).foreach(r => graft.pipeline.Similarity.appendIvfIndexStore(
+      quarter(r), "vec_id", "embedding", lockRoot.toString, "seq", 1))
+    val admitSeqSec = (System.nanoTime() - t0s) / 1e9
+    graft.pipeline.Similarity.saveIvfIndexStore(quarter(0), "vec_id",
+      "embedding", cbIdx, lockRoot.toString, "con", 1)
+    val t0c = System.nanoTime()
+    val threads = (1 to 3).map { r =>
+      val t = new Thread(() =>
+        graft.pipeline.Similarity.appendIvfIndexStore(
+          quarter(r), "vec_id", "embedding", lockRoot.toString, "con", 1))
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val admitConSec = (System.nanoTime() - t0c) / 1e9
+    val conRows = graft.pipeline.Similarity.loadIvfIndexStore(
+      spark, lockRoot.toString, "con", 1)._1.count()
+    graft.core.AtomicSwap.deleteRecursively(lockRoot)
+
     val json =
       s"""{"metric":"stress_r12","fleet":$nFleet,"sweep":$nSweep,""" +
+        s""""admit3_seq_sec":$admitSeqSec,""" +
+        s""""admit3_contended_sec":$admitConSec,""" +
+        s""""admit3_contended_rows":$conRows,""" +
         s""""sweep_seq_sec":$sweepSeqSec,""" +
         s""""sweep_batch_sec":$sweepBatchSec,""" +
         s""""one_config_sec":$oneCfgSec,""" +
