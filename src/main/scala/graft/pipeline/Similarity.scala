@@ -520,6 +520,227 @@ object Similarity {
     }
   }
 
+  // ---------- persisted product-quantization index ----------
+
+  private val pqCodebooksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sub",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+  private val pqCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+  private val pqParamsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dim",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("metric",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("srvid",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** PQ build geometry, persisted like [[IvfParams]]. */
+  final case class PqParams(m: Int, k: Int, dim: Int, metric: String)
+
+  /** Per-subspace code columns for one e4-quantized vector column
+    * against driver-resident codebooks: the argmin POSITION into each
+    * subspace's cid-ascending codebook (the same native-argmin + tie
+    * rule as [[pqCodebook]]'s assignment). */
+  private def pqEncodeCols(cents: Map[Int, Seq[(Long, Seq[Long])]],
+      m: Int, subDim: Int): Column =
+    array((0 until m).map { s =>
+      NativeFunctions.argminDist2(
+        slice(col("qv"), s * subDim + 1, subDim),
+        typedLit(cents(s).map(_._2)))
+    }: _*)
+
+  /** Persist a PQ index THROUGH THE GOVERNED STORE — the production
+    * form of [[pqTopK]], which trains and re-encodes the corpus per
+    * CALL: here the per-subspace integer codebooks train ONCE
+    * ([[pqCodebook]]), the corpus is encoded once into a `pq_codes`
+    * tier (m small ints per vector — the 4-32× PQ compression), and
+    * every later probe touches ONLY codes and codebooks, never raw
+    * vectors. Tiers: `pq_codebooks` (m × ≤k integer centroids,
+    * driver-bounded), `pq_codes` (the encoded corpus, vec_id-range
+    * laid out), `pq_params` (geometry `(m, k, dim)` — the [[IvfParams]]
+    * rule: probes read it from the store, drift is impossible). Same
+    * governed-citizen properties as the IVF/signature indexes:
+    * AtomicSwap commits, srvid tenancy, powa_index_* ACL, per-server
+    * delete sweep, and the per-(index, srvid) mutation lock. */
+  def savePqIndexStore(embeddings: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, iters: Int,
+      root: String, name: String, srvid: Int): Unit = {
+    requireIndexName(name)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val spark = embeddings.sparkSession
+    NativeFunctions.register(spark)
+    val cents = pqCodebook(embeddings, idCol, vecCol, dim, m, k, iters)
+    val subDim = dim / m
+    val store = new graft.core.Store(spark, root)
+    val ds = s"powa_index_$name"
+    val codes = embeddings.select(qvE4(idCol, vecCol): _*)
+      .select(col("id").as("vec_id"), col("qv"))
+      .withColumn("codes", pqEncodeCols(cents, m, subDim))
+      .select(col("vec_id"), col("codes"))
+    graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
+      import spark.implicits._
+      store.overwritePartition(ds, "pq_codebooks", srvid,
+        cents.toSeq.flatMap { case (s, cb) =>
+          cb.map { case (cid, cv) => (s, cid, cv) }
+        }.toDF("sub", "cid", "cv"))
+      store.overwritePartition(ds, "pq_codes", srvid,
+        codes.repartitionByRange(
+          math.max(1, spark.sparkContext.defaultParallelism),
+          col("vec_id")))
+      store.overwritePartition(ds, "pq_params", srvid,
+        Seq((m, k, dim, "l2_e4")).toDF("m", "k", "dim", "metric"))
+    }
+  }
+
+  /** Persisted PQ geometry — every reader validates the metric tag
+    * (this engine's ADC is integer-e4 squared-L2 only). */
+  def loadPqParams(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): PqParams = {
+    requireIndexName(name)
+    val store = new graft.core.Store(spark, root)
+    val rows = store.readV2(s"powa_index_$name", "pq_params", pqParamsSchema)
+      .filter(col("srvid") === srvid).collect()
+    require(rows.nonEmpty,
+      s"loadPqParams: no pq_params tier for index '$name' srvid $srvid" +
+        " — build with savePqIndexStore first")
+    require(rows.length == 1,
+      s"loadPqParams: ${rows.length} params rows for '$name' srvid $srvid")
+    val r = rows.head
+    val p = PqParams(r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Int]("dim"), r.getAs[String]("metric"))
+    require(p.metric == "l2_e4",
+      s"loadPqParams: index '$name' srvid $srvid claims metric " +
+        s"'${p.metric}' but this engine probes integer-e4 L2 only — " +
+        "geometry drift, refusing to probe")
+    require(p.m > 0 && p.dim % p.m == 0,
+      s"loadPqParams: corrupt geometry m=${p.m} dim=${p.dim}")
+    p
+  }
+
+  /** Load the persisted PQ codebooks + validated params; the codebook
+    * collect is m·≤k rows — index-parameter-bounded. Cross-checks the
+    * codebooks against the geometry (every subspace present, subvector
+    * length = dim/m, ≤ k centroids each) — the IVF drift rule. */
+  def loadPqIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int)
+      : (DataFrame, Map[Int, Seq[(Long, Seq[Long])]], PqParams) = {
+    val p = loadPqParams(spark, root, name, srvid)
+    val store = new graft.core.Store(spark, root)
+    val ds = s"powa_index_$name"
+    val cents: Map[Int, Seq[(Long, Seq[Long])]] =
+      store.readV2(ds, "pq_codebooks", pqCodebooksSchema)
+        .filter(col("srvid") === srvid).collect()
+        .groupBy(_.getAs[Int]("sub")).map { case (s, rows) =>
+          s -> rows.map(r => (r.getAs[Long]("cid"),
+            r.getSeq[Long](r.fieldIndex("cv")).toVector: Seq[Long]))
+            .sortBy(_._1).toSeq
+        }
+    require(cents.keySet == (0 until p.m).toSet,
+      s"loadPqIndexStore: index '$name' srvid $srvid params claim " +
+        s"m=${p.m} but codebooks cover subs ${cents.keySet.toSeq.sorted}" +
+        " — geometry drift, refusing to probe")
+    val subDim = p.dim / p.m
+    cents.foreach { case (s, cb) =>
+      require(cb.nonEmpty && cb.size <= p.k &&
+        cb.forall(_._2.size == subDim),
+        s"loadPqIndexStore: sub $s codebook violates geometry " +
+          s"(k<=${p.k}, subDim=$subDim) — drift, refusing to probe")
+    }
+    val codes = store.readV2(ds, "pq_codes", pqCodesSchema)
+      .filter(col("srvid") === srvid)
+      .select(col("vec_id"), col("codes"))
+    (codes, cents, p)
+  }
+
+  /** ADMIT a new vector batch into a standing PQ index: encode with
+    * the index's OWN persisted codebooks (re-training would silently
+    * re-code nothing and drift everything — the IVF admission rule)
+    * and append through the store's batch commit. Batch-sized cost. */
+  def appendPqIndexStore(embeddings: DataFrame, idCol: String,
+      vecCol: String, root: String, name: String, srvid: Int): Unit = {
+    requireIndexName(name)
+    val spark = embeddings.sparkSession
+    NativeFunctions.register(spark)
+    graft.core.MutationLock.withPartitionLock(
+        root, s"powa_index_$name", srvid) {
+      val (_, cents, p) = loadPqIndexStore(spark, root, name, srvid)
+      val subDim = p.dim / p.m
+      val store = new graft.core.Store(spark, root)
+      store.appendPartition(s"powa_index_$name", "pq_codes", srvid,
+        embeddings.select(qvE4(idCol, vecCol): _*)
+          .select(col("id").as("vec_id"), col("qv"))
+          .withColumn("codes", pqEncodeCols(cents, p.m, subDim))
+          .select(col("vec_id"), col("codes")))
+    }
+  }
+
+  /** Probe a persisted PQ index by asymmetric distance: the query's
+    * per-(sub, position) distance table is driver-side (m·≤k longs),
+    * and the scan touches ONLY the codes tier — m small ints per
+    * corpus vector, the memory-bandwidth PQ probe, with the raw
+    * vectors never read. Zero caller-supplied build constants: m, k,
+    * dim and the codebooks all come from the index's tiers. Identical
+    * ranking to [[pqTopK]] at the same build parameters (integer
+    * arithmetic end-to-end; ties (adc, vec_id) — the p39 oracle
+    * applies verbatim). `queryVec` is the raw (float/double) query
+    * vector — query-time DATA, not geometry. */
+  def probePqIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int, queryVec: Seq[Double],
+      excludeId: Option[Long], topK: Int): DataFrame = {
+    val (codes, cents, p) = loadPqIndexStore(spark, root, name, srvid)
+    require(queryVec.size == p.dim,
+      s"probePqIndexStore: query dim ${queryVec.size} != index dim ${p.dim}")
+    val subDim = p.dim / p.m
+    val qe4 = queryVec.map(x => math.floor(x * 10000).toLong)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val adc = (0 until p.m).map { s =>
+      val qs = qe4.slice(s * subDim, (s + 1) * subDim)
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2(qs, cv) }
+      element_at(typedLit(qds), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    excludeId.map(id => codes.filter(col("vec_id") =!= id))
+      .getOrElse(codes)
+      .select(col("vec_id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Compact a PQ index's codes partition after repeated admissions —
+    * the layout fold of the IVF sibling, one atomic swap, rows
+    * unchanged. */
+  def compactPqIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): Unit = {
+    requireIndexName(name)
+    graft.core.MutationLock.withPartitionLock(
+        root, s"powa_index_$name", srvid) {
+      val (codes, _, _) = loadPqIndexStore(spark, root, name, srvid)
+      val store = new graft.core.Store(spark, root)
+      store.overwritePartition(s"powa_index_$name", "pq_codes", srvid,
+        codes.repartitionByRange(
+          math.max(1, spark.sparkContext.defaultParallelism),
+          col("vec_id")))
+    }
+  }
+
   /** Probe a store-resident IVF index with ZERO caller-supplied build
     * constants: the codebook, the cell layout, AND the probe width all
     * come from the index's own persisted tiers

@@ -1303,6 +1303,54 @@ object PipelineQueries {
         TextOps.ppm(col("cos")).as("cos_ppm"))
   }
 
+  // PERSISTED PQ index — the production form of p39: train once,
+  // encode the corpus into the governed pq_codes tier (m small ints
+  // per vector), probe by ADC over CODES ONLY (raw vectors never read
+  // at probe time) with zero caller-supplied build constants
+  // (geometry + codebooks from the index's own tiers). Persistence
+  // and the encode/probe split must be invisible to the math, so
+  // p39's oracle applies verbatim.
+  private def p162(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val root = graft.TempDirs.scoped("graft_p162_store").toString
+    Similarity.savePqIndexStore(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1, root, "pq", srvid = 1)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).collect()(0)
+      .getSeq[Double](0).toSeq
+    Similarity.probePqIndexStore(s, root, "pq", srvid = 1, qv,
+      excludeId = Some(0L), topK = 10)
+  }
+
+  // incremental PQ admission: build on the evens, append the odds
+  // (encoded with the PERSISTED codebooks — geometry can't drift),
+  // compact the accumulated code files, probe — build+append+compact
+  // ≡ the one-shot build, so p39's oracle applies verbatim. NOTE the
+  // codebooks must train on the FULL corpus for the equivalence (an
+  // index's geometry is fixed at build time; admission adds rows,
+  // never re-shapes) — so the build trains on all, writes codes for
+  // the evens, and admission encodes the odds.
+  private def p163(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val root = graft.TempDirs.scoped("graft_p163_store").toString
+    Similarity.savePqIndexStore(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1, root, "pq", srvid = 1)
+    // re-point the codes tier at the evens only, then admit the odds:
+    // the codebooks stay the full-corpus training either way
+    val store = new graft.core.Store(s, root)
+    val (codes, _, _) = Similarity.loadPqIndexStore(s, root, "pq", 1)
+    store.overwritePartition("powa_index_pq", "pq_codes", 1,
+      codes.filter(col("vec_id") % 2 === 0).localCheckpoint())
+    Similarity.appendPqIndexStore(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", root, "pq", srvid = 1)
+    Similarity.compactPqIndexStore(s, root, "pq", srvid = 1)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding"))).collect()(0)
+      .getSeq[Double](0).toSeq
+    Similarity.probePqIndexStore(s, root, "pq", srvid = 1, qv,
+      excludeId = Some(0L), topK = 10)
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -3012,7 +3060,54 @@ object PipelineQueries {
     "p158_ivf_index_append" -> (p158 _),
     "p159_signature_index_append" -> (p159 _),
     "p160_ivf_multiprobe" -> (p160 _),
-    "p161_ivf_probe_params" -> (p161 _))
+    "p161_ivf_probe_params" -> (p161 _),
+    "p162_pq_index_store" -> (p162 _),
+    "p163_pq_index_append" -> (p163 _))
+
+  /** Integer-e4 PQ training + ADC replay — shared by p39 (per-call
+    * train+probe) and p162/p163 (the persisted index forms): the
+    * persistence and encode/probe split are invisible to the math. */
+  private lazy val pqAnnOracle: String =
+    """WITH q AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+          qe AS (SELECT id, i // 8 AS sub, i % 8 AS spos, qv[i+1] AS val
+                 FROM q, range(0, 64) t(i)),
+          c0 AS (SELECT id AS cid, sub, spos, val FROM qe WHERE id < 4),
+          d1 AS (SELECT qe.id, qe.sub, c0.cid,
+                   CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c0 ON qe.sub = c0.sub AND qe.spos = c0.spos
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d1) WHERE rn = 1),
+          c1 AS (SELECT a1.sub, a1.cid, qe.spos,
+                   CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                 FROM a1 JOIN qe ON a1.id = qe.id AND a1.sub = qe.sub
+                 GROUP BY 1, 2, 3),
+          d2 AS (SELECT qe.id, qe.sub, c1.cid,
+                   CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c1 ON qe.sub = c1.sub AND qe.spos = c1.spos
+                 GROUP BY 1, 2, 3),
+          a2 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+          dt AS (SELECT c1.sub, c1.cid,
+                   CAST(SUM((qq.val - c1.val) * (qq.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM (SELECT sub, spos, val FROM qe WHERE id = 0) qq
+                 JOIN c1 ON qq.sub = c1.sub AND qq.spos = c1.spos
+                 GROUP BY 1, 2),
+          adc AS (SELECT a2.id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
+                  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid
+                  GROUP BY a2.id)
+          SELECT id AS vec_id, adc_dist FROM adc
+          WHERE id <> 0 ORDER BY adc_dist, vec_id LIMIT 10"""
 
   val oracleSql: Map[String, String] = Map(
     "p01_text_stats" ->
@@ -3738,47 +3833,7 @@ object PipelineQueries {
                          THEN n_chars END) AS BIGINT) AS p95_chars,
                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM r GROUP BY source ORDER BY source""",
-    "p39_pq_ann" ->
-      """WITH q AS (SELECT vec_id AS id,
-                 list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-               FROM embeddings),
-          qe AS (SELECT id, i // 8 AS sub, i % 8 AS spos, qv[i+1] AS val
-                 FROM q, range(0, 64) t(i)),
-          c0 AS (SELECT id AS cid, sub, spos, val FROM qe WHERE id < 4),
-          d1 AS (SELECT qe.id, qe.sub, c0.cid,
-                   CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT)
-                     AS dist
-                 FROM qe JOIN c0 ON qe.sub = c0.sub AND qe.spos = c0.spos
-                 GROUP BY 1, 2, 3),
-          a1 AS (SELECT id, sub, cid FROM (
-                   SELECT id, sub, cid, ROW_NUMBER() OVER (
-                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
-                   FROM d1) WHERE rn = 1),
-          c1 AS (SELECT a1.sub, a1.cid, qe.spos,
-                   CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
-                 FROM a1 JOIN qe ON a1.id = qe.id AND a1.sub = qe.sub
-                 GROUP BY 1, 2, 3),
-          d2 AS (SELECT qe.id, qe.sub, c1.cid,
-                   CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT)
-                     AS dist
-                 FROM qe JOIN c1 ON qe.sub = c1.sub AND qe.spos = c1.spos
-                 GROUP BY 1, 2, 3),
-          a2 AS (SELECT id, sub, cid FROM (
-                   SELECT id, sub, cid, ROW_NUMBER() OVER (
-                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
-                   FROM d2) WHERE rn = 1),
-          dt AS (SELECT c1.sub, c1.cid,
-                   CAST(SUM((qq.val - c1.val) * (qq.val - c1.val)) AS BIGINT)
-                     AS dist
-                 FROM (SELECT sub, spos, val FROM qe WHERE id = 0) qq
-                 JOIN c1 ON qq.sub = c1.sub AND qq.spos = c1.spos
-                 GROUP BY 1, 2),
-          adc AS (SELECT a2.id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
-                  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid
-                  GROUP BY a2.id)
-          SELECT id AS vec_id, adc_dist FROM adc
-          WHERE id <> 0 ORDER BY adc_dist, vec_id LIMIT 10""",
+    "p39_pq_ann" -> pqAnnOracle,
     "p40_stream_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
                 p.user_id, p.ts AS p_ts, v.ts AS v_ts
@@ -5727,6 +5782,8 @@ object PipelineQueries {
     "p159_signature_index_append" -> incrementalDedupSql,
     "p160_ivf_multiprobe" -> ivfProbeOracleN(2),
     "p161_ivf_probe_params" -> ivfProbeOracleN(2),
+    "p162_pq_index_store" -> pqAnnOracle,
+    "p163_pq_index_append" -> pqAnnOracle,
     "p155_tokenizer_mixture_chain" ->
       s"""WITH ${bpeCtes(4)},
           segmap AS (SELECT word,

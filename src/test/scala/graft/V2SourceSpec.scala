@@ -769,6 +769,66 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted PQ index: probe over codes only equals per-call " +
+      "pqTopK; admission encodes with persisted codebooks; geometry " +
+      "drift and hostile names refused") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val sfDir = "/root/testdata/sf0.001"
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.savePqIndexStore(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 4, iters = 1, store.root, "pq", srvid = 1)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(Similarity.asDouble(col("embedding"))).collect()(0)
+        .getSeq[Double](0).toSeq
+      val got = Similarity.probePqIndexStore(spark, store.root, "pq", 1,
+        qv, excludeId = Some(0L), topK = 10).collect().toSeq
+      // identical ranking AND distances to the per-call train+probe
+      val want = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, dim = 64, m = 8, k = 4, iters = 1, topK = 10)
+        .collect().toSeq
+      assert(got.map(r => (r.getLong(0), r.getLong(1))) ===
+        want.map(r => (r.getLong(0), r.getLong(1))))
+      // the probe plan reads the CODES tier only — no raw-vector scan
+      val probePlan = Similarity.probePqIndexStore(spark, store.root,
+        "pq", 1, qv, Some(0L), 10).queryExecution.optimizedPlan.toString
+      assert(!probePlan.contains("embedding"),
+        s"PQ probe must never read raw vectors:\n$probePlan")
+      // params say what the build used
+      assert(Similarity.loadPqParams(spark, store.root, "pq", 1) ===
+        Similarity.PqParams(8, 4, 64, "l2_e4"))
+      // geometry drift: an m the codebooks don't cover refuses to load
+      import spark.implicits._
+      store.overwritePartition("powa_index_pq", "pq_params", 1,
+        Seq((16, 4, 64, "l2_e4")).toDF("m", "k", "dim", "metric"))
+      val drift = intercept[IllegalArgumentException] {
+        Similarity.loadPqIndexStore(spark, store.root, "pq", 1)
+      }
+      assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
+      // ...and a foreign metric tag refuses in loadPqParams itself
+      store.overwritePartition("powa_index_pq", "pq_params", 1,
+        Seq((8, 4, 64, "cosine")).toDF("m", "k", "dim", "metric"))
+      val metric = intercept[IllegalArgumentException] {
+        Similarity.loadPqParams(spark, store.root, "pq", 1)
+      }
+      assert(metric.getMessage.contains("metric"), metric.getMessage)
+      // hostile names die before the name-derived lock path
+      Seq("../evil", "a/b", "_hidden").foreach { bad =>
+        intercept[IllegalArgumentException] {
+          Similarity.savePqIndexStore(emb, "vec_id", "embedding",
+            64, 8, 4, 1, store.root, bad, 1)
+        }
+        intercept[IllegalArgumentException] {
+          Similarity.appendPqIndexStore(emb, "vec_id", "embedding",
+            store.root, bad, 1)
+        }
+        intercept[IllegalArgumentException] {
+          Similarity.compactPqIndexStore(spark, store.root, bad, 1)
+        }
+      }
+    }
+  }
+
   test("backfillIvfParams migrates a pre-params index; refuses to " +
       "overwrite live geometry") {
     import graft.pipeline.Similarity
