@@ -129,8 +129,51 @@ object StressR12 {
       spark, lockRoot.toString, "con", 1)._1.count()
     graft.core.AtomicSwap.deleteRecursively(lockRoot)
 
+    // ---- persisted-PQ axis: train-once-probe-many vs per-call ----
+    // The claim the persisted PQ index exists for: the per-call pqTopK
+    // re-trains and re-encodes the corpus EVERY query; the persisted
+    // form pays that once (build) and each probe is one scan of the
+    // codes tier (m small ints per vector, raw vectors untouched).
+    import org.apache.spark.sql.functions.{col => c}
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "50").toInt
+    val bigVecs = Tables.embeddings(spark, sys.env.getOrElse(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      .crossJoin(spark.range(mult).select(c("id").as("rep")))
+      .select((c("vec_id") + c("rep") * 10000000L).as("vec_id"),
+        c("embedding"))
+      .repartition(cpus.toInt * 2).localCheckpoint()
+    val nPqVecs = bigVecs.count()
+    val qv = bigVecs.filter(c("vec_id") === 0L)
+      .select(graft.pipeline.Similarity.asDouble(c("embedding")))
+      .collect()(0).getSeq[Double](0).toSeq
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_pq12")
+    val (pqCallSec, _) = StressCorpus.timed(
+      graft.pipeline.Similarity.pqTopK(bigVecs, "vec_id", "embedding",
+        queryId = 0L, dim = 64, m = 8, k = 16, iters = 1,
+        topK = 100).count())
+    val (pqBuildSec, _) = StressCorpus.timed {
+      graft.pipeline.Similarity.savePqIndexStore(bigVecs, "vec_id",
+        "embedding", dim = 64, m = 8, k = 16, iters = 1,
+        pqRoot.toString, "pq", 1); nPqVecs
+    }
+    def probeOnce(): Long = graft.pipeline.Similarity.probePqIndexStore(
+      spark, pqRoot.toString, "pq", 1, qv, Some(0L), 100).count()
+    probeOnce() // warm
+    val (pqProbeSec, _) = StressCorpus.timed(probeOnce())
+    val (pqAdmitSec, _) = StressCorpus.timed {
+      graft.pipeline.Similarity.appendPqIndexStore(
+        bigVecs.filter(c("vec_id") % 10 === 3).limit(2000)
+          .select((c("vec_id") + 900000000L).as("vec_id"),
+            c("embedding")),
+        "vec_id", "embedding", pqRoot.toString, "pq", 1); 2000L
+    }
+    graft.core.AtomicSwap.deleteRecursively(pqRoot)
+
     val json =
       s"""{"metric":"stress_r12","fleet":$nFleet,"sweep":$nSweep,""" +
+        s""""pq_vecs":$nPqVecs,"pq_percall_sec":$pqCallSec,""" +
+        s""""pq_build_sec":$pqBuildSec,"pq_probe_sec":$pqProbeSec,""" +
+        s""""pq_admit2k_sec":$pqAdmitSec,""" +
         s""""admit3_seq_sec":$admitSeqSec,""" +
         s""""admit3_contended_sec":$admitConSec,""" +
         s""""admit3_contended_rows":$conRows,""" +
