@@ -163,7 +163,7 @@ object StressR12 {
     val (pqAdmitSec, _) = StressCorpus.timed {
       graft.pipeline.Similarity.appendPqIndexStore(
         bigVecs.filter(c("vec_id") % 10 === 3).limit(2000)
-          .select((c("vec_id") + 900000000L).as("vec_id"),
+          .select((c("vec_id") + 10000000000L).as("vec_id"),
             c("embedding")),
         "vec_id", "embedding", pqRoot.toString, "pq", 1); 2000L
     }

@@ -522,25 +522,17 @@ object Similarity {
 
   // ---------- persisted product-quantization index ----------
 
-  private val pqCodebooksSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("sub",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("cid",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cv",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType)),
-    org.apache.spark.sql.types.StructField("srvid",
-      org.apache.spark.sql.types.IntegerType)))
   private val pqCodesSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("codes",
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("gen",
+      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("srvid",
       org.apache.spark.sql.types.IntegerType)))
-  private val pqParamsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private val pqMetaSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("m",
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("k",
@@ -549,37 +541,69 @@ object Similarity {
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("metric",
       org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("gen",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("subs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("cids",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("cvs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))),
     org.apache.spark.sql.types.StructField("srvid",
       org.apache.spark.sql.types.IntegerType)))
 
-  /** PQ build geometry, persisted like [[IvfParams]]. */
-  final case class PqParams(m: Int, k: Int, dim: Int, metric: String)
+  /** PQ build geometry plus the generation tag that binds codes to
+    * the codebooks they were encoded against. */
+  final case class PqParams(m: Int, k: Int, dim: Int, metric: String,
+      gen: Long)
 
   /** Per-subspace code columns for one e4-quantized vector column
     * against driver-resident codebooks: the argmin POSITION into each
     * subspace's cid-ascending codebook (the same native-argmin + tie
-    * rule as [[pqCodebook]]'s assignment). */
+    * rule as [[pqCodebook]]'s assignment). The leading size fence
+    * rejects a vector whose length differs from the index dim — a
+    * LONGER vector would otherwise be encoded from its prefix
+    * silently (slice never over-reads), a drift the family's rules
+    * forbid (round-12 review). */
   private def pqEncodeCols(cents: Map[Int, Seq[(Long, Seq[Long])]],
-      m: Int, subDim: Int): Column =
-    array((0 until m).map { s =>
+      m: Int, subDim: Int): Column = {
+    val enc = array((0 until m).map { s =>
       NativeFunctions.argminDist2(
         slice(col("qv"), s * subDim + 1, subDim),
         typedLit(cents(s).map(_._2)))
     }: _*)
+    when(size(col("qv")) === m * subDim, enc)
+      .otherwise(raise_error(concat(
+        lit(s"pq encode: vector dim != ${m * subDim}, got "),
+        size(col("qv")).cast("string"))))
+  }
 
   /** Persist a PQ index THROUGH THE GOVERNED STORE — the production
     * form of [[pqTopK]], which trains and re-encodes the corpus per
     * CALL: here the per-subspace integer codebooks train ONCE
     * ([[pqCodebook]]), the corpus is encoded once into a `pq_codes`
     * tier (m small ints per vector — the 4-32× PQ compression), and
-    * every later probe touches ONLY codes and codebooks, never raw
-    * vectors. Tiers: `pq_codebooks` (m × ≤k integer centroids,
-    * driver-bounded), `pq_codes` (the encoded corpus, vec_id-range
-    * laid out), `pq_params` (geometry `(m, k, dim)` — the [[IvfParams]]
-    * rule: probes read it from the store, drift is impossible). Same
-    * governed-citizen properties as the IVF/signature indexes:
-    * AtomicSwap commits, srvid tenancy, powa_index_* ACL, per-server
-    * delete sweep, and the per-(index, srvid) mutation lock. */
+    * every later probe touches ONLY codes and the meta row, never raw
+    * vectors.
+    *
+    * Two tiers, by design: `pq_meta` holds ALL driver-resident state
+    * in ONE row — geometry (m, k, dim, metric), the full codebooks
+    * (m × ≤k integer centroids, index-parameter-bounded), and a
+    * build GENERATION tag — so geometry and codebooks can never be
+    * read torn relative to each other (one atomic tier swap covers
+    * both). `pq_codes` rows carry the generation they were encoded
+    * under, and every read filters `gen = meta.gen`: PQ codes are
+    * argmin POSITIONS relative to their generation's codebooks, so a
+    * probe racing a REBUILD must never mix generations — with the
+    * tag it degrades to fewer/zero rows (fail-safe) instead of
+    * silently wrong distances (round-12 review). Same governed-
+    * citizen properties as the IVF/signature indexes: AtomicSwap
+    * commits, srvid tenancy, powa_index_* ACL, per-server delete
+    * sweep, per-(index, srvid) mutation lock. */
   def savePqIndexStore(embeddings: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, k: Int, iters: Int,
       root: String, name: String, srvid: Int): Unit = {
@@ -587,93 +611,110 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val spark = embeddings.sparkSession
     NativeFunctions.register(spark)
-    val cents = pqCodebook(embeddings, idCol, vecCol, dim, m, k, iters)
+    // ONE e4 projection of the corpus feeds both training and the
+    // encode pass (pqCodebookFrom reuses the checkpointed frame — a
+    // second full corpus read at 10^9 vectors is real money)
+    val q = embeddings.select(qvE4(idCol, vecCol): _*).localCheckpoint()
+    val cents = pqCodebookFrom(q, dim, m, k, iters)
     val subDim = dim / m
+    val gen = System.nanoTime()
     val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
-    val codes = embeddings.select(qvE4(idCol, vecCol): _*)
-      .select(col("id").as("vec_id"), col("qv"))
+    val codes = q.select(col("id").as("vec_id"), col("qv"))
       .withColumn("codes", pqEncodeCols(cents, m, subDim))
-      .select(col("vec_id"), col("codes"))
+      .select(col("vec_id"), col("codes"), lit(gen).as("gen"))
+    val flat = cents.toSeq.sortBy(_._1).flatMap { case (s, cb) =>
+      cb.map { case (cid, cv) => (s, cid, cv) } }
     graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
       import spark.implicits._
-      store.overwritePartition(ds, "pq_codebooks", srvid,
-        cents.toSeq.flatMap { case (s, cb) =>
-          cb.map { case (cid, cv) => (s, cid, cv) }
-        }.toDF("sub", "cid", "cv"))
+      // codes commit FIRST, meta second: a reader always resolves the
+      // meta row and filters codes to ITS generation, so mid-save it
+      // sees the complete old index or (briefly) an empty new one —
+      // never a cross-generation mix
       store.overwritePartition(ds, "pq_codes", srvid,
         codes.repartitionByRange(
           math.max(1, spark.sparkContext.defaultParallelism),
           col("vec_id")))
-      store.overwritePartition(ds, "pq_params", srvid,
-        Seq((m, k, dim, "l2_e4")).toDF("m", "k", "dim", "metric"))
+      store.overwritePartition(ds, "pq_meta", srvid,
+        Seq((m, k, dim, "l2_e4", gen, flat.map(_._1), flat.map(_._2),
+          flat.map(_._3)))
+          .toDF("m", "k", "dim", "metric", "gen", "subs", "cids", "cvs"))
     }
   }
 
   /** Persisted PQ geometry — every reader validates the metric tag
     * (this engine's ADC is integer-e4 squared-L2 only). */
   def loadPqParams(spark: org.apache.spark.sql.SparkSession,
-      root: String, name: String, srvid: Int): PqParams = {
+      root: String, name: String, srvid: Int): PqParams =
+    loadPqMeta(spark, root, name, srvid)._1
+
+  private def loadPqMeta(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int)
+      : (PqParams, Map[Int, Seq[(Long, Seq[Long])]]) = {
     requireIndexName(name)
     val store = new graft.core.Store(spark, root)
-    val rows = store.readV2(s"powa_index_$name", "pq_params", pqParamsSchema)
+    val rows = store.readV2(s"powa_index_$name", "pq_meta", pqMetaSchema)
       .filter(col("srvid") === srvid).collect()
     require(rows.nonEmpty,
-      s"loadPqParams: no pq_params tier for index '$name' srvid $srvid" +
+      s"loadPqParams: no pq_meta tier for index '$name' srvid $srvid" +
         " — build with savePqIndexStore first")
     require(rows.length == 1,
-      s"loadPqParams: ${rows.length} params rows for '$name' srvid $srvid")
+      s"loadPqParams: ${rows.length} meta rows for '$name' srvid $srvid")
     val r = rows.head
     val p = PqParams(r.getAs[Int]("m"), r.getAs[Int]("k"),
-      r.getAs[Int]("dim"), r.getAs[String]("metric"))
+      r.getAs[Int]("dim"), r.getAs[String]("metric"), r.getAs[Long]("gen"))
     require(p.metric == "l2_e4",
       s"loadPqParams: index '$name' srvid $srvid claims metric " +
         s"'${p.metric}' but this engine probes integer-e4 L2 only — " +
         "geometry drift, refusing to probe")
     require(p.m > 0 && p.dim % p.m == 0,
       s"loadPqParams: corrupt geometry m=${p.m} dim=${p.dim}")
-    p
-  }
-
-  /** Load the persisted PQ codebooks + validated params; the codebook
-    * collect is m·≤k rows — index-parameter-bounded. Cross-checks the
-    * codebooks against the geometry (every subspace present, subvector
-    * length = dim/m, ≤ k centroids each) — the IVF drift rule. */
-  def loadPqIndexStore(spark: org.apache.spark.sql.SparkSession,
-      root: String, name: String, srvid: Int)
-      : (DataFrame, Map[Int, Seq[(Long, Seq[Long])]], PqParams) = {
-    val p = loadPqParams(spark, root, name, srvid)
-    val store = new graft.core.Store(spark, root)
-    val ds = s"powa_index_$name"
+    val subs = r.getSeq[Int](r.fieldIndex("subs"))
+    val cids = r.getSeq[Long](r.fieldIndex("cids"))
+    val cvs = r.getSeq[scala.collection.Seq[Long]](r.fieldIndex("cvs"))
+      .map(_.toVector)
     val cents: Map[Int, Seq[(Long, Seq[Long])]] =
-      store.readV2(ds, "pq_codebooks", pqCodebooksSchema)
-        .filter(col("srvid") === srvid).collect()
-        .groupBy(_.getAs[Int]("sub")).map { case (s, rows) =>
-          s -> rows.map(r => (r.getAs[Long]("cid"),
-            r.getSeq[Long](r.fieldIndex("cv")).toVector: Seq[Long]))
-            .sortBy(_._1).toSeq
-        }
+      subs.indices.groupBy(subs(_)).map { case (sub, idxs) =>
+        sub -> idxs.map(i => (cids(i), cvs(i): Seq[Long]))
+          .sortBy(_._1).toSeq
+      }
     require(cents.keySet == (0 until p.m).toSet,
-      s"loadPqIndexStore: index '$name' srvid $srvid params claim " +
+      s"loadPqParams: index '$name' srvid $srvid params claim " +
         s"m=${p.m} but codebooks cover subs ${cents.keySet.toSeq.sorted}" +
         " — geometry drift, refusing to probe")
     val subDim = p.dim / p.m
-    cents.foreach { case (s, cb) =>
+    cents.foreach { case (sub, cb) =>
       require(cb.nonEmpty && cb.size <= p.k &&
         cb.forall(_._2.size == subDim),
-        s"loadPqIndexStore: sub $s codebook violates geometry " +
+        s"loadPqParams: sub $sub codebook violates geometry " +
           s"(k<=${p.k}, subDim=$subDim) — drift, refusing to probe")
     }
-    val codes = store.readV2(ds, "pq_codes", pqCodesSchema)
+    (p, cents)
+  }
+
+  /** Load the persisted PQ index: the validated meta (geometry +
+    * codebooks, one atomic row) and the codes frame FILTERED to the
+    * meta row's generation — a rebuild racing this read yields zero
+    * rows from the stale generation, never cross-generation
+    * distances. The codes frame keeps its `gen` column so layout
+    * maintenance (compact / the p163 re-point) round-trips it. */
+  def loadPqIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int)
+      : (DataFrame, Map[Int, Seq[(Long, Seq[Long])]], PqParams) = {
+    val (p, cents) = loadPqMeta(spark, root, name, srvid)
+    val store = new graft.core.Store(spark, root)
+    val codes = store.readV2(s"powa_index_$name", "pq_codes", pqCodesSchema)
       .filter(col("srvid") === srvid)
-      .select(col("vec_id"), col("codes"))
+      .filter(col("gen") === p.gen)
+      .select(col("vec_id"), col("codes"), col("gen"))
     (codes, cents, p)
   }
 
   /** ADMIT a new vector batch into a standing PQ index: encode with
     * the index's OWN persisted codebooks (re-training would silently
-    * re-code nothing and drift everything — the IVF admission rule)
-    * and append through the store's batch commit. Batch-sized cost. */
+    * re-code nothing and drift everything — the IVF admission rule),
+    * stamp the index's current generation, and append through the
+    * store's batch commit. Batch-sized cost. */
   def appendPqIndexStore(embeddings: DataFrame, idCol: String,
       vecCol: String, root: String, name: String, srvid: Int): Unit = {
     requireIndexName(name)
@@ -681,14 +722,14 @@ object Similarity {
     NativeFunctions.register(spark)
     graft.core.MutationLock.withPartitionLock(
         root, s"powa_index_$name", srvid) {
-      val (_, cents, p) = loadPqIndexStore(spark, root, name, srvid)
+      val (p, cents) = loadPqMeta(spark, root, name, srvid)
       val subDim = p.dim / p.m
       val store = new graft.core.Store(spark, root)
       store.appendPartition(s"powa_index_$name", "pq_codes", srvid,
         embeddings.select(qvE4(idCol, vecCol): _*)
           .select(col("id").as("vec_id"), col("qv"))
           .withColumn("codes", pqEncodeCols(cents, p.m, subDim))
-          .select(col("vec_id"), col("codes")))
+          .select(col("vec_id"), col("codes"), lit(p.gen).as("gen")))
     }
   }
 
@@ -697,11 +738,15 @@ object Similarity {
     * and the scan touches ONLY the codes tier — m small ints per
     * corpus vector, the memory-bandwidth PQ probe, with the raw
     * vectors never read. Zero caller-supplied build constants: m, k,
-    * dim and the codebooks all come from the index's tiers. Identical
-    * ranking to [[pqTopK]] at the same build parameters (integer
-    * arithmetic end-to-end; ties (adc, vec_id) — the p39 oracle
-    * applies verbatim). `queryVec` is the raw (float/double) query
-    * vector — query-time DATA, not geometry. */
+    * dim and the codebooks all come from the index's meta row.
+    * Identical ranking to [[pqTopK]] at the same build parameters
+    * (integer arithmetic end-to-end; ties (adc, vec_id) — the p39
+    * oracle applies verbatim). A NULL ADC is impossible by
+    * construction (codes bind to their codebook generation), so it is
+    * fenced with a named error rather than silently sorting first
+    * (non-ANSI element_at returns null out of range — round-12
+    * review). `queryVec` is the raw query vector — query-time DATA,
+    * not geometry. */
   def probePqIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int, queryVec: Seq[Double],
       excludeId: Option[Long], topK: Int): DataFrame = {
@@ -709,14 +754,15 @@ object Similarity {
     require(queryVec.size == p.dim,
       s"probePqIndexStore: query dim ${queryVec.size} != index dim ${p.dim}")
     val subDim = p.dim / p.m
-    val qe4 = queryVec.map(x => math.floor(x * 10000).toLong)
-    def d2(a: Seq[Long], b: Seq[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val adc = (0 until p.m).map { s =>
+    val qe4 = queryVec.map(e4Floor)
+    val adcRaw = (0 until p.m).map { s =>
       val qs = qe4.slice(s * subDim, (s + 1) * subDim)
-      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2(qs, cv) }
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2Long(qs, cv) }
       element_at(typedLit(qds), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
+    val adc = when(adcRaw.isNull,
+      raise_error(lit("pq probe: code out of codebook range — " +
+        "corrupt pq_codes tier"))).otherwise(adcRaw)
     excludeId.map(id => codes.filter(col("vec_id") =!= id))
       .getOrElse(codes)
       .select(col("vec_id"), adc.as("adc_dist"))
@@ -726,7 +772,8 @@ object Similarity {
 
   /** Compact a PQ index's codes partition after repeated admissions —
     * the layout fold of the IVF sibling, one atomic swap, rows
-    * unchanged. */
+    * unchanged (and stale-generation rows, already invisible to every
+    * reader, are physically aged out by the fold). */
   def compactPqIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int): Unit = {
     requireIndexName(name)
@@ -1259,6 +1306,15 @@ object Similarity {
 
   // ---------- product quantization (PQ) ----------
 
+  /** e4 fixed-point quantization of one double — THE scale constant of
+    * the integer-exact family, single-sourced (column form: [[qvE4]]). */
+  private def e4Floor(x: Double): Long = math.floor(x * 10000).toLong
+
+  /** Integer squared-L2 on driver-side vectors — the scalar twin of
+    * the native Dist2 expression, shared by every ADC table builder. */
+  private def d2Long(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
   private def qvE4(idCol: String, vecCol: String) = Seq(
     col(idCol).cast("long").as("id"),
     transform(col(vecCol),
@@ -1280,9 +1336,20 @@ object Similarity {
   def pqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int): Map[Int, Seq[(Long, Seq[Long])]] = {
     NativeFunctions.register(embeddings.sparkSession)
+    pqCodebookFrom(
+      embeddings.select(qvE4(idCol, vecCol): _*).localCheckpoint(),
+      dim, m, k, iters)
+  }
+
+  /** [[pqCodebook]] over an ALREADY-materialized e4 frame (id, qv) —
+    * lets savePqIndexStore feed ONE corpus projection to both the
+    * training passes and the encode pass instead of re-reading the
+    * raw embeddings (round-12 review). */
+  private[pipeline] def pqCodebookFrom(q: DataFrame,
+      dim: Int, m: Int, k: Int, iters: Int): Map[Int, Seq[(Long, Seq[Long])]] = {
+    NativeFunctions.register(q.sparkSession)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
-    val q = embeddings.select(qvE4(idCol, vecCol): _*).localCheckpoint()
     def sub(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
     var cents: Map[Int, Seq[(Long, Seq[Long])]] = {
       // k lowest ids by ORDER — valid for arbitrary id spaces (an empty
@@ -1353,14 +1420,12 @@ object Similarity {
     val qv = q.filter(col("id") === queryId).collect()(0)
       .getSeq[Long](1).toSeq
     def sub(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
-    def d2(a: Seq[Long], b: Seq[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     // encode+lookup still fuse into one projection, now as the native
     // argmin + an element_at over the query's per-cell distance table
     // (same tie rule — see pqCodebook's cellCol note)
     val adc = (0 until m).map { s =>
       val qs = qv.slice(s * subDim, (s + 1) * subDim)
-      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2(qs, cv) }
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2Long(qs, cv) }
       element_at(typedLit(qds),
         NativeFunctions.argminDist2(sub(s),
           typedLit(cents(s).map(_._2))) + 1)
@@ -1420,13 +1485,11 @@ object Similarity {
       .select(col("v"), col("cell")).collect()(0)
     val qv = qRow.getSeq[Double](0).toSeq
     val qcell = qRow.getLong(1)
-    val qvE4v: Seq[Long] = qv.map(x => math.floor(x * 10000).toLong)
+    val qvE4v: Seq[Long] = qv.map(e4Floor)
     def subCol(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
-    def d2(a: Seq[Long], b: Seq[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val adc = (0 until m).map { s =>
       val qs = qvE4v.slice(s * subDim, (s + 1) * subDim)
-      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2(qs, cv) }
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2Long(qs, cv) }
       element_at(typedLit(qds),
         NativeFunctions.argminDist2(subCol(s),
           typedLit(cents(s).map(_._2))) + 1)

@@ -794,24 +794,54 @@ class V2SourceSpec extends AnyFunSuite {
         "pq", 1, qv, Some(0L), 10).queryExecution.optimizedPlan.toString
       assert(!probePlan.contains("embedding"),
         s"PQ probe must never read raw vectors:\n$probePlan")
-      // params say what the build used
-      assert(Similarity.loadPqParams(spark, store.root, "pq", 1) ===
-        Similarity.PqParams(8, 4, 64, "l2_e4"))
-      // geometry drift: an m the codebooks don't cover refuses to load
+      // params say what the build used (gen is build-stamped — check
+      // the geometry fields)
+      val p0 = Similarity.loadPqParams(spark, store.root, "pq", 1)
+      assert((p0.m, p0.k, p0.dim, p0.metric) === ((8, 4, 64, "l2_e4")))
+      // GENERATION fence: codes bind to the codebooks they were
+      // encoded against — a meta row from a DIFFERENT generation (the
+      // torn-rebuild read) yields ZERO stale-generation rows, never
+      // cross-generation distances (round-12 review)
       import spark.implicits._
-      store.overwritePartition("powa_index_pq", "pq_params", 1,
-        Seq((16, 4, 64, "l2_e4")).toDF("m", "k", "dim", "metric"))
+      def metaRow(m: Int, metric: String, gen: Long) = {
+        val subs: List[Int] = (0 until 8).toList
+        Seq((m, 4, 64, metric, gen, subs,
+          subs.map(_.toLong), subs.map(_ => Seq.fill(8)(0L))))
+          .toDF("m", "k", "dim", "metric", "gen", "subs", "cids", "cvs")
+      }
+      store.overwritePartition("powa_index_pq", "pq_meta", 1,
+        metaRow(8, "l2_e4", gen = 42L))
+      val (codesNewGen, _, _) =
+        Similarity.loadPqIndexStore(spark, store.root, "pq", 1)
+      assert(codesNewGen.count() === 0L,
+        "stale-generation codes must be invisible to a newer meta row")
+      // geometry drift: an m the codebooks don't cover refuses to load
+      store.overwritePartition("powa_index_pq", "pq_meta", 1,
+        metaRow(16, "l2_e4", gen = 42L))
       val drift = intercept[IllegalArgumentException] {
         Similarity.loadPqIndexStore(spark, store.root, "pq", 1)
       }
       assert(drift.getMessage.contains("geometry drift"), drift.getMessage)
       // ...and a foreign metric tag refuses in loadPqParams itself
-      store.overwritePartition("powa_index_pq", "pq_params", 1,
-        Seq((8, 4, 64, "cosine")).toDF("m", "k", "dim", "metric"))
+      store.overwritePartition("powa_index_pq", "pq_meta", 1,
+        metaRow(8, "cosine", gen = 42L))
       val metric = intercept[IllegalArgumentException] {
         Similarity.loadPqParams(spark, store.root, "pq", 1)
       }
       assert(metric.getMessage.contains("metric"), metric.getMessage)
+      // dim fence at admission: a longer vector must fail loudly, not
+      // be silently encoded from its 64-element prefix
+      store.overwritePartition("powa_index_pq", "pq_meta", 1,
+        metaRow(8, "l2_e4", gen = 42L))
+      val wide = emb.limit(4).select(col("vec_id"),
+        concat(col("embedding"), col("embedding")).as("embedding"))
+      val dimErr = intercept[Exception] {
+        Similarity.appendPqIndexStore(wide, "vec_id", "embedding",
+          store.root, "pq", 1)
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+      assert(chain(dimErr).contains("vector dim"), chain(dimErr).take(400))
       // hostile names die before the name-derived lock path
       Seq("../evil", "a/b", "_hidden").foreach { bad =>
         intercept[IllegalArgumentException] {
