@@ -579,7 +579,7 @@ object Similarity {
     when(size(col("qv")) === m * subDim, enc)
       .otherwise(raise_error(concat(
         lit(s"pq encode: vector dim != ${m * subDim}, got "),
-        size(col("qv")).cast("string"))))
+        coalesce(size(col("qv")).cast("string"), lit("null")))))
   }
 
   /** Persist a PQ index THROUGH THE GOVERNED STORE — the production
@@ -627,18 +627,25 @@ object Similarity {
       cb.map { case (cid, cv) => (s, cid, cv) } }
     graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
       import spark.implicits._
-      // codes commit FIRST, meta second: a reader always resolves the
-      // meta row and filters codes to ITS generation, so mid-save it
-      // sees the complete old index or (briefly) an empty new one —
-      // never a cross-generation mix
-      store.overwritePartition(ds, "pq_codes", srvid,
-        codes.repartitionByRange(
-          math.max(1, spark.sparkContext.defaultParallelism),
-          col("vec_id")))
+      // meta commits FIRST, codes second. Mid-save (or after a crash
+      // between the two commits) a reader resolves the NEW meta and
+      // filters codes to its generation — zero rows, an EMPTY but
+      // CONSISTENT index. Crucially every later mutation stays
+      // consistent too: an append encodes with the new meta's
+      // codebooks and stamps its gen (correct members of the new
+      // generation), and a compact just ages out the stale rows. The
+      // reverse order would leave old-gen meta over new-gen codes,
+      // where an append builds a plausible-looking index containing
+      // ONLY the appended batch — silently wrong (round-12 review).
+      // Recovery from a crashed rebuild is the admin norm: re-run it.
       store.overwritePartition(ds, "pq_meta", srvid,
         Seq((m, k, dim, "l2_e4", gen, flat.map(_._1), flat.map(_._2),
           flat.map(_._3)))
           .toDF("m", "k", "dim", "metric", "gen", "subs", "cids", "cvs"))
+      store.overwritePartition(ds, "pq_codes", srvid,
+        codes.repartitionByRange(
+          math.max(1, spark.sparkContext.defaultParallelism),
+          col("vec_id")))
     }
   }
 
@@ -760,9 +767,18 @@ object Similarity {
       val qds: Seq[Long] = cents(s).map { case (_, cv) => d2Long(qs, cv) }
       element_at(typedLit(qds), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val adc = when(adcRaw.isNull,
-      raise_error(lit("pq probe: code out of codebook range — " +
-        "corrupt pq_codes tier"))).otherwise(adcRaw)
+    // explicit RANGE fence, not an isNull check: non-ANSI element_at
+    // reads negative indices from the END, so a corrupt code of -2
+    // would return a valid-looking distance (and only >= k or very
+    // negative would null out) — every code must be a real position
+    // into its subspace's codebook or the probe dies loudly
+    // (round-12 review, fourth pass)
+    val codesOk = (0 until p.m).map { s =>
+      element_at(col("codes"), s + 1).between(0, cents(s).size - 1)
+    }.reduce(_ && _)
+    val adc = when(codesOk, adcRaw)
+      .otherwise(raise_error(lit(
+        "pq probe: code out of codebook range — corrupt pq_codes tier")))
     excludeId.map(id => codes.filter(col("vec_id") =!= id))
       .getOrElse(codes)
       .select(col("vec_id"), adc.as("adc_dist"))

@@ -842,6 +842,29 @@ class V2SourceSpec extends AnyFunSuite {
       def chain(t: Throwable): String =
         if (t == null) "" else t.toString + "\n" + chain(t.getCause)
       assert(chain(dimErr).contains("vector dim"), chain(dimErr).take(400))
+      // CRASH CONSISTENCY (meta commits first): a rebuild that died
+      // between the meta and codes commits leaves an EMPTY but
+      // CONSISTENT index — appends encode with the new meta's
+      // codebooks and stamp its generation, so the index grows
+      // correctly from zero instead of silently mixing generations
+      assert(Similarity.loadPqIndexStore(
+        spark, store.root, "pq", 1)._1.count() === 0L)
+      Similarity.appendPqIndexStore(emb.limit(3), "vec_id", "embedding",
+        store.root, "pq", 1)
+      assert(Similarity.probePqIndexStore(spark, store.root, "pq", 1,
+        qv, excludeId = None, topK = 10).count() === 3L,
+        "post-crash appends must form a consistent new-generation index")
+      // corrupt NEGATIVE codes must die on the named range fence —
+      // non-ANSI element_at would otherwise read them from the END of
+      // the distance table and return a valid-looking distance
+      store.overwritePartition("powa_index_pq", "pq_codes", 1,
+        Seq((123L, Seq.fill(8)(-2), 42L)).toDF("vec_id", "codes", "gen"))
+      val neg = intercept[Exception] {
+        Similarity.probePqIndexStore(spark, store.root, "pq", 1,
+          qv, None, 5).collect()
+      }
+      assert(chain(neg).contains("code out of codebook range"),
+        chain(neg).take(400))
       // hostile names die before the name-derived lock path
       Seq("../evil", "a/b", "_hidden").foreach { bad =>
         intercept[IllegalArgumentException] {
