@@ -627,25 +627,28 @@ object Similarity {
       cb.map { case (cid, cv) => (s, cid, cv) } }
     graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
       import spark.implicits._
-      // meta commits FIRST, codes second. Mid-save (or after a crash
-      // between the two commits) a reader resolves the NEW meta and
-      // filters codes to its generation — zero rows, an EMPTY but
-      // CONSISTENT index. Crucially every later mutation stays
-      // consistent too: an append encodes with the new meta's
-      // codebooks and stamps its gen (correct members of the new
-      // generation), and a compact just ages out the stale rows. The
-      // reverse order would leave old-gen meta over new-gen codes,
-      // where an append builds a plausible-looking index containing
-      // ONLY the appended batch — silently wrong (round-12 review).
-      // Recovery from a crashed rebuild is the admin norm: re-run it.
-      store.overwritePartition(ds, "pq_meta", srvid,
-        Seq((m, k, dim, "l2_e4", gen, flat.map(_._1), flat.map(_._2),
-          flat.map(_._3)))
-          .toDF("m", "k", "dim", "metric", "gen", "subs", "cids", "cvs"))
+      // codes commit FIRST (the slow corpus-sized write), the one-row
+      // meta LAST: concurrent probes resolve the OLD meta throughout
+      // the encode+write — gen-filtering them onto the complete OLD
+      // codes — and flip to the complete new index at the meta swap;
+      // the probe-visible empty window is only the milliseconds
+      // between the two swaps. (Meta-first would serve an EMPTY index
+      // for the entire rebuild — fifth-pass review.) Crash between
+      // the commits is SYMMETRIC under the generation filter: either
+      // order leaves old-gen meta over new-gen codes (or vice versa),
+      // probes see an empty-but-consistent index, and later appends
+      // encode+stamp with whichever meta survived — a small but
+      // internally correct single-generation index, never
+      // cross-generation math. Recovery from a crashed rebuild is the
+      // admin norm: re-run it.
       store.overwritePartition(ds, "pq_codes", srvid,
         codes.repartitionByRange(
           math.max(1, spark.sparkContext.defaultParallelism),
           col("vec_id")))
+      store.overwritePartition(ds, "pq_meta", srvid,
+        Seq((m, k, dim, "l2_e4", gen, flat.map(_._1), flat.map(_._2),
+          flat.map(_._3)))
+          .toDF("m", "k", "dim", "metric", "gen", "subs", "cids", "cvs"))
     }
   }
 
@@ -748,12 +751,15 @@ object Similarity {
     * dim and the codebooks all come from the index's meta row.
     * Identical ranking to [[pqTopK]] at the same build parameters
     * (integer arithmetic end-to-end; ties (adc, vec_id) — the p39
-    * oracle applies verbatim). A NULL ADC is impossible by
-    * construction (codes bind to their codebook generation), so it is
-    * fenced with a named error rather than silently sorting first
-    * (non-ANSI element_at returns null out of range — round-12
-    * review). `queryVec` is the raw query vector — query-time DATA,
-    * not geometry. */
+    * oracle applies verbatim). Every code is RANGE-checked against
+    * its subspace's codebook before the lookup: an isNull fence is
+    * NOT sufficient here — non-ANSI element_at reads a negative
+    * index from the END of the distance table, so a corrupt negative
+    * code would return a valid-looking distance, and an over-range
+    * code would null out and sort FIRST under the ascending orderBy
+    * (round-12 review). Out-of-range dies on a named error.
+    * `queryVec` is the raw query vector — query-time DATA, not
+    * geometry. */
   def probePqIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int, queryVec: Seq[Double],
       excludeId: Option[Long], topK: Int): DataFrame = {

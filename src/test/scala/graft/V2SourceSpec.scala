@@ -865,6 +865,18 @@ class V2SourceSpec extends AnyFunSuite {
       }
       assert(chain(neg).contains("code out of codebook range"),
         chain(neg).take(400))
+      // ...and the POSITIVE out-of-range arm (code >= subspace k): an
+      // over-range code nulls out under non-ANSI element_at and would
+      // sort FIRST, silently winning the top-k, if the fence weakened
+      // to a >= 0 check
+      store.overwritePartition("powa_index_pq", "pq_codes", 1,
+        Seq((124L, Seq.fill(8)(1), 42L)).toDF("vec_id", "codes", "gen"))
+      val over = intercept[Exception] {
+        Similarity.probePqIndexStore(spark, store.root, "pq", 1,
+          qv, None, 5).collect()
+      }
+      assert(chain(over).contains("code out of codebook range"),
+        chain(over).take(400))
       // hostile names die before the name-derived lock path
       Seq("../evil", "a/b", "_hidden").foreach { bad =>
         intercept[IllegalArgumentException] {
