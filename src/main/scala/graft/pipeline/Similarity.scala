@@ -326,28 +326,134 @@ object Similarity {
       s"saveIvfIndexStore: nprobeDefault must be in [1, ${codebook.size}]," +
         s" got $nprobeDefault")
     val spark = embeddings.sparkSession
-    NativeFunctions.register(spark)
-    val best = array_max(array(codebook.map { case (cid, cv) =>
-      struct(cosine(col("v"), typedLit(cv)).as("ccos"),
-        lit(-cid).as("ncid")) }: _*))
     val store = new graft.core.Store(spark, root)
     val ds = s"powa_index_$name"
-    val cells = embeddings.select(col(idCol).cast("long").as("vec_id"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", -best.getField("ncid"))
-      .repartitionByRange(math.max(codebook.size, 1), col("cell"))
+    val corpus = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
     // single-mutator fence: every index mutation entry point
     // serializes on the per-(index, srvid) lock — see MutationLock for
     // the lost-batch race a build/append/compact interleaving opens
     graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
-      store.overwritePartition(ds, "cells", srvid, cells)
-      import spark.implicits._
-      store.overwritePartition(ds, "codebook", srvid,
-        codebook.toDF("cell", "cv"))
-      // geometry is a property of the INDEX, not of the build call —
-      // persist it so every later probe/append reads it from the store
-      writeIvfParams(store, ds, srvid, codebook.size, dims, nprobeDefault)
+      writeIvfIndexTiers(store, ds, srvid, corpus, codebook, nprobeDefault)
     }
+  }
+
+  /** The cosine assignment + all three tier writes of an IVF index —
+    * ONE body shared by [[saveIvfIndexStore]] (fresh build) and
+    * [[rebalanceIvfIndexStore]] (retrain-in-place), so the rebalanced
+    * index is BY CONSTRUCTION exactly what a fresh build with the
+    * retrained codebook would write; the two paths cannot drift.
+    * Callers hold the index mutation lock; `corpus` is `(vec_id, v)`
+    * with `v` already double. */
+  private def writeIvfIndexTiers(store: graft.core.Store, ds: String,
+      srvid: Int, corpus: DataFrame, codebook: Seq[(Long, Seq[Double])],
+      nprobeDefault: Int): IvfParams = {
+    val spark = store.spark
+    NativeFunctions.register(spark)
+    val dims = codebook.map(_._2.size).distinct
+    val best = array_max(array(codebook.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("ccos"),
+        lit(-cid).as("ncid")) }: _*))
+    val cells = corpus
+      .withColumn("cell", -best.getField("ncid"))
+      .repartitionByRange(math.max(codebook.size, 1), col("cell"))
+    store.overwritePartition(ds, "cells", srvid, cells)
+    import spark.implicits._
+    store.overwritePartition(ds, "codebook", srvid,
+      codebook.toDF("cell", "cv"))
+    // geometry is a property of the INDEX, not of the build call —
+    // persist it so every later probe/append reads it from the store
+    writeIvfParams(store, ds, srvid, codebook.size, dims, nprobeDefault)
+  }
+
+  /** REBALANCE a store-resident IVF index: retrain the codebook from
+    * the index's CURRENT corpus and reassign every vector — the
+    * maintenance operation the rest of the lifecycle eventually needs.
+    * [[appendIvfIndexStore]] deliberately assigns new batches with the
+    * BUILD-time codebook (geometry is fixed at build), so under
+    * drifting ingest the cells skew: hot cells grow unbounded (probe
+    * I/O on a popular cell approaches a corpus scan) and dead
+    * centroids waste probe width. [[compactIvfIndexStore]] folds FILES
+    * but keeps the assignment, so it cannot fix skew —
+    * [[ivfIndexHealth]] measures it, this repairs it.
+    *
+    * Semantics: retrain = [[kmeansCentroidsInt]] on the corpus read
+    * back from the `cells` tier (k from the index's own params tier,
+    * seeds = the k lowest vec_ids — the training rule is a property of
+    * the engine, deterministic in any execution order), then the SAME
+    * assignment + tier writes as a fresh build ([[writeIvfIndexTiers]])
+    * — so rebalance(build + appends) ≡ saveIvfIndexStore(full corpus,
+    * trained codebook), which is what the p164 oracle replays. The
+    * persisted `nprobe_default` survives, clamped to the retrained
+    * codebook size (Lloyd can lose an emptied centroid).
+    *
+    * Cost shape: iters+1 corpus projections against a driver-resident
+    * codebook (zero exchanges) + one k×dim hash aggregate per
+    * iteration + one corpus rewrite — O(corpus), like compaction, and
+    * like compaction it is an OCCASIONAL operation triggered by a
+    * health check, not a per-batch one. The corpus is localCheckpoint-
+    * pinned first: training scans it iters+1 times, and the cells
+    * overwrite must not read the very tier it is replacing.
+    *
+    * Concurrency: the whole retrain-to-rewrite holds the index
+    * mutation lock (no admission can land between the corpus read and
+    * the rewrite — it would be silently dropped by the overwrite).
+    * Unlocked PROBES racing the three per-tier atomic swaps can see a
+    * new-cells/old-codebook mix, same as a rebuild over a live index:
+    * for IVF this perturbs cell PRUNING only — cells carry raw
+    * vectors and the probe re-ranks with exact cosine, so a torn read
+    * degrades recall for that probe, never returns wrong distances
+    * (contrast pq_meta's generation fence, which exists because PQ
+    * codes are meaningless under the wrong codebook). A crash between
+    * the tier swaps leaves the same advisory-pruning state
+    * permanently; re-running rebalance converges (it reads only the
+    * cells tier, which is always complete). */
+  def rebalanceIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int, iters: Int): IvfParams = {
+    requireIndexName(name) // before the name-derived lock path
+    require(iters >= 1, s"rebalanceIvfIndexStore: iters must be >= 1, got $iters")
+    val ds = s"powa_index_$name"
+    graft.core.MutationLock.withPartitionLock(root, ds, srvid) {
+      val (cells, _, p) = loadIvfIndexStoreP(spark, root, name, srvid)
+      val corpus = cells.select(col("vec_id"), col("v")).localCheckpoint()
+      val cb = kmeansCodebook(
+        kmeansCentroidsInt(corpus, "vec_id", "v", p.k, iters))
+      require(cb.nonEmpty,
+        s"rebalanceIvfIndexStore: retraining index '$name' srvid $srvid " +
+          "produced an empty codebook — empty corpus?")
+      val store = new graft.core.Store(spark, root)
+      writeIvfIndexTiers(store, ds, srvid, corpus, cb,
+        math.min(p.nprobeDefault, cb.size))
+    }
+  }
+
+  /** Cell-balance HEALTH REPORT for a store-resident IVF index — the
+    * "when to rebalance" signal: one row per CODEBOOK cell (a dead
+    * centroid shows n = 0 — cells-tier grouping alone would hide it)
+    * with its population and corpus share in ppm. Skew factor =
+    * max(share_ppm) · k / 10⁶; probe cost on the hottest cell scales
+    * with its share, so a skew factor ≫ 1 means probes on popular
+    * cells approach corpus scans and [[rebalanceIvfIndexStore]] is
+    * due. One cells-tier aggregate (map-side combined, k-bounded
+    * result) + a broadcast-sized codebook join — never corpus-wide
+    * data movement. */
+  def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): DataFrame = {
+    val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
+    import spark.implicits._
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // k-bounded; feeds both the total and the rows
+    val total = counts.agg(sum(col("n")).as("total"))
+    cb.map(_._1).toDF("cell").join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(total)) // one scalar row against k rows
+      // integer DIV, not float-divide-and-floor: exact at any corpus
+      // size (n·10⁶ overflows double's 2⁵³ mantissa near 10¹⁰ rows)
+      .withColumn("share_ppm",
+        when(col("total") > 0, expr("n * 1000000 DIV total"))
+          .otherwise(lit(0L)))
+      .drop("total")
+      .orderBy(col("cell"))
   }
 
   /** ONE writer for the params row (save + backfill): validates the

@@ -240,6 +240,74 @@ object TextOps {
         expr("sum_bits * 1000000L DIV n_bigrams"))
   }
 
+  /** DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each RAW-pool document by how much more likely its hashed
+    * bigrams are under a bag-of-features model of a small TARGET set
+    * than under the raw pool's own model — the standing technique for
+    * steering a web-scale crawl toward a high-quality reference
+    * corpus before training. Features are whitespace bigrams hashed
+    * into `buckets` counters (the hashing trick bounds BOTH models at
+    * `buckets` regardless of vocabulary — the reason DSIR runs at
+    * crawl scale at all). The per-doc log weight
+    * `log w(x) = Σ_f c_f(x)·[log p_tgt(f) − log p_raw(f)]` uses the
+    * integer bit-length log (`length(bin(x))` = floor(log2 x)+1 — the
+    * repo's no-float-logs rule), add-one smoothed so an unseen bucket
+    * never divides by zero:
+    * `score_bits = Σ_f c_f·[bits(tgt_f+1) − bits(raw_f+1)]
+    *             + n_feats·[bits(Traw) − bits(Ttgt)]`
+    * with `T_side = N_side + buckets` (the smoothed totals). Positive
+    * = target-like. Selection policy stays separate by design — feed
+    * the scores to [[graft.pipeline.Sampling.importanceResample]] or
+    * a threshold; this op only ranks.
+    *
+    * Scale shape: one corpus explode feeds ONE buckets-bounded
+    * aggregate building both models (map-side combined); the
+    * buckets-bounded weight table BROADCASTS back onto the per-doc
+    * feature counts, so the only data-volume exchanges are the
+    * (doc, f) count and the per-doc rollup. Raw docs with no bigram
+    * (< 2 tokens) score 0 and are KEPT — a scorer that silently drops
+    * rows poisons every downstream join. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"dsirWeights: buckets must be >= 1, got $buckets")
+    val t = tokens(col(textCol))
+    val pairsCol = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val feats = Partitioning.spread(docs)
+      .select(col(idCol), isTarget.as("is_tgt"), explode(pairsCol).as("b"))
+      .select(col(idCol), col("is_tgt"),
+        (Hashing.h60(col("b")) % buckets).as("f"))
+      .localCheckpoint() // feeds the model agg AND the per-doc counts
+    val models = feats.groupBy(col("f"))
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt"),
+        sum(when(col("is_tgt"), 0L).otherwise(1L)).as("raw"))
+      .localCheckpoint() // buckets-bounded; totals + weight join reuse it
+    val totals = models.agg(sum(col("tgt")), sum(col("raw"))).collect()(0)
+    val tTgt = (if (totals.isNullAt(0)) 0L else totals.getLong(0)) + buckets
+    val tRaw = (if (totals.isNullAt(1)) 0L else totals.getLong(1)) + buckets
+    def bitsOf(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    // the normalization constant is per-corpus, not per-row — driver math
+    val constBits = bitsOf(tRaw) - bitsOf(tTgt)
+    val w = models.select(col("f"),
+      (length(bin(col("tgt") + 1)) - length(bin(col("raw") + 1)))
+        .cast("long").as("w_bits"))
+    val scored = feats.filter(!col("is_tgt"))
+      .groupBy(col(idCol), col("f")).agg(count(lit(1)).as("c"))
+      .join(broadcast(w), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("w_bits")).as("fw"),
+        sum(col("c")).as("n_feats"))
+    docs.filter(!isTarget).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("fw") + col("n_feats") * lit(constBits), lit(0L))
+          .as("score_bits"))
+  }
+
   /** Longest intra-document repeated token run — the degenerate-
     * generation detector ([[withRepetition]]'s n-gram ratio says HOW
     * MUCH repeats; this says HOW LONG the longest verbatim self-repeat

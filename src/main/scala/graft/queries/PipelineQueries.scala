@@ -1351,6 +1351,65 @@ object PipelineQueries {
       excludeId = Some(0L), topK = 10)
   }
 
+  // IVF REBALANCE — the maintenance operation the rest of the index
+  // lifecycle eventually needs: admissions assign with the BUILD-time
+  // codebook (by design), so under drifting ingest cells skew and the
+  // sampled seed codebook goes stale. Rebalance retrains the codebook
+  // from the index's CURRENT corpus (k and nprobe_default from the
+  // index's own params tier — zero caller-supplied constants) and
+  // reassigns every vector through the same write path as a fresh
+  // build. The oracle replays exactly that equivalence: integer-e4
+  // Lloyd training (p24's CTEs) on the full corpus + cosine
+  // assignment + the nprobe=2 probe — rebalance(build+append) must be
+  // indistinguishable from a fresh build with the trained codebook.
+  private def p164(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p164_store").toString
+    Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cb, root, "ivf", srvid = 1,
+      nprobeDefault = 2)
+    Similarity.appendIvfIndexStore(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", root, "ivf", srvid = 1)
+    Similarity.rebalanceIvfIndexStore(s, root, "ivf", srvid = 1,
+      iters = 2)
+    Similarity.probeIvfIndexStore(s, root, "ivf", srvid = 1,
+        emb.filter(col("vec_id").isin(100L, 200L)),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        TextOps.ppm(col("cos")).as("cos_ppm"))
+  }
+
+  // DSIR importance weighting (Xie et al. 2023): rank every raw-pool
+  // doc by how target-like its hashed-bigram distribution is — the
+  // standing crawl-steering technique. src0 plays the high-quality
+  // reference set; integer bit-length logs keep the score replayable
+  // bit-for-bit in the oracle.
+  private def p165(s: SparkSession, d: String): DataFrame =
+    TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("source") === "src0", buckets = 64)
+      .orderBy(col("doc_id"))
+
+  // IVF cell-balance health report — the "when to rebalance" signal:
+  // one row per CODEBOOK cell (a dead centroid must show n = 0, which
+  // grouping the cells tier alone would hide) with population and
+  // corpus share in exact integer ppm.
+  private def p166(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p166_store").toString
+    Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb, root,
+      "ivf", srvid = 1)
+    Similarity.ivfIndexHealth(s, root, "ivf", srvid = 1)
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -2838,6 +2897,67 @@ object PipelineQueries {
   }
   private lazy val ivfProbeOracle: String = ivfProbeOracleN(1)
 
+  /** p164 — the rebalance equivalence: integer-e4 Lloyd training
+    * (p24's CTEs — two iterations, seeds = the 8 lowest ids, i.e.
+    * exactly what `rebalanceIvfIndexStore` runs with the persisted
+    * params k = 8) over the FULL corpus, trained centroids back to
+    * double (`val / 10⁴` — kmeansCodebook's exact conversion), then
+    * [[ivfProbeOracleN]]'s cosine assignment + nprobe=2 probe against
+    * the TRAINED codebook: rebalance(build + append) must be
+    * indistinguishable from a fresh build with the retrained
+    * codebook. */
+  private lazy val ivfRebalanceOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+          (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+           sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+    s"""WITH $kmeansIntCtes,
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        c AS (SELECT cid, list(val / 10000.0 ORDER BY pos) AS cv FROM c2 GROUP BY cid),
+        asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, v, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM asg0),
+        cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+        qr AS (SELECT vec_id AS qid, v AS qv, cid AS qcell
+              FROM asg WHERE vec_id IN (100, 200) AND rn <= 2),
+        sc AS (SELECT qr.qid, cell.vec_id, ${cosSql("cell.v", "qr.qv")} AS cos
+               FROM cell JOIN qr ON cell.cell = qr.qcell
+               WHERE cell.vec_id != qr.qid),
+        r AS (SELECT qid, vec_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM sc)
+        SELECT qid, vec_id, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+        FROM r WHERE rn <= 5
+        ORDER BY qid, cos DESC, vec_id ASC"""
+  }
+
+  /** p166 — the health report replay: the sampled-codebook cosine
+    * assignment (ivfProbeOracleN's `cell` CTE) grouped per cell, LEFT
+    * joined from the codebook so a dead centroid reports n = 0. */
+  private lazy val ivfHealthOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+          (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+           sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM asg0),
+        cell AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+        cnt AS (SELECT cell, COUNT(*) AS n FROM cell GROUP BY 1),
+        tot AS (SELECT SUM(n) AS t FROM cnt)
+        SELECT c.cid AS cell, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+               CAST(COALESCE(cnt.n, 0) * 1000000 // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+        FROM c LEFT JOIN cnt ON c.cid = cnt.cell
+        ORDER BY cell"""
+  }
+
   /** Seeded per-table variant (Similarity.planeWeights(table, plane)). */
   private def lshProjSqlSeeded(table: Int, planes: Int): String =
     (0 until planes).map { p =>
@@ -3062,7 +3182,10 @@ object PipelineQueries {
     "p160_ivf_multiprobe" -> (p160 _),
     "p161_ivf_probe_params" -> (p161 _),
     "p162_pq_index_store" -> (p162 _),
-    "p163_pq_index_append" -> (p163 _))
+    "p163_pq_index_append" -> (p163 _),
+    "p164_ivf_rebalance" -> (p164 _),
+    "p165_dsir_weights" -> (p165 _),
+    "p166_ivf_index_health" -> (p166 _))
 
   /** Integer-e4 PQ training + ADC replay — shared by p39 (per-call
     * train+probe) and p162/p163 (the persisted index forms): the
@@ -5784,6 +5907,35 @@ object PipelineQueries {
     "p161_ivf_probe_params" -> ivfProbeOracleN(2),
     "p162_pq_index_store" -> pqAnnOracle,
     "p163_pq_index_append" -> pqAnnOracle,
+    "p164_ivf_rebalance" -> ivfRebalanceOracle,
+    "p166_ivf_index_health" -> ivfHealthOracle,
+    "p165_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt,
+                 regexp_split_to_array(text, ' +') AS toks FROM documents),
+          bg AS (SELECT doc_id, is_tgt,
+                  unnest(list_transform(range(0, GREATEST(len(toks) - 1, 0)),
+                    i -> toks[i + 1] || ' ' || toks[i + 2])) AS b
+                 FROM t),
+          f AS (SELECT doc_id, is_tgt, ${h60Sql("b")} % 64 AS f FROM bg),
+          m AS (SELECT f, SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt,
+                       SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS raw
+                FROM f GROUP BY f),
+          tot AS (SELECT COALESCE(SUM(tgt), 0) + 64 AS ttgt,
+                         COALESCE(SUM(raw), 0) + 64 AS traw FROM m),
+          w AS (SELECT f, length(bin(tgt + 1)) - length(bin(raw + 1)) AS w_bits
+                FROM m),
+          df AS (SELECT doc_id, f, COUNT(*) AS c FROM f
+                 WHERE NOT is_tgt GROUP BY 1, 2),
+          s AS (SELECT df.doc_id, SUM(df.c * w.w_bits) AS fw,
+                       SUM(df.c) AS nf
+                FROM df JOIN w ON df.f = w.f GROUP BY 1)
+          SELECT t.doc_id, CAST(COALESCE(s.nf, 0) AS BIGINT) AS n_feats,
+            CAST(COALESCE(s.fw + s.nf *
+              (length(bin((SELECT traw FROM tot))) -
+               length(bin((SELECT ttgt FROM tot)))), 0) AS BIGINT) AS score_bits
+          FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+          WHERE NOT t.is_tgt
+          ORDER BY t.doc_id""",
     "p155_tokenizer_mixture_chain" ->
       s"""WITH ${bpeCtes(4)},
           segmap AS (SELECT word,

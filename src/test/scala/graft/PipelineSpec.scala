@@ -1455,6 +1455,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mean_surprisal_ppm") === 500000L)
   }
 
+  test("dsirWeights: target-like bigrams score higher than unseen ones, " +
+      "zero-bigram raw docs are kept at 0, target docs never scored") {
+    import spark.implicits._
+    // target doc 0 "a b a b": tgt(ab)=2, tgt(ba)=1. raw pool:
+    // doc 1 "a b a" (ab, ba), doc 2 "x y x y" (xy×2, yx), doc 3 "solo"
+    // (no bigram). raw counts: ab=1, ba=1, xy=2, yx=1 → weights
+    // w(ab)=bits(3)−bits(2)=0, w(ba)=bits(2)−bits(2)=0,
+    // w(xy)=bits(1)−bits(3)=−1, w(yx)=bits(1)−bits(2)=−1; totals
+    // Ttgt=3+64=67, Traw=5+64=69 → const bits(69)−bits(67)=0.
+    // (hand-checked: the four bigrams land in distinct buckets mod 64)
+    val df = Seq((0L, "a b a b"), (1L, "a b a"), (2L, "x y x y"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(df, "doc_id", "text",
+        isTarget = col("doc_id") === 0L, buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_feats"),
+        r.getAs[Long]("score_bits")))
+    assert(out === Array((1L, 2L, 0L), (2L, 3L, -3L), (3L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextOps.dsirWeights(df, "doc_id", "text", col("doc_id") === 0L, 0)
+    }
+  }
+
   test("chunkSliding: stride-covered chunks, truncated tail, short docs " +
       "yield one chunk") {
     import spark.implicits._

@@ -769,6 +769,93 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF rebalance: retrain-in-place equals a fresh build with the " +
+      "trained codebook; params survive; health report shows dead " +
+      "centroids and exact shares") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      // the skew path rebalance exists for: build on half the corpus,
+      // admit the rest under the frozen build-time codebook
+      Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cb, store.root, "reb", srvid = 1,
+        nprobeDefault = 2)
+      Similarity.appendIvfIndexStore(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", store.root, "reb", srvid = 1)
+      val total = emb.count()
+      val before = Similarity.ivfIndexHealth(spark, store.root, "reb", 1)
+        .collect()
+      assert(before.map(_.getAs[Long]("n")).sum === total)
+      val p = Similarity.rebalanceIvfIndexStore(spark, store.root, "reb",
+        srvid = 1, iters = 2)
+      // reference: a FRESH build with the same training rule on the
+      // same corpus — rebalance must be indistinguishable from it
+      val corpus = emb.select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val trained = Similarity.kmeansCodebook(
+        Similarity.kmeansCentroidsInt(corpus, "vec_id", "v", 8, 2))
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", trained,
+        store.root, "rebref", srvid = 1,
+        nprobeDefault = math.min(2, trained.size))
+      val q = emb.filter(col("vec_id").isin(100L, 200L))
+      val got = Similarity.probeIvfIndexStore(spark, store.root, "reb",
+        1, q, "vec_id", "embedding", k = 5).collect().toSet
+      val want = Similarity.probeIvfIndexStore(spark, store.root,
+        "rebref", 1, q, "vec_id", "embedding", k = 5).collect().toSet
+      assert(got === want && got.nonEmpty)
+      val (ca, cba) = Similarity.loadIvfIndexStore(spark, store.root,
+        "reb", 1)
+      val (cw, cbw) = Similarity.loadIvfIndexStore(spark, store.root,
+        "rebref", 1)
+      assert(cba === cbw)
+      assert(ca.exceptAll(cw).count() === 0 &&
+        cw.exceptAll(ca).count() === 0)
+      // params: k from the retrained codebook, nprobe_default carried
+      // over from the original build (clamped to the new k)
+      assert(p === Similarity.loadIvfParams(spark, store.root, "reb", 1))
+      assert(p.k === trained.size &&
+        p.nprobeDefault === math.min(2, trained.size))
+      // health after rebalance: one row per codebook cell, counts
+      // complete, integer shares sum to ≤ 10⁶ within k truncations
+      val health = Similarity.ivfIndexHealth(spark, store.root, "reb", 1)
+        .collect()
+      assert(health.length === trained.size)
+      assert(health.map(_.getAs[Long]("n")).sum === total)
+      val shareSum = health.map(_.getAs[Long]("share_ppm")).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - trained.size)
+      // dead centroids MUST show as n = 0 rows (grouping the cells
+      // tier alone would hide them): 4 vectors against the 8 sampled
+      // centroids populate exactly their own 4 cells
+      Similarity.saveIvfIndexStore(emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", cb, store.root, "dead", srvid = 1)
+      val dh = Similarity.ivfIndexHealth(spark, store.root, "dead", 1)
+        .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n"),
+          r.getAs[Long]("share_ppm")))
+      assert(dh === Array((0L, 1L, 250000L), (1L, 1L, 250000L),
+        (2L, 1L, 250000L), (3L, 1L, 250000L), (4L, 0L, 0L),
+        (5L, 0L, 0L), (6L, 0L, 0L), (7L, 0L, 0L)))
+      // guards: iters and the missing-index path fail loudly
+      intercept[IllegalArgumentException] {
+        Similarity.rebalanceIvfIndexStore(spark, store.root, "reb", 1, 0)
+      }
+      val ghost = intercept[IllegalArgumentException] {
+        Similarity.rebalanceIvfIndexStore(spark, store.root, "ghost", 1, 1)
+      }
+      assert(ghost.getMessage.contains("no params tier"), ghost.getMessage)
+      intercept[IllegalArgumentException] {
+        Similarity.rebalanceIvfIndexStore(spark, store.root, "../evil",
+          1, 1)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.ivfIndexHealth(spark, store.root, "../evil", 1)
+      }
+    }
+  }
+
   test("persisted PQ index: probe over codes only equals per-call " +
       "pqTopK; admission encodes with persisted codebooks; geometry " +
       "drift and hostile names refused") {
