@@ -80,13 +80,19 @@ object StressR12b {
            c("text"), c("source")))
         .repartition(cpus.toInt * 2).localCheckpoint()
     }
+    // median of 3 reps: the dominant cost is one checkpoint write of
+    // the hashed-feature frame, and single-rep wall-clock on this box
+    // spreads ~7× under background load (same rule as the bench's
+    // warmup reps — measure steady state, not the box)
     def dsirAxis(m: Int): (Long, Double) = {
       val docs = docsAt(m)
       val n = docs.count()
-      val (sec, _) = StressCorpus.timed(
-        TextOps.dsirWeights(docs, "doc_id", "text",
-          isTarget = c("source") === "src0", buckets = 10000).count())
-      (n, sec)
+      val reps = (1 to 3).map { _ =>
+        StressCorpus.timed(
+          TextOps.dsirWeights(docs, "doc_id", "text",
+            isTarget = c("source") === "src0", buckets = 10000).count())._1
+      }.sorted
+      (n, reps(1))
     }
     dsirAxis(1) // warm: codegen + shuffle layout
     val (d1, dsir1) = dsirAxis(1)
