@@ -351,6 +351,15 @@ object Similarity {
     val spark = store.spark
     NativeFunctions.register(spark)
     val dims = codebook.map(_._2.size).distinct
+    // validate BEFORE the first tier write: a rejected codebook must
+    // leave the index intact, not half-overwritten with params stale
+    // relative to the new tiers (which would read as geometry drift
+    // and brick the index until a rebuild)
+    require(dims.size == 1 && dims.head > 0,
+      s"$ds: centroids must share one non-zero dim, got $dims")
+    require(nprobeDefault >= 1 && nprobeDefault <= codebook.size,
+      s"$ds: nprobeDefault must be in [1, ${codebook.size}]," +
+        s" got $nprobeDefault")
     val best = array_max(array(codebook.map { case (cid, cv) =>
       struct(cosine(col("v"), typedLit(cv)).as("ccos"),
         lit(-cid).as("ncid")) }: _*))
@@ -436,7 +445,10 @@ object Similarity {
     * cells approach corpus scans and [[rebalanceIvfIndexStore]] is
     * due. One cells-tier aggregate (map-side combined, k-bounded
     * result) + a broadcast-sized codebook join — never corpus-wide
-    * data movement. */
+    * data movement. FULL outer join by design: a cell id present in
+    * the tier but absent from the codebook (corruption, a foreign
+    * writer) SURFACES as its own row in the report rather than being
+    * silently dropped from the counts. */
   def ivfIndexHealth(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int): DataFrame = {
     val (cells, cb) = loadIvfIndexStore(spark, root, name, srvid)
@@ -444,7 +456,7 @@ object Similarity {
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .localCheckpoint() // k-bounded; feeds both the total and the rows
     val total = counts.agg(sum(col("n")).as("total"))
-    cb.map(_._1).toDF("cell").join(counts, Seq("cell"), "left")
+    cb.map(_._1).toDF("cell").join(counts, Seq("cell"), "full")
       .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
       .crossJoin(broadcast(total)) // one scalar row against k rows
       // integer DIV, not float-divide-and-floor: exact at any corpus

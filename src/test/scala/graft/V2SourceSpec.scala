@@ -838,6 +838,18 @@ class V2SourceSpec extends AnyFunSuite {
       assert(dh === Array((0L, 1L, 250000L), (1L, 1L, 250000L),
         (2L, 1L, 250000L), (3L, 1L, 250000L), (4L, 0L, 0L),
         (5L, 0L, 0L), (6L, 0L, 0L), (7L, 0L, 0L)))
+      // a cell id present in the tier but absent from the codebook
+      // (corruption / a foreign writer) must SURFACE as its own row,
+      // not vanish from the counts
+      locally {
+        import spark.implicits._
+        val store2 = new graft.core.Store(spark, store.root)
+        store2.appendPartition("powa_index_dead", "cells", 1,
+          Seq((999L, Seq.fill(64)(0.0d), 99L)).toDF("vec_id", "v", "cell"))
+      }
+      val dh2 = Similarity.ivfIndexHealth(spark, store.root, "dead", 1)
+        .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n")))
+      assert(dh2.length === 9 && dh2.contains((99L, 1L)), dh2.mkString(","))
       // guards: iters and the missing-index path fail loudly
       intercept[IllegalArgumentException] {
         Similarity.rebalanceIvfIndexStore(spark, store.root, "reb", 1, 0)
