@@ -505,6 +505,21 @@ class PlanSpec extends AnyFunSuite {
       s"pure projection + aggregate, plan:\n$plan")
   }
 
+  test("dsirWeights: the buckets-bounded weight table broadcasts; " +
+      "never a nested loop; corpus exchanges are the (doc, f) count, " +
+      "the per-doc rollup and the spine join") {
+    val out = TextOps.dsirWeights(Tables.documents(spark, sf), "doc_id",
+      "text", isTarget = col("source") === "src0", buckets = 64)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the buckets-bounded weight table must broadcast, plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"equi-joins only, plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+      s"corpus-keyed exchanges only ((doc,f), doc, spine), plan:\n$plan")
+  }
+
   test("stripBoilerplate: learned stoplist broadcast anti-join, " +
       "never a nested loop") {
     val out = TextOps.stripBoilerplate(Tables.documents(spark, sf),
