@@ -565,6 +565,33 @@ object Dedup {
        .select(col("doc"), col("band"), col("bsig")))
   }
 
+  /** LSH bucket-skew HEALTH report for a store-resident signature
+    * index — the family's [[graft.pipeline.Similarity.ivfIndexHealth]]
+    * counterpart: per band, the row count, bucket count, and the
+    * LARGEST bucket. A probe's candidate cost in bucket B is |B|, so
+    * `max_bucket / (n_docs / n_buckets)` is the banding-skew factor:
+    * a boilerplate-heavy corpus collapses into a few giant buckets
+    * and probes degrade toward corpus scans. Unlike the IVF family
+    * there is deliberately NO rebalance-in-place: banding is
+    * content-hash-keyed, so admission cannot drift it — only the
+    * corpus itself can; the fixes are different banding geometry (a
+    * rebuild) or upstream boilerplate stripping ([[graft.pipeline
+    * .TextOps.stripBoilerplate]]). One bands-tier aggregate
+    * (map-side combined), band-count-bounded result. */
+  def signatureIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): DataFrame = {
+    Similarity.requireIndexName(name)
+    val store = new graft.core.Store(spark, root)
+    store.readV2(s"powa_index_$name", "bands", bandsSchema)
+      .filter(col("srvid") === srvid)
+      .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"))
+      .orderBy(col("band"))
+  }
+
   /** Probe a STORE-RESIDENT signature index with a batch of arriving
     * doc ids — [[probeIndex]]'s semantics with the unbucketed store
     * layout's scale shape: the probe side (the batch's own bucket

@@ -838,6 +838,29 @@ object Similarity {
     (codes, cents, p)
   }
 
+  /** Generation HEALTH report for a store-resident PQ index: codes-row
+    * counts per generation, flagged against the meta row's current
+    * generation. Probes filter `gen = meta.gen`, so non-current rows
+    * (a torn rebuild's codes — the crash window the pq_meta design
+    * accepts, see [[savePqIndexStore]]) are invisible to the math but
+    * still occupy files until the next rebuild replaces the tier; and
+    * a CURRENT count of zero right after a rebuild means the rebuild
+    * crashed between the codes and meta commits — re-run it. The
+    * `gen` value itself is a build timestamp (nondeterministic), so
+    * report consumers key on `is_current`, not the raw tag. One
+    * codes-tier aggregate, generation-count-bounded. */
+  def pqIndexHealth(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int): DataFrame = {
+    val (p, _) = loadPqMeta(spark, root, name, srvid)
+    val store = new graft.core.Store(spark, root)
+    store.readV2(s"powa_index_$name", "pq_codes", pqCodesSchema)
+      .filter(col("srvid") === srvid)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_codes"))
+      .withColumn("is_current", col("gen") === p.gen)
+      .orderBy(col("gen"))
+  }
+
   /** ADMIT a new vector batch into a standing PQ index: encode with
     * the index's OWN persisted codebooks (re-training would silently
     * re-code nothing and drift everything — the IVF admission rule),

@@ -1410,6 +1410,38 @@ object PipelineQueries {
     Similarity.ivfIndexHealth(s, root, "ivf", srvid = 1)
   }
 
+  // signature-index bucket-skew health report (p166's counterpart for
+  // the LSH family): per band, rows / buckets / the largest bucket —
+  // probe cost in a bucket is its size, so max_bucket is the degraded-
+  // probe signal. Oracle replays the full minhash banding.
+  private def p167(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = graft.TempDirs.scoped("graft_p167_store").toString
+    Dedup.saveSignatureIndexStore(docs, "doc_id", "text",
+      n = 3, k = 16, rowsPerBand = 4, root, "sig", srvid = 1)
+    Dedup.signatureIndexHealth(s, root, "sig", srvid = 1)
+  }
+
+  // PQ generation health (the family's third health report): codes
+  // rows per generation vs the meta's current tag. Build + admit stay
+  // ONE generation (admission encodes with the persisted codebooks),
+  // so the report must show every row current; the gen tag itself is
+  // a build timestamp and is projected away (consumers key on
+  // is_current).
+  private def p168(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val root = graft.TempDirs.scoped("graft_p168_store").toString
+    Similarity.savePqIndexStore(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1, root, "pq", srvid = 1)
+    Similarity.appendPqIndexStore(
+      emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", root, "pq", srvid = 1)
+    Similarity.pqIndexHealth(s, root, "pq", srvid = 1)
+      .select(col("n_codes"), col("is_current"))
+      .orderBy(col("n_codes"))
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -3185,7 +3217,9 @@ object PipelineQueries {
     "p163_pq_index_append" -> (p163 _),
     "p164_ivf_rebalance" -> (p164 _),
     "p165_dsir_weights" -> (p165 _),
-    "p166_ivf_index_health" -> (p166 _))
+    "p166_ivf_index_health" -> (p166 _),
+    "p167_signature_index_health" -> (p167 _),
+    "p168_pq_index_health" -> (p168 _))
 
   /** Integer-e4 PQ training + ADC replay — shared by p39 (per-call
     * train+probe) and p162/p163 (the persisted index forms): the
@@ -5909,6 +5943,21 @@ object PipelineQueries {
     "p163_pq_index_append" -> pqAnnOracle,
     "p164_ivf_rebalance" -> ivfRebalanceOracle,
     "p166_ivf_index_health" -> ivfHealthOracle,
+    "p167_signature_index_health" ->
+      s"""WITH $minhashCtes,
+          bk AS (SELECT band, bsig, COUNT(*) AS sz FROM bands
+                 GROUP BY 1, 2)
+          SELECT CAST(band AS BIGINT) AS band,
+                 CAST(SUM(sz) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(MAX(sz) AS BIGINT) AS max_bucket
+          FROM bk GROUP BY band ORDER BY band""",
+    // one generation, all current: build + admission share the meta's
+    // tag by construction; the tag itself is a timestamp, projected out
+    "p168_pq_index_health" ->
+      s"""SELECT CAST(COUNT(*) + 100 AS BIGINT) AS n_codes,
+                 TRUE AS is_current
+          FROM embeddings ORDER BY n_codes""",
     "p165_dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt,
                  regexp_split_to_array(text, ' +') AS toks FROM documents),

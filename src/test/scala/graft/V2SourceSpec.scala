@@ -868,6 +868,43 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("index health reports: signature bucket skew per band; PQ " +
+      "generations flagged against the meta tag, stale rows surfaced") {
+    import graft.pipeline.{Dedup, Similarity}
+    withStore { store =>
+      import spark.implicits._
+      // two identical docs + one distinct: identical texts share every
+      // band signature, so each band must report 3 docs in 2 buckets
+      // with a max bucket of 2 — the skew signal the report exists for
+      val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+        (3L, "x y z w q r")).toDF("doc_id", "text")
+      Dedup.saveSignatureIndexStore(docs, "doc_id", "text", n = 3,
+        k = 16, rowsPerBand = 4, store.root, "sig", srvid = 1)
+      val h = Dedup.signatureIndexHealth(spark, store.root, "sig", 1)
+        .collect().map(r => (r.getAs[Long]("band"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("max_bucket")))
+      assert(h.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+      assert(h.forall(t => t._2 == 3L && t._3 == 2L && t._4 == 2L),
+        h.mkString(","))
+      intercept[IllegalArgumentException] {
+        Dedup.signatureIndexHealth(spark, store.root, "../evil", 1)
+      }
+      // PQ: build, then hand-plant a stale-generation codes row (the
+      // torn-rebuild residue the generation fence hides from probes);
+      // health must SURFACE it and keep the current count intact
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      Similarity.savePqIndexStore(emb, "vec_id", "embedding", dim = 64,
+        m = 8, k = 4, iters = 1, store.root, "pq", srvid = 1)
+      store.appendPartition("powa_index_pq", "pq_codes", 1,
+        Seq((9999L, Seq.fill(8)(0), 12345L)).toDF("vec_id", "codes", "gen"))
+      val ph = Similarity.pqIndexHealth(spark, store.root, "pq", 1)
+        .collect().map(r => (r.getAs[Long]("n_codes"),
+          r.getAs[Boolean]("is_current"))).toSet
+      assert(ph === Set((500L, true), (1L, false)), ph.toString)
+    }
+  }
+
   test("persisted PQ index: probe over codes only equals per-call " +
       "pqTopK; admission encodes with persisted codebooks; geometry " +
       "drift and hostile names refused") {
