@@ -845,19 +845,26 @@ object Similarity {
     * accepts, see [[savePqIndexStore]]) are invisible to the math but
     * still occupy files until the next rebuild replaces the tier; and
     * a CURRENT count of zero right after a rebuild means the rebuild
-    * crashed between the codes and meta commits — re-run it. The
-    * `gen` value itself is a build timestamp (nondeterministic), so
-    * report consumers key on `is_current`, not the raw tag. One
-    * codes-tier aggregate, generation-count-bounded. */
+    * crashed between the codes and meta commits — re-run it. That
+    * zero-current diagnosis is an EXPLICIT `(n_codes = 0,
+    * is_current = true)` row (full join from the meta's generation),
+    * never an absence the reader must notice. The `gen` value itself
+    * is a build timestamp (nondeterministic), so report consumers key
+    * on `is_current`, not the raw tag. One codes-tier aggregate,
+    * generation-count-bounded. */
   def pqIndexHealth(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int): DataFrame = {
     val (p, _) = loadPqMeta(spark, root, name, srvid)
     val store = new graft.core.Store(spark, root)
-    store.readV2(s"powa_index_$name", "pq_codes", pqCodesSchema)
+    import spark.implicits._
+    val counts = store
+      .readV2(s"powa_index_$name", "pq_codes", pqCodesSchema)
       .filter(col("srvid") === srvid)
       .groupBy(col("gen"))
       .agg(count(lit(1)).as("n_codes"))
-      .withColumn("is_current", col("gen") === p.gen)
+    Seq(p.gen).toDF("gen").join(counts, Seq("gen"), "full")
+      .select(col("gen"), coalesce(col("n_codes"), lit(0L)).as("n_codes"),
+        (col("gen") === p.gen).as("is_current"))
       .orderBy(col("gen"))
   }
 

@@ -902,6 +902,16 @@ class V2SourceSpec extends AnyFunSuite {
         .collect().map(r => (r.getAs[Long]("n_codes"),
           r.getAs[Boolean]("is_current"))).toSet
       assert(ph === Set((500L, true), (1L, false)), ph.toString)
+      // the crashed-rebuild diagnosis is an EXPLICIT zero row: re-point
+      // the whole codes tier at a foreign generation (what a rebuild
+      // that died between the codes and meta commits leaves behind) —
+      // the report must still carry a current-generation row at 0
+      store.overwritePartition("powa_index_pq", "pq_codes", 1,
+        Seq((1L, Seq.fill(8)(0), 777L)).toDF("vec_id", "codes", "gen"))
+      val ph2 = Similarity.pqIndexHealth(spark, store.root, "pq", 1)
+        .collect().map(r => (r.getAs[Long]("n_codes"),
+          r.getAs[Boolean]("is_current"))).toSet
+      assert(ph2 === Set((0L, true), (1L, false)), ph2.toString)
     }
   }
 
