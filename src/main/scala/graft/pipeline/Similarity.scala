@@ -413,10 +413,14 @@ object Similarity {
     * vectors and the probe re-ranks with exact cosine, so a torn read
     * degrades recall for that probe, never returns wrong distances
     * (contrast pq_meta's generation fence, which exists because PQ
-    * codes are meaningless under the wrong codebook). A crash between
-    * the tier swaps leaves the same advisory-pruning state
-    * permanently; re-running rebalance converges (it reads only the
-    * cells tier, which is always complete). */
+    * codes are meaningless under the wrong codebook). One sharper
+    * transient: if retraining CHANGES k (Lloyd lost a centroid), a
+    * racing load can catch new-codebook/old-params and REFUSE with
+    * the geometry-drift error until the params swap lands — a loud
+    * retryable refusal, never a wrong result (churn-spec pinned). A
+    * crash between the tier swaps leaves the same advisory-pruning
+    * state permanently; re-running rebalance converges (it reads only
+    * the cells tier, which is always complete). */
   def rebalanceIvfIndexStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int, iters: Int): IvfParams = {
     requireIndexName(name) // before the name-derived lock path

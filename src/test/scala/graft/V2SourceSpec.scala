@@ -643,6 +643,99 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("index admission racing REBALANCE: no admitted batch is lost, " +
+      "readers see committed prefixes or the documented retryable " +
+      "refusal, and a final rebalance equals the fresh trained build") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val cb = emb.select(col("vec_id").cast("long"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < 8).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val total = emb.count()
+      Similarity.saveIvfIndexStore(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", cb, store.root, "rchurn", srvid = 1)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      def thread(body: => Unit): Thread = {
+        val t = new Thread(() =>
+          try body catch { case e: Throwable => errors.add(e) })
+        t.start(); t
+      }
+      // two appenders + a rebalancer: an append queued on the lock
+      // lands either BEFORE a rebalance (folded into its retrain
+      // corpus) or AFTER (assigned with the live codebook) — rows are
+      // preserved either way; losing one would mean the rebalance's
+      // corpus-read-to-rewrite window leaked an admission
+      val appA = thread {
+        Seq(1, 2).foreach(rId => Similarity.appendIvfIndexStore(
+          emb.filter(col("vec_id") % 4 === rId), "vec_id", "embedding",
+          store.root, "rchurn", srvid = 1))
+      }
+      val appB = thread {
+        Similarity.appendIvfIndexStore(
+          emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding",
+          store.root, "rchurn", srvid = 1)
+      }
+      val rebalancer = thread {
+        (1 to 2).foreach { _ =>
+          Similarity.rebalanceIvfIndexStore(spark, store.root, "rchurn",
+            srvid = 1, iters = 1)
+        }
+      }
+      val base = emb.filter(col("vec_id") % 4 === 0).count()
+      val b1 = emb.filter(col("vec_id") % 4 === 1).count()
+      val b2 = emb.filter(col("vec_id") % 4 === 2).count()
+      val b3 = emb.filter(col("vec_id") % 4 === 3).count()
+      val validCounts = (for {
+        a <- Seq(0L, b1, b1 + b2); b <- Seq(0L, b3)
+      } yield base + a + b).toSet
+      // unlocked reader: counts are committed prefixes (rebalance
+      // preserves rows) and never go backwards; the ONE tolerated
+      // transient is the documented loud refusal when a k-changing
+      // rebalance's codebook swap outruns its params swap
+      val reader = thread {
+        var last = 0L
+        while (appA.isAlive || appB.isAlive || rebalancer.isAlive) {
+          try {
+            val c = Similarity.loadIvfIndexStore(
+              spark, store.root, "rchurn", 1)._1.count()
+            assert(validCounts.contains(c),
+              s"reader saw a torn generation: $c not in $validCounts")
+            assert(c >= last, s"reader went backwards: $c after $last")
+            last = c
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("geometry drift") => ()
+          }
+        }
+      }
+      Seq(appA, appB, rebalancer, reader).foreach(_.join(120000))
+      assert(errors.isEmpty, s"rebalance churn raised: ${errors.peek()}")
+      assert(Similarity.loadIvfIndexStore(spark, store.root, "rchurn", 1)
+        ._1.count() === total,
+        "an admitted batch was lost under append/rebalance churn")
+      // deterministic tail: one quiescent rebalance leaves exactly a
+      // fresh build with the codebook trained on the FULL corpus at
+      // the store's own k (whatever the churn history left there)
+      Similarity.rebalanceIvfIndexStore(spark, store.root, "rchurn",
+        srvid = 1, iters = 1)
+      val kNow = Similarity.loadIvfParams(spark, store.root, "rchurn", 1).k
+      val corpus = emb.select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val trained = Similarity.kmeansCodebook(
+        Similarity.kmeansCentroidsInt(corpus, "vec_id", "v", kNow, 1))
+      Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", trained,
+        store.root, "rchurnref", srvid = 1)
+      val q = emb.filter(col("vec_id").isin(100L, 200L))
+      assert(
+        Similarity.probeIvfIndexStore(spark, store.root, "rchurn", 1, q,
+          "vec_id", "embedding", k = 5).collect().toSet ===
+        Similarity.probeIvfIndexStore(spark, store.root, "rchurnref", 1,
+          q, "vec_id", "embedding", k = 5).collect().toSet)
+    }
+  }
+
   test("IVF params tier: probes read geometry from the store, " +
       "drifted geometry is rejected, hostile index names fail loudly") {
     import graft.pipeline.Similarity
