@@ -1442,6 +1442,38 @@ object PipelineQueries {
       .orderBy(col("n_codes"))
   }
 
+  // ANN recall audit — the EVALUATION member of the index lifecycle
+  // (build → probe → health → rebalance → evaluate): per query,
+  // how many of the exact top-k the IVF probe actually returned
+  // (recall@k in exact integer ppm). Pure composition: the governed
+  // probe vs knnJoin's one-scan exact ranking. This is the number an
+  // operator watches when tuning nprobe/k against the health report —
+  // and the LOW value it reports here (1/5 at nprobe=1 on the
+  // 8-sampled-seed codebook) is the audit doing its job: that
+  // codebook is a correctness fixture, and exactly what p164's
+  // retrain + a wider nprobe exist to repair.
+  private def p169(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.select(col("vec_id").cast("long"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val root = graft.TempDirs.scoped("graft_p169_store").toString
+    Similarity.saveIvfIndexStore(emb, "vec_id", "embedding", cb, root,
+      "ivf", srvid = 1)
+    val q = emb.filter(col("vec_id").isin(100L, 200L))
+    val approx = Similarity.probeIvfIndexStore(s, root, "ivf", 1, q,
+      "vec_id", "embedding", k = 5).select(col("qid"), col("vec_id"))
+    val exact = Similarity.knnJoin(emb, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id").as("qid"), col("vec_id"))
+    val hits = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV 5"))
+      .orderBy(col("qid"))
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -2966,6 +2998,48 @@ object PipelineQueries {
         ORDER BY qid, cos DESC, vec_id ASC"""
   }
 
+  /** p169 — recall@5 of the single-cell IVF probe against the exact
+    * top-5 (both replayed: the probe = [[ivfProbeOracleN]]'s chain at
+    * nprobe = 1, the truth = a full cosine ranking); the hit count
+    * and ppm recall per query. */
+  private lazy val annRecallOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_aggregate(list_transform(range(0, 64), i -> $a[i+1] * $b[i+1]), 'sum') /
+          (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+           sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))))"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        asg0 AS (SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+                 FROM e CROSS JOIN c),
+        asg AS (SELECT vec_id, v, cid,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+                FROM asg0),
+        cell AS (SELECT vec_id, v, cid AS cell FROM asg WHERE rn = 1),
+        qr AS (SELECT vec_id AS qid, v AS qv, cid AS qcell
+               FROM asg WHERE vec_id IN (100, 200) AND rn <= 1),
+        sc AS (SELECT qr.qid, cell.vec_id, ${cosSql("cell.v", "qr.qv")} AS cos
+               FROM cell JOIN qr ON cell.cell = qr.qcell
+               WHERE cell.vec_id != qr.qid),
+        apx AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, vec_id ASC) AS rn FROM sc)
+                WHERE rn <= 5),
+        ex0 AS (SELECT qr.qid, e.vec_id, ${cosSql("e.v", "qr.qv")} AS cos
+                FROM e CROSS JOIN qr WHERE e.vec_id != qr.qid),
+        ex AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id ASC) AS rn FROM ex0)
+               WHERE rn <= 5),
+        hits AS (SELECT ex.qid, COUNT(*) AS n_hits
+                 FROM ex JOIN apx ON ex.qid = apx.qid
+                                 AND ex.vec_id = apx.vec_id
+                 GROUP BY 1)
+        SELECT qr.qid, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(hits.n_hits, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM qr LEFT JOIN hits ON qr.qid = hits.qid
+        ORDER BY qr.qid"""
+  }
+
   /** p166 — the health report replay: the sampled-codebook cosine
     * assignment (ivfProbeOracleN's `cell` CTE) grouped per cell, LEFT
     * joined from the codebook so a dead centroid reports n = 0. */
@@ -3219,7 +3293,8 @@ object PipelineQueries {
     "p165_dsir_weights" -> (p165 _),
     "p166_ivf_index_health" -> (p166 _),
     "p167_signature_index_health" -> (p167 _),
-    "p168_pq_index_health" -> (p168 _))
+    "p168_pq_index_health" -> (p168 _),
+    "p169_ann_recall" -> (p169 _))
 
   /** Integer-e4 PQ training + ADC replay — shared by p39 (per-call
     * train+probe) and p162/p163 (the persisted index forms): the
@@ -5958,6 +6033,7 @@ object PipelineQueries {
       s"""SELECT CAST(COUNT(*) + 100 AS BIGINT) AS n_codes,
                  TRUE AS is_current
           FROM embeddings ORDER BY n_codes""",
+    "p169_ann_recall" -> annRecallOracle,
     "p165_dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt,
                  regexp_split_to_array(text, ' +') AS toks FROM documents),
