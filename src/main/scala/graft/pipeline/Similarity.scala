@@ -918,30 +918,78 @@ object Similarity {
     val (codes, cents, p) = loadPqIndexStore(spark, root, name, srvid)
     require(queryVec.size == p.dim,
       s"probePqIndexStore: query dim ${queryVec.size} != index dim ${p.dim}")
-    val subDim = p.dim / p.m
-    val qe4 = queryVec.map(e4Floor)
-    val adcRaw = (0 until p.m).map { s =>
-      val qs = qe4.slice(s * subDim, (s + 1) * subDim)
-      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2Long(qs, cv) }
-      element_at(typedLit(qds), element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
-    // explicit RANGE fence, not an isNull check: non-ANSI element_at
-    // reads negative indices from the END, so a corrupt code of -2
-    // would return a valid-looking distance (and only >= k or very
-    // negative would null out) — every code must be a real position
-    // into its subspace's codebook or the probe dies loudly
-    // (round-12 review, fourth pass)
-    val codesOk = (0 until p.m).map { s =>
-      element_at(col("codes"), s + 1).between(0, cents(s).size - 1)
-    }.reduce(_ && _)
-    val adc = when(codesOk, adcRaw)
-      .otherwise(raise_error(lit(
-        "pq probe: code out of codebook range — corrupt pq_codes tier")))
+    val adc = pqAdcCol(cents, p.m, p.dim / p.m, queryVec.map(e4Floor))
     excludeId.map(id => codes.filter(col("vec_id") =!= id))
       .getOrElse(codes)
       .select(col("vec_id"), adc.as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** ONE query's fenced ADC column over the `codes` column — shared by
+    * the single-query probe and the batched kNN join so the two ranks
+    * cannot drift. The explicit RANGE fence is not an isNull check:
+    * non-ANSI element_at reads a negative index from the END of the
+    * distance table, so a corrupt code of -2 would return a
+    * valid-looking distance (and only >= k or very negative would
+    * null out and sort FIRST under the ascending order) — every code
+    * must be a real position into its subspace's codebook or the
+    * probe dies loudly (round-12 review, fourth pass). */
+  private def pqAdcCol(cents: Map[Int, Seq[(Long, Seq[Long])]], m: Int,
+      subDim: Int, qe4: Seq[Long]): Column = {
+    val adcRaw = (0 until m).map { s =>
+      val qs = qe4.slice(s * subDim, (s + 1) * subDim)
+      val qds: Seq[Long] = cents(s).map { case (_, cv) => d2Long(qs, cv) }
+      element_at(typedLit(qds), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val codesOk = (0 until m).map { s =>
+      element_at(col("codes"), s + 1).between(0, cents(s).size - 1)
+    }.reduce(_ && _)
+    when(codesOk, adcRaw)
+      .otherwise(raise_error(lit(
+        "pq probe: code out of codebook range — corrupt pq_codes tier")))
+  }
+
+  /** Batched PQ kNN JOIN over the persisted index — [[knnJoin]]'s
+    * contract ("top-k corpus neighbors for EACH of Q query vectors")
+    * at PQ cost: ONE scan of the codes tier scores all Q queries per
+    * row (m small ints per corpus vector — raw vectors never read),
+    * so a bulk similarity export over a 10⁹-vector index is one
+    * memory-bandwidth pass instead of Q probes or an exact
+    * corpus×corpus join. Per-query distance tables are driver math
+    * (Q·m·≤k longs — the same batched-query assumption knnJoin makes
+    * for its broadcast block), stacked per row and exploded to
+    * (qid, adc); the per-query top-k is one rank window keyed on qid.
+    * Self-matches excluded; ties (adc, vec_id) — each query ranks
+    * exactly as its single [[probePqIndexStore]] call ([[pqAdcCol]]
+    * is the shared body; spec-pinned). Zero caller-supplied build
+    * constants. */
+  def pqKnnJoinStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, srvid: Int, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val (codes, cents, p) = loadPqIndexStore(spark, root, name, srvid)
+    val subDim = p.dim / p.m
+    val qs = queries
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq: Seq[Double]))
+      .sortBy(_._1)
+    require(qs.nonEmpty, "pqKnnJoinStore: empty query batch")
+    qs.foreach { case (qid, v) =>
+      require(v.size == p.dim,
+        s"pqKnnJoinStore: query $qid dim ${v.size} != index dim ${p.dim}")
+    }
+    val stacked = explode(array(qs.map { case (qid, v) =>
+      struct(lit(qid).as("qid"),
+        pqAdcCol(cents, p.m, subDim, v.map(e4Floor)).as("adc_dist"))
+    }: _*))
+    val scored = codes.select(col("vec_id"), stacked.as("s"))
+      .select(col("s.qid").as("qid"), col("vec_id"),
+        col("s.adc_dist").as("adc_dist"))
+      .filter(col("vec_id") =!= col("qid"))
+    graft.operators.TopK.topKPerGroup(scored,
+      groupKeys = Seq(col("qid")),
+      orderBy = Seq(col("adc_dist").asc, col("vec_id").asc), k = topK)
   }
 
   /** Compact a PQ index's codes partition after repeated admissions —

@@ -1474,6 +1474,24 @@ object PipelineQueries {
       .orderBy(col("qid"))
   }
 
+  // batched PQ kNN join — p59's bulk-similarity contract at PQ cost:
+  // top-10 ADC neighbors for each of two queries from ONE scan of the
+  // codes tier (raw vectors never read), each query ranking exactly
+  // as its single probePqIndexStore call. The oracle generalizes
+  // p39's ADC replay to a per-qid distance table + rank window.
+  private def p170(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val root = graft.TempDirs.scoped("graft_p170_store").toString
+    Similarity.savePqIndexStore(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iters = 1, root, "pq", srvid = 1)
+    Similarity.pqKnnJoinStore(s, root, "pq", srvid = 1,
+        emb.filter(col("vec_id").isin(0L, 100L)), "vec_id", "embedding",
+        topK = 10)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // tokenizer-aware curation chain — the round-10 composition
   // receipt (p100's sibling): learn the tokenizer (p147), segment the
   // corpus under it (p148), then budget the mixture in LEARNED
@@ -3294,7 +3312,8 @@ object PipelineQueries {
     "p166_ivf_index_health" -> (p166 _),
     "p167_signature_index_health" -> (p167 _),
     "p168_pq_index_health" -> (p168 _),
-    "p169_ann_recall" -> (p169 _))
+    "p169_ann_recall" -> (p169 _),
+    "p170_pq_knn_join" -> (p170 _))
 
   /** Integer-e4 PQ training + ADC replay — shared by p39 (per-call
     * train+probe) and p162/p163 (the persisted index forms): the
@@ -6034,6 +6053,55 @@ object PipelineQueries {
                  TRUE AS is_current
           FROM embeddings ORDER BY n_codes""",
     "p169_ann_recall" -> annRecallOracle,
+    // p39's integer-e4 PQ train + ADC replay, generalized to a BATCH:
+    // the distance table carries a qid, the rank window partitions on
+    // it — each query's ranking is exactly the single-probe oracle's
+    "p170_pq_knn_join" ->
+      """WITH q AS (SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+               FROM embeddings),
+          qe AS (SELECT id, i // 8 AS sub, i % 8 AS spos, qv[i+1] AS val
+                 FROM q, range(0, 64) t(i)),
+          c0 AS (SELECT id AS cid, sub, spos, val FROM qe WHERE id < 4),
+          d1 AS (SELECT qe.id, qe.sub, c0.cid,
+                   CAST(SUM((qe.val - c0.val) * (qe.val - c0.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c0 ON qe.sub = c0.sub AND qe.spos = c0.spos
+                 GROUP BY 1, 2, 3),
+          a1 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d1) WHERE rn = 1),
+          c1 AS (SELECT a1.sub, a1.cid, qe.spos,
+                   CAST(SUM(qe.val) AS BIGINT) // COUNT(*) AS val
+                 FROM a1 JOIN qe ON a1.id = qe.id AND a1.sub = qe.sub
+                 GROUP BY 1, 2, 3),
+          d2 AS (SELECT qe.id, qe.sub, c1.cid,
+                   CAST(SUM((qe.val - c1.val) * (qe.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM qe JOIN c1 ON qe.sub = c1.sub AND qe.spos = c1.spos
+                 GROUP BY 1, 2, 3),
+          a2 AS (SELECT id, sub, cid FROM (
+                   SELECT id, sub, cid, ROW_NUMBER() OVER (
+                     PARTITION BY id, sub ORDER BY dist, cid) AS rn
+                   FROM d2) WHERE rn = 1),
+          dt AS (SELECT qq.id AS qid, c1.sub, c1.cid,
+                   CAST(SUM((qq.val - c1.val) * (qq.val - c1.val)) AS BIGINT)
+                     AS dist
+                 FROM (SELECT id, sub, spos, val FROM qe
+                       WHERE id IN (0, 100)) qq
+                 JOIN c1 ON qq.sub = c1.sub AND qq.spos = c1.spos
+                 GROUP BY 1, 2, 3),
+          adc AS (SELECT dt.qid, a2.id, CAST(SUM(dt.dist) AS BIGINT) AS adc_dist
+                  FROM a2 JOIN dt ON a2.sub = dt.sub AND a2.cid = dt.cid
+                  GROUP BY 1, 2),
+          r AS (SELECT qid, id, adc_dist, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY adc_dist, id) AS rank
+                FROM adc WHERE id <> qid)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, id AS vec_id, adc_dist
+          FROM r WHERE rank <= 10
+          ORDER BY qid, rank""",
     "p165_dsir_weights" ->
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt,
                  regexp_split_to_array(text, ' +') AS toks FROM documents),

@@ -1008,6 +1008,44 @@ class V2SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("pqKnnJoinStore: each query of the batch ranks exactly as its " +
+      "single probe; guards on empty batch and drifted query dim") {
+    import graft.pipeline.Similarity
+    withStore { store =>
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      Similarity.savePqIndexStore(emb, "vec_id", "embedding", dim = 64,
+        m = 8, k = 4, iters = 1, store.root, "pq", srvid = 1)
+      val batch = Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
+          emb.filter(col("vec_id").isin(0L, 100L)), "vec_id",
+          "embedding", topK = 10)
+        .collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rows) => q -> rows.map(r =>
+          (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_dist"))).toSeq }
+      for (qid <- Seq(0L, 100L)) {
+        val qv = emb.filter(col("vec_id") === qid)
+          .select(Similarity.asDouble(col("embedding"))).collect()(0)
+          .getSeq[Double](0).toSeq
+        val single = Similarity.probePqIndexStore(spark, store.root,
+            "pq", 1, qv, excludeId = Some(qid), topK = 10)
+          .collect().map(r => (r.getAs[Long]("vec_id"),
+            r.getAs[Long]("adc_dist"))).toSeq
+        assert(batch(qid) === single, s"qid $qid diverged")
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
+          emb.filter(col("vec_id") < 0), "vec_id", "embedding", 10)
+      }
+      import spark.implicits._
+      val shortVec = Seq((7L, Seq.fill(32)(0.5f)))
+        .toDF("vec_id", "embedding")
+      intercept[IllegalArgumentException] {
+        Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
+          shortVec, "vec_id", "embedding", 10)
+      }
+    }
+  }
+
   test("persisted PQ index: probe over codes only equals per-call " +
       "pqTopK; admission encodes with persisted codebooks; geometry " +
       "drift and hostile names refused") {
