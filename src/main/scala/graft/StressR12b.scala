@@ -98,6 +98,34 @@ object StressR12b {
     val (d1, dsir1) = dsirAxis(1)
     val (dM, dsirM) = dsirAxis(mult)
 
+    // ---- batched PQ kNN join vs Q single probes ----
+    // The claim pqKnnJoinStore exists for: Q queries cost ONE codes
+    // scan, not Q. Median-of-3 per arm (same box-spread rule).
+    val pqVecs = vecsAt(mult)
+    val nPq = pqVecs.count()
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_pqknn12")
+    graft.pipeline.Similarity.savePqIndexStore(pqVecs, "vec_id",
+      "embedding", dim = 64, m = 8, k = 16, iters = 1,
+      pqRoot.toString, "pq", 1)
+    val qIds = (0 until 8).map(_ * 100L)
+    val qVecs = qIds.map { id =>
+      id -> pqVecs.filter(c("vec_id") === id)
+        .select(Similarity.asDouble(c("embedding"))).collect()(0)
+        .getSeq[Double](0).toSeq
+    }
+    val qBatch = pqVecs.filter(c("vec_id").isin(qIds: _*))
+      .select(c("vec_id"), c("embedding")).localCheckpoint()
+    def med3(f: => Long): Double =
+      (1 to 3).map(_ => StressCorpus.timed(f)._1).sorted.apply(1)
+    val singles8Sec = med3(qVecs.map { case (id, qv) =>
+      Similarity.probePqIndexStore(spark, pqRoot.toString, "pq", 1, qv,
+        Some(id), 100).count()
+    }.sum)
+    val batch8Sec = med3(Similarity.pqKnnJoinStore(spark,
+      pqRoot.toString, "pq", 1, qBatch, "vec_id", "embedding",
+      100).count())
+    graft.core.AtomicSwap.deleteRecursively(pqRoot)
+
     val json =
       s"""{"metric":"stress_r12b","mult":$mult,""" +
         s""""ivf_vecs_1x":$n1,"ivf_build_1x_sec":$build1,""" +
@@ -105,7 +133,9 @@ object StressR12b {
         s""""ivf_vecs_Mx":$nM,"ivf_build_Mx_sec":$buildM,""" +
         s""""ivf_rebalance_Mx_sec":$rebM,"ivf_health_Mx_sec":$healthM,""" +
         s""""dsir_docs_1x":$d1,"dsir_1x_sec":$dsir1,""" +
-        s""""dsir_docs_Mx":$dM,"dsir_Mx_sec":$dsirM}"""
+        s""""dsir_docs_Mx":$dM,"dsir_Mx_sec":$dsirM,""" +
+        s""""pqknn_vecs":$nPq,"pq_single_probes_8_sec":$singles8Sec,""" +
+        s""""pq_batch_join_8_sec":$batch8Sec}"""
     spark.stop()
     println(json)
   }
