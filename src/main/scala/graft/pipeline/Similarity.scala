@@ -975,6 +975,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq: Seq[Double]))
       .sortBy(_._1)
     require(qs.nonEmpty, "pqKnnJoinStore: empty query batch")
+    // a duplicated query id would duplicate every candidate row under
+    // the rank window (each corpus row explodes once per struct) —
+    // silently wrong top-k, so refuse loudly
+    require(qs.map(_._1).distinct.size == qs.size,
+      "pqKnnJoinStore: duplicate query ids in the batch")
     qs.foreach { case (qid, v) =>
       require(v.size == p.dim,
         s"pqKnnJoinStore: query $qid dim ${v.size} != index dim ${p.dim}")

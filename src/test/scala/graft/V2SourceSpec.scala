@@ -1043,6 +1043,14 @@ class V2SourceSpec extends AnyFunSuite {
         Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
           shortVec, "vec_id", "embedding", 10)
       }
+      // a duplicated query id would double every candidate under the
+      // rank window — silently wrong top-k, must refuse loudly
+      intercept[IllegalArgumentException] {
+        Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
+          emb.filter(col("vec_id") === 0L)
+            .union(emb.filter(col("vec_id") === 0L)),
+          "vec_id", "embedding", 10)
+      }
     }
   }
 
