@@ -157,6 +157,16 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (jsonFull + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // Both r11 and r12 driver artifacts read "parsed": null because the
+    // stdout line arrives [info]-prefixed by sbt and the driver's tail
+    // parser skips it. Ship the exact summary line to a fixed file the
+    // driver (and any human) can read without log archaeology.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/BENCH_SUMMARY.json")),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
     // last stdout line, after spark.stop() so no executor chatter follows
     println(json)

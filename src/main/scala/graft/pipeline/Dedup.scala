@@ -582,6 +582,13 @@ object Dedup {
       root: String, name: String, srvid: Int): DataFrame = {
     Similarity.requireIndexName(name)
     val store = new graft.core.Store(spark, root)
+    // a missing/mistyped index must fail loudly like the IVF/PQ health
+    // reports do, not return a silently empty (= "healthy") report:
+    // probe the params tier first — it exists iff the index was built
+    require(store.readV2(s"powa_index_$name", "params", sigParamsSchema)
+        .filter(col("srvid") === srvid).limit(1).count() > 0,
+      s"signatureIndexHealth: no params for index '$name' srvid $srvid " +
+        "— build with saveSignatureIndexStore first")
     store.readV2(s"powa_index_$name", "bands", bandsSchema)
       .filter(col("srvid") === srvid)
       .groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("sz"))

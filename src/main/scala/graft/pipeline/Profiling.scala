@@ -111,25 +111,28 @@ object Profiling {
 
   /** ANALYZE-style column profile: per column, total rows, null count
     * and EXACT distinct cardinality — the data-quality report a
-    * pipeline emits after every materialization. ONE pass over the
-    * data: all per-column counts ride a single aggregate (Spark plans
-    * the multi-distinct via Expand — a width×data blow-up that is this
-    * operator's honest cost; at 100 TB swap exact distincts for the
-    * mergeable KMV sketch in [[Sketches]], same output shape). The
-    * reshape to one-row-per-column happens on the single collected
-    * aggregate row — driver state is 2×width longs, never data. */
+    * pipeline emits after every materialization. One UNION branch per
+    * column, each a SINGLE-distinct aggregate over a one-column
+    * projection: the parquet scan in each branch is column-pruned to
+    * that column, so total IO across all branches equals ONE full-row
+    * scan — and no branch triggers Spark's multi-distinct `Expand`
+    * rewrite, which duplicates the input (width+1)× before the
+    * shuffle (at 100 TB an 11-column profile through Expand is a
+    * ~1.2 PB shuffle; through these branches it is 11 column-pruned
+    * scans whose distinct exchanges carry only per-column values).
+    * Branches are independent stages, so a cluster schedules them
+    * concurrently. For a width where even that is too much, the KMV
+    * sketch in [[Sketches]] is the approximate drop-in. */
   def columnProfile(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"nn_$c"),
-      count_distinct(col(c)).as(s"nd_$c")))
-    val row = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
-    val n = row.getLong(0)
-    cols.zipWithIndex.map { case (c, i) =>
-      (c, n, n - row.getLong(1 + 2 * i), row.getLong(2 + 2 * i))
-    }.toDF("column", "n_rows", "n_nulls", "n_distinct")
+    cols.map { c =>
+      df.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"))
+    }.reduce(_ unionAll _)
   }
 
   /** Classifier calibration audit — the reliability diagram + expected

@@ -966,7 +966,9 @@ object Similarity {
     * constants. */
   def pqKnnJoinStore(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, srvid: Int, queries: DataFrame,
-      idCol: String, vecCol: String, topK: Int): DataFrame = {
+      idCol: String, vecCol: String, topK: Int,
+      maxChunk: Int = 256): DataFrame = {
+    require(maxChunk >= 1, s"maxChunk must be >= 1, got $maxChunk")
     val (codes, cents, p) = loadPqIndexStore(spark, root, name, srvid)
     val subDim = p.dim / p.m
     val qs = queries
@@ -984,17 +986,28 @@ object Similarity {
       require(v.size == p.dim,
         s"pqKnnJoinStore: query $qid dim ${v.size} != index dim ${p.dim}")
     }
-    val stacked = explode(array(qs.map { case (qid, v) =>
-      struct(lit(qid).as("qid"),
-        pqAdcCol(cents, p.m, subDim, v.map(e4Floor)).as("adc_dist"))
-    }: _*))
-    val scored = codes.select(col("vec_id"), stacked.as("s"))
-      .select(col("s.qid").as("qid"), col("vec_id"),
-        col("s.adc_dist").as("adc_dist"))
-      .filter(col("vec_id") =!= col("qid"))
-    graft.operators.TopK.topKPerGroup(scored,
-      groupKeys = Seq(col("qid")),
-      orderBy = Seq(col("adc_dist").asc, col("vec_id").asc), k = topK)
+    // The per-query distance tables are inlined into the plan as
+    // literal arrays (Q·m·|codebook| longs inside one exploded struct
+    // array); an unbounded Q fails via Catalyst plan-size/codegen
+    // blowup instead of degrading. Chunk the batch: each chunk's plan
+    // is bounded, chunks union — per-query top-k is independent of the
+    // other queries, so the union is exactly the one-batch result. A
+    // chunk re-scans the codes tier, which is the graceful degradation
+    // (Q/256 memory-bandwidth passes, never a broken plan).
+    val parts = qs.grouped(maxChunk).map { chunk =>
+      val stacked = explode(array(chunk.map { case (qid, v) =>
+        struct(lit(qid).as("qid"),
+          pqAdcCol(cents, p.m, subDim, v.map(e4Floor)).as("adc_dist"))
+      }: _*))
+      val scored = codes.select(col("vec_id"), stacked.as("s"))
+        .select(col("s.qid").as("qid"), col("vec_id"),
+          col("s.adc_dist").as("adc_dist"))
+        .filter(col("vec_id") =!= col("qid"))
+      graft.operators.TopK.topKPerGroup(scored,
+        groupKeys = Seq(col("qid")),
+        orderBy = Seq(col("adc_dist").asc, col("vec_id").asc), k = topK)
+    }.toSeq
+    parts.reduce(_ unionAll _)
   }
 
   /** Compact a PQ index's codes partition after repeated admissions —

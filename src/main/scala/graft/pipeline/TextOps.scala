@@ -271,13 +271,17 @@ object TextOps {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
     require(buckets >= 1, s"dsirWeights: buckets must be >= 1, got $buckets")
+    // a NULL predicate (e.g. a null source column) must not drop the
+    // doc from both models AND the scored spine — the keep-every-row
+    // contract above; null = not target, i.e. a raw-pool member
+    val isTgt = coalesce(isTarget, lit(false))
     val t = tokens(col(textCol))
     val pairsCol = when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
     val feats = Partitioning.spread(docs)
-      .select(col(idCol), isTarget.as("is_tgt"), explode(pairsCol).as("b"))
+      .select(col(idCol), isTgt.as("is_tgt"), explode(pairsCol).as("b"))
       .select(col(idCol), col("is_tgt"),
         (Hashing.h60(col("b")) % buckets).as("f"))
       .localCheckpoint() // feeds the model agg AND the per-doc counts
@@ -300,7 +304,7 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(sum(col("c") * col("w_bits")).as("fw"),
         sum(col("c")).as("n_feats"))
-    docs.filter(!isTarget).select(col(idCol))
+    docs.filter(!isTgt).select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -1476,6 +1476,18 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextOps.dsirWeights(df, "doc_id", "text", col("doc_id") === 0L, 0)
     }
+    // a NULL predicate row (e.g. null source column) must land in the
+    // raw pool and stay on the scored spine — not vanish from both
+    // models (the keep-every-row contract)
+    val dfn = Seq((0L, "a b a b", Some(true)), (1L, "a b a", Some(false)),
+      (2L, "x y x y", None: Option[Boolean]), (3L, "solo", Some(false)))
+      .toDF("doc_id", "text", "tgt")
+    val outN = TextOps.dsirWeights(dfn, "doc_id", "text",
+        isTarget = col("tgt"), buckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_feats"),
+        r.getAs[Long]("score_bits")))
+    assert(outN === out, "null-predicate doc must score as a raw doc")
   }
 
   test("chunkSliding: stride-covered chunks, truncated tail, short docs " +

@@ -722,4 +722,25 @@ class PlanSpec extends AnyFunSuite {
       assert(ivfpq.count() === 5)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("columnProfile plans WITHOUT the multi-distinct Expand rewrite " +
+      "and each branch scan is pruned to its own column") {
+    // the r12 verdict's one `weak` grade: a single aggregate with one
+    // count_distinct PER column rewrites via Expand, duplicating the
+    // input (width+1)x before the shuffle — at 100 TB an 11-column
+    // profile becomes a ~PB shuffle. The per-column-branch form must
+    // never plan an Expand, and each branch's parquet ReadSchema must
+    // carry exactly one column (IO across branches = one full scan).
+    val prof = Profiling.columnProfile(Tables.lineitem(spark, sf))
+    val plan = finalPlan(prof)
+    assert(!plan.contains("Expand"),
+      s"columnProfile must not plan Expand:\n$plan")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(!s.contains(","),
+        s"branch scan must read exactly one column, got $s")
+    }
+    assert(prof.count() === Tables.lineitem(spark, sf).columns.length)
+  }
 }

@@ -983,6 +983,11 @@ class V2SourceSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Dedup.signatureIndexHealth(spark, store.root, "../evil", 1)
       }
+      // a mistyped index name must fail loudly like the IVF/PQ health
+      // reports, never return a silently-empty ("healthy") report
+      intercept[IllegalArgumentException] {
+        Dedup.signatureIndexHealth(spark, store.root, "nosuch", 1)
+      }
       // PQ: build, then hand-plant a stale-generation codes row (the
       // torn-rebuild residue the generation fence hides from probes);
       // health must SURFACE it and keep the current count intact
@@ -1032,6 +1037,16 @@ class V2SourceSpec extends AnyFunSuite {
             r.getAs[Long]("adc_dist"))).toSeq
         assert(batch(qid) === single, s"qid $qid diverged")
       }
+      // the plan-size guard: a batch larger than maxChunk splits into
+      // per-chunk scans whose union is exactly the one-batch result
+      val chunked = Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
+          emb.filter(col("vec_id").isin(0L, 100L)), "vec_id",
+          "embedding", topK = 10, maxChunk = 1)
+        .collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rows) => q -> rows.map(r =>
+          (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_dist"))).toSeq }
+      assert(chunked === batch, "chunked batch diverged from one-plan batch")
       intercept[IllegalArgumentException] {
         Similarity.pqKnnJoinStore(spark, store.root, "pq", 1,
           emb.filter(col("vec_id") < 0), "vec_id", "embedding", 10)
