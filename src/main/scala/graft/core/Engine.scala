@@ -47,26 +47,73 @@ class GenericDatasource(val spec: DatasourceSpec) {
       // trace-only action, not a gate
       val n = if (store.traceRowcounts) staged.count() else -1L
       if (n != 0) {
-        val keyCols = spec.keyNames.map(col)
-        val recordCol = struct((col("ts") +: spec.counterCols.map(c => col(c.name))): _*)
-        val sinks = Seq(Current ->
-          staged.select(col("srvid") +: keyCols :+ recordCol.as("record"): _*)
-        ) ++ dbSpec.map { dbs =>
-          val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
-          CurrentDb -> staged
-            .groupBy(col("srvid"), col("dbid"), col("ts"))
-            .agg(aggCols.head, aggCols.tail: _*)
-            .select(col("srvid"), col("dbid"),
-              struct((col("ts") +: spec.aggFields.map(f => col(f.name))): _*)
-                .as("record"))
-        }
         // sink appends + staging drain commit ATOMICALLY — the crash
         // window between them would double-append on retry (Store's
         // snapshot commit protocol; reference :4102-4104 drains inside
         // the same transaction)
-        store.snapshotCommit(name, Staging, srvid, sinks)
+        store.snapshotCommit(name, Staging, srvid, snapshotSinks(staged))
       }
       n
+    } finally staged.unpersist()
+  }
+
+  /** The generic snapshot transform: staged rows → (tier, frame) sink
+    * batches, srvid column retained (the sequential commit drops it at
+    * write, the fleet commit partitions on it). ONE definition so the
+    * per-server and fleet paths cannot drift. */
+  private def snapshotSinks(staged: DataFrame): Seq[(String, DataFrame)] = {
+    val keyCols = spec.keyNames.map(col)
+    val recordCol = struct((col("ts") +: spec.counterCols.map(c => col(c.name))): _*)
+    Seq(Current ->
+      staged.select(col("srvid") +: keyCols :+ recordCol.as("record"): _*)
+    ) ++ dbSpec.map { dbs =>
+      val aggCols = spec.aggFields.map(f => sum(col(f.name)).as(f.name))
+      CurrentDb -> staged
+        .groupBy(col("srvid"), col("dbid"), col("ts"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("srvid"), col("dbid"),
+          struct((col("ts") +: spec.aggFields.map(f => col(f.name))): _*)
+            .as("record"))
+    }
+  }
+
+  /** Vectorized fleet snapshot: ONE Spark job per sink tier lands EVERY
+    * staged server's tick (guide §2/§5 — the per-(server, datasource)
+    * loop is a driver scheduling bottleneck at fleet scale: ~230k tiny
+    * jobs for a fully-staged 10k-server tick; this form is one scan +
+    * one write per tier for the whole fleet, the same shape the remote
+    * collector's one repository tick stream implies). The per-server
+    * COMMIT protocol is unchanged — [[Store.snapshotCommitFleet]] runs
+    * marker → drain → promote per srvid over filesystem ops only.
+    *
+    * Only the base generic transform is safe to vectorize: subclasses
+    * with snapshot-time dimension work (statements MRU touch, qualstats
+    * quals insert, databases diff-sync) override [[snapshot]], so they
+    * fall back to the per-server path automatically (the `getClass`
+    * guard — a subclass that overrides snapshot but not this method
+    * must never silently get the generic transform).
+    *
+    * Returns per-srvid staged row counts (−1 when tracing is off,
+    * mirroring [[snapshot]]). Caller holds every server's snapshot
+    * lock and has verified each listed srvid HAS a staging partition. */
+  def snapshotFleet(store: Store, srvids: Seq[Int],
+      now: java.sql.Timestamp): Map[Int, Long] = {
+    if (srvids.isEmpty) return Map.empty
+    if (getClass != classOf[GenericDatasource])
+      return srvids.map(id => id -> snapshot(store, id, now)).toMap
+    srvids.foreach(recoverPending(store, _))
+    val staged = store.read(name, Staging, spec.stagingSchema)
+      .filter(col("srvid").isin(srvids.map(Int.box): _*))
+      .cache() // sinks + trace count from one scan, like snapshot()
+    try {
+      val counts: Map[Int, Long] =
+        if (store.traceRowcounts)
+          staged.groupBy(col("srvid")).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        else Map.empty
+      store.snapshotCommitFleet(name, Staging, srvids,
+        snapshotSinks(staged))
+      srvids.map(id => id -> counts.getOrElse(id, -1L)).toMap
     } finally staged.unpersist()
   }
 
@@ -107,6 +154,7 @@ class GenericDatasource(val spec: DatasourceSpec) {
     * single-transaction guarantee of the reference's aggregate,
     * powa--5.2.0.sql:6047-6055, restored over plain files). */
   def recover(store: Store): Unit = {
+    store.cleanFleetStages(name) // crashed fleet write's invisible temps
     store.snapshotPendingSrvids(name)
       .foreach(id => store.recoverSnapshot(name, Staging, id))
     store.inflightSrvids(name, History)
@@ -402,6 +450,173 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     registry.persistMetas(Set(srvid))
     errors.size
   }
+
+  // ---- vectorized fleet tick ---------------------------------------
+
+  /** One acquired per-server snapshot lock (in-process mutex + the
+    * cross-process file lock), released in [[releaseLock]]. */
+  private case class HeldLock(srvid: Int,
+      mutex: java.util.concurrent.locks.ReentrantLock,
+      ch: java.nio.channels.FileChannel,
+      fl: java.nio.channels.FileLock)
+
+  /** Try-acquire one server's snapshot lock (same NOWAIT semantics as
+    * [[takeSnapshot]]); None when a concurrent snapshot holds it. */
+  private def tryAcquireLock(srvid: Int): Option[HeldLock] = {
+    val mutex = snapshotLocks.computeIfAbsent(srvid,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!mutex.tryLock()) return None
+    val lockDir = java.nio.file.Paths.get(storageRoot, "_locks")
+    java.nio.file.Files.createDirectories(lockDir)
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        lockDir.resolve(s"srvid=$srvid.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val fl =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException =>
+          ch.close(); mutex.unlock(); return None }
+      if (fl == null) { ch.close(); mutex.unlock(); return None }
+      Some(HeldLock(srvid, mutex, ch, fl))
+    } catch { case e: Throwable => mutex.unlock(); throw e }
+  }
+
+  private def releaseLock(h: HeldLock): Unit = {
+    try { h.fl.release(); h.ch.close() } finally h.mutex.unlock()
+  }
+
+  /** Vectorized fleet tick — `takeSnapshot` for MANY servers with one
+    * Spark job per (datasource, sink tier) instead of one per (server,
+    * datasource): the snapshot pass reads each datasource's staging
+    * tier ONCE across all staged servers and lands every server's
+    * batch in one partitionBy(srvid) write (GenericDatasource.
+    * snapshotFleet); dimension-bearing datasources (statements,
+    * qualstats, databases) and every per-server phase (cadence bump,
+    * aggregate/purge/compact, catalog import, metas) keep the
+    * per-server path, so each server's visible end state — tiers,
+    * meta row, error log — is IDENTICAL to running [[takeSnapshot]]
+    * per server (EngineSpec pins row-identity; StressR13 measures the
+    * fan-out win).
+    *
+    * Semantics preserved per server: the same NOWAIT lock (a server
+    * whose lock is held errors with 1, exactly like a sequential
+    * tick's caller would see, and never blocks the fleet); the same
+    * per-datasource error isolation (a fleet-job failure falls back
+    * to the per-server loop so a single bad server degrades alone —
+    * committed servers' staging is already drained, so the retry
+    * skips them via the hasPartition gate); the same commit protocol
+    * (per-server markers — Store.snapshotCommitFleet). */
+  def takeSnapshotFleet(srvids: Seq[Int],
+      now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis()))
+      : Map[Int, Int] = {
+    val ids = srvids.distinct.sorted
+    val held = scala.collection.mutable.ArrayBuffer.empty[HeldLock]
+    val busy = scala.collection.mutable.ArrayBuffer.empty[Int]
+    ids.foreach { id =>
+      tryAcquireLock(id) match {
+        case Some(h) => held += h
+        case None => busy += id
+      }
+    }
+    try {
+      val servers = held.map(h => h.srvid -> registry.server(h.srvid)).toMap
+      val active = held.map(_.srvid).filter(servers(_).frequencySec != -1)
+      // re-read + bump each persisted meta under the lock, like the
+      // sequential tick (cadence continues where any engine left it)
+      val metas = active.map { id =>
+        val m = registry.refreshMeta(id); m.coalesceSeq += 1; id -> m
+      }.toMap
+      val errors = scala.collection.mutable.Map.empty[Int, Vector[String]]
+        .withDefaultValue(Vector.empty)
+      def activeDs(id: Int) = datasources.filter(d =>
+        registry.isEnabled(id, d.name) &&
+        servers(id).versionNum >= d.spec.minVersion)
+
+      // snapshot pass: priority order preserved ACROSS the fleet —
+      // every server's databases snapshot lands before any server's
+      // statements snapshot, which honors the same dimension-before-
+      // dependent ordering the per-server walk does
+      datasources.sortBy(_.priority).foreach { d =>
+        val staged = active.filter(id =>
+          activeDs(id).contains(d) &&
+          store.hasPartition(d.name, GenericDatasource.Staging, id))
+        if (staged.nonEmpty) {
+          try {
+            log(s"running ${d.name}_snapshot fleet x${staged.size}")
+            val ns = d.snapshotFleet(store, staged.toSeq, now)
+            if (store.traceRowcounts)
+              ns.toSeq.sortBy(_._1).foreach { case (id, n) =>
+                log(s"${d.name}_snapshot srvid=$id - rowcount: $n") }
+          } catch { case _: Exception =>
+            // per-server fallback: sequential error isolation — only
+            // the genuinely bad server(s) error; servers the fleet
+            // write already committed have drained staging and are
+            // skipped by the hasPartition gate (retry-safe)
+            staged.foreach { id =>
+              try {
+                if (store.hasPartition(d.name, GenericDatasource.Staging, id)) {
+                  val n = d.snapshot(store, id, now)
+                  log(s"${d.name}_snapshot srvid=$id - rowcount: $n")
+                }
+              } catch { case e: Exception =>
+                errors(id) :+= s"${d.name}_snapshot: ${e.getMessage}" }
+            }
+          }
+        }
+      }
+
+      // per-server tail: cadence phases, catalogs, metas — unchanged
+      active.foreach { id =>
+        val meta = metas(id)
+        meta.snapts = Some(now)
+        val server = servers(id)
+        val acts = activeDs(id).sortBy(_.priority)
+        val phase = (meta.coalesceSeq + id % 20) % server.powaCoalesce
+        if (phase == 0) {
+          acts.foreach { d =>
+            try d.aggregate(store, id)
+            catch { case e: Exception =>
+              errors(id) :+= s"${d.name}_aggregate: ${e.getMessage}" }
+          }
+          meta.aggts = Some(now)
+        }
+        if (phase == 1) {
+          acts.foreach { d =>
+            try {
+              val cutoff = d.purgeCutoff(now, registry.retentionSec(id, d.name))
+              d.purge(store, id, cutoff)
+            } catch { case e: Exception =>
+              errors(id) :+= s"${d.name}_purge: ${e.getMessage}" }
+          }
+          if (compactMinFiles > 0) acts.foreach { d =>
+            try d.compact(store, id, compactMinFiles)
+            catch { case e: Exception =>
+              errors(id) :+= s"${d.name}_compact: ${e.getMessage}" }
+          }
+          meta.purgets = Some(now)
+        }
+        if (id != 0)
+          errors(id) ++= catalogs.snapshot(id, server.catalogRefreshSec, now)
+        meta.errors ++= errors(id)
+      }
+      // ONE batched metas write for the whole fleet (vs one per server)
+      if (active.nonEmpty) registry.persistMetas(active.toSet)
+      val busyErrs = busy.map { id =>
+        registry.meta(id).errors :+=
+          s"tick: a concurrent snapshot is already running for server $id"
+        id -> 1
+      }
+      if (busy.nonEmpty) registry.persistMetas(busy.toSet)
+      (active.map(id => id -> errors(id).size) ++ busyErrs).toMap
+    } finally held.foreach(releaseLock)
+  }
+
+  /** [[tickDue]]'s fleet form: one vectorized tick over every due
+    * server. */
+  def tickDueFleet(now: java.sql.Timestamp = new java.sql.Timestamp(
+      System.currentTimeMillis())): Map[Int, Int] =
+    takeSnapshotFleet(dueServers(now), now)
 
   /** Readback + rates in one call — the dashboard query (SURVEY §3.3):
     * `powa_stat_get_activity`-shaped reconstitution followed by the

@@ -682,6 +682,85 @@ final class Store(val spark: SparkSession, val root: String) {
         doomExclusion(ds, tier, srvid))
     }
 
+  // ---- fleet snapshot commit ----------------------------------------
+  //
+  // The per-(server, datasource) snapshotCommit launches one Spark write
+  // per sink tier PER SERVER: at 10k active servers × 23 datasources a
+  // fully-staged tick is ~230k driver-scheduled jobs — a driver-side
+  // scheduling bottleneck, not a data one (guide §2/§5: the work per job
+  // is tiny; the cost is the job itself). The fleet form lands EVERY
+  // staged server's batch for a tier with ONE partitionBy("srvid") write
+  // into a dot-prefixed temp dir, then runs the UNCHANGED per-server
+  // commit protocol over pure filesystem ops: move each srvid's staged
+  // batch to its .snapstage dir, then per server marker → drain →
+  // promote → unmark. Crash semantics are exactly the per-server
+  // protocol's: a crash before a server's marker rolls that server back
+  // (stage dirs swept, staging intact, retry re-derives), a crash after
+  // rolls it forward — servers are independent, some may land and some
+  // roll back, which is precisely what N sequential commits interrupted
+  // at the same instant would leave. A crash during the fleet write
+  // itself leaves only `.snapfleet_*` temp dirs: invisible to every
+  // reader (dot-prefixed) and swept by [[cleanFleetStages]] at the next
+  // fleet commit or engine recovery.
+
+  private def fleetTmpDir(ds: String, tier: String): Path =
+    dir(ds, tier).resolve(
+      s".snapfleet_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  /** Fleet variant of [[snapshotCommit]]: land MANY servers' sink
+    * batches with one Spark write per sink tier, then the per-server
+    * commit protocol (filesystem-only) unchanged. Each `sinks` frame
+    * must carry `srvid` (the write partitions on it); every server in
+    * `srvids` is committed independently — marker, staging drain,
+    * promote — so crash recovery per server is identical to the
+    * sequential path's. Callers hold every listed server's snapshot
+    * lock. */
+  def snapshotCommitFleet(ds: String, stagingTier: String,
+      srvids: Seq[Int], sinks: Seq[(String, DataFrame)]): Unit = {
+    if (srvids.isEmpty) return
+    cleanFleetStages(ds) // sweep any crashed fleet write's temp dirs
+    srvids.foreach(recoverSnapshot(ds, stagingTier, _))
+    sinks.foreach { case (tier, df) =>
+      val tmp = fleetTmpDir(ds, tier)
+      df.write.mode("overwrite").partitionBy("srvid")
+        .parquet(tmp.toString)
+      srvids.foreach { id =>
+        val src = tmp.resolve(s"srvid=$id")
+        if (Files.isDirectory(src))
+          Files.move(src, snapStageDir(ds, tier, id))
+      }
+      deleteRecursively(tmp)
+    }
+    srvids.foreach { id =>
+      Files.createDirectory(snapMarker(ds, id)) // per-server commit point
+      dropPartition(ds, stagingTier, id)
+      promoteSnapshot(ds, id)
+      Files.deleteIfExists(snapMarker(ds, id))
+    }
+  }
+
+  /** Sweep `.snapfleet_*` temp dirs a crashed fleet write left behind —
+    * dot-prefixed (invisible to all readers), so this is pure hygiene:
+    * called at every fleet commit start and from engine recovery. */
+  def cleanFleetStages(ds: String): Unit = {
+    val base = Paths.get(root, ds)
+    if (!Files.isDirectory(base)) return
+    val tiers = {
+      val s = Files.list(base)
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .filterNot(_.getFileName.toString.startsWith(".")).toList
+      finally s.close()
+    }
+    tiers.foreach { t =>
+      val s = Files.list(t)
+      val stale =
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".snapfleet_")).toList
+        finally s.close()
+      stale.foreach(deleteRecursively)
+    }
+  }
+
   /** Resolve a (possibly crashed) snapshot commit — safe to call every
     * tick; pure directory probes when nothing is pending. */
   def recoverSnapshot(ds: String, stagingTier: String, srvid: Int): Unit =

@@ -1279,4 +1279,184 @@ class EngineSpec extends AnyFunSuite {
       s"upgrade must queue behind the held lock, got ${events.toArray.toSeq}")
     AtomicSwap.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  // ---- vectorized fleet tick (round 13) ------------------------------
+
+  test("fleet tick is row-identical to per-server ticks: tiers, dims, " +
+      "cadence, metas") {
+    import spark.implicits._
+    val eSeq = mkEngine()
+    val eFlt = mkEngine()
+    // mixed phases on purpose: 20 (phase 0 arithmetic), 23 (de-phased),
+    // 7 and 48 (generic) — every server coalesce=5 so tick 1 lands in
+    // different cadence phases per srvid
+    val ids = Seq(7, 20, 23, 48)
+    Seq(eSeq, eFlt).foreach { e =>
+      ids.foreach(id => e.registry.registerServer(ServerConfig(
+        id = id, hostname = s"h$id", powaCoalesce = 5,
+        retentionSec = 3650L * 86400)))
+      ids.foreach { id =>
+        // generic datasource (vectorized path), values vary per server
+        e.ingest("powa_stat_bgwriter", bgwriterBatch(id, 1)
+          .withColumn("buffers_clean", col("buffers_clean") + id))
+        // per-db-rollup datasource (vectorized path, two sinks)
+        e.ingest("powa_user_functions",
+          Seq((id, Timestamp.valueOf("2024-01-01 00:01:00"),
+            1L + id, 10L, 100L + id, 7.5, 2.5),
+            (id, Timestamp.valueOf("2024-01-01 00:01:00"),
+              1L + id, 11L, 200L + id, 8.5, 3.5))
+            .toDF("srvid", "ts", "dbid", "funcid", "calls",
+              "total_time", "self_time"))
+        // dimension-bearing datasource (per-server fallback inside the
+        // fleet pass) — proves the mixed walk keeps priority order
+        e.ingest("powa_statements",
+          Seq((id, Timestamp.valueOf("2024-01-01 00:01:00"),
+            100L + id, 1L, true, 1L, 5L + id))
+            .toDF("srvid", "ts", "queryid", "dbid", "toplevel", "userid",
+              "calls")
+            .withColumn("total_exec_time", lit(12.5))
+            .withColumn("rows", lit(42L))
+            .select(col("*") +: Specs.statements.counterCols
+              .filterNot(c => Set("calls", "total_exec_time", "rows")
+                .contains(c.name))
+              .map(c => lit(null).cast(c.dt).as(c.name)): _*)
+            .withColumn("query", concat(lit("SELECT "), lit(id))))
+      }
+    }
+    val now = Timestamp.valueOf("2024-01-01 00:02:00")
+    val seqErrs = ids.map(id => id -> eSeq.takeSnapshot(id, now)).toMap
+    val fltErrs = eFlt.takeSnapshotFleet(ids, now)
+    assert(fltErrs === seqErrs)
+    assert(seqErrs.values.sum === 0)
+
+    def rows(e: Engine, ds: String, tier: String): Set[String] = {
+      val spec = Specs.byName(ds)
+      val schema =
+        if (tier == GenericDatasource.History)
+          GenericDatasource.historyNoSrvid(spec)
+        else GenericDatasource.currentNoSrvid(spec)
+      e.store.read(ds, tier, schema).collect().map(_.toString).toSet
+    }
+    for (ds <- Seq("powa_stat_bgwriter", "powa_user_functions",
+        "powa_statements");
+        tier <- Seq(GenericDatasource.Current, GenericDatasource.History)) {
+      assert(rows(eFlt, ds, tier) === rows(eSeq, ds, tier),
+        s"$ds/$tier must be identical")
+    }
+    assert(rows(eFlt, "powa_user_functions", GenericDatasource.CurrentDb)
+      === rows(eSeq, "powa_user_functions", GenericDatasource.CurrentDb))
+    // statements dim maintained identically through the fallback path
+    val dimSeq = eSeq.datasource("powa_statements")
+      .asInstanceOf[StatementsDatasource]
+    val dimFlt = eFlt.datasource("powa_statements")
+      .asInstanceOf[StatementsDatasource]
+    ids.foreach { id =>
+      assert(dimFlt.readDim(eFlt.store, id).collect().map(_.toString).toSet
+        === dimSeq.readDim(eSeq.store, id).collect().map(_.toString).toSet)
+    }
+    // staging fully drained on both; metas identical
+    ids.foreach { id =>
+      assert(!eFlt.store.hasPartition("powa_stat_bgwriter",
+        GenericDatasource.Staging, id))
+      assert(eFlt.registry.meta(id).coalesceSeq ===
+        eSeq.registry.meta(id).coalesceSeq)
+      assert(eFlt.registry.meta(id).snapts === eSeq.registry.meta(id).snapts)
+      assert(eFlt.registry.meta(id).aggts === eSeq.registry.meta(id).aggts)
+      assert(eFlt.registry.meta(id).purgets === eSeq.registry.meta(id).purgets)
+      assert(eFlt.registry.meta(id).errors === eSeq.registry.meta(id).errors)
+    }
+  }
+
+  test("fleet commit crash semantics: per-server markers roll forward " +
+      "and back independently; orphan fleet temps are swept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fleetc").toString
+    val e = new Engine(spark, root)
+    val Seq(a, b) = Seq(71, 72).map(id => e.registry.registerServer(
+      ServerConfig(id = id, hostname = "h", powaCoalesce = 100,
+        retentionSec = 86400)))
+    val ds = "powa_stat_bgwriter"
+    val d = e.datasource(ds)
+    e.ingest(ds, bgwriterBatch(a, 1))
+    e.ingest(ds, bgwriterBatch(b, 1))
+
+    // simulate a crash mid-fleet-commit: server a is past its marker
+    // (stage content + marker, staging still held), server b is before
+    // its marker (orphan stage junk only), and the fleet write's temp
+    // dir is still lying around
+    def stageDir(id: Int) = java.nio.file.Paths.get(
+      root, ds, GenericDatasource.Current, s".snapstage_srvid=$id")
+    val stagedA = e.store.read(ds, GenericDatasource.Staging,
+        d.spec.stagingSchema).filter(col("srvid") === a)
+    val recordCol = struct(
+      col("ts") +: d.spec.counterCols.map(c => col(c.name)): _*)
+    stagedA.select(col("srvid") +: d.spec.keyNames.map(col) :+
+        recordCol.as("record"): _*)
+      .drop("srvid").write.parquet(stageDir(a).toString)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(
+      root, ds, s".snapcommit_srvid=$a"))
+    java.nio.file.Files.createDirectories(stageDir(b))
+    java.nio.file.Files.writeString(stageDir(b).resolve("junk"), "partial")
+    val fleetTmp = java.nio.file.Paths.get(
+      root, ds, GenericDatasource.Current, ".snapfleet_deadbeef")
+    java.nio.file.Files.createDirectories(fleetTmp)
+
+    e.recover()
+    assert(!java.nio.file.Files.exists(fleetTmp), "fleet temp swept")
+    // a rolled FORWARD: staging drained, batch promoted exactly once
+    assert(!e.store.hasPartition(ds, GenericDatasource.Staging, a))
+    assert(e.store.readPartition(ds, GenericDatasource.Current, a,
+      GenericDatasource.currentNoSrvid(d.spec)).count() === 1)
+    // b rolled BACK: stage junk swept, staging intact
+    assert(!java.nio.file.Files.exists(stageDir(b)))
+    assert(e.store.hasPartition(ds, GenericDatasource.Staging, b))
+    // the retried fleet tick lands b exactly once and re-skips a
+    val errs = e.takeSnapshotFleet(Seq(a, b),
+      Timestamp.valueOf("2024-01-01 00:02:30"))
+    assert(errs === Map(a -> 0, b -> 0))
+    Seq(a, b).foreach { id =>
+      assert(e.store.readPartition(ds, GenericDatasource.Current, id,
+        GenericDatasource.currentNoSrvid(d.spec)).count() === 1,
+        s"server $id must hold its batch exactly once")
+    }
+  }
+
+  test("fleet tick: a held per-server lock fails that server alone; " +
+      "error isolation survives a bad server's staging") {
+    import spark.implicits._
+    val e = mkEngine()
+    val ids = Seq(81, 82, 83).map(id => e.registry.registerServer(
+      ServerConfig(id = id, hostname = "h", powaCoalesce = 100,
+        retentionSec = 86400)))
+    val Seq(s1, s2, s3) = ids
+    ids.foreach(id => e.ingest("powa_stat_bgwriter", bgwriterBatch(id, 1)))
+    // s2's checkpointer staging is malformed → that datasource's fleet
+    // job fails and the per-server fallback isolates the error to s2
+    e.ingest("powa_stat_checkpointer",
+      Seq((s2, "not-a-timestamp")).toDF("srvid", "ts"))
+    // s3's lock is held by "another process"
+    val lockDir = java.nio.file.Paths.get(e.store.root, "_locks")
+    java.nio.file.Files.createDirectories(lockDir)
+    val ch = java.nio.channels.FileChannel.open(
+      lockDir.resolve(s"srvid=$s3.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    val errs =
+      try e.takeSnapshotFleet(ids, Timestamp.valueOf("2024-01-01 00:01:30"))
+      finally { held.release(); ch.close() }
+    assert(errs(s1) === 0)
+    assert(errs(s2) === 1, "only the malformed datasource errors, on s2")
+    assert(errs(s3) === 1, "the locked server fails fast, fleet proceeds")
+    // s1 and s2 still landed their good bgwriter batches
+    Seq(s1, s2).foreach { id =>
+      assert(e.store.readPartition("powa_stat_bgwriter",
+        GenericDatasource.Current, id,
+        GenericDatasource.currentNoSrvid(
+          Specs.byName("powa_stat_bgwriter"))).count() === 1)
+    }
+    // s3 untouched: staging still waiting, no tick recorded
+    assert(e.store.hasPartition("powa_stat_bgwriter",
+      GenericDatasource.Staging, s3))
+    assert(e.registry.meta(s3).errors.exists(_.contains("concurrent")))
+  }
 }
