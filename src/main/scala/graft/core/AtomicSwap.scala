@@ -73,6 +73,20 @@ object AtomicSwap {
     * silently — a format fence makes every future change loud). */
   private[core] val ManifestFormat = 2
 
+  /** ONE Hadoop conf for every footer read. `new Configuration()`
+    * re-parses core-default.xml/core-site.xml from the classpath on
+    * EVERY construction (Hadoop has no cross-instance parse cache), and
+    * the old per-file construction made each manifest publish pay an
+    * XML parse + jar classpath scan per new parquet file — pure
+    * driver-side syscall overhead on every commit (optimization guide
+    * §5: the driver should do almost no work; observed as a
+    * sys-call-dominated driver profile with `Configuration.loadResource`
+    * hot in thread dumps). The footer-read path only ever READS the
+    * conf (ParquetFileReader wraps it in HadoopReadOptions), and
+    * Configuration reads are synchronized internally, so one shared
+    * instance is safe. */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   /** Per-file min/max of the [[statCols]] INT64 chunks, from the
     * parquet footer. A column qualifies only when EVERY row group
     * carries valid statistics for it (all-null groups are safe — a
@@ -83,8 +97,7 @@ object AtomicSwap {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.toUri),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(file.toUri), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val acc = scala.collection.mutable.Map[String, (Long, Long)]()

@@ -376,7 +376,12 @@ final case class StoreReaderFactory(sqlKv: Seq[(String, String)],
 
   private def open(p: InputPartition): VectorizedParquetRecordReader = {
     val fp = p.asInstanceOf[StoreFilePartition]
-    val conf = new Configuration()
+    // copy-construct from the JVM-wide parsed base: `new Configuration()`
+    // re-parses the Hadoop default XML per instance, and this runs once
+    // PER FILE per scan task — per-reader XML parsing was pure overhead
+    // on every V2 read (the copy constructor clones the property map
+    // without touching XML)
+    val conf = new Configuration(StoreReaderFactory.baseConf)
     sqlKv.foreach { case (k, v) => conf.set(k, v) }
     conf.set("org.apache.spark.sql.parquet.row.requested_schema",
       dataSchemaJson)
@@ -430,4 +435,11 @@ final case class StoreReaderFactory(sqlKv: Seq[(String, String)],
       override def close(): Unit = reader.close()
     }
   }
+}
+
+object StoreReaderFactory {
+  /** Executor-JVM-wide parsed Hadoop conf — the copy-construction base
+    * for every per-file reader conf (parse the default XML once per
+    * JVM, not once per file). */
+  lazy val baseConf = new Configuration()
 }

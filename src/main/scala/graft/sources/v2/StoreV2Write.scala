@@ -201,7 +201,10 @@ final class StoreDataWriter(stagingRoot: String, schema: StructType,
     Files.createDirectories(dir)
     val path = dir.resolve(
       f"part-$partitionId%05d-$taskId.parquet").toString
-    val conf = new Configuration()
+    // copy-construct from the shared parsed base — a fresh
+    // Configuration() re-parses Hadoop's default XML per writer open,
+    // and this opens once per (task, srvid)
+    val conf = new Configuration(StoreReaderFactory.baseConf)
     sqlKv.foreach { case (k, v) => conf.set(k, v) }
     ParquetWriteSupport.setSchema(
       StructType(dataFields.map(_._1)), conf)
