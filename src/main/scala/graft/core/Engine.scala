@@ -102,8 +102,18 @@ class GenericDatasource(val spec: DatasourceSpec) {
     if (getClass != classOf[GenericDatasource])
       return srvids.map(id => id -> snapshot(store, id, now)).toMap
     srvids.foreach(recoverPending(store, _))
+    // coalesce the scan to the session's parallelism: the staging tier
+    // is one file-partition PER (srvid, ingest file) and a 10k-server
+    // fleet would otherwise schedule 10k+ near-empty scan tasks for KB
+    // of data each — a narrow merge (no shuffle) packs them into
+    // ~cores tasks, the same small-files move as
+    // spark.sql.files.maxPartitionBytes packing on the built-in source
+    // (guide §2.2/§6: fewer, larger map tasks). Scale-adaptive, not a
+    // local constant: defaultParallelism IS the cluster's core count.
+    val parallelism = store.spark.sparkContext.defaultParallelism
     val staged = store.read(name, Staging, spec.stagingSchema)
       .filter(col("srvid").isin(srvids.map(Int.box): _*))
+      .coalesce(parallelism)
       .cache() // sinks + trace count from one scan, like snapshot()
     try {
       val counts: Map[Int, Long] =
