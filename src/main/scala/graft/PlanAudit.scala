@@ -25,15 +25,21 @@ object PlanAudit {
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "")
     for (q <- args) {
       val df = SparkEntry.queries(q)(spark, d)
-      val plan = df.queryExecution.executedPlan.toString
-      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-      val nBc = "BroadcastExchange".r.findAllIn(plan).length
-      val nWin = "\\bWindow\\b".r.findAllIn(plan).length
-      val nSort = "Sort ".r.findAllIn(plan).length
+      // count from the FORMATTED plan: under AQE the executedPlan's
+      // simple toString wraps the tree in AdaptiveSparkPlan and no
+      // longer inlines `Exchange hashpartitioning`, so the old counters
+      // read 0 for every query — the formatted tree always names each
+      // operator once in the numbered tree section
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val tree = formatted.linesIterator
+        .takeWhile(!_.startsWith("(1)")).mkString("\n")
+      val nEx = "- Exchange ".r.findAllIn(tree).length
+      val nBc = "- BroadcastExchange ".r.findAllIn(tree).length
+      val nWin = "- Window".r.findAllIn(tree).length
+      val nSort = "- Sort ".r.findAllIn(tree).length
       println(s"[audit] $q shuffles=$nEx broadcasts=$nBc windows=$nWin sorts=$nSort")
       planDir.foreach { dir =>
-        val formatted = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(dir.resolve(s"$q$suffix.txt"),
           formatted.getBytes("UTF-8"))
       }

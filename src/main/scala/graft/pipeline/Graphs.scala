@@ -38,8 +38,13 @@ object Graphs {
     val w = when(col(weightCol).isNull || col(weightCol) < 1L,
         raise_error(lit("powerIteration: edge weight must be >= 1")))
       .otherwise(col(weightCol).cast("long"))
+    // materialize the edge frame once: `e` feeds the out-weight
+    // aggregate, the pre-partitioned ew build AND the node-set union —
+    // without this an expensive upstream (p149 derives edges from a
+    // window over the event log) recomputes ~4x before the first
+    // iteration starts (guide §1.2)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      w.as("w"))
+      w.as("w")).localCheckpoint()
     val out = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // pre-partition the edge frame by src ONCE: localCheckpoint
     // preserves the partitioning, so every iteration's rank join

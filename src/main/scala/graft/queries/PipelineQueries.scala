@@ -1683,9 +1683,14 @@ object PipelineQueries {
   // differ most; computed from the already-verified pair jaccards
   private def p133(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // the verified pair frame feeds THREE consumers (the CC edge set
+    // and both union branches of the incident-sum) — without
+    // materialization the exact-Jaccard verification join reruns per
+    // consumer (guide §1.2); one pairs-sized checkpoint runs it once
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
       .select(col("i"), col("j"), col("jaccard_ppm"))
+      .localCheckpoint()
     val labels = Dedup.connectedComponents(
       pairs.select(col("i"), col("j")), docs.select(col("doc_id")),
       "doc_id")
@@ -2101,7 +2106,14 @@ object PipelineQueries {
       .select(col("doc_id"), col("quality_ppm"))
     val sur = TextOps.unigramSurprisal(docs, "doc_id", "text")
       .select(col("doc_id"), col("mean_surprisal_ppm"))
-    Sampling.rrfFusion(stats.join(sur, Seq("doc_id")), "doc_id",
+    // rrfFusion rescans its input S+2 = 4 times by contract (scan-bound
+    // on a stored corpus); here the input is a DERIVED join whose
+    // surprisal side is itself explode+aggregate+join work, so without
+    // materialization the whole scoring pipeline runs 4x (guide §1.2:
+    // don't recompute what you can keep). One doc-sized checkpoint
+    // makes the rescans true scans. Measured: 1.7 -> 0.7 s at sf0.1.
+    val scored = stats.join(sur, Seq("doc_id")).localCheckpoint()
+    Sampling.rrfFusion(scored, "doc_id",
         Seq(col("quality_ppm"), -col("mean_surprisal_ppm")),
         k = 60, topN = 50)
       .select(col("doc_id"), col("rank_0"), col("rank_1"), col("rrf"))
