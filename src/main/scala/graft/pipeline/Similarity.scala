@@ -763,9 +763,15 @@ object Similarity {
       // internally correct single-generation index, never
       // cross-generation math. Recovery from a crashed rebuild is the
       // admin norm: re-run it.
+      // file count from DATA VOLUME (rows ÷ rows-per-file), not core
+      // count: defaultParallelism wrote 32 near-empty files for a small
+      // corpus (32 footer reads per manifest publish, 32 scan tasks per
+      // probe) and would UNDER-split a 10⁹-vector corpus on a small
+      // driver — the signature store's rule (compactSignatureIndexStore),
+      // applied to codes rows (~16+m bytes each). The count is one
+      // cheap job over the already-checkpointed projection.
       store.overwritePartition(ds, "pq_codes", srvid,
-        codes.repartitionByRange(
-          math.max(1, spark.sparkContext.defaultParallelism),
+        codes.repartitionByRange(pqCodesFileCount(q.count()),
           col("vec_id")))
       store.overwritePartition(ds, "pq_meta", srvid,
         Seq((m, k, dim, "l2_e4", gen, flat.map(_._1), flat.map(_._2),
@@ -1021,12 +1027,24 @@ object Similarity {
         root, s"powa_index_$name", srvid) {
       val (codes, _, _) = loadPqIndexStore(spark, root, name, srvid)
       val store = new graft.core.Store(spark, root)
+      // same data-volume file rule as the build (savePqIndexStore);
+      // the count is one codes-tier scan — the tier this op rewrites
+      // anyway
       store.overwritePartition(s"powa_index_$name", "pq_codes", srvid,
-        codes.repartitionByRange(
-          math.max(1, spark.sparkContext.defaultParallelism),
+        codes.repartitionByRange(pqCodesFileCount(codes.count()),
           col("vec_id")))
     }
   }
+
+  /** Parquet file count for a PQ codes tier: rows ÷ rows-per-file,
+    * min 1 — the one-file-per-~128 MB rule (optimization guide §6) for
+    * ~16+m-byte rows. 4M rows/file ≈ 64-190 MB at m = 8-32; derived
+    * from data volume so a small index is ONE file (one footer read
+    * per manifest publish, one scan task per probe) and a 10⁹-vector
+    * index still splits into ~250 files. */
+  private def pqCodesFileCount(rows: Long,
+      targetRowsPerFile: Long = 4000000L): Int =
+    math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
 
   /** Probe a store-resident IVF index with ZERO caller-supplied build
     * constants: the codebook, the cell layout, AND the probe width all

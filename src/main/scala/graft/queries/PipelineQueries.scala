@@ -2067,11 +2067,21 @@ object PipelineQueries {
   // ROLLUP corpus report: (source, lang) → source subtotals → grand
   // total in one grouping-sets pass — the hierarchy report Spark's
   // rollup plans as a single Expand+aggregate, no self-unions
-  private def p108(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .rollup(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  private def p108(s: SparkSession, d: String): DataFrame = {
+    // two-level aggregation (optimization guide §2.5): rollup's Expand
+    // replicates its INPUT once per grouping level (3× here), so feed
+    // it the (source, lang) pre-aggregate — |sources|·|langs| rows —
+    // instead of the corpus. count/sum re-aggregate exactly (n_docs =
+    // sum of per-group counts), grouping-null semantics are unchanged
+    // (a data-null group key survives the pre-aggregate as its own
+    // row), and the one corpus-wide exchange carries two small columns.
+    val pre = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sc"))
+    pre.rollup(col("source"), col("lang"))
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("sc")).as("sum_chars"))
       .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
 
   // PIVOT lang-mix matrix: one row per source, one count column per
   // language — Spark's pivot over the known lang set (explicit value
