@@ -989,18 +989,27 @@ object Dedup {
     * shingles at all (such docs never reach here — explode drops them).
     */
   def ophSignaturesFromHashed(hsh: DataFrame, k: Int): DataFrame = {
+    // k is a plan-time constant: unroll both constant-length
+    // `transform(sequence(...))` folds into static expression trees
+    // (optimization guide §4 — HOF lambdas are CodegenFallback,
+    // interpreted per element). The bin array is a k-entry CreateArray
+    // of array_min(filter(...)) terms (the data-dependent inner filter
+    // over `sh` stays a HOF — its length is per-row); the
+    // densification becomes a COALESCE over the k rotations in borrow
+    // order: `element_at(vals, pos) + off·Mod` is NULL exactly when
+    // the bin is empty, so coalesce picks the FIRST filled bin to the
+    // right — identical to the filtered-sequence probe it replaces,
+    // term for term, including the all-empty → NULL edge.
     val bins = hsh.withColumn("vals",
-      transform(sequence(lit(0), lit(k - 1)),
-        b => array_min(filter(col("sh"), h => h % k === b))))
+      array((0 until k).map(b =>
+        array_min(filter(col("sh"), h => h % k === lit(b)))): _*))
     bins.select(col("doc"),
-      transform(sequence(lit(0), lit(k - 1)), b => {
-        val off = element_at(
-          filter(sequence(lit(0), lit(k - 1)),
-            o => element_at(col("vals"), ((b + o) % k) + 1).isNotNull),
-          1)
-        element_at(col("vals"), ((b + off) % k) + 1) +
-          off * lit(MinhashMod)
-      }).as("sig"))
+      array((0 until k).map { b =>
+        coalesce((0 until k).map { off =>
+          element_at(col("vals"), (b + off) % k + 1) +
+            lit(off.toLong * MinhashMod)
+        }: _*)
+      }: _*).as("sig"))
   }
 
   /** OPH near-dup pairs: band the densified OPH signature exactly like

@@ -77,14 +77,18 @@ object Partitioning {
   def zorder2(a: Column, b: Column, bits: Int): Column = {
     import org.apache.spark.sql.functions._
     require(bits >= 1 && bits <= 31, "1 <= bits <= 31")
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc
-        + call_function("shiftleft",
-            call_function("shiftright", a, i).bitwiseAND(lit(1L)),
-            (i * 2).cast("int"))
-        + call_function("shiftleft",
-            call_function("shiftright", b, i).bitwiseAND(lit(1L)),
-            (i * 2 + 1).cast("int")))
+    // `bits` is a plan-time constant, so unroll the interleave into a
+    // static sum of shift/mask terms instead of folding over a per-row
+    // `sequence()` array with the higher-order `aggregate` — HOF
+    // lambdas are CodegenFallback (interpreted per element, one array
+    // allocation per row), while this 2·bits-term tree whole-stage-
+    // codegens into straight-line long arithmetic (optimization guide
+    // §4: built-in expressions over closures in the hot path).
+    // Arithmetic is unchanged term for term.
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), i * 2)
+        .+(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * 2 + 1))
+    }.reduce(_ + _)
   }
 
   /** Power-of-two length-bucket padding audit — the batching-efficiency
