@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's final stdout JSON line with a tail
+// parser that skips sbt-decorated lines; with the default LoggedOutput
+// strategy every forked stdout line arrives "[info] "-prefixed and the
+// parse fails (PERF r11-r13: "parsed": null). StdoutOutput passes the
+// forked JVM's stdout through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

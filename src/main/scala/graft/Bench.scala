@@ -167,12 +167,17 @@ object Bench {
       .filter { case (k, _, _, _, _) => roundTrips.exists(k.startsWith) }
       .map { case (k, v, _, _, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    // Key the default artifact paths by core count: the r13 driver's
+    // 8-core scaling run overwrote the 32-core BENCH_FULL.json and the
+    // full per-query detail of the primary run was lost (r13 verdict
+    // item 2). A "cpus" field also lands in both JSON forms so a
+    // committed artifact is self-describing.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      s"/root/repo/BENCH_FULL_c$cpus.json")
     val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"failed":$nFailed,"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qsHead,"n_queries":${results.size},"failed":$nFailed,"detail":"$outPath","cpus":$cpus,"sf":"$sfDir"}"""
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"spread":$spreads,"steal":$steals,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"spread":$spreads,"steal":$steals,"failed":$nFailed,"cpus":$cpus,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (jsonFull + "\n").getBytes("UTF-8"))
@@ -184,7 +189,7 @@ object Bench {
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/BENCH_SUMMARY.json")),
+          "SPARK_GRAFT_BENCH_SUMMARY", s"/root/repo/BENCH_SUMMARY_c$cpus.json")),
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
