@@ -36,6 +36,21 @@ object Bench {
     // engine round-trips on both read paths.
     sys.env.get("SPARK_GRAFT_READV2")
       .foreach(v => spark.conf.set("spark.graft.store.readV2", v))
+    // SPARK_GRAFT_STREAM_PROVIDER=rocksdb|hdfs pins every scoped
+    // stream's state-store provider (StreamTuning.ProviderKey) — the
+    // A/B switch for the streaming state-store floor.
+    sys.env.get("SPARK_GRAFT_STREAM_PROVIDER")
+      .foreach(v => spark.conf.set(
+        graft.streaming.StreamTuning.ProviderKey, v))
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — generic session-conf A/B hook
+    // for profiling runs (never set by the driver; the committed bench
+    // numbers use the defaults above).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     // Warm the session (parquet footers, codegen, shuffle machinery) so
     // per-query numbers measure the queries, not first-job startup.
     // events must warm through Tables.events — the raw parquet carries

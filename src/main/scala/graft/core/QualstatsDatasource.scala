@@ -69,13 +69,13 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
             col("quals"))
           .join(dim, idKeys, "left_anti")
           .dropDuplicates(idKeys)
-        if (!missing.isEmpty)
-          store.overwritePartition(name, Dim, srvid,
-            dim.unionByName(missing).withColumn("srvid", lit(srvid)))
 
         // per-qual metric records + constvalues rows land atomically
-        // with the staging drain (Store snapshot commit protocol; the
-        // dim insert above stays outside — re-derived on retry)
+        // with the staging drain (Store snapshot commit protocol); the
+        // dim insert rides `alongside` — outside the marker, re-derived
+        // on retry, complete before the drain — so its isEmpty probe
+        // and (rare) rewrite overlap the sink stage writes instead of
+        // serializing ahead of them
         store.snapshotCommit(name, Staging, srvid, Seq(
           Current -> staged.select(
             col("srvid") +: spec.keyNames.map(col) :+
@@ -85,7 +85,11 @@ final class QualstatsDatasource extends GenericDatasource(Specs.qualstats) {
             col("srvid"), col("qualid"), col("queryid"), col("dbid"),
             col("userid"), col("ts"), col("constvalues"),
             col("occurences"), col("execution_count"), col("nbfiltered"),
-            col("mean_err_estimate_ratio"), col("mean_err_estimate_num"))))
+            col("mean_err_estimate_ratio"), col("mean_err_estimate_num"))),
+          alongside = Seq(() =>
+            if (!missing.isEmpty)
+              store.overwritePartition(name, Dim, srvid,
+                dim.unionByName(missing).withColumn("srvid", lit(srvid)))))
       }
       n
     } finally staged.unpersist()

@@ -40,11 +40,14 @@ final class StatementsDatasource extends GenericDatasource(Specs.statements) {
           readDim(store, srvid), staged, srvid, lit(now))
         // dim overwrite stays OUTSIDE the commit marker (Store's
         // snapshot-commit scaladoc: re-derived on a rolled-back retry,
-        // reference-equivalent); it must run BEFORE the drain — its
-        // plan reads the staging partition
-        store.overwritePartition(name, Dim, srvid,
-          newDim.withColumn("srvid", lit(srvid)))
-        store.snapshotCommit(name, Staging, srvid, sinks)
+        // reference-equivalent); it must complete BEFORE the drain —
+        // its plan reads the staging partition — which `alongside`
+        // guarantees (every unit joins before the marker), while
+        // letting its planning overlap the sink stage writes
+        store.snapshotCommit(name, Staging, srvid, sinks,
+          alongside = Seq(() =>
+            store.overwritePartition(name, Dim, srvid,
+              newDim.withColumn("srvid", lit(srvid)))))
       }
       n
     } finally staged.unpersist()

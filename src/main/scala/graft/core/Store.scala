@@ -48,6 +48,47 @@ final class Store(val spark: SparkSession, val root: String) {
     * log sink is installed. */
   @volatile var traceRowcounts: Boolean = false
 
+  /** Label the Spark jobs `body` launches (guide §1.5) and restore the
+    * caller's label after — thread-local, so concurrent commit threads
+    * label independently. Pure UI/diagnostics: lets QueryProf and the
+    * Spark UI attribute the engine's many small per-tick jobs. */
+  private def labeled[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body
+    finally sc.setLocalProperty("spark.job.description", prev)
+  }
+
+  /** Whole-stage codegen scope for the PER-TICK write paths (ingest
+    * append + snapshot sinks + dim rewrites). Measured (guide §1):
+    * every tick's plans embed that tick's timestamp/batch literals, so
+    * the generated source differs per tick and janino recompiles every
+    * stage on every tick — q34's 35-counter statements plans paid
+    * ~1 s/query of pure compilation (bench 5.3 → 4.2 s with codegen
+    * off). The trade is scale-INdependent for this path: a per-server
+    * tick frame is small by cadence construction (one tick's staged
+    * samples), so interpreted execution costs O(tick rows) while the
+    * compile cost recurs per tick forever. Aggregate/purge/compact and
+    * every read path keep codegen (their inputs grow with
+    * coalesce_seq × tick — q33's constvalues pack measurably WANTS
+    * codegen), as does the fleet write (one job for the whole fleet).
+    * `spark.graft.store.tickCodegen=true` restores codegen for the
+    * tick writes. Session-conf scoping shares StreamTuning.scoped's
+    * documented single-threaded-planning assumption. */
+  private def tickCodegenScope[T](body: => T): T = {
+    if (spark.conf.get("spark.graft.store.tickCodegen", "false").toBoolean)
+      return body
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def dir(ds: String, tier: String): Path = Paths.get(root, ds, tier)
   private def partDir(ds: String, tier: String, srvid: Int): Path =
     dir(ds, tier).resolve(s"srvid=$srvid")
@@ -218,7 +259,12 @@ final class Store(val spark: SparkSession, val root: String) {
     * persist. */
   def append(ds: String, tier: String, df: DataFrame): Unit = {
     invalidateManifests(ds, tier)
-    df.write.mode("append").partitionBy("srvid").parquet(dir(ds, tier).toString)
+    labeled(s"store: append $ds/$tier") {
+      tickCodegenScope {
+        df.write.mode("append").partitionBy("srvid")
+          .parquet(dir(ds, tier).toString)
+      }
+    }
   }
 
   /** Single-server append with manifest-pinned visibility — the default
@@ -235,7 +281,9 @@ final class Store(val spark: SparkSession, val root: String) {
   def appendPartition(ds: String, tier: String, srvid: Int,
       df: DataFrame): Unit =
     AtomicSwap.appendInto(dir(ds, tier), s"srvid=$srvid") { tmp =>
-      df.drop("srvid").write.parquet(tmp.toString)
+      labeled(s"store: appendPartition $ds/$tier srvid=$srvid") {
+        df.drop("srvid").write.parquet(tmp.toString)
+      }
     }
 
   /** Drop every published manifest on a tier whose live versions were
@@ -399,9 +447,11 @@ final class Store(val spark: SparkSession, val root: String) {
   def overwritePartition(ds: String, tier: String, srvid: Int, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
     AtomicSwap.replace(dir(ds, tier), s"srvid=$srvid") { vdir =>
-      val w = df.drop("srvid").write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(vdir.toString)
+      labeled(s"store: overwrite $ds/$tier srvid=$srvid") {
+        val w = df.drop("srvid").write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(vdir.toString)
+      }
     }
     // doomed buckets lived in the now-predecessor version: the marker's
     // job (keep them out of the manifest) is done — the old version
@@ -506,10 +556,12 @@ final class Store(val spark: SparkSession, val root: String) {
       srvid: Int, df: DataFrame): Unit = {
     recoverAggregate(ds, curTier, histTier, srvid) // resolve any stale run
     val inflight = inflightDir(ds, histTier, srvid)
-    df.drop("srvid")
-      .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(inflight.toString)
+    labeled(s"store: aggregate $ds/$curTier->$histTier srvid=$srvid") {
+      df.drop("srvid")
+        .withColumn("bucket", date_format(col("range_start"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(inflight.toString)
+    }
     Files.move(inflight, committedDir(ds, histTier, srvid),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE) // commit point
     dropPartition(ds, curTier, srvid)
@@ -633,17 +685,65 @@ final class Store(val spark: SparkSession, val root: String) {
   private def snapMarker(ds: String, srvid: Int): Path =
     Paths.get(root, ds, s".snapcommit_srvid=$srvid")
 
+  /** Run independent pre-commit work units concurrently (optimization
+    * guide §2.6 — actions are only sequential because the driver calls
+    * them sequentially; overlapping them overlaps their PLANNING and
+    * job-scheduling latency, which dominates the engine's small
+    * per-tick writes). First failure is rethrown after every unit
+    * finishes, so the reachable on-disk states are exactly those of a
+    * sequential loop interrupted mid-way — each unit is an independent
+    * write to its own directory, resolved by the same recovery. */
+  private def runConcurrently(work: Seq[() => Unit]): Unit = {
+    if (work.sizeIs <= 1) { work.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(work.size, 4))
+    try {
+      val fs = work.map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = w()
+        })
+      }
+      var failure: Option[Throwable] = None
+      fs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          if (failure.isEmpty) failure = Some(e.getCause) }
+      }
+      failure.foreach(throw _)
+    } finally pool.shutdown()
+  }
+
   /** Atomically land a snapshot's sink batches and drain its staging
     * partition — the tick's second transaction boundary. Each (tier,
     * df) in `sinks` is appended to that tier's `srvid` partition;
     * either ALL of them land and staging drains, or none do. The
-    * caller holds the server's snapshot lock. */
+    * caller holds the server's snapshot lock.
+    *
+    * `alongside` carries the caller's OUTSIDE-the-marker writes that
+    * must complete before the commit point but are independent of the
+    * sink stage writes (the statements/qualstats dimension rewrites —
+    * swap-replaces of their own partitions, re-derived on a
+    * rolled-back retry). Sinks and alongside units run CONCURRENTLY:
+    * every unit reads the caller-cached staging frame and writes a
+    * distinct invisible directory, and the commit marker is created
+    * only after all of them return, so a failure anywhere still rolls
+    * the tick back exactly as the sequential form did (stage dirs are
+    * swept by the next recoverSnapshot; a completed dim rewrite is the
+    * already-documented visible-early case). */
   def snapshotCommit(ds: String, stagingTier: String, srvid: Int,
-      sinks: Seq[(String, DataFrame)]): Unit = {
+      sinks: Seq[(String, DataFrame)],
+      alongside: Seq[() => Unit] = Nil): Unit = {
     recoverSnapshot(ds, stagingTier, srvid) // resolve any stale run
-    sinks.foreach { case (tier, df) =>
-      df.drop("srvid").write.mode("overwrite")
-        .parquet(snapStageDir(ds, tier, srvid).toString)
+    // tick-codegen scope spans every unit: the conf is set once before
+    // the pool starts and restored after every unit has joined, so the
+    // concurrent writers only ever READ it
+    tickCodegenScope {
+      runConcurrently(sinks.map { case (tier, df) => () =>
+        labeled(s"store: snapshot $ds->$tier srvid=$srvid") {
+          df.drop("srvid").write.mode("overwrite")
+            .parquet(snapStageDir(ds, tier, srvid).toString)
+        }
+      } ++ alongside)
     }
     Files.createDirectory(snapMarker(ds, srvid)) // commit point
     dropPartition(ds, stagingTier, srvid)

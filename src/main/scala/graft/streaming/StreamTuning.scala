@@ -27,6 +27,39 @@ object StreamTuning {
   val Key = "spark.graft.stream.statePartitions"
   val ShufflePartitions = "spark.sql.shuffle.partitions"
 
+  /** State-store provider selector (`spark.graft.stream.stateStoreProvider`):
+    * `rocksdb`, `hdfs`, or a full provider class name. Scoped exactly
+    * like the partition count — the provider class is resolved at query
+    * start and RECORDED in the checkpoint's offset log (OffsetSeqMetadata
+    * re-applies it on restart), so an existing checkpoint keeps the
+    * provider it was started with and only NEW checkpoints pick up a
+    * changed default — no state-format migration is ever forced on a
+    * running checkpoint (StreamIngestSpec pins the restart seam).
+    * Unset = Spark's session default (HDFSBackedStateStoreProvider
+    * unless the session says otherwise): measured at sf0.1/local[32],
+    * the RocksDB provider's per-batch instance open/commit cost exceeds
+    * the in-memory HDFS provider's delta write on KB-scale state, so
+    * tiny-state test cadences keep the default; at production state
+    * volumes (GB per store, where the HDFS provider's JVM-heap maps and
+    * full-snapshot uploads are the bottleneck) set `rocksdb`, which also
+    * enables changelog checkpointing (commit uploads the delta, not a
+    * full snapshot). */
+  val ProviderKey = "spark.graft.stream.stateStoreProvider"
+  private val ProviderClassConf =
+    "spark.sql.streaming.stateStore.providerClass"
+  private val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+  private val RocksDbClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val HdfsClass =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  private def providerClass(v: String): String = v.trim.toLowerCase match {
+    case "rocksdb" => RocksDbClass
+    case "hdfs" => HdfsClass
+    case _ => v.trim
+  }
+
   /** Run `body` (which must start AND fully drain its streaming query)
     * with shuffle partitions scoped to the stream-state sizing; the
     * session's batch setting is restored afterwards even on failure.
@@ -48,10 +81,33 @@ object StreamTuning {
     require(parts >= 1, s"$Key must be >= 1, got $parts")
     val prev = s.conf.getOption(ShufflePartitions)
     s.conf.set(ShufflePartitions, parts.toString)
+    // provider scope: same restore discipline as the partition count.
+    // Only pins when the graft conf is SET — the session default is
+    // otherwise untouched (p81's transformWithState path sets RocksDB
+    // itself; this scope must compose with, not fight, explicit pins).
+    val provider = s.conf.getOption(ProviderKey).map(providerClass)
+    val prevProv = s.conf.getOption(ProviderClassConf)
+    val prevChangelog = s.conf.getOption(ChangelogConf)
+    provider.foreach { p =>
+      s.conf.set(ProviderClassConf, p)
+      if (p == RocksDbClass) s.conf.set(ChangelogConf, "true")
+    }
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(ShufflePartitions, v)
-      case None => s.conf.unset(ShufflePartitions)
+    finally {
+      prev match {
+        case Some(v) => s.conf.set(ShufflePartitions, v)
+        case None => s.conf.unset(ShufflePartitions)
+      }
+      if (provider.isDefined) {
+        prevProv match {
+          case Some(v) => s.conf.set(ProviderClassConf, v)
+          case None => s.conf.unset(ProviderClassConf)
+        }
+        prevChangelog match {
+          case Some(v) => s.conf.set(ChangelogConf, v)
+          case None => s.conf.unset(ChangelogConf)
+        }
+      }
     }
   }
 
