@@ -626,6 +626,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("verifyJaccardPairs size-ratio pre-filter is invisible: every " +
+      "candidate pair scores exactly as the unfiltered formula, " +
+      "including containment and boundary-ratio pairs") {
+    import spark.implicits._
+    // sets built to straddle the bound: heavy containment (inter=min,
+    // where bound == jaccard EXACTLY — the equality edge the filter's
+    // soundness argument leans on), near-threshold size ratios, empty
+    // sets, identical sets
+    val gen = for {
+      nDocs <- Gen.choose(3, 14)
+      sets <- Gen.listOfN(nDocs, for {
+        base <- Gen.choose(0, 3)           // overlapping value pools
+        len <- Gen.choose(0, 12)           // 0 => empty-set edge
+        contain <- Gen.oneOf(true, false)  // containment chains
+      } yield (0 until len).map(v =>
+        if (contain) v.toLong else (base * 7 + v).toLong).toSeq)
+    } yield sets.zipWithIndex.map { case (sh, i) => (i.toLong, sh.distinct) }
+    forAllSeeded(gen, 8) { docs =>
+      val hsh = docs.toDF("doc", "sh")
+      val ids = docs.map(_._1)
+      val cands = ids.flatMap(i => ids.filter(_ > i).map(j => (i, j)))
+        .toDF("i", "j")
+      Seq(0.5, 0.8).foreach { t =>
+        val got = graft.pipeline.Dedup.verifyJaccardPairs(hsh, cands, t)
+          .select("i", "j", "jaccard_ppm").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // reference: floor-ppm jaccard per pair, no pre-filter
+        val bySet = docs.toMap
+        val want = ids.flatMap(i => ids.filter(_ > i).map { j =>
+          val (a, b) = (bySet(i).toSet, bySet(j).toSet)
+          val inter = (a & b).size.toLong
+          val uni = a.size.toLong + b.size.toLong - inter
+          val ppm =
+            if (uni == 0L) None // NaN -> null -> filtered, both forms
+            else Some(math.floor(
+              inter.toDouble / uni.toDouble * 1000000.0d).toLong)
+          (i, j, ppm)
+        }).collect { case (i, j, Some(p)) if p >= (t * 1e6).toLong =>
+          (i, j, p) }.toSet
+        assert(got === want, s"t=$t docs=$docs")
+      }
+    }
+  }
+
   test("rrfFusion: large-ish topN stays within the candidate bound; " +
       "a pathological topN fails loudly, not as a giant broadcast") {
     import spark.implicits._
