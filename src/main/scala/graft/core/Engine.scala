@@ -388,6 +388,40 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
     } finally lock.unlock()
   }
 
+  /** Priority classes of `ds`, ascending — the walk order both tick
+    * forms preserve; members keep their registration order within a
+    * class so error/log sequences stay deterministic. */
+  private def groupByPriority(
+      ds: Seq[GenericDatasource]): Seq[Seq[GenericDatasource]] =
+    ds.groupBy(_.priority).toSeq.sortBy(_._1).map(_._2)
+
+  /** Apply `f` to every member of one priority class and return the
+    * results IN INPUT ORDER. Members run concurrently on a bounded
+    * pool when there is more than one AND no trace sink is installed
+    * (`Store.traceRowcounts` — the trace contract is a sequential log
+    * and user sinks need not be thread-safe); otherwise sequentially,
+    * which is byte-identical to the historical path. `f` must be
+    * error-isolated (snapshot workers catch and RETURN their errors);
+    * anything escaping it is fatal and is rethrown unwrapped so the
+    * caller sees the same throwable the sequential path would. */
+  private def runOrdered[T](group: Seq[GenericDatasource],
+      f: GenericDatasource => T): Seq[T] =
+    if (group.sizeIs <= 1 || store.traceRowcounts) group.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(group.size, 4))
+      try group.map { d =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = f(d)
+        })
+      }.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+      finally pool.shutdown()
+    }
+
   private def takeSnapshotLocked(srvid: Int, now: java.sql.Timestamp,
       server: ServerConfig): Int = {
     // re-read the persisted meta row under the snapshot lock: the
@@ -405,18 +439,34 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
       registry.isEnabled(srvid, d.name) &&
       server.versionNum >= d.spec.minVersion).sortBy(_.priority)
 
-    active.foreach { d =>
-      // directory-probe fast path: a tick with nothing staged for this
-      // datasource launches zero Spark jobs (every snapshot consumes
-      // the staging tier, so an absent partition means a no-op)
+    // One datasource's snapshot, error-isolated exactly as before.
+    def snapshotOne(d: GenericDatasource): Option[String] =
       try {
+        // directory-probe fast path: a tick with nothing staged for
+        // this datasource launches zero Spark jobs (every snapshot
+        // consumes the staging tier, so an absent partition is a no-op)
         if (store.hasPartition(d.name, GenericDatasource.Staging, srvid)) {
           log(s"running ${d.name}_snapshot")
           val n = d.snapshot(store, srvid, now)
           log(s"${d.name}_snapshot - rowcount: $n")
         }
+        None
       } catch { case e: Exception =>
-        errors :+= s"${d.name}_snapshot: ${e.getMessage}" }
+        Some(s"${d.name}_snapshot: ${e.getMessage}") }
+
+    // Walk priority CLASSES in order (dimension providers before
+    // dependents, as before); datasources WITHIN a class write disjoint
+    // directory trees (<root>/<ds>/…, per-ds commit markers), so their
+    // snapshots are independent — overlap them (guide §2.6: actions are
+    // sequential only because the driver calls them sequentially; a
+    // multi-datasource tick otherwise serializes one small write chain
+    // per datasource). Gated OFF when a trace sink is installed: the
+    // powa_log contract is a faithful sequential trace and user sinks
+    // need not be thread-safe — tracing keeps the exact old path.
+    // Errors are collected in class order either way, so meta.errors
+    // is deterministic.
+    groupByPriority(active).foreach { group =>
+      errors ++= runOrdered(group, snapshotOne).flatten
     }
     meta.snapts = Some(now)
 
@@ -543,37 +593,49 @@ final class Engine(val spark: SparkSession, storageRoot: String) {
         registry.isEnabled(id, d.name) &&
         servers(id).versionNum >= d.spec.minVersion)
 
-      // snapshot pass: priority order preserved ACROSS the fleet —
-      // every server's databases snapshot lands before any server's
+      // snapshot pass: priority CLASS order preserved ACROSS the fleet
+      // — every server's databases snapshot lands before any server's
       // statements snapshot, which honors the same dimension-before-
-      // dependent ordering the per-server walk does
-      datasources.sortBy(_.priority).foreach { d =>
+      // dependent ordering the per-server walk does. WITHIN a class,
+      // datasources overlap on a bounded pool exactly like the
+      // per-server tick's snapshot pass (disjoint <root>/<ds>/ trees,
+      // per-ds commit markers; trace-sink runs stay sequential): at
+      // production fleet scale the tick otherwise serializes ~20 fleet
+      // writes of the same priority back to back. Each worker RETURNS
+      // its per-server errors; they merge on this thread in class
+      // order, so meta.errors stays deterministic.
+      def fleetOne(d: GenericDatasource): Seq[(Int, String)] = {
         val staged = active.filter(id =>
           activeDs(id).contains(d) &&
           store.hasPartition(d.name, GenericDatasource.Staging, id))
-        if (staged.nonEmpty) {
-          try {
-            log(s"running ${d.name}_snapshot fleet x${staged.size}")
-            val ns = d.snapshotFleet(store, staged.toSeq, now)
-            if (store.traceRowcounts)
-              ns.toSeq.sortBy(_._1).foreach { case (id, n) =>
-                log(s"${d.name}_snapshot srvid=$id - rowcount: $n") }
-          } catch { case _: Exception =>
-            // per-server fallback: sequential error isolation — only
-            // the genuinely bad server(s) error; servers the fleet
-            // write already committed have drained staging and are
-            // skipped by the hasPartition gate (retry-safe)
-            staged.foreach { id =>
-              try {
-                if (store.hasPartition(d.name, GenericDatasource.Staging, id)) {
-                  val n = d.snapshot(store, id, now)
-                  log(s"${d.name}_snapshot srvid=$id - rowcount: $n")
-                }
-              } catch { case e: Exception =>
-                errors(id) :+= s"${d.name}_snapshot: ${e.getMessage}" }
-            }
+        if (staged.isEmpty) return Seq.empty
+        try {
+          log(s"running ${d.name}_snapshot fleet x${staged.size}")
+          val ns = d.snapshotFleet(store, staged.toSeq, now)
+          if (store.traceRowcounts)
+            ns.toSeq.sortBy(_._1).foreach { case (id, n) =>
+              log(s"${d.name}_snapshot srvid=$id - rowcount: $n") }
+          Seq.empty
+        } catch { case _: Exception =>
+          // per-server fallback: sequential error isolation — only
+          // the genuinely bad server(s) error; servers the fleet
+          // write already committed have drained staging and are
+          // skipped by the hasPartition gate (retry-safe)
+          staged.toSeq.flatMap { id =>
+            try {
+              if (store.hasPartition(d.name, GenericDatasource.Staging, id)) {
+                val n = d.snapshot(store, id, now)
+                log(s"${d.name}_snapshot srvid=$id - rowcount: $n")
+              }
+              None
+            } catch { case e: Exception =>
+              Some(id -> s"${d.name}_snapshot: ${e.getMessage}") }
           }
         }
+      }
+      groupByPriority(datasources).foreach { group =>
+        runOrdered(group, fleetOne).foreach(_.foreach { case (id, msg) =>
+          errors(id) :+= msg })
       }
 
       // per-server tail: cadence phases, catalogs, metas — unchanged

@@ -76,16 +76,33 @@ final class Store(val spark: SparkSession, val root: String) {
     * `spark.graft.store.tickCodegen=true` restores codegen for the
     * tick writes. Session-conf scoping shares StreamTuning.scoped's
     * documented single-threaded-planning assumption. */
+  private val tickScopeLock = new Object
+  private var tickScopeDepth = 0
+  private var tickScopePrev: Option[String] = None
   private def tickCodegenScope[T](body: => T): T = {
     if (spark.conf.get("spark.graft.store.tickCodegen", "false").toBoolean)
       return body
     val key = "spark.sql.codegen.wholeStage"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    // REENTRANT + multi-thread safe: concurrent same-priority snapshots
+    // (Engine's overlapped datasource pass) each enter this scope; only
+    // the first-in saves the session value and only the last-out
+    // restores it, so an interleaved exit can never capture the scope's
+    // own "false" as the value to restore (which would leak
+    // codegen-off into the whole session).
+    tickScopeLock.synchronized {
+      if (tickScopeDepth == 0) {
+        tickScopePrev = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+      }
+      tickScopeDepth += 1
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally tickScopeLock.synchronized {
+      tickScopeDepth -= 1
+      if (tickScopeDepth == 0) tickScopePrev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
